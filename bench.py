@@ -1,0 +1,71 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed once warm-up-free except a tiny session-warming
+no-op; timing covers full materialization (count + a cheap checksum of one
+column via collect of an aggregate — not a driver-side collect of rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_hadoop_automation_in_cloud_spark import queries as q
+from spark_hadoop_automation_in_cloud_spark.session import get_test_session
+
+#: headline set: one per operator family (scan/agg, star join, window rank,
+#: 1-NN geo join, rollup, lag pipeline, datamart composite).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_regional_revenue",
+    "q03_top_order_per_customer",
+    "q05_nearest_city",
+    "q06_event_rollup",
+    "q09_user_sessions",
+    "q11_travel_history",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_test_session("spark-graft-bench")
+    spark.range(1).count()  # JVM warm
+
+    specs = {s.name: s for s in q.specs()}
+    names = [n for n in HEADLINE if n in specs]
+    extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if extra:
+        names = [n for n in extra.split(",") if n in specs]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,11 @@
+"""Column-function library (built-in expressions only — no Python UDFs).
+
+Submodules:
+- ``geo``     — haversine distance (correct + reference-quirk variants),
+                deterministic synthetic coordinates for the test tables.
+- ``hashing`` — portable 60-bit md5-derived hash, minhash permutations.
+- ``text``    — token counts, quality metrics, language-marker scores.
+- ``vectors`` — dot product / norms / cosine over array<float> columns.
+"""
+
+from spark_hadoop_automation_in_cloud_spark.functions import geo, hashing, text, vectors  # noqa: F401

@@ -1,0 +1,114 @@
+"""Sources and sinks.
+
+Replaces the reference's manual S3 path enumeration with Catalyst-native
+partition pruning, and its ``repartition(1)`` sinks with AQE-sized writes.
+
+Reference parity map (SURVEY §2.1):
+- S1 multi-path scan w/ mergeSchema  → ``read_events`` (root-path read +
+  partition-column predicate; Catalyst prunes directories —
+  ``src/helper/helper.py:169-231`` did this driver-side with boto3)
+- S2 dimension scan                  → ``read_dim`` (broadcast-tagged)
+- S4 idempotent datamart sink        → ``write_datamart``
+- S5 partitioned staging sink        → ``write_partitioned``
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+#: columns written as TIMESTAMP(NANOS) by the testdata generator; read as
+#: epoch-nanos (session conf nanosAsLong) and truncated to micros, exactly
+#: as DuckDB's reader does.
+_NANO_TS_COLS = {"events": ("ts",)}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One synthetic table (TESTDATA.md layout: ``{sf_dir}/{name}.parquet``)."""
+    if name in _NANO_TS_COLS:
+        # runtime-settable SQL conf — the caller's session may not have it
+        # (e.g. the driver harness builds its own vanilla SparkSession)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANO_TS_COLS.get(name, ()):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            # integer DIV, not `/`: epoch-nanos exceed double's 2^53 mantissa
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+def read_dim(spark: SparkSession, path: str) -> DataFrame:
+    """Small dimension table, broadcast-tagged for join planning.
+
+    Reference: cities dict read (``src/spark/collector.py:135-166``) — it
+    relied on auto-broadcast; we state the intent explicitly.
+    """
+    return F.broadcast(spark.read.parquet(path))
+
+
+def read_events_window(
+    df: DataFrame,
+    date_col: str,
+    end_date: dt.date | str,
+    depth_days: int,
+    event_type: str | None = None,
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Incremental processing window: the ``depth`` days ending at ``date``.
+
+    The reference materializes this as an explicit list of
+    ``event_type=<t>/date=<d-i>`` paths checked against S3 with boto3
+    (``src/helper/helper.py:207-224``).  Expressed as predicates, Catalyst's
+    PruneFileSourcePartitions reads only the matching directories — same IO,
+    no driver-side listing, and it composes with AQE.
+    """
+    end = dt.date.fromisoformat(end_date) if isinstance(end_date, str) else end_date
+    start = end - dt.timedelta(days=depth_days - 1)
+    out = df.where(F.col(date_col).cast("date").between(F.lit(start), F.lit(end)))
+    if event_type is not None:
+        out = out.where(F.col(type_col) == event_type)
+    return out
+
+
+def write_datamart(df: DataFrame, tgt_root: str, dm_name: str, processed_date: str) -> str:
+    """Datamart snapshot sink: ``{tgt_root}/{dm_name}/date={processed_date}``.
+
+    Reference: ``collector.py:543-557`` wrote errorifexists→overwrite with
+    ``repartition(1)``.  Overwrite directly (idempotent reruns), and let AQE
+    size the output files — a forced single file is a scale anti-pattern; a
+    caller that truly needs one file can ``.coalesce(1)`` at the call site.
+    """
+    path = f"{tgt_root}/{dm_name}/date={processed_date}"
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = ("event_type", "date"),
+    compression: str = "zstd",
+) -> str:
+    """Staging sink: hive-partitioned parquet (reference
+    ``src/spark/mover.py:107-112``, which used gzip; zstd is the modern
+    default — faster decode at comparable ratio)."""
+    df.write.mode("overwrite").partitionBy(*partition_by).option(
+        "compression", compression
+    ).parquet(path)
+    return path

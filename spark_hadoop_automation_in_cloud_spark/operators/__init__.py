@@ -1,0 +1,6 @@
+"""Reusable dataflow operators, each a small function DataFrame → DataFrame.
+
+Parity operators (SURVEY §2): ``topk``, ``nearest``, ``pairs``, ``changes``,
+``rollup``.  Extension operators for training-data pipelines (SURVEY §7.3
+step 9): ``dedup``, ``similarity``, ``textops``.
+"""

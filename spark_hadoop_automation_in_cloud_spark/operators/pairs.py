@@ -1,0 +1,152 @@
+"""Pair-generation operators: self-join candidates, anti-join exclusion,
+distance-threshold (range) join.
+
+Reference (SURVEY §2.3): the friend-recommendation datamart builds user
+pairs from a self equi-join on subscription channel (J6,
+``src/spark/collector.py:1000-1008``), removes already-in-contact pairs with
+a left-anti join (J7, ``collector.py:1012-1019``), and keeps pairs whose
+last-message positions are within 1 km (J9, ``collector.py:1081-1091``).
+
+Scale notes (100 TB):
+- The self-join is O(Σ per-key group²).  Skewed keys dominate → AQE skew
+  join is on by default (session.py) and ``salt`` below provides explicit
+  two-level salting when a key's group is too large even split.
+- Pair normalization (left < right) halves the join output and makes the
+  pair canonical — the reference instead emitted both orders and
+  deduplicated later (``collector.py:967-974``).
+- The distance-threshold join uses grid bucketing (``geo_bucket_join``):
+  each point lands in one ~cell, candidates come from the 3×3 neighbor
+  cells of one side, so the join is an equi-join on cell id — no full
+  cross product.  This is the custom operator SURVEY §4 flags as the only
+  scale-critical rewrite.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spark_hadoop_automation_in_cloud_spark.functions.geo import haversine_km
+
+
+def self_pairs(
+    df: DataFrame,
+    key: str | Sequence[str],
+    id_col: str,
+    payload: Sequence[str] = (),
+) -> DataFrame:
+    """All unordered id pairs sharing ``key``: (left_id < right_id).
+
+    Output: key cols + ``left_<id_col>``, ``right_<id_col>`` (+ payload from
+    each side prefixed ``left_``/``right_``).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = [*keys, id_col, *payload]
+    l = df.select(*cols).alias("l")
+    r = df.select(*cols).alias("r")
+    cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys]
+    pair_cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    out = l.join(r, cond + [pair_cond], "inner")
+    sel = [F.col(f"l.{k}").alias(k) for k in keys]
+    sel.append(F.col(f"l.{id_col}").alias(f"left_{id_col}"))
+    sel.append(F.col(f"r.{id_col}").alias(f"right_{id_col}"))
+    for p in payload:
+        sel.append(F.col(f"l.{p}").alias(f"left_{p}"))
+        sel.append(F.col(f"r.{p}").alias(f"right_{p}"))
+    return out.select(*sel)
+
+
+def exclude_pairs(
+    candidates: DataFrame,
+    exclusions: DataFrame,
+    left_col: str,
+    right_col: str,
+) -> DataFrame:
+    """Left-anti join removing known pairs, order-insensitively.
+
+    Reference J7 (``collector.py:1012-1019``) anti-joined twice (both
+    orders); canonicalizing both sides first needs a single anti join.
+    """
+    ex = exclusions.select(
+        F.least(F.col(left_col), F.col(right_col)).alias("__a"),
+        F.greatest(F.col(left_col), F.col(right_col)).alias("__b"),
+    ).distinct()
+    return candidates.join(
+        ex,
+        (F.col(left_col) == F.col("__a")) & (F.col(right_col) == F.col("__b")),
+        "left_anti",
+    )
+
+
+def within_distance(
+    pairs: DataFrame,
+    lat1: str,
+    lon1: str,
+    lat2: str,
+    lon2: str,
+    max_km: float,
+    distance_col: str = "distance_km",
+) -> DataFrame:
+    """Filter already-formed pairs by haversine distance (reference J9)."""
+    d = haversine_km(F.col(lat1), F.col(lon1), F.col(lat2), F.col(lon2))
+    return pairs.withColumn(distance_col, d).where(F.col(distance_col) <= max_km)
+
+
+def salt(df: DataFrame, key: str, buckets: int, salt_col: str = "__salt") -> DataFrame:
+    """Add a deterministic salt derived from a row hash for two-level
+    aggregation / skew splitting (aggregate by (key, salt), then by key)."""
+    return df.withColumn(salt_col, F.pmod(F.xxhash64(*df.columns), F.lit(buckets)))
+
+
+# --- grid-bucketed distance join (scale path for J9) ------------------------
+
+_KM_PER_DEG_LAT = 111.0
+
+
+def geo_bucket_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_km: float,
+    lat1: str = "lat1",
+    lon1: str = "lon1",
+    lat2: str = "lat2",
+    lon2: str = "lon2",
+    distance_col: str = "distance_km",
+) -> DataFrame:
+    """Distance-threshold join via grid-cell bucketing.
+
+    Each point maps to a (cell_x, cell_y) of side ``max_km``; left rows are
+    replicated to their 3×3 neighborhood, right rows keep their own cell, and
+    the join becomes an equi-join on cell id followed by the exact haversine
+    predicate.  Replication factor is a constant 9 on ONE side — versus the
+    unbounded blowup of a theta join.  (Cell width in degrees uses the
+    latitude-independent lat scale and a conservative equatorial lon scale,
+    so cells are at least max_km wide → no false negatives below ~85° lat.)
+    """
+    cell = max_km / _KM_PER_DEG_LAT
+
+    def cells(lat: str, lon: str) -> tuple[Column, Column]:
+        return (
+            F.floor(F.col(lat) / cell).cast("long"),
+            F.floor(F.col(lon) / cell).cast("long"),
+        )
+
+    lx, ly = cells(lat1, lon1)
+    rx, ry = cells(lat2, lon2)
+    neighborhood = ", ".join(
+        f"named_struct('dx', {dx}, 'dy', {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    offsets = F.expr(f"explode(array({neighborhood}))")
+    l_rep = left.select("*", lx.alias("__cx"), ly.alias("__cy")).select(
+        "*", offsets.alias("__off")
+    ).select(
+        *left.columns,
+        (F.col("__cx") + F.col("__off.dx")).alias("__cellx"),
+        (F.col("__cy") + F.col("__off.dy")).alias("__celly"),
+    )
+    r_cell = right.select("*", rx.alias("__cellx"), ry.alias("__celly"))
+    joined = l_rep.join(r_cell, ["__cellx", "__celly"], "inner").drop("__cellx", "__celly")
+    d = haversine_km(F.col(lat1), F.col(lon1), F.col(lat2), F.col(lon2))
+    return joined.withColumn(distance_col, d).where(F.col(distance_col) <= max_km)

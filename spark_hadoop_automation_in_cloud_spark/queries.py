@@ -1,0 +1,586 @@
+"""Query registry: every implemented operator exposed as a (Spark callable,
+DuckDB oracle SQL) pair over the driver's synthetic tables.
+
+This is the correctness surface the driver checks (``__spark_entry__.py``
+re-exports it).  Each entry maps a SURVEY §2 operator (or §7.3-step-9
+extension) onto ``/root/testdata/sf*/`` tables; the oracle SQL computes the
+identical result in DuckDB.
+
+Cross-engine determinism rules applied throughout:
+- every aggregate / computed column is aliased identically on both sides;
+- double-typed sums go through DECIMAL (exact, order-independent) and are
+  cast back to double;
+- every ranking has a unique tiebreaker;
+- raw transcendental outputs (distances, similarities) are rounded before
+  comparison so libm last-ulp differences cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_hadoop_automation_in_cloud_spark.functions import geo
+from spark_hadoop_automation_in_cloud_spark.io import read_table
+from spark_hadoop_automation_in_cloud_spark.operators import changes as chg
+from spark_hadoop_automation_in_cloud_spark.operators import topk as topk_ops
+from spark_hadoop_automation_in_cloud_spark.operators.nearest import nearest_neighbor_agg
+from spark_hadoop_automation_in_cloud_spark.operators.rollup import weekly_with_month_window
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None → non-SQL-expressible (driver does rows-only check)
+    doc: str = ""
+
+
+_REGISTRY: list[QuerySpec] = []
+
+
+def register(name: str, sql: str | None, doc: str = ""):
+    def deco(fn):
+        _REGISTRY.append(QuerySpec(name, fn, sql, doc))
+        return fn
+
+    return deco
+
+
+def specs() -> list[QuerySpec]:
+    return list(_REGISTRY)
+
+
+# --- helpers ----------------------------------------------------------------
+
+DEC = "decimal(38,0)"  # exact, order-independent accumulator
+
+
+def dsum(col: str) -> F.Column:
+    """Sum an exact-2-decimal double column (money) exactly: integer cents
+    into a DECIMAL accumulator, back to double at the end.  Order-independent
+    and bit-identical across engines (plain double sums are neither)."""
+    cents = F.round(F.col(col) * 100).cast("bigint")
+    return (F.sum(cents.cast(DEC)).cast("double") / 100.0)
+
+
+def sql_dsum(expr: str) -> str:
+    return (
+        f"CAST(SUM(CAST(CAST(round(({expr}) * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE)"
+        " / 100.0"
+    )
+
+
+# City dimension derived deterministically from `nation` (testdata has no
+# geo dim — FIXTURES.md §B note): city_id = n_nationkey, synthetic coords.
+def city_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = read_table(spark, sf_dir, "nation")
+    return n.select(
+        F.col("n_nationkey").cast("int").alias("city_id"),
+        F.col("n_name").alias("city_name"),
+        geo.synth_city_lat(F.col("n_nationkey")).alias("city_lat"),
+        geo.synth_city_lon(F.col("n_nationkey")).alias("city_lon"),
+        # integer UTC offset standing in for the reference's tz name column
+        (F.col("n_nationkey").cast("bigint") % 27 - 12).cast("int").alias("tz_offset_hours"),
+    )
+
+
+SQL_CITY_DIM = f"""
+SELECT CAST(n_nationkey AS INT) AS city_id,
+       n_name AS city_name,
+       {geo.SQL_CITY_LAT.format(k="n_nationkey")} AS city_lat,
+       {geo.SQL_CITY_LON.format(k="n_nationkey")} AS city_lon,
+       CAST(n_nationkey % 27 - 12 AS INT) AS tz_offset_hours
+FROM nation
+"""
+
+# Events with synthetic coordinates (the geo fact table).
+def geo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        "value",
+        geo.synth_event_lat(F.col("user_id"), F.col("event_id")).alias("lat"),
+        geo.synth_event_lon(F.col("user_id"), F.col("event_id")).alias("lon"),
+    )
+
+
+SQL_GEO_EVENTS = f"""
+SELECT event_id, user_id, event_type, ts, value,
+       {geo.SQL_EVENT_LAT.format(u="user_id", e="event_id")} AS lat,
+       {geo.SQL_EVENT_LON.format(u="user_id", e="event_id")} AS lon
+FROM events
+"""
+
+# Nearest-city assignment as a SQL CTE (oracle side of J2): rank cities per
+# event by (distance, city_id), keep rank 1.
+SQL_NEAREST = f"""
+WITH city AS ({SQL_CITY_DIM}),
+ev AS ({SQL_GEO_EVENTS}),
+cand AS (
+  SELECT ev.*, city.city_id, city.city_name, city.tz_offset_hours,
+         {geo.SQL_HAVERSINE.format(lat1="ev.lat", lon1="ev.lon", lat2="city.city_lat", lon2="city.city_lon")} AS dist,
+         row_number() OVER (PARTITION BY ev.event_id ORDER BY
+           {geo.SQL_HAVERSINE.format(lat1="ev.lat", lon1="ev.lon", lat2="city.city_lat", lon2="city.city_lon")} ASC,
+           city.city_id ASC) AS rnk
+  FROM ev CROSS JOIN city
+)
+SELECT * FROM cand WHERE rnk = 1
+"""
+
+
+def nearest_city_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event with its nearest city attached (shared building block)."""
+    ev = geo_events(spark, sf_dir)
+    return nearest_neighbor_agg(
+        ev,
+        city_dim(spark, sf_dir),
+        fact_keys=["event_id", "user_id", "event_type", "ts", "value", "lat", "lon"],
+        fact_lat="lat",
+        fact_lon="lon",
+        dim_id="city_id",
+        dim_lat="city_lat",
+        dim_lon="city_lon",
+        dim_payload=["city_name", "tz_offset_hours"],
+    )
+
+
+# ============================================================================
+# Scans / projections / aggregations (SURVEY §2.1, §2.2, §2.4)
+# ============================================================================
+
+
+@register(
+    "q01_pricing_summary",
+    """
+WITH cents AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity) AS BIGINT)            AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100) AS BIGINT)      AS disc_c,
+         CAST(round(l_tax * 100) AS BIGINT)           AS tax_c
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(qty AS DECIMAL(38,0))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(price_c AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(SUM(CAST(price_c * (100 - disc_c) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(SUM(CAST(price_c * (100 - disc_c) * (100 + tax_c) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sum_charge,
+       CAST(SUM(CAST(qty AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(price_c AS DECIMAL(38,0))) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(disc_c AS DECIMAL(38,0))) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM cents
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="Flagship scan→filter→hash-aggregate (A1/P1/P2; TPC-H Q1 shape). "
+    "Money columns are exact 2-decimal values, so sums run on integer "
+    "cents inside exact DECIMAL accumulators: order-independent, "
+    "bit-identical across engines, overflow-safe at 100 TB. Filter pushes "
+    "to the parquet scan; partial aggregation combines map-side.",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem")
+    f = l.where(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_c = F.round(F.col("l_discount") * 100).cast("bigint")
+    tax_c = F.round(F.col("l_tax") * 100).cast("bigint")
+    big = "decimal(38,0)"
+    n = F.count(F.lit(1))
+    return (
+        f.select(
+            "l_returnflag",
+            "l_linestatus",
+            qty.alias("qty"),
+            price_c.alias("price_c"),
+            disc_c.alias("disc_c"),
+            tax_c.alias("tax_c"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("qty").cast(big)).cast("double").alias("sum_qty"),
+            (F.sum(F.col("price_c").cast(big)).cast("double") / 100.0).alias("sum_base_price"),
+            (
+                F.sum((F.col("price_c") * (100 - F.col("disc_c"))).cast(big)).cast("double")
+                / 10000.0
+            ).alias("sum_disc_price"),
+            (
+                F.sum(
+                    (F.col("price_c") * (100 - F.col("disc_c")) * (100 + F.col("tax_c"))).cast(big)
+                ).cast("double")
+                / 1000000.0
+            ).alias("sum_charge"),
+            (F.sum(F.col("qty").cast(big)).cast("double") / n).alias("avg_qty"),
+            (F.sum(F.col("price_c").cast(big)).cast("double") / 100.0 / n).alias("avg_price"),
+            (F.sum(F.col("disc_c").cast(big)).cast("double") / 100.0 / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_regional_revenue",
+    f"""
+SELECT r_name AS region_name, n_name AS nation_name,
+       COUNT(*) AS order_cnt,
+       {sql_dsum("o_totalprice")} AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderstatus <> 'F'
+GROUP BY r_name, n_name
+""",
+    doc="Multi-way star join (J5) + grouped agg. nation/region broadcast; "
+    "orders⋈customer shuffles on the key once.",
+)
+def q02_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") != "F")
+    c = read_table(spark, sf_dir, "customer")
+    n = F.broadcast(read_table(spark, sf_dir, "nation"))
+    r = F.broadcast(read_table(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(F.count(F.lit(1)).alias("order_cnt"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+@register(
+    "q03_top_order_per_customer",
+    """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate
+FROM ranked WHERE rnk = 1
+""",
+    doc="Top-1-per-group via row_number (W1/O2) with deterministic tiebreak.",
+)
+def q03_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    return topk_ops.topk_per_group(
+        o,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=1,
+    )
+
+
+@register(
+    "q04_customers_without_orders",
+    """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    doc="Left-anti join (J7).",
+)
+def q04_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q05_nearest_city",
+    f"""
+WITH best AS ({SQL_NEAREST})
+SELECT event_id, user_id, city_id, city_name,
+       round(dist, 4) AS distance_km
+FROM best
+""",
+    doc="Spatial 1-NN assignment (J1/J2/W1): broadcast nested-loop join + "
+    "map-side min_by — the fact table is never shuffled in full width.",
+)
+def q05_nearest_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ne = nearest_city_events(spark, sf_dir)
+    return ne.select(
+        "event_id",
+        "user_id",
+        "city_id",
+        "city_name",
+        F.round("distance_km", 4).alias("distance_km"),
+    )
+
+
+@register(
+    "q06_event_rollup",
+    """
+WITH weekly AS (
+  SELECT event_type,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+         CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+         COUNT(*) AS week_cnt
+  FROM events
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, week, month, week_cnt,
+       CAST(SUM(week_cnt) OVER (PARTITION BY event_type, month) AS BIGINT) AS month_cnt
+FROM weekly
+""",
+    doc="Week/month rollup (A1/A4/W5): grouped count + unbounded window sum, "
+    "the reference Q2 shape (collector.py:668-674).",
+)
+def q06_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return weekly_with_month_window(
+        e, ["event_type"], "ts", count_alias="week_cnt", month_alias="month_cnt"
+    )
+
+
+@register(
+    "q07_event_dedup",
+    """
+SELECT user_id, event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       MIN(event_id) AS first_event_id, COUNT(*) AS n_dups
+FROM events
+GROUP BY 1, 2, 3
+""",
+    doc="Dedup-by-key-subset (P7) made deterministic: keep min id per key "
+    "instead of dropDuplicates' arbitrary row.",
+)
+def q07_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .groupBy("user_id", "event_type", "day")
+        .agg(F.min("event_id").alias("first_event_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+@register(
+    "q08_conditional_enrichment",
+    """
+SELECT event_id, user_id,
+       COALESCE(NULLIF(event_type, 'error'), 'recovered') AS effective_type,
+       CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS value_band,
+       round(CAST(value AS DOUBLE) / 100.0, 6) AS value_norm
+FROM events
+WHERE user_id IS NOT NULL
+""",
+    doc="COALESCE fallback + conditional column (P5/P6) + null guard (P2).",
+)
+def q08_conditional_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    return e.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("recovered")).alias(
+            "effective_type"
+        ),
+        F.when(F.col("value") >= 50, "high").otherwise("low").alias("value_band"),
+        F.round(F.col("value").cast("double") / 100.0, 6).alias("value_norm"),
+    )
+
+
+@register(
+    "q09_user_sessions",
+    """
+WITH seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       SUM(CASE WHEN prev_type IS NULL OR event_type <> prev_type THEN 1 ELSE 0 END) AS n_type_changes
+FROM seq
+GROUP BY user_id
+""",
+    doc="Lag-based change detection (W4, travel-detection shape).",
+)
+def q09_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    marked = chg.detect_changes(e, "user_id", "ts", "event_type", "event_id", "is_change")
+    return marked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("is_change").cast("bigint").alias("n_type_changes"),
+    )
+
+
+@register(
+    "q10_first_last_value",
+    """
+WITH f AS (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)  AS rnk_first,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnk_last
+  FROM events
+)
+SELECT a.user_id,
+       a.ts AS first_ts, round(a.value, 6) AS first_value,
+       b.ts AS last_ts,  round(b.value, 6) AS last_value
+FROM f a JOIN f b ON a.user_id = b.user_id
+WHERE a.rnk_first = 1 AND b.rnk_last = 1
+""",
+    doc="First/last-per-group endpoints (W2/W3) via min_by/max_by with "
+    "struct tiebreak — single shuffle, map-side combine.",
+)
+def q10_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.round(
+            F.min_by(F.col("value"), F.struct(F.col("ts"), F.col("event_id"))), 6
+        ).alias("first_value"),
+        F.max("ts").alias("last_ts"),
+        F.round(
+            F.max_by(F.col("value"), F.struct(F.col("ts"), F.col("event_id"))), 6
+        ).alias("last_value"),
+    )
+
+
+@register(
+    "q11_travel_history",
+    """
+WITH best AS (%s),
+seq AS (
+  SELECT user_id, event_id, ts, city_name,
+         lag(city_name) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_city
+  FROM best
+),
+travels AS (
+  SELECT user_id, ts, event_id, city_name
+  FROM seq WHERE prev_city IS NULL OR city_name <> prev_city
+)
+SELECT user_id,
+       COUNT(*) AS travel_count,
+       string_agg(city_name, ',' ORDER BY ts, event_id) AS travel_list
+FROM travels
+GROUP BY user_id
+"""
+    % SQL_NEAREST,
+    doc="Q1-datamart travel core: nearest city per event → lag change "
+    "detection → ordered collect_list (A2/A3, made deterministic via "
+    "sort keys; emitted as CSV string for cross-engine comparison).",
+)
+def q11_travel_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ne = nearest_city_events(spark, sf_dir)
+    marked = chg.detect_changes(ne, "user_id", "ts", "city_name", "event_id", "is_change")
+    travels = marked.where(F.col("is_change") == 1)
+    return travels.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("travel_count"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("city_name")))
+                ),
+                lambda s: s["city_name"],
+            ),
+            ",",
+        ).alias("travel_list"),
+    )
+
+
+@register(
+    "q12_active_user_segments",
+    """
+SELECT c_mktsegment AS segment, COUNT(*) AS n_customers
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+GROUP BY c_mktsegment
+""",
+    doc="Left-semi join (complement of J7's anti; SURVEY notes semi absent "
+    "in reference — first-class here).",
+)
+def q12_active_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "q13_order_priority_sets",
+    """
+SELECT 'urgent_only' AS label, COUNT(*) AS n FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+)
+UNION ALL
+SELECT 'urgent_and_low' AS label, COUNT(*) AS n FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+)
+""",
+    doc="Set operators union/intersect/except (SURVEY §2.7: absent in the "
+    "reference, first-class here).",
+)
+def q13_order_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    low = o.where(F.col("o_orderpriority") == "5-LOW").select("o_custkey").distinct()
+    a = urgent.exceptAll(low).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("urgent_only").alias("label"), "n"
+    )
+    b = urgent.intersect(low).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("urgent_and_low").alias("label"), "n"
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "q14_local_time",
+    f"""
+WITH best AS ({SQL_NEAREST})
+SELECT event_id, user_id, city_id,
+       ts + tz_offset_hours * INTERVAL 1 HOUR AS local_ts
+FROM best
+""",
+    doc="Per-row timezone shift (reference from_utc_timestamp with a column "
+    "tz, collector.py:361-366; offset-hours dim keeps the oracle exact).",
+)
+def q14_local_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ne = nearest_city_events(spark, sf_dir)
+    return ne.select(
+        "event_id",
+        "user_id",
+        "city_id",
+        (
+            F.col("ts")
+            + F.make_interval(hours=F.col("tz_offset_hours"))
+        ).alias("local_ts"),
+    )
+
+
+@register(
+    "q15_top_parts_global",
+    """
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+ORDER BY p_retailprice DESC, p_partkey ASC
+LIMIT 25
+""",
+    doc="Global sort + limit (O1/O3) — TakeOrderedAndProject, no full sort "
+    "at scale.",
+)
+def q15_top_parts_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    return (
+        p.select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+        .limit(25)
+    )

@@ -1,0 +1,128 @@
+"""SparkSession lifecycle with scale-ready defaults.
+
+Parity with the reference's session runner (``src/spark/runner.py:47-105``:
+master, app name, S3A conf, executor sizing, log level) — but defaults are
+chosen for a large cluster: AQE on (runtime partition coalescing + skew-join
+splitting), Arrow for any Python exchange, UTC session timezone so results
+are reproducible across engines and clusters.
+
+The reference hardcodes ``repartition(56)`` / ``repartition(1)`` and manual
+``persist`` calls; here AQE owns post-shuffle parallelism and callers opt
+into caching explicitly.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+# Defaults that are correct at any scale; per-deployment overrides come via
+# ``extra_conf`` or spark-submit --conf (never hardcoded in query code).
+_BASE_CONF: dict[str, str] = {
+    # Adaptive execution: runtime shuffle-partition coalescing, skew-join
+    # splitting, and local-shuffle-read — replaces the reference's manual
+    # repartition() calls (src/spark/mover.py:47, collector.py:544).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas exchange (similarity / multimodal ops).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic cross-engine timestamps (DuckDB oracle runs naive/UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # Parquet: vectorized reader is default-on; keep schema merge off by
+    # default (opt in per-read — it is O(#files) on the driver).
+    "spark.sql.parquet.mergeSchema": "false",
+    # Don't let tiny local runs mask pushdown bugs.
+    "spark.sql.parquet.filterPushdown": "true",
+    # Some producers (pandas/arrow) write TIMESTAMP(NANOS) parquet, which the
+    # Spark reader rejects by default; read as epoch-nanos long and let
+    # io.read_table convert to micros (matches DuckDB's truncation).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+@dataclass
+class SessionConfig:
+    """Validated session settings (reference ``keeper.py:146-184`` kept the
+    same knobs as a pydantic model: memory shape, cores, executor caps)."""
+
+    app_name: str = "spark-hadoop-automation-in-cloud-spark"
+    master: str | None = None  # None → spark-submit / env decides
+    shuffle_partitions: int | None = None  # None → 8 × default parallelism
+    executor_memory: str | None = None
+    executor_cores: int | None = None
+    max_executors: int | None = None
+    log_level: str = "WARN"
+    extra_conf: dict[str, str] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.executor_memory is not None:
+            import re
+
+            if not re.fullmatch(r"\d+[mMgG]", self.executor_memory):
+                raise ValueError(
+                    f"executor_memory must look like '3000m' or '4g', got {self.executor_memory!r}"
+                )
+        if self.executor_cores is not None and not 1 <= self.executor_cores <= 64:
+            raise ValueError("executor_cores must be in [1, 64]")
+        if self.max_executors is not None and not 1 <= self.max_executors <= 10_000:
+            raise ValueError("max_executors must be in [1, 10000]")
+        if self.shuffle_partitions is not None and self.shuffle_partitions < 1:
+            raise ValueError("shuffle_partitions must be >= 1")
+
+
+def local_master(cpus: int | None = None) -> str:
+    """local[N] master string; N from $SPARK_GRAFT_CPUS by default."""
+    n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
+    return f"local[{n}]" if n > 0 else "local[*]"
+
+
+def get_session(config: SessionConfig | None = None) -> SparkSession:
+    """Build (or get) a SparkSession with the engine's defaults applied.
+
+    Reference parity: ``init_session`` (``runner.py:47-96``) — master, app
+    name, executor sizing, dynamic allocation cap, log level.
+    """
+    cfg = config or SessionConfig()
+    builder = SparkSession.builder.appName(cfg.app_name)
+    if cfg.master:
+        builder = builder.master(cfg.master)
+    for k, v in _BASE_CONF.items():
+        builder = builder.config(k, v)
+    if cfg.shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
+    if cfg.executor_memory is not None:
+        builder = builder.config("spark.executor.memory", cfg.executor_memory)
+    if cfg.executor_cores is not None:
+        builder = builder.config("spark.executor.cores", str(cfg.executor_cores))
+    if cfg.max_executors is not None:
+        builder = builder.config("spark.dynamicAllocation.enabled", "true")
+        builder = builder.config("spark.dynamicAllocation.maxExecutors", str(cfg.max_executors))
+    for k, v in cfg.extra_conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel(cfg.log_level)
+    return spark
+
+
+def get_test_session(app_name: str = "spark-graft-test") -> SparkSession:
+    """Local-mode session for tests/bench: local[$SPARK_GRAFT_CPUS]."""
+    return get_session(
+        SessionConfig(
+            app_name=app_name,
+            master=local_master(),
+            shuffle_partitions=32,
+            extra_conf={
+                "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+                "spark.ui.enabled": "false",
+                "spark.sql.shuffle.partitions": "32",
+            },
+        )
+    )
+
+
+def stop_session(spark: SparkSession) -> None:
+    """Reference parity: ``stop_session`` (``runner.py:98-105``)."""
+    spark.stop()
