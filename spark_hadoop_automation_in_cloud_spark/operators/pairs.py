@@ -63,15 +63,20 @@ def exclude_pairs(
     exclusions: DataFrame,
     left_col: str,
     right_col: str,
+    ex_left: str | None = None,
+    ex_right: str | None = None,
 ) -> DataFrame:
     """Left-anti join removing known pairs, order-insensitively.
 
     Reference J7 (``collector.py:1012-1019``) anti-joined twice (both
     orders); canonicalizing both sides first needs a single anti join.
+    ``candidates`` must already be canonical (left < right); ``exclusions``
+    may list pairs in any order (columns ``ex_left``/``ex_right``, which
+    default to the candidate column names).
     """
     ex = exclusions.select(
-        F.least(F.col(left_col), F.col(right_col)).alias("__a"),
-        F.greatest(F.col(left_col), F.col(right_col)).alias("__b"),
+        F.least(F.col(ex_left or left_col), F.col(ex_right or right_col)).alias("__a"),
+        F.greatest(F.col(ex_left or left_col), F.col(ex_right or right_col)).alias("__b"),
     ).distinct()
     return candidates.join(
         ex,

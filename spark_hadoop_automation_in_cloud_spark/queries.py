@@ -584,3 +584,200 @@ def q15_top_parts_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
         .limit(25)
     )
+
+
+# ============================================================================
+# Datamart composites (SURVEY §3.4 Q1/Q2/Q3)
+# ============================================================================
+
+from spark_hadoop_automation_in_cloud_spark.plans.activity_rollup import (  # noqa: E402
+    require_all_classes,
+    zone_week_month_rollup,
+)
+from spark_hadoop_automation_in_cloud_spark.plans.demographics import (  # noqa: E402
+    user_demographics,
+)
+from spark_hadoop_automation_in_cloud_spark.plans.recommendations import (  # noqa: E402
+    friend_recommendations,
+)
+
+EVENT_CLASSES = ("click", "view", "purchase", "signup")
+
+# Latest position per user (rank desc by ts, event_id) as a SQL CTE.
+SQL_LAST_POS = f"""
+ranked_pos AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnk
+  FROM events
+),
+last_pos AS (
+  SELECT user_id,
+         {geo.SQL_EVENT_LAT.format(u="user_id", e="event_id")} AS lat,
+         {geo.SQL_EVENT_LON.format(u="user_id", e="event_id")} AS lon
+  FROM ranked_pos WHERE rnk = 1
+)
+"""
+
+
+@register(
+    "q16_friend_recommendations",
+    f"""
+WITH subs AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS INT) % 20 AS channel
+  FROM events WHERE event_type = 'signup'
+),
+cand AS (
+  SELECT DISTINCT a.user_id AS left_user_id, b.user_id AS right_user_id
+  FROM subs a JOIN subs b
+    ON a.channel = b.channel AND a.user_id < b.user_id
+),
+contact_src AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, user_id
+  FROM events WHERE event_type = 'purchase'
+),
+contacts AS (
+  SELECT DISTINCT least(a.user_id, b.user_id) AS ua, greatest(a.user_id, b.user_id) AS ub
+  FROM contact_src a JOIN contact_src b ON a.k = b.k AND a.user_id <> b.user_id
+),
+{SQL_LAST_POS},
+pairs AS (
+  SELECT c.left_user_id, c.right_user_id,
+         {geo.SQL_HAVERSINE.format(lat1="p1.lat", lon1="p1.lon", lat2="p2.lat", lon2="p2.lon")} AS dist
+  FROM cand c
+  JOIN last_pos p1 ON c.left_user_id = p1.user_id
+  JOIN last_pos p2 ON c.right_user_id = p2.user_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM contacts x
+    WHERE x.ua = c.left_user_id AND x.ub = c.right_user_id
+  )
+)
+SELECT left_user_id, right_user_id, round(dist, 4) AS distance_km
+FROM pairs WHERE dist <= 500
+""",
+    doc="Q3 datamart composite: self equi-join pair generation (J6) + "
+    "canonical-pair anti join (J7) + distance-threshold join (J9). "
+    "Channel/contact keys come from the JSON props column "
+    "(get_json_object — the raw layer the reference's upstream parsed).",
+)
+def q16_friend_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    subs = e.where(F.col("event_type") == "signup").select(
+        "user_id", (k % 20).alias("channel")
+    )
+    contact_src = e.where(F.col("event_type") == "purchase").select(
+        k.alias("k"), "user_id"
+    )
+    contacts = (
+        contact_src.alias("a")
+        .join(
+            contact_src.alias("b"),
+            (F.col("a.k") == F.col("b.k")) & (F.col("a.user_id") != F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
+        )
+    )
+    last_pos = (
+        geo_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("lat"), F.col("lon")),
+                F.struct(F.col("ts"), F.col("event_id")),
+            ).alias("__p")
+        )
+        .select("user_id", F.col("__p.lat").alias("lat"), F.col("__p.lon").alias("lon"))
+    )
+    return friend_recommendations(subs, contacts, last_pos, max_km=500.0)
+
+
+@register(
+    "q17_user_demographics",
+    f"""
+WITH best AS ({SQL_NEAREST}),
+latest AS (
+  SELECT user_id, city_name AS act_city,
+         ts + tz_offset_hours * INTERVAL 1 HOUR AS local_ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnk
+  FROM best
+),
+seq AS (
+  SELECT user_id, event_id, ts, city_name,
+         lag(city_name) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_city
+  FROM best
+),
+travels AS (
+  SELECT user_id, ts, event_id, city_name,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM seq WHERE prev_city IS NULL OR city_name <> prev_city
+),
+history AS (
+  SELECT user_id, COUNT(*) AS travel_count,
+         string_agg(city_name, ',' ORDER BY ts, event_id) AS travel_list
+  FROM travels GROUP BY user_id
+),
+home_ranked AS (
+  SELECT user_id, city_name,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnk
+  FROM travels WHERE date_diff('day', CAST(ts AS DATE), CAST(next_ts AS DATE)) > 7
+)
+SELECT l.user_id, l.act_city,
+       COALESCE(h.city_name, 'Couldn''t determine') AS home_city,
+       hist.travel_count, hist.travel_list, l.local_ts
+FROM latest l
+LEFT JOIN history hist ON l.user_id = hist.user_id
+LEFT JOIN home_ranked h ON l.user_id = h.user_id AND h.rnk = 1
+WHERE l.rnk = 1
+""",
+    doc="Q1 datamart composite: actual city (latest event), home city "
+    "(latest stay > 7 days), ordered travel history, per-row tz-shifted "
+    "local time — reference collector.py:378-560 semantics with "
+    "deterministic ordering.",
+)
+def q17_user_demographics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_demographics(nearest_city_events(spark, sf_dir), min_stay_days=7)
+
+
+def _sql_rollup_branch(t: str) -> str:
+    return f"""
+SELECT city_id AS zone_id,
+       CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+       CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+       COUNT(*) AS week_{t}
+FROM best WHERE event_type = '{t}'
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "q18_zone_activity",
+    f"""
+WITH best AS ({SQL_NEAREST}),
+{", ".join(f'''b_{t} AS (
+  SELECT zone_id, week, month, week_{t},
+         CAST(SUM(week_{t}) OVER (PARTITION BY zone_id, month) AS BIGINT) AS month_{t}
+  FROM ({_sql_rollup_branch(t)})
+)''' for t in EVENT_CLASSES)}
+SELECT b_click.zone_id, b_click.week, b_click.month,
+       week_click, month_click, week_view, month_view,
+       week_purchase, month_purchase, week_signup, month_signup
+FROM b_click
+JOIN b_view     USING (zone_id, week, month)
+JOIN b_purchase USING (zone_id, week, month)
+JOIN b_signup   USING (zone_id, week, month)
+""",
+    doc="Q2 datamart composite: per-zone week/month rollup of 4 event "
+    "classes with month totals windowed onto week rows, inner-join "
+    "parity semantics (collector.py:819-823). Spark side runs the "
+    "single-pass pivot form (1 shuffle) instead of 4 aggs + 3 joins.",
+)
+def q18_zone_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ez = nearest_city_events(spark, sf_dir).withColumnRenamed("city_id", "zone_id")
+    piv = zone_week_month_rollup(ez, EVENT_CLASSES)
+    out = require_all_classes(piv, EVENT_CLASSES)
+    cols = ["zone_id", "week", "month"]
+    for t in EVENT_CLASSES:
+        cols += [f"week_{t}", f"month_{t}"]
+    return out.select(*cols)
