@@ -119,23 +119,31 @@ def geo_bucket_join(
     lat2: str = "lat2",
     lon2: str = "lon2",
     distance_col: str = "distance_km",
+    max_abs_lat_deg: float = 66.0,
 ) -> DataFrame:
     """Distance-threshold join via grid-cell bucketing.
 
-    Each point maps to a (cell_x, cell_y) of side ``max_km``; left rows are
-    replicated to their 3×3 neighborhood, right rows keep their own cell, and
-    the join becomes an equi-join on cell id followed by the exact haversine
-    predicate.  Replication factor is a constant 9 on ONE side — versus the
-    unbounded blowup of a theta join.  (Cell width in degrees uses the
-    latitude-independent lat scale and a conservative equatorial lon scale,
-    so cells are at least max_km wide → no false negatives below ~85° lat.)
+    Each point maps to a (cell_x, cell_y); left rows are replicated to their
+    3×3 neighborhood, right rows keep their own cell, and the join becomes
+    an equi-join on cell id followed by the exact haversine predicate.
+    Replication factor is a constant 9 on ONE side — versus the unbounded
+    blowup of a theta join.
+
+    Correctness requires any true pair's cells to differ by ≤1 per axis:
+    the lat cell is ``max_km`` tall, and the lon cell is widened by the
+    worst-case longitude shrink ``cos(max_abs_lat_deg)`` (data above that
+    latitude would need a polar-cap strategy; antimeridian wrap is likewise
+    out of scope — both hold for the synthetic coords, lat ≤ 60°).
     """
-    cell = max_km / _KM_PER_DEG_LAT
+    import math
+
+    cell_lat = max_km / _KM_PER_DEG_LAT
+    cell_lon = max_km / (_KM_PER_DEG_LAT * math.cos(math.radians(max_abs_lat_deg)))
 
     def cells(lat: str, lon: str) -> tuple[Column, Column]:
         return (
-            F.floor(F.col(lat) / cell).cast("long"),
-            F.floor(F.col(lon) / cell).cast("long"),
+            F.floor(F.col(lat) / cell_lat).cast("long"),
+            F.floor(F.col(lon) / cell_lon).cast("long"),
         )
 
     lx, ly = cells(lat1, lon1)

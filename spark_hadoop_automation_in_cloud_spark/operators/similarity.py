@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k (broadcast the query set, rank per
+query).  Scale path: random-hyperplane LSH bucketing so each query only
+scans its bucket neighborhood — the bucket assignment is a pure projection,
+and candidate generation becomes an equi-join on bucket signature.
+
+All vector math uses built-in higher-order functions (``functions.vectors``)
+— JVM-side, no Python boundary.  Similarities are rounded to 6dp BEFORE
+ranking so cross-engine ulp noise can't flip an ordering (ties then break
+on vec_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_hadoop_automation_in_cloud_spark.functions.vectors import cosine
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """For every query vector: top-k most-cosine-similar corpus vectors.
+
+    Plan: broadcast(queries) × corpus (nested-loop, corpus never shuffled)
+    → rank per query.  Output: query_id, neighbor_id, cosine_sim, rank.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def sql_cosine_topk(
+    corpus_src: str, query_pred: str, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    """DuckDB oracle: same fold (sequential double dot/norm) + same ranking."""
+    dot = (
+        "list_sum(list_transform(list_zip(q.__qvec, c.__cvec), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    nq = "sqrt(list_sum(list_transform(q.__qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    nc = "sqrt(list_sum(list_transform(c.__cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS query_id, {vec_col} AS __qvec FROM {corpus_src} WHERE {query_pred}
+),
+c AS (
+  SELECT {id_col} AS neighbor_id, {vec_col} AS __cvec FROM {corpus_src}
+),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         round({dot} / ({nq} * {nc}), 6) AS cosine_sim
+  FROM q CROSS JOIN c
+  WHERE q.query_id <> c.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# --- LSH-bucketed ANN (scale path) ------------------------------------------
+
+NUM_HYPERPLANES = 6
+
+
+def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """sign(v · h_plane) where h_plane[d] = deterministic pseudo-random ±
+    weight derived from (plane, d) by integer arithmetic (LCG step) — no RNG
+    library, reproducible anywhere."""
+    weights = [
+        ((1103515245 * (plane * 512 + d) + 12345) % 2147483647) / 2147483647.0 - 0.5
+        for d in range(dim)
+    ]
+    warr = F.array(*[F.lit(w) for w in weights])
+    dot = F.aggregate(
+        F.zip_with(vec, warr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (dot > 0).cast("int")
+
+
+def lsh_bucket(vec: Column, dim: int, planes: int = NUM_HYPERPLANES) -> Column:
+    """Bucket signature: the concatenated sign bits of ``planes`` random
+    hyperplane projections (similar vectors collide with high probability)."""
+    bits = [_hyperplane_sign(vec, p, dim) for p in range(planes)]
+    out = F.lit(0)
+    for b in bits:
+        out = out * 2 + b
+    return out
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    then exact cosine rank within the bucket.
+
+    At 100 TB the corpus is scanned once to materialize (bucket, vec) —
+    ideally written bucketed-by-signature so repeated queries prune to
+    matching buckets; the join is an equi-join on the bucket id instead of
+    a full cross product.  Recall < 1 by construction; to keep it useful the
+    query side multi-probes: each query also checks every bucket at Hamming
+    distance 1 from its own signature (probes = planes + 1 buckets out of
+    2^planes — still a large candidate reduction).
+    """
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        lsh_bucket(F.col(vec_col), dim).alias("__bucket"),
+    )
+    probes = F.array(
+        F.col("__b0"), *[F.col("__b0").bitwiseXOR(F.lit(1 << p)) for p in range(NUM_HYPERPLANES)]
+    )
+    qb = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            lsh_bucket(F.col(vec_col), dim).alias("__b0"),
+        )
+        .select("query_id", "__qvec", F.explode(probes).alias("__bucket"))
+    )
+    scored = (
+        qb.join(cb, "__bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,250 @@
+"""Text-analysis operators for document pipelines: language ID, quality
+scoring, token statistics, fingerprinting.
+
+All built-in string/regex expressions (JVM-side, whole-stage codegen), each
+with a DuckDB-oracle SQL generator.  These are per-row projections +
+(sometimes) one aggregation — embarrassingly parallel at any scale; the
+only planning rule is to project (id, text) before applying them so the
+scan stays narrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_hadoop_automation_in_cloud_spark.functions.hashing import md5_int60, sql_md5_int60
+from spark_hadoop_automation_in_cloud_spark.functions.text import (
+    occurrence_count,
+    sql_occurrence_count,
+)
+
+# language marker words (space-padded to match whole tokens)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "nicht"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "y", "los"),
+    "zh": ("的", "是", "了"),
+}
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """n-gram-heuristic language ID: count per-language marker-token
+    occurrences, predict the argmax (ties → lexicographic lang order).
+
+    Output: doc_id, pred_lang, marker_hits.
+    """
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    scores = {
+        lang: sum(occurrence_count(padded, f" {m} ") for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[c.alias(f"__s_{lang}") for lang, c in scores.items()],
+    )
+    best = F.greatest(*[F.col(f"__s_{lang}") for lang in LANG_MARKERS])
+    pred = F.lit(None).cast("string")
+    # first lang (sorted) reaching the max wins — deterministic tie-break
+    for lang in sorted(LANG_MARKERS):
+        pred = F.coalesce(pred, F.when(F.col(f"__s_{lang}") == best, F.lit(lang)))
+    return out.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        best.cast("int").alias("marker_hits"),
+    )
+
+
+def sql_language_id(src: str, id_col: str, text_col: str) -> str:
+    padded = f"(' ' || {text_col} || ' ')"
+    score_exprs = {
+        lang: " + ".join(sql_occurrence_count(padded, f" {m} ") for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    score_cols = ",\n       ".join(
+        f"({e}) AS __s_{lang}" for lang, e in score_exprs.items()
+    )
+    best = "greatest(" + ", ".join(f"__s_{lang}" for lang in LANG_MARKERS) + ")"
+    pred = "CASE "
+    for lang in sorted(LANG_MARKERS):
+        pred += f"WHEN __s_{lang} = {best} THEN '{lang}' "
+    pred += "END"
+    return f"""
+WITH scored AS (
+  SELECT {id_col} AS doc_id,
+       {score_cols}
+  FROM {src}
+)
+SELECT doc_id, {pred} AS pred_lang, CAST({best} AS INT) AS marker_hits
+FROM scored
+"""
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality metrics + a composite score in [0, 1].
+
+    Components (all cheap, portable): length band, alpha-char ratio,
+    mean token length band, stopword presence.  Output: doc_id, n_chars,
+    n_tokens, alpha_ratio, mean_token_len, quality (all rounded 6dp).
+    """
+    # All ratios are exact integer divisions done ONCE in double — bit-
+    # identical across engines with no rounding step (rounding half-boundary
+    # values like 0.9428125 differs between engines).
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = F.split(t, " ")
+    n_tokens = F.size(toks)
+    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+    alpha_ratio = F.when(n_chars == 0, 0.0).otherwise(
+        alpha.cast("double") / n_chars
+    )
+    mean_tok = F.when(n_tokens == 0, 0.0).otherwise(
+        (n_chars - (n_tokens - 1)).cast("double") / n_tokens
+    )
+    has_stop = (
+        occurrence_count(F.concat(F.lit(" "), t, F.lit(" ")), " the ") > 0
+    ).cast("int")
+    # bands ×10 as integers; quality = numer / (10000 * n_chars), where
+    # numer = 400*lb10*n + 3000*alpha + 200*tb10*n + 1000*hs*n (all ints)
+    lb10 = F.when(n_chars < 100, 2).when(n_chars < 1000, 10).otherwise(7)
+    tb10 = F.when((mean_tok >= 3) & (mean_tok <= 10), 10).otherwise(5)
+    numer = (
+        lb10 * 400 * n_chars
+        + alpha * 3000
+        + tb10 * 200 * n_chars
+        + has_stop * 1000 * n_chars
+    )
+    quality = F.when(n_chars == 0, 0.0).otherwise(
+        numer.cast("double") / (n_chars * 10000).cast("double")
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("int").alias("n_chars"),
+        n_tokens.cast("int").alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        mean_tok.alias("mean_token_len"),
+        quality.alias("quality"),
+    )
+
+
+def sql_quality_score(src: str, id_col: str, text_col: str) -> str:
+    t = text_col
+    n_chars = f"length({t})"
+    n_tokens = f"len(string_split({t}, ' '))"
+    alpha = f"length(regexp_replace({t}, '[^a-zA-Z]', '', 'g'))"
+    alpha_ratio = f"CASE WHEN {n_chars} = 0 THEN 0.0 ELSE CAST({alpha} AS DOUBLE) / {n_chars} END"
+    mean_tok = (
+        f"CASE WHEN {n_tokens} = 0 THEN 0.0 "
+        f"ELSE CAST({n_chars} - ({n_tokens} - 1) AS DOUBLE) / {n_tokens} END"
+    )
+    padded = "(' ' || " + t + " || ' ')"
+    has_stop = f"CASE WHEN {sql_occurrence_count(padded, ' the ')} > 0 THEN 1 ELSE 0 END"
+    lb10 = f"CASE WHEN {n_chars} < 100 THEN 2 WHEN {n_chars} < 1000 THEN 10 ELSE 7 END"
+    tb10 = f"CASE WHEN ({mean_tok}) >= 3 AND ({mean_tok}) <= 10 THEN 10 ELSE 5 END"
+    numer = (
+        f"(({lb10}) * 400 * {n_chars} + ({alpha}) * 3000"
+        f" + ({tb10}) * 200 * {n_chars} + ({has_stop}) * 1000 * {n_chars})"
+    )
+    quality = (
+        f"CASE WHEN {n_chars} = 0 THEN 0.0 "
+        f"ELSE CAST({numer} AS DOUBLE) / CAST({n_chars} * 10000 AS DOUBLE) END"
+    )
+    return f"""
+SELECT {id_col} AS doc_id,
+       CAST({n_chars} AS INT) AS n_chars,
+       CAST({n_tokens} AS INT) AS n_tokens,
+       {alpha_ratio} AS alpha_ratio,
+       {mean_tok} AS mean_token_len,
+       {quality} AS quality
+FROM {src}
+"""
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting, three ways: whitespace tokens, BPE-ish regex pieces
+    (letter runs / digit runs / single other), distinct tokens.
+
+    Output: doc_id, ws_tokens, bpe_tokens, distinct_tokens.
+    """
+    t = F.col(text_col)
+    ws = F.size(F.split(t, " "))
+    bpe = F.size(F.regexp_extract_all(t, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0))
+    distinct = F.size(F.array_distinct(F.split(t, " ")))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        ws.cast("int").alias("ws_tokens"),
+        bpe.cast("int").alias("bpe_tokens"),
+        distinct.cast("int").alias("distinct_tokens"),
+    )
+
+
+def sql_token_stats(src: str, id_col: str, text_col: str) -> str:
+    t = text_col
+    return f"""
+SELECT {id_col} AS doc_id,
+       CAST(len(string_split({t}, ' ')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all({t}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS bpe_tokens,
+       CAST(len(list_distinct(string_split({t}, ' '))) AS INT) AS distinct_tokens
+FROM {src}
+"""
+
+
+WINNOW_K = 8  # char-shingle length
+WINNOW_W = 4  # winnowing window
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Winnowing document fingerprint (rolling-hash selection): hash every
+    ``WINNOW_K``-char shingle, keep the min hash of each ``WINNOW_W``-wide
+    position window, count distinct selected hashes and keep the global min
+    as a compact signature.
+
+    Output: doc_id, n_fingerprints, min_fingerprint.
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+    pos = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("__t") - (WINNOW_K - 1), F.lit(1))),
+                lambda i: F.col("__t").substr(i, F.lit(WINNOW_K)),
+            )
+        ).alias("pos", "shingle"),
+    )
+    hashed = pos.select("doc_id", "pos", md5_int60(F.col("shingle")).alias("h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    selected = hashed.select("doc_id", F.min("h").over(w).alias("fp"))
+    return selected.groupBy("doc_id").agg(
+        F.count_distinct(F.col("fp")).alias("n_fingerprints"),
+        F.min("fp").alias("min_fingerprint"),
+    )
+
+
+def sql_fingerprint(src: str, id_col: str, text_col: str) -> str:
+    h = sql_md5_int60("substr(__t, i, " + str(WINNOW_K) + ")")
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {text_col} AS __t FROM {src}
+),
+pos AS (
+  SELECT doc_id, i AS pos, {h} AS h
+  FROM (
+    SELECT doc_id, __t,
+           unnest(generate_series(1, greatest(length(__t) - {WINNOW_K - 1}, 1))) AS i
+    FROM base
+  )
+),
+selected AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
+  FROM pos
+)
+SELECT doc_id, COUNT(DISTINCT fp) AS n_fingerprints, MIN(fp) AS min_fingerprint
+FROM selected GROUP BY doc_id
+"""

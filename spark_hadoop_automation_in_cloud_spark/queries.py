@@ -781,3 +781,139 @@ def q18_zone_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in EVENT_CLASSES:
         cols += [f"week_{t}", f"month_{t}"]
     return out.select(*cols)
+
+
+# ============================================================================
+# Training-data pipeline extensions (SURVEY §7.3 step 9): dedup, similarity,
+# text analysis over documents/embeddings
+# ============================================================================
+
+from spark_hadoop_automation_in_cloud_spark.operators import dedup as dd  # noqa: E402
+from spark_hadoop_automation_in_cloud_spark.operators import textops as tx  # noqa: E402
+from spark_hadoop_automation_in_cloud_spark.operators.similarity import (  # noqa: E402
+    ann_lsh_topk,
+    cosine_topk,
+    sql_cosine_topk,
+)
+
+
+@register(
+    "q20_exact_dedup",
+    dd.SQL_EXACT_DEDUP.format(t="text", i="doc_id", src="documents"),
+    doc="Exact dedup: md5 content-hash groups, canonical = min doc_id. "
+    "One shuffle on the hash with map-side combine.",
+)
+def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dd.exact_dedup_groups(d, "doc_id", "text")
+
+
+_SHINGLE_SQL = dd.sql_shingle_rows("documents", "doc_id", "text", n=2)
+
+
+@register(
+    "q21_minhash_lsh_pairs",
+    dd.sql_lsh_candidate_pairs(dd.sql_minhash_signatures(_SHINGLE_SQL)),
+    doc="MinHash+LSH near-dup candidates: 2-word shingles → 16 portable "
+    "minhash permutations in ONE aggregation pass → 4 LSH bands → "
+    "equi-join on band key. The scale path for dedup at 100 TB "
+    "(shuffle-bounded, no quadratic blowup outside colliding buckets).",
+)
+def q21_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    sh = dd.shingle_rows(d, "doc_id", "text", n=2)
+    return dd.lsh_candidate_pairs(dd.minhash_signatures(sh))
+
+
+@register(
+    "q22_ngram_jaccard_dups",
+    dd.sql_jaccard_pairs(_SHINGLE_SQL, min_jaccard=0.35),
+    doc="Exact 2-gram Jaccard similarity via shingle inverted index — "
+    "verification tool for the MinHash estimates (quadratic in shingle "
+    "document frequency; not the scale path).",
+)
+def q22_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    sh = dd.shingle_rows(d, "doc_id", "text", n=2)
+    return dd.jaccard_pairs(sh, min_jaccard=0.35)
+
+
+@register(
+    "q23_simhash",
+    dd.sql_simhash("documents", "doc_id", "text"),
+    doc="Weighted 60-bit SimHash fingerprint per document (token-count "
+    "weights, portable md5-derived bit hashes, single aggregation pass).",
+)
+def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dd.simhash(d, "doc_id", "text")
+
+
+@register(
+    "q24_cosine_topk",
+    sql_cosine_topk("embeddings", "vec_id < 10", k=5),
+    doc="Brute-force cosine top-k similarity search: broadcast query set × "
+    "corpus scan (never shuffled), rank per query. Similarities rounded "
+    "to 6dp before ranking; ties break on neighbor id.",
+)
+def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "q25_ann_lsh_topk",
+    None,  # approximate by construction — driver does the rows-only check;
+    # recall vs q24 is asserted in tests/test_operators.py
+    doc="LSH-bucketed approximate nearest neighbors: random-hyperplane "
+    "bucket signature (pure projection), equi-join on bucket, exact "
+    "cosine rank within bucket. The 100 TB path: corpus scanned once, "
+    "bucketed storage prunes future queries.",
+)
+def q25_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64)
+
+
+@register(
+    "q26_language_id",
+    tx.sql_language_id("documents", "doc_id", "text"),
+    doc="Heuristic language ID: per-language marker-token occurrence "
+    "counts, argmax with deterministic tie-break.",
+)
+def q26_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return tx.language_id(d, "doc_id", "text")
+
+
+@register(
+    "q27_quality_score",
+    tx.sql_quality_score("documents", "doc_id", "text"),
+    doc="Document quality scoring: length/alpha-ratio/token-shape/stopword "
+    "heuristics composed into a [0,1] score — pure projections.",
+)
+def q27_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return tx.quality_score(d, "doc_id", "text")
+
+
+@register(
+    "q28_token_stats",
+    tx.sql_token_stats("documents", "doc_id", "text"),
+    doc="Token counting three ways: whitespace, BPE-ish regex pieces, "
+    "distinct tokens.",
+)
+def q28_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return tx.token_stats(d, "doc_id", "text")
+
+
+@register(
+    "q29_fingerprint",
+    tx.sql_fingerprint("documents", "doc_id", "text"),
+    doc="Winnowing fingerprint: 8-char shingle hashes, min-hash per 4-wide "
+    "position window, distinct count + global min per doc.",
+)
+def q29_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return tx.fingerprint(d, "doc_id", "text")

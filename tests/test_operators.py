@@ -1,0 +1,72 @@
+"""Operator-level semantic tests that the oracle harness can't express
+(approximation quality, operator equivalences, edge guards)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_hadoop_automation_in_cloud_spark.io import read_table
+from spark_hadoop_automation_in_cloud_spark.operators.dedup import word_shingles
+from spark_hadoop_automation_in_cloud_spark.operators.pairs import geo_bucket_join, within_distance
+from spark_hadoop_automation_in_cloud_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from spark_hadoop_automation_in_cloud_spark.plans.activity_rollup import (
+    rollup_join_form,
+    require_all_classes,
+    zone_week_month_rollup,
+)
+from spark_hadoop_automation_in_cloud_spark.queries import EVENT_CLASSES, geo_events, nearest_city_events
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """LSH ANN is approximate, but must agree with brute force on a decent
+    fraction of (query, neighbor) hits — and every pair it returns must be
+    a genuine corpus pair with a correctly computed similarity."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 25)
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = ann_lsh_topk(emb, queries, k=5, dim=64).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    hits = approx.intersect(exact).count()
+    assert n_exact > 0
+    # random-hyperplane buckets on random vectors: recall well above zero
+    assert hits / n_exact > 0.1, f"ANN recall collapsed: {hits}/{n_exact}"
+
+
+def test_rollup_pivot_equals_join_form(spark, sf_dir):
+    """The single-shuffle pivot rollup must equal the reference-shaped
+    4-agg + 3-join plan on the inner-join cells."""
+    ez = nearest_city_events(spark, sf_dir).withColumnRenamed("city_id", "zone_id")
+    piv = require_all_classes(
+        zone_week_month_rollup(ez, EVENT_CLASSES), EVENT_CLASSES
+    ).select("zone_id", "week", "month", *[f"week_{t}" for t in EVENT_CLASSES])
+    join = rollup_join_form(ez, EVENT_CLASSES).select(
+        "zone_id", "week", "month", *[f"week_{t}" for t in EVENT_CLASSES]
+    )
+    assert piv.exceptAll(join).count() == 0
+    assert join.exceptAll(piv).count() == 0
+
+
+def test_geo_bucket_join_equals_naive(spark, sf_dir):
+    """Grid-bucketed distance join returns exactly the naive theta-join
+    pairs (cells are conservative → no false negatives; haversine refilter
+    removes false positives)."""
+    ev = geo_events(spark, sf_dir).limit(300)
+    l = ev.select(F.col("event_id").alias("lid"), F.col("lat").alias("lat1"), F.col("lon").alias("lon1"))
+    r = ev.select(F.col("event_id").alias("rid"), F.col("lat").alias("lat2"), F.col("lon").alias("lon2"))
+    naive = within_distance(
+        l.crossJoin(r).where(F.col("lid") < F.col("rid")),
+        "lat1", "lon1", "lat2", "lon2", 200.0,
+    ).select("lid", "rid")
+    bucketed = geo_bucket_join(l, r, 200.0).where(F.col("lid") < F.col("rid")).select("lid", "rid")
+    assert naive.exceptAll(bucketed).count() == 0
+    assert bucketed.exceptAll(naive).count() == 0
+
+
+def test_word_shingles_short_text_guard(spark):
+    """Texts shorter than the shingle width yield an empty array, not a
+    descending-sequence artifact."""
+    df = spark.createDataFrame([("a",), ("a b",), ("a b c",)], ["text"])
+    rows = df.select(word_shingles(F.col("text"), 2).alias("sh")).collect()
+    assert rows[0]["sh"] == []
+    assert rows[1]["sh"] == ["a b"]
+    assert rows[2]["sh"] == ["a b", "b c"]
