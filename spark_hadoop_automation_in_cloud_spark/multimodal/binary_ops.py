@@ -1,0 +1,107 @@
+"""Binary-column operators over ``mapInPandas``.
+
+Schema model: a media table row is
+    (media_id long, media_type string, payload binary, meta string-json)
+— matching the reference's nested ``event.media`` fields
+(``src/spark/mover.py:56-57``) promoted to a first-class typed table.
+
+Execution model (the part that matters at 100 TB):
+- payloads never leave the executor: ``mapInPandas`` receives Arrow record
+  batches, emits feature rows, and the binary column is dropped before any
+  shuffle;
+- batch memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  (set per-job when payloads are large);
+- the decode kernel is pluggable; the default here is a deterministic fake
+  (hash-derived pixels/samples) because codec libs aren't in this container.
+  ``strict=True`` raises ``NotImplementedError`` where a real decoder would
+  be linked in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = (
+    "media_id long, media_type string, n_bytes long, "
+    "width int, height int, features array<float>"
+)
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_hash string"
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Deterministic stand-in for an image/audio decoder: derives a fake
+    (width, height) and a FEATURE_DIM float vector from the payload bytes.
+    Stable across runs/machines (md5-seeded, no RNG state)."""
+    digest = hashlib.md5(payload).digest()
+    width = 16 + digest[0] % 240
+    height = 16 + digest[1] % 240
+    seed = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
+    reps = int(np.ceil(FEATURE_DIM / seed.size))
+    features = np.tile(seed, reps)[:FEATURE_DIM] / 255.0
+    return width, height, features
+
+
+def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """payload → (dims, feature vector); binary column dropped on output."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "real media decoding requires codec libraries not present "
+                    "in this environment; plug a decoder in place of _fake_decode"
+                )
+            out = {
+                "media_id": [],
+                "media_type": [],
+                "n_bytes": [],
+                "width": [],
+                "height": [],
+                "features": [],
+            }
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                data = bytes(payload) if payload is not None else b""
+                w, h, feats = _fake_decode(data)
+                out["media_id"].append(mid)
+                out["media_type"].append(mtype)
+                out["n_bytes"].append(len(data))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["features"].append(feats.tolist())
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        kernel, schema=FEATURES_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
+    """Video-style frame sampling stub: one 'frame' fingerprint per
+    ``every_n_bytes`` chunk of payload — exercises the 1→N row fan-out shape
+    (a real decoder emits one row per sampled frame)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                for i in range(max(1, len(data) // every_n_bytes)):
+                    chunk = data[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    ids.append(mid)
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_hash": hashes}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(kernel, schema=FRAME_SCHEMA)

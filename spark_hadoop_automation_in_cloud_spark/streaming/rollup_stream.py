@@ -1,0 +1,75 @@
+"""Streaming weekly rollup: the streaming twin of
+``plans.activity_rollup`` (batch Q2).
+
+``readStream`` over the parquet event table → watermark on the event time →
+tumbling 7-day windows aligned to Monday (epoch 1970-01-01 was a Thursday,
+so a 4-day ``startTime`` offset makes windows coincide with
+``date_trunc('week')``) → per (event_type, window) counts.
+
+Late data: rows older than the watermark horizon are dropped by the engine;
+in ``availableNow`` replays everything is on time, so the batch and stream
+results must agree exactly — that equivalence is asserted in
+``tests/test_streaming.py``.
+
+Scale: stateful aggregation keyed by (event_type, window) — state size is
+bounded by #types × #open windows, trivially small; the watermark bounds
+how long windows stay open.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: staging/testdata event schema as stored (ts is TIMESTAMP(NANOS) parquet →
+#: read as epoch-nanos long, converted after read)
+EVENTS_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+MONDAY_ALIGN = "4 days"  # epoch-align weekly tumbling windows to Monday
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_FILE_SCHEMA).parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def weekly_counts_stream(
+    events: DataFrame, watermark: str = "14 days"
+) -> DataFrame:
+    """Tumbling Monday-aligned weekly counts per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.col("event_type"),
+            F.window("ts", "7 days", "7 days", MONDAY_ALIGN).alias("win"),
+        )
+        .agg(F.count(F.lit(1)).alias("week_cnt"))
+        .select(
+            "event_type",
+            F.col("win.start").alias("week"),
+            "week_cnt",
+        )
+    )
+
+
+def run_available_now(result: DataFrame, query_name: str) -> None:
+    """Drain the full input as one availableNow run into a memory sink."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

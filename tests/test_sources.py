@@ -1,0 +1,65 @@
+"""Raw→staging flatten + partitioned sink (reference mover parity)."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_hadoop_automation_in_cloud_spark.sources.events import RAW_SCHEMA, flatten_raw_events
+from spark_hadoop_automation_in_cloud_spark.sources.mover import move_raw_to_staging
+
+
+def _raw_rows():
+    ev = {
+        "admins": ["a1"],
+        "channel_id": 7,
+        "datetime": "2024-01-05 10:20:30",
+        "media": {"media_type": "img", "src": "pic.png"},
+        "message": "hello",
+        "message_channel_to": None,
+        "message_from": 100,
+        "message_group": None,
+        "message_id": 555,
+        "message_to": 200,
+        "message_ts": "2024-01-05 10:20:30.123456",
+        "reaction_from": None,
+        "reaction_type": None,
+        "subscription_channel": None,
+        "subscription_user": None,
+        "tags": ["t1", "t2"],
+        "user": 100,
+    }
+    sub = dict(ev, message_from=None, message_id=None, message_ts=None,
+               subscription_channel=42, subscription_user=300,
+               datetime="2024-01-06 01:02:03")
+    return [
+        {"event": ev, "event_type": "message", "lat": 1.5, "lon": 2.5},
+        {"event": sub, "event_type": "subscription", "lat": None, "lon": None},
+    ]
+
+
+def test_flatten_raw_events(spark):
+    raw = spark.createDataFrame(_raw_rows(), RAW_SCHEMA)
+    flat = flatten_raw_events(raw)
+    rows = {r["event_type"]: r for r in flat.collect()}
+    m = rows["message"]
+    assert m["media_type"] == "img" and m["media_src"] == "pic.png"
+    assert m["message_ts"].microsecond == 0  # fractional seconds stripped
+    assert m["date"] == "2024-01-05"
+    assert m["message_from"] == 100 and m["tags"] == ["t1", "t2"]
+    s = rows["subscription"]
+    assert s["subscription_channel"] == 42 and s["message_from"] is None
+    assert len(flat.columns) == 22  # 21 staging cols + date partition key
+
+
+def test_move_raw_to_staging_partitioned(spark, tmp_path):
+    raw = spark.createDataFrame(_raw_rows(), RAW_SCHEMA)
+    src = str(tmp_path / "raw")
+    tgt = str(tmp_path / "staging")
+    raw.write.parquet(src)
+    move_raw_to_staging(spark, src, tgt)
+    import os
+
+    assert os.path.isdir(f"{tgt}/event_type=message/date=2024-01-05")
+    back = spark.read.parquet(tgt)
+    assert back.count() == 2
+    assert {"event_type", "date"} <= set(back.columns)  # partition cols recovered
