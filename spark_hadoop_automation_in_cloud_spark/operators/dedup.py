@@ -300,3 +300,68 @@ JOIN sizes sl ON sl.doc_id = left_doc_id
 JOIN sizes sr ON sr.doc_id = right_doc_id
 WHERE round(CAST(inter AS DOUBLE) / (sl.n_sh + sr.n_sh - inter), 6) >= {min_jaccard}
 """
+
+
+# --- embedding-cosine near-dup ----------------------------------------------
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lsh_dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity ≥ ``threshold``.
+
+    Output: left_id, right_id, cosine_sim (rounded 6dp, left < right).
+
+    ``lsh_dim=None`` (default) is the exact all-pairs form — O(n²) dot
+    products, oracle-checkable, fine for a block of documents.  At 100 TB
+    pass ``lsh_dim=<vector dim>``: both sides get a random-hyperplane
+    bucket signature (``operators.similarity.lsh_bucket``) and pairing
+    becomes an equi-join on the bucket — candidates shrink to colliding
+    buckets (shuffle-bounded, like MinHash LSH for text), at the cost of
+    missing cross-bucket pairs (recall < 1 by construction, the standard
+    trade; raise recall with multi-probe as in ``ann_lsh_topk``).
+    """
+    from spark_hadoop_automation_in_cloud_spark.functions.vectors import cosine
+    from spark_hadoop_automation_in_cloud_spark.operators.similarity import lsh_bucket
+
+    a = emb.select(F.col(id_col).alias("left_id"), F.col(vec_col).alias("__va"))
+    b = emb.select(F.col(id_col).alias("right_id"), F.col(vec_col).alias("__vb"))
+    if lsh_dim is not None:
+        a = a.withColumn("__bucket", lsh_bucket(F.col("__va"), lsh_dim))
+        b = b.withColumn("__bucket", lsh_bucket(F.col("__vb"), lsh_dim))
+        cand = a.join(b, "__bucket").where(F.col("left_id") < F.col("right_id"))
+    else:
+        cand = a.crossJoin(b).where(F.col("left_id") < F.col("right_id"))
+    return (
+        cand.select(
+            "left_id",
+            "right_id",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def sql_embedding_neardup_pairs(
+    src: str, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    """DuckDB oracle for the exact form (same left-to-right double fold)."""
+    dot = (
+        "list_sum(list_transform(list_zip(a.__va, b.__vb), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    na = "sqrt(list_sum(list_transform(a.__va, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    nb = "sqrt(list_sum(list_transform(b.__vb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    return f"""
+WITH a AS (SELECT {id_col} AS left_id, {vec_col} AS __va FROM {src}),
+b AS (SELECT {id_col} AS right_id, {vec_col} AS __vb FROM {src}),
+scored AS (
+  SELECT left_id, right_id, round({dot} / ({na} * {nb}), 6) AS cosine_sim
+  FROM a JOIN b ON left_id < right_id
+)
+SELECT * FROM scored WHERE cosine_sim >= {threshold}
+"""

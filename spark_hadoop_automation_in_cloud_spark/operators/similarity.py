@@ -168,3 +168,82 @@ def ann_lsh_topk(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# --- IVF-bucketed ANN (alternate scale path) ---------------------------------
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroid_mod: int = 37,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    coarse cells around centroid vectors; each query scans only its
+    ``nprobe`` nearest cells.
+
+    Centroid selection is deterministic (every ``centroid_mod``-th corpus
+    vector) rather than k-means — the *plumbing* is the point: at 100 TB the
+    assignment pass is a broadcast nested-loop over the (tiny) centroid set
+    + one reduce per vector, the inverted lists are the corpus re-keyed by
+    ``cell_id`` (ideally written bucketed-by-cell so repeated query batches
+    prune to probed cells), and the search is an equi-join on ``cell_id`` —
+    never a full cross product.  A k-means refinement only changes how the
+    centroid frame is produced, not this plan.  Recall < 1 by construction
+    (cross-cell neighbors are missed); raise ``nprobe`` to trade cost for
+    recall.  Ties everywhere break on id for determinism.
+    """
+    cent = F.broadcast(
+        corpus.where(F.col(id_col) % centroid_mod == 0).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cent")
+        )
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("__cent")), 6)
+
+    # assignment pass: best centroid per corpus vector (one reduce, keyed by
+    # the vector id — the same key the inverted lists are stored under)
+    best = F.max_by(
+        F.col("cent_id"), F.struct(sim.alias("s"), (-F.col("cent_id")).alias("t"))
+    )
+    lists = (
+        corpus.crossJoin(cent)
+        .groupBy(F.col(id_col).alias("neighbor_id"))
+        .agg(best.alias("cell_id"), F.any_value(F.col(vec_col)).alias("__cvec"))
+    )
+
+    # probe pass: nprobe nearest cells per query (centroids broadcast again)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__csim").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+        .crossJoin(cent)
+        .select(
+            "query_id",
+            "__qvec",
+            "cent_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cent")), 6).alias("__csim"),
+        )
+        .withColumn("__prnk", F.row_number().over(wq))
+        .where(F.col("__prnk") <= nprobe)
+        .select("query_id", "__qvec", F.col("cent_id").alias("cell_id"))
+    )
+
+    scored = (
+        F.broadcast(probes)
+        .join(lists, "cell_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

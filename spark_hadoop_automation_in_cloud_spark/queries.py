@@ -791,6 +791,7 @@ def q18_zone_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 from spark_hadoop_automation_in_cloud_spark.operators import dedup as dd  # noqa: E402
 from spark_hadoop_automation_in_cloud_spark.operators import textops as tx  # noqa: E402
 from spark_hadoop_automation_in_cloud_spark.operators.similarity import (  # noqa: E402
+    ann_ivf_topk,
     ann_lsh_topk,
     cosine_topk,
     sql_cosine_topk,
@@ -876,6 +877,34 @@ def q25_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q19_embedding_neardup",
+    dd.sql_embedding_neardup_pairs("embeddings", threshold=0.4),
+    doc="Embedding-cosine near-duplicate pairs (exact all-pairs form, the "
+    "oracle-checkable baseline). The 100 TB path is the same operator "
+    "with lsh_dim set: random-hyperplane bucket prefilter turns the "
+    "cross product into an equi-join on bucket signature, exact cosine "
+    "verifies inside buckets (recall trade documented, not silent).",
+)
+def q19_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return dd.embedding_neardup_pairs(emb, threshold=0.4)
+
+
+@register(
+    "q30_ann_ivf_topk",
+    None,  # approximate by construction — rows-only check here; recall vs
+    # the exact q24 is asserted in tests/test_operators.py
+    doc="IVF approximate nearest neighbors: deterministic coarse centroids, "
+    "broadcast assignment pass + one reduce to build inverted lists, "
+    "nprobe-cell probing as an equi-join on cell_id. Alternate scale "
+    "path to q25's LSH (cell-pruned storage instead of bucket hashing).",
+)
+def q30_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, nprobe=3)
+
+
+@register(
     "q26_language_id",
     tx.sql_language_id("documents", "doc_id", "text"),
     doc="Heuristic language ID: per-language marker-token occurrence "
@@ -917,3 +946,133 @@ def q28_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q29_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return tx.fingerprint(d, "doc_id", "text")
+
+
+# ============================================================================
+# Multimodal + streaming surfaces (SURVEY §2.9 extension, §7.3 step 9)
+# ============================================================================
+
+from spark_hadoop_automation_in_cloud_spark.multimodal.binary_ops import (  # noqa: E402
+    extract_features,
+)
+from spark_hadoop_automation_in_cloud_spark.streaming.rollup_stream import (  # noqa: E402
+    run_available_now,
+    stream_events,
+    weekly_counts_stream,
+)
+from spark_hadoop_automation_in_cloud_spark.streaming.stateful import (  # noqa: E402
+    user_session_totals,
+)
+
+# hex-pair → int, for reproducing the md5-derived fake-decoder outputs in SQL
+_SQL_HEXDIG = "(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1)"
+_SQL_BYTE = f"({_SQL_HEXDIG.format(p='2*{i}+1')} * 16 + {_SQL_HEXDIG.format(p='2*{i}+2')})"
+
+
+@register(
+    "q31_multimodal_features",
+    f"""
+WITH h AS (
+  SELECT doc_id AS media_id, source AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS hx
+  FROM documents
+)
+SELECT media_id, media_type, n_bytes,
+       CAST(16 + {_SQL_BYTE.format(i='0')} % 240 AS INT) AS width,
+       CAST(16 + {_SQL_BYTE.format(i='1')} % 240 AS INT) AS height,
+       CAST(list_sum(list_transform(generate_series(0, 15),
+            i -> {_SQL_BYTE.format(i='i')})) AS BIGINT) AS feat_checksum
+FROM h
+""",
+    doc="Multimodal decode/feature-extract plumbing: binary payload column → "
+    "Arrow-batched mapInPandas kernel → typed feature rows; the payload "
+    "never crosses a shuffle. The decode kernel is a deterministic "
+    "md5-derived stand-in (codec libs absent here — multimodal/binary_ops "
+    "gates the real path behind strict=True), which makes even this "
+    "Python-side operator oracle-checkable: DuckDB recomputes the fake "
+    "decoder's width/height/feature-checksum from md5 arithmetic.",
+)
+def q31_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("source").alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    feats = extract_features(media)
+    checksum = F.aggregate(
+        F.col("features"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.round(x * 255).cast("bigint"),
+    )
+    return feats.select(
+        "media_id", "media_type", "n_bytes", "width", "height",
+        checksum.alias("feat_checksum"),
+    )
+
+
+# Monday-aligned tumbling week arithmetic on integer epoch seconds (the
+# streaming window's startTime='4 days' offset; epoch day 0 was a Thursday).
+_WEEK_OFF = 4 * 86400
+_SQL_WEEK = (
+    f"make_timestamp((((CAST(floor(epoch(ts)) AS BIGINT) - {_WEEK_OFF}) // 604800)"
+    f" * 604800 + {_WEEK_OFF}) * 1000000)"
+)
+
+
+@register(
+    "q32_streaming_weekly_rollup",
+    f"""
+SELECT event_type, {_SQL_WEEK} AS week, COUNT(*) AS week_cnt
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Structured Streaming twin of the Q2 rollup: readStream over the "
+    "event table → watermark → tumbling Monday-aligned 7-day windows → "
+    "counts, drained with an availableNow trigger into a memory sink. "
+    "A full replay must equal the batch answer exactly, so the batch SQL "
+    "IS the oracle — the stream/batch equivalence the reference never "
+    "had (SURVEY §2.9: its 'incremental' is re-reading N partitions).",
+)
+def q32_streaming_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, f"{sf_dir}/events.parquet")
+    result = weekly_counts_stream(ev)
+    run_available_now(result, "q32_weekly_sink")
+    return spark.table("q32_weekly_sink").select("event_type", "week", "week_cnt")
+
+
+@register(
+    "q33_stateful_sessions",
+    """
+WITH seq AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       SUM(CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+                THEN 1 ELSE 0 END) AS n_sessions
+FROM seq
+GROUP BY user_id
+""",
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "per-user running event totals with 30-min inactivity session "
+    "splitting — arbitrary per-key state machines windowed aggregation "
+    "can't express. Gap math on integer epoch-micros, so a full "
+    "availableNow replay is bit-equal to the batch lag() oracle.",
+)
+def q33_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, f"{sf_dir}/events.parquet")
+    result = user_session_totals(ev)
+    run_available_now(result, "q33_sessions_sink", output_mode="update")
+    return (
+        spark.table("q33_sessions_sink")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("n_sessions").alias("n_sessions"),
+        )
+    )

@@ -18,6 +18,8 @@ how long windows stay open.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -39,8 +41,18 @@ MONDAY_ALIGN = "4 days"  # epoch-align weekly tumbling windows to Monday
 
 
 def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """File-stream source over the event table.
+
+    ``path`` may be a directory (the file source's native shape) or a single
+    parquet file — the latter is exposed through its parent directory with a
+    ``pathGlobFilter``, since FileStreamSource requires a directory basePath.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_FILE_SCHEMA).parquet(path)
+    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
@@ -63,12 +75,14 @@ def weekly_counts_stream(
     )
 
 
-def run_available_now(result: DataFrame, query_name: str) -> None:
+def run_available_now(
+    result: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
     """Drain the full input as one availableNow run into a memory sink."""
     q = (
         result.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

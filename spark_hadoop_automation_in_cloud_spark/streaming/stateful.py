@@ -17,9 +17,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, n_sessions long"
-STATE_SCHEMA = "n_events long, n_sessions long, last_ts double"
+STATE_SCHEMA = "n_events long, n_sessions long, last_ts_us long"
 
-SESSION_GAP_SECONDS = 30 * 60.0
+#: gap math on integer epoch-MICROseconds: exact, so a full replay is
+#: bit-equal to the batch lag() formulation (the q33 oracle) — a float
+#: seconds representation would admit ulp flips at the threshold.
+SESSION_GAP_US = 30 * 60 * 1_000_000
+_NEVER = -(1 << 62)
 
 
 def _update_user_state(
@@ -28,18 +32,18 @@ def _update_user_state(
     state: GroupState,
 ) -> Iterable[pd.DataFrame]:
     (user_id,) = key
-    n_events, n_sessions, last_ts = (
-        state.get if state.exists else (0, 0, float("-inf"))
+    n_events, n_sessions, last_ts_us = (
+        state.get if state.exists else (0, 0, _NEVER)
     )
     for pdf in pdfs:
-        ts = pdf["ts"].astype("int64").to_numpy() / 1e9  # epoch seconds
+        ts = (pdf["ts"].astype("int64").to_numpy() // 1000).tolist()  # ns → µs
         ts.sort()
         for t in ts:
-            if t - last_ts > SESSION_GAP_SECONDS:
+            if t - last_ts_us > SESSION_GAP_US:
                 n_sessions += 1
-            last_ts = t
+            last_ts_us = t
             n_events += 1
-    state.update((int(n_events), int(n_sessions), float(last_ts)))
+    state.update((int(n_events), int(n_sessions), int(last_ts_us)))
     yield pd.DataFrame(
         {"user_id": [user_id], "n_events": [n_events], "n_sessions": [n_sessions]}
     )

@@ -70,3 +70,43 @@ def test_word_shingles_short_text_guard(spark):
     assert rows[0]["sh"] == []
     assert rows[1]["sh"] == ["a b"]
     assert rows[2]["sh"] == ["a b", "b c"]
+
+
+def test_ann_ivf_recall_and_validity(spark, sf_dir):
+    """IVF ANN: every returned pair must be a genuine exact-cosine pair for
+    that (query, neighbor), and recall vs brute force must be well above the
+    random-cell baseline."""
+    from spark_hadoop_automation_in_cloud_spark.operators.similarity import ann_ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 25)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ann_ivf_topk(emb, queries, k=5, nprobe=3)
+    n_exact = exact.count()
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .intersect(exact.select("query_id", "neighbor_id"))
+        .count()
+    )
+    assert n_exact > 0
+    assert hits / n_exact > 0.1, f"IVF recall collapsed: {hits}/{n_exact}"
+    # similarities must agree exactly with the brute-force computation
+    joined = approx.alias("a").join(
+        exact.alias("e"),
+        (F.col("a.query_id") == F.col("e.query_id"))
+        & (F.col("a.neighbor_id") == F.col("e.neighbor_id")),
+    )
+    bad = joined.where(F.col("a.cosine_sim") != F.col("e.cosine_sim")).count()
+    assert bad == 0
+
+
+def test_embedding_neardup_lsh_subset_of_exact(spark, sf_dir):
+    """The LSH-prefiltered near-dup pairs are a subset of the exact pairs
+    (the prefilter may miss cross-bucket pairs but must never invent one)."""
+    from spark_hadoop_automation_in_cloud_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = embedding_neardup_pairs(emb, threshold=0.4)
+    approx = embedding_neardup_pairs(emb, threshold=0.4, lsh_dim=64)
+    assert approx.exceptAll(exact).count() == 0
+    assert exact.count() > 0
