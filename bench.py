@@ -35,7 +35,17 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_test_session("spark-graft-bench")
-    spark.range(1).count()  # JVM warm
+    # Warm the one-time JVM paths (parquet reader, codegen, AQE, noop sink)
+    # on the tiny sf so per-query timings measure the query, not JIT/class
+    # loading.  Queries below still run cold — nothing at sf_dir is touched.
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf) and warm_sf != sf_dir:
+        # run the two flagship plan shapes once at 1/100 scale: JIT-compiles
+        # the generated code for the scan/agg and broadcast-1-NN families
+        for wq in ("q01_pricing_summary", "q05_nearest_city"):
+            q.__dict__[wq](spark, warm_sf).write.format("noop").mode("overwrite").save()
+    else:
+        spark.range(1).count()
 
     specs = {s.name: s for s in q.specs()}
     names = [n for n in HEADLINE if n in specs]

@@ -15,6 +15,7 @@ Reference parity map (SURVEY §2.1):
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,18 +39,37 @@ TABLES = (
 #: as DuckDB's reader does.
 _NANO_TS_COLS = {"events": ("ts",)}
 
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+) -> DataFrame:
+    """One synthetic table (TESTDATA.md layout: ``{sf_dir}/{name}.parquet``).
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One synthetic table (TESTDATA.md layout: ``{sf_dir}/{name}.parquet``)."""
+    ``parallelize=True``: the testdata files are single-row-group parquet,
+    which Spark cannot split — the scan, and everything codegen fuses into
+    the scan stage (projections, broadcast joins, partial aggregates, Pandas
+    kernels), runs as ONE task no matter how many cores the session has.
+    Callers whose next operator fans work out per row (1-NN candidate
+    generation, shingle explode, similarity cross products, mapInPandas
+    decode) pass True to pay one tiny round-robin shuffle up front and fan
+    the rows across ``defaultParallelism`` partitions.  Callers whose plan
+    is scan-bound or shuffles immediately anyway (plain aggregates, windows,
+    equi-joins) keep the default — an extra exchange only adds latency.
+    This is a local-testing artifact: a real deployment's table is many
+    files (the ``os.path.isfile`` gate is False for directories and object
+    stores), where Catalyst's bin-packing already yields full parallelism.
+    """
     if name in _NANO_TS_COLS:
         # runtime-settable SQL conf — the caller's session may not have it
         # (e.g. the driver harness builds its own vanilla SparkSession)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     for c in _NANO_TS_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             # integer DIV, not `/`: epoch-nanos exceed double's 2^53 mantissa
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    if parallelize and os.path.isfile(path):
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 

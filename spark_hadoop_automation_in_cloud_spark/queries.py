@@ -97,9 +97,11 @@ SELECT CAST(n_nationkey AS INT) AS city_id,
 FROM nation
 """
 
-# Events with synthetic coordinates (the geo fact table).
+# Events with synthetic coordinates (the geo fact table).  parallelize=True:
+# every consumer fans out per row (×n_cities 1-NN candidates), so the
+# single-row-group scan must not stay a single task.
 def geo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = read_table(spark, sf_dir, "events")
+    e = read_table(spark, sf_dir, "events", parallelize=True)
     return e.select(
         "event_id",
         "user_id",
@@ -661,7 +663,9 @@ FROM pairs WHERE dist <= 500
     "(get_json_object — the raw layer the reference's upstream parsed).",
 )
 def q16_friend_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = read_table(spark, sf_dir, "events")
+    # per-row JSON extraction + self-join fanout → don't leave the
+    # unsplittable scan single-task
+    e = read_table(spark, sf_dir, "events", parallelize=True)
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     subs = e.where(F.col("event_type") == "signup").select(
         "user_id", (k % 20).alias("channel")
@@ -805,7 +809,7 @@ from spark_hadoop_automation_in_cloud_spark.operators.similarity import (  # noq
     "One shuffle on the hash with map-side combine.",
 )
 def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
     return dd.exact_dedup_groups(d, "doc_id", "text")
 
 
@@ -821,7 +825,7 @@ _SHINGLE_SQL = dd.sql_shingle_rows("documents", "doc_id", "text", n=2)
     "(shuffle-bounded, no quadratic blowup outside colliding buckets).",
 )
 def q21_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
     sh = dd.shingle_rows(d, "doc_id", "text", n=2)
     return dd.lsh_candidate_pairs(dd.minhash_signatures(sh))
 
@@ -834,7 +838,7 @@ def q21_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "document frequency; not the scale path).",
 )
 def q22_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
     sh = dd.shingle_rows(d, "doc_id", "text", n=2)
     return dd.jaccard_pairs(sh, min_jaccard=0.35)
 
@@ -846,7 +850,7 @@ def q22_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "weights, portable md5-derived bit hashes, single aggregation pass).",
 )
 def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
     return dd.simhash(d, "doc_id", "text")
 
 
@@ -858,7 +862,7 @@ def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to 6dp before ranking; ties break on neighbor id.",
 )
 def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
     return cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
@@ -872,7 +876,7 @@ def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucketed storage prunes future queries.",
 )
 def q25_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
     return ann_lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64)
 
 
@@ -886,7 +890,7 @@ def q25_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "verifies inside buckets (recall trade documented, not silent).",
 )
 def q19_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
     return dd.embedding_neardup_pairs(emb, threshold=0.4)
 
 
@@ -900,7 +904,7 @@ def q19_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "path to q25's LSH (cell-pruned storage instead of bucket hashing).",
 )
 def q30_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
     return ann_ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, nprobe=3)
 
 
@@ -911,7 +915,7 @@ def q30_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "counts, argmax with deterministic tie-break.",
 )
 def q26_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
     return tx.language_id(d, "doc_id", "text")
 
 
@@ -922,7 +926,7 @@ def q26_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "heuristics composed into a [0,1] score — pure projections.",
 )
 def q27_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
     return tx.quality_score(d, "doc_id", "text")
 
 
@@ -933,7 +937,7 @@ def q27_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct tokens.",
 )
 def q28_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
     return tx.token_stats(d, "doc_id", "text")
 
 
@@ -944,7 +948,7 @@ def q28_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "position window, distinct count + global min per doc.",
 )
 def q29_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
     return tx.fingerprint(d, "doc_id", "text")
 
 
@@ -994,7 +998,7 @@ FROM h
     "decoder's width/height/feature-checksum from md5 arithmetic.",
 )
 def q31_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.col("source").alias("media_type"),
