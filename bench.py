@@ -20,7 +20,8 @@ from spark_hadoop_automation_in_cloud_spark import queries as q
 from spark_hadoop_automation_in_cloud_spark.session import get_test_session
 
 #: headline set: one per operator family (scan/agg, star join, window rank,
-#: 1-NN geo join, rollup, lag pipeline, datamart composite).
+#: 1-NN geo join, rollup, lag pipeline, datamart composites, dedup scale
+#: path, similarity search, multimodal kernel).
 HEADLINE = [
     "q01_pricing_summary",
     "q02_regional_revenue",
@@ -29,6 +30,10 @@ HEADLINE = [
     "q06_event_rollup",
     "q09_user_sessions",
     "q11_travel_history",
+    "q16_friend_recommendations",
+    "q21_minhash_lsh_pairs",
+    "q24_cosine_topk",
+    "q31_multimodal_features",
 ]
 
 
@@ -40,9 +45,10 @@ def main() -> None:
     # loading.  Queries below still run cold — nothing at sf_dir is touched.
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf) and warm_sf != sf_dir:
-        # run the two flagship plan shapes once at 1/100 scale: JIT-compiles
-        # the generated code for the scan/agg and broadcast-1-NN families
-        for wq in ("q01_pricing_summary", "q05_nearest_city"):
+        # run every headline plan once at 1/100 scale: JIT-compiles each
+        # query's generated code and forks the Python/Arrow worker pool, so
+        # the timed sf runs below measure the query, not one-time JVM state
+        for wq in HEADLINE:
             q.__dict__[wq](spark, warm_sf).write.format("noop").mode("overwrite").save()
     else:
         spark.range(1).count()

@@ -120,6 +120,7 @@ def geo_bucket_join(
     lon2: str = "lon2",
     distance_col: str = "distance_km",
     max_abs_lat_deg: float = 66.0,
+    extra_keys: Sequence[str] = (),
 ) -> DataFrame:
     """Distance-threshold join via grid-cell bucketing.
 
@@ -134,6 +135,11 @@ def geo_bucket_join(
     worst-case longitude shrink ``cos(max_abs_lat_deg)`` (data above that
     latitude would need a polar-cap strategy; antimeridian wrap is likewise
     out of scope — both hold for the synthetic coords, lat ≤ 60°).
+
+    ``extra_keys``: same-named equality columns (e.g. a channel id) folded
+    into the equi-join key alongside the cell — pairs must then match on
+    key AND proximity, which composes "same channel" with "within d km"
+    in one shuffle.
     """
     import math
 
@@ -160,6 +166,8 @@ def geo_bucket_join(
         (F.col("__cy") + F.col("__off.dy")).alias("__celly"),
     )
     r_cell = right.select("*", rx.alias("__cellx"), ry.alias("__celly"))
-    joined = l_rep.join(r_cell, ["__cellx", "__celly"], "inner").drop("__cellx", "__celly")
+    joined = l_rep.join(r_cell, [*extra_keys, "__cellx", "__celly"], "inner").drop(
+        "__cellx", "__celly"
+    )
     d = haversine_km(F.col(lat1), F.col(lon1), F.col(lat2), F.col(lon2))
     return joined.withColumn(distance_col, d).where(F.col(distance_col) <= max_km)

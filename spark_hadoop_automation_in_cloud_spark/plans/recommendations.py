@@ -24,8 +24,7 @@ from pyspark.sql import functions as F
 
 from spark_hadoop_automation_in_cloud_spark.operators.pairs import (
     exclude_pairs,
-    self_pairs,
-    within_distance,
+    geo_bucket_join,
 )
 
 
@@ -35,32 +34,43 @@ def friend_recommendations(
     last_positions: DataFrame,  # (user_id, lat, lon)
     max_km: float,
 ) -> DataFrame:
-    """Output: left_user_id, right_user_id, distance_km (rounded 4dp)."""
-    subs = subscriptions.select("user_id", "channel").distinct()
-    cand = (
-        self_pairs(subs, "channel", "user_id")
-        .select("left_user_id", "right_user_id")
-        .distinct()
-    )
-    cand = exclude_pairs(
-        cand, contacts, "left_user_id", "right_user_id", "user_a", "user_b"
-    )
+    """Output: left_user_id, right_user_id, distance_km (rounded 4dp).
 
-    lpos = last_positions.select(
+    Operator order is the scale lever here: positions are attached to the
+    (small, per-user-unique) subscription frame BEFORE pair generation, and
+    candidate generation runs as ONE grid-bucketed equi-join on
+    (channel, geo cell) — only pairs in the same channel AND neighboring
+    ~max_km cells ever materialize, versus the reference's order — ALL
+    same-channel pairs → distinct → anti join → position joins → filter
+    (``collector.py:1000-1091``) — which drags the full quadratic pair
+    volume through three shuffles before the (highly selective) distance
+    predicate runs.  Since each user has exactly one last position,
+    filtering early commutes with distinct/anti-join: results are
+    identical, volume is not.
+    """
+    subs = subscriptions.select("user_id", "channel").distinct()
+    subs_pos = subs.join(last_positions.select("user_id", "lat", "lon"), "user_id")
+    l = subs_pos.select(
+        "channel",
         F.col("user_id").alias("left_user_id"),
         F.col("lat").alias("lat1"),
         F.col("lon").alias("lon1"),
     )
-    rpos = last_positions.select(
+    r = subs_pos.select(
+        "channel",
         F.col("user_id").alias("right_user_id"),
         F.col("lat").alias("lat2"),
         F.col("lon").alias("lon2"),
     )
-    # plain equi-joins; at scale last_positions is large, so no broadcast
-    # hint — AQE picks broadcast only if the runtime size allows
-    enriched = cand.join(lpos, "left_user_id").join(rpos, "right_user_id")
-    near = within_distance(enriched, "lat1", "lon1", "lat2", "lon2", max_km)
-    return near.select(
+    near = geo_bucket_join(l, r, max_km, extra_keys=("channel",)).where(
+        F.col("left_user_id") < F.col("right_user_id")
+    )
+    # two shared channels yield the same (pair, distance) row twice
+    cand = near.select("left_user_id", "right_user_id", "distance_km").distinct()
+    cand = exclude_pairs(
+        cand, contacts, "left_user_id", "right_user_id", "user_a", "user_b"
+    )
+    return cand.select(
         "left_user_id",
         "right_user_id",
         F.round("distance_km", 4).alias("distance_km"),

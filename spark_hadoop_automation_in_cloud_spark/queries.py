@@ -1080,3 +1080,53 @@ def q33_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_sessions").alias("n_sessions"),
         )
     )
+
+
+@register(
+    "q34_raw_event_flatten",
+    """
+SELECT event_id,
+       user_id,
+       event_type,
+       CAST(json_extract_string(props, '$.k') AS INT) AS media_k,
+       date_trunc('second', ts) AS msg_ts,
+       strftime(ts, '%Y-%m-%d') AS event_date
+FROM events
+""",
+    doc="Raw→staging flatten (S7, mover.py:49-105 semantics): rows are first "
+    "packed into the reference's nested event(media) struct shape — with "
+    "the JSON props parsed via from_json and the timestamp serialized to "
+    "a string — then flattened back out with nested-field access, "
+    "fractional seconds stripped with split().getItem(0), the string "
+    "re-parsed with to_timestamp, and the date partition key derived. "
+    "Exercises struct build/flatten, JSON, and the string/date scalar "
+    "family end-to-end; the oracle computes the equivalent direct form.",
+)
+def q34_raw_event_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    # pack into the reference's raw shape: nested event struct with a
+    # media sub-struct and a string-serialized timestamp
+    raw = e.select(
+        "event_id",
+        F.struct(
+            F.col("user_id").alias("user_id"),
+            F.col("event_type").alias("event_type"),
+            F.from_json(F.col("props"), "k int").alias("media"),
+            F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSS").alias("datetime"),
+        ).alias("event"),
+    )
+    # flatten (mover parity): nested access, strip fractional seconds,
+    # re-parse, derive the date partition key
+    return raw.select(
+        "event_id",
+        F.col("event.user_id").alias("user_id"),
+        F.col("event.event_type").alias("event_type"),
+        F.col("event.media.k").alias("media_k"),
+        F.to_timestamp(
+            F.split(F.col("event.datetime"), r"\.").getItem(0),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("msg_ts"),
+        # string partition key, as the reference's mover derives it
+        # (mover.py:78 date_format → "yyyy-MM-dd")
+        F.col("event.datetime").substr(1, 10).alias("event_date"),
+    )

@@ -1,0 +1,68 @@
+"""Physical-plan assertions: the scale-critical plan properties the engine
+relies on must survive refactors — filter pushdown into the parquet scan,
+broadcast joins for dimension/query sides, equi-join (not cross-product)
+candidate generation, top-k without a global sort.
+
+These are the properties that decide whether a plan survives a 100×
+scale-up; asserting them here means a regression shows up as a test
+failure, not as a 10× slowdown at sf10.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from spark_hadoop_automation_in_cloud_spark import queries as q
+
+
+def explain_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_filter_pushdown_and_column_pruning(spark, sf_dir):
+    plan = explain_str(q.q01_pricing_summary(spark, sf_dir))
+    # the shipdate predicate must reach the parquet scan
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
+    # untouched wide columns must not be read
+    assert "l_comment" not in plan
+
+
+def test_q05_nearest_city_broadcasts_dim(spark, sf_dir):
+    plan = explain_str(q.q05_nearest_city(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    # the fact side must never be shuffle-joined
+    assert "SortMergeJoin" not in plan
+
+
+def test_q02_star_join_broadcasts_small_dims(spark, sf_dir):
+    plan = explain_str(q.q02_regional_revenue(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation, region
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_topk_avoids_global_sort(spark, sf_dir):
+    plan = explain_str(q.q15_top_parts_global(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q21_lsh_pairing_is_equi_join(spark, sf_dir):
+    """The LSH candidate join must be a hash/merge equi-join on the band
+    key — a nested-loop or cartesian plan would be quadratic at scale."""
+    plan = explain_str(q.q21_minhash_lsh_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q24_cosine_broadcasts_query_side(spark, sf_dir):
+    """Brute-force top-k must broadcast the (small) query set and keep the
+    corpus un-shuffled: BNLJ is the intended plan here."""
+    plan = explain_str(q.q24_cosine_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan or "Exchange hashpartitioning" not in plan.split(
+        "BroadcastNestedLoopJoin"
+    )[0]
