@@ -46,7 +46,7 @@ def main(argv: list[str]) -> int:
             .join(
                 contact_src.alias("b"),
                 (F.col("a.k") == F.col("b.k"))
-                & (F.col("a.user_id") != F.col("b.user_id")),
+                & (F.col("a.user_id") < F.col("b.user_id")),
             )
             .select(F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b"))
         )

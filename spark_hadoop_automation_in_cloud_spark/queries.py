@@ -673,11 +673,13 @@ def q16_friend_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     contact_src = e.where(F.col("event_type") == "purchase").select(
         k.alias("k"), "user_id"
     )
+    # canonical (a < b) from the start: half the self-join output of the
+    # reference's <> form, and exclude_pairs' least/greatest is a no-op on it
     contacts = (
         contact_src.alias("a")
         .join(
             contact_src.alias("b"),
-            (F.col("a.k") == F.col("b.k")) & (F.col("a.user_id") != F.col("b.user_id")),
+            (F.col("a.k") == F.col("b.k")) & (F.col("a.user_id") < F.col("b.user_id")),
         )
         .select(
             F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
