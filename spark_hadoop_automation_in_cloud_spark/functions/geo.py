@@ -79,3 +79,15 @@ SQL_HAVERSINE = (
     " * pow(sin(radians({lon2} - {lon1}) / 2), 2)"
     "))"
 )
+
+
+def local_time(ts: Column, tz: Column) -> Column:
+    """Per-row timezone conversion: UTC timestamp + an IANA timezone *column*
+    → wall-clock local time (reference ``collector.py:361-366``, which feeds
+    the cities dict's ``timezone`` column to ``from_utc_timestamp``).
+
+    The synthetic-table queries use integer-offset arithmetic instead (the
+    DuckDB oracle has no tz database), but the engine's datamart surface
+    keeps the reference's real-timezone semantics through this function.
+    """
+    return F.from_utc_timestamp(ts, tz)

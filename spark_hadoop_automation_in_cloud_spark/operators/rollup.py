@@ -61,3 +61,37 @@ def weekly_with_month_join(
     )
     monthly = weekly.groupBy(*keys, "month").agg(F.sum(count_alias).alias(month_alias))
     return weekly.join(monthly, [*keys, "month"], "inner")
+
+
+def weekly_with_month_grouping_sets(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    count_alias: str = "week_cnt",
+    month_alias: str = "month_cnt",
+) -> DataFrame:
+    """Same result via GROUPING SETS ((keys, month, week), (keys, month)):
+    ONE aggregation pass emits both granularities (SURVEY §2.4 A4's third
+    equivalent form), then the week rows pick up their month total with a
+    broadcastable equi-join against the (much smaller) month rows.
+
+    Versus the window form this trades the window sort for a join whose
+    build side has one row per (keys, month) — preferable when months are
+    few and weeks are many, or when the month frame is reused elsewhere.
+    """
+    base = df.withColumn("week", F.date_trunc("week", F.col(ts_col))).withColumn(
+        "month", F.date_trunc("month", F.col(ts_col))
+    )
+    gs = base.groupingSets(
+        [[*keys, "month", "week"], [*keys, "month"]], *keys, "month", "week"
+    ).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.grouping("week").alias("__is_month_row"),
+    )
+    weekly = gs.where(F.col("__is_month_row") == 0).select(
+        *keys, "week", "month", F.col("__cnt").alias(count_alias)
+    )
+    monthly = gs.where(F.col("__is_month_row") == 1).select(
+        *keys, "month", F.col("__cnt").alias(month_alias)
+    )
+    return weekly.join(monthly, [*keys, "month"], "inner")

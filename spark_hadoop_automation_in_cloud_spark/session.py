@@ -73,6 +73,30 @@ class SessionConfig:
             raise ValueError("shuffle_partitions must be >= 1")
 
 
+def s3a_conf(
+    endpoint: str,
+    access_key: str,
+    secret_key: str,
+    path_style: bool = True,
+) -> dict[str, str]:
+    """S3A connector settings (reference S6, ``src/spark/runner.py:76-81``):
+    pass the result as ``SessionConfig.extra_conf`` when the lake lives on
+    an S3-compatible store.  Local tests read the filesystem directly, so
+    this is config parity only — never hardcode credentials in code; feed
+    them from the environment/secret manager at the call site.
+    """
+    return {
+        "spark.hadoop.fs.s3a.endpoint": endpoint,
+        "spark.hadoop.fs.s3a.access.key": access_key,
+        "spark.hadoop.fs.s3a.secret.key": secret_key,
+        "spark.hadoop.fs.s3a.path.style.access": str(path_style).lower(),
+        "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+        "spark.hadoop.fs.s3a.aws.credentials.provider": (
+            "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
+        ),
+    }
+
+
 def local_master(cpus: int | None = None) -> str:
     """local[N] master string; N from $SPARK_GRAFT_CPUS by default."""
     n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)

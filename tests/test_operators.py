@@ -110,3 +110,42 @@ def test_embedding_neardup_lsh_subset_of_exact(spark, sf_dir):
     approx = embedding_neardup_pairs(emb, threshold=0.4, lsh_dim=64)
     assert approx.exceptAll(exact).count() == 0
     assert exact.count() > 0
+
+
+def test_rollup_three_forms_agree(spark, sf_dir):
+    """Window, re-agg-join, and GROUPING SETS forms of the week/month
+    rollup are interchangeable physical strategies for one semantics."""
+    from spark_hadoop_automation_in_cloud_spark.operators.rollup import (
+        weekly_with_month_grouping_sets,
+        weekly_with_month_join,
+        weekly_with_month_window,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    cols = ["event_type", "week", "month", "week_cnt", "month_cnt"]
+    w = weekly_with_month_window(e, ["event_type"], "ts").select(*cols)
+    j = weekly_with_month_join(e, ["event_type"], "ts").select(*cols)
+    g = weekly_with_month_grouping_sets(e, ["event_type"], "ts").select(*cols)
+    for other in (j, g):
+        assert w.exceptAll(other).count() == 0
+        assert other.exceptAll(w).count() == 0
+
+
+def test_local_time_real_timezones(spark):
+    """from_utc_timestamp with a COLUMN timezone (reference semantics)."""
+    import datetime as dt
+
+    from spark_hadoop_automation_in_cloud_spark.functions.geo import local_time
+
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 15, 12, 0, 0), "Australia/Sydney"),
+            (dt.datetime(2024, 1, 15, 12, 0, 0), "America/New_York"),
+            (dt.datetime(2024, 7, 15, 12, 0, 0), "Europe/Berlin"),
+        ],
+        ["ts", "tz"],
+    )
+    rows = df.select(local_time(F.col("ts"), F.col("tz")).alias("lt")).collect()
+    assert rows[0]["lt"] == dt.datetime(2024, 1, 15, 23, 0, 0)  # UTC+11 (DST)
+    assert rows[1]["lt"] == dt.datetime(2024, 1, 15, 7, 0, 0)   # UTC-5
+    assert rows[2]["lt"] == dt.datetime(2024, 7, 15, 14, 0, 0)  # UTC+2 (DST)
