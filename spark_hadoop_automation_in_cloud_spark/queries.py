@@ -1132,3 +1132,52 @@ def q34_raw_event_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (mover.py:78 date_format → "yyyy-MM-dd")
         F.col("event.datetime").substr(1, 10).alias("event_date"),
     )
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.asof import asof_join  # noqa: E402
+
+
+@register(
+    "q35_asof_join",
+    """
+WITH purchases AS (
+  SELECT event_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts,
+         max_by(round(value, 6), event_id) AS click_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts,
+       c.click_value AS asof_click_value,
+       c.ts AS asof_ts
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+""",
+    doc="As-of join (first-class extension; absent from the reference, "
+    "SURVEY §2.3): each purchase event enriched with the user's latest "
+    "click value at-or-before purchase time. Union-and-window form — one "
+    "shuffle of |left|+|right| rows, linear cost, vs the quadratic "
+    "theta-join alternative. Oracle: DuckDB's native ASOF LEFT JOIN.",
+)
+def q35_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by(F.round("value", 6), F.col("event_id")).alias("click_value"))
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["click_value"],
+    )

@@ -149,3 +149,36 @@ def test_local_time_real_timezones(spark):
     assert rows[0]["lt"] == dt.datetime(2024, 1, 15, 23, 0, 0)  # UTC+11 (DST)
     assert rows[1]["lt"] == dt.datetime(2024, 1, 15, 7, 0, 0)   # UTC-5
     assert rows[2]["lt"] == dt.datetime(2024, 7, 15, 14, 0, 0)  # UTC+2 (DST)
+
+
+def test_asof_join_semantics(spark):
+    """<= tie inclusion, no-prior-row nulls, per-key isolation."""
+    import datetime as dt
+
+    from spark_hadoop_automation_in_cloud_spark.operators.asof import asof_join
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [
+            (1, 100, T(2024, 1, 1, 10, 0)),   # after k=1's first right row
+            (1, 101, T(2024, 1, 1, 9, 0)),    # exact tie with right ts
+            (1, 102, T(2024, 1, 1, 8, 0)),    # before any right row
+            (2, 200, T(2024, 1, 1, 12, 0)),   # key 2: no right rows at all
+        ],
+        ["k", "lid", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 9, 0), 5.0),
+            (1, T(2024, 1, 1, 9, 30), 7.0),
+        ],
+        ["k", "ts", "v"],
+    )
+    got = {
+        r["lid"]: (r["asof_v"], r["asof_ts"])
+        for r in asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
+    }
+    assert got[100] == (7.0, T(2024, 1, 1, 9, 30))   # latest at-or-before
+    assert got[101] == (5.0, T(2024, 1, 1, 9, 0))    # tie counts (<=)
+    assert got[102] == (None, None)                  # nothing prior
+    assert got[200] == (None, None)                  # key isolation
