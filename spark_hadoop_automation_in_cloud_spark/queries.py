@@ -1181,3 +1181,101 @@ def q35_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         right_payload=["click_value"],
     )
+
+
+@register(
+    "q36_interval_join",
+    """
+WITH s AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+),
+p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT s.event_id, s.user_id, s.ts,
+       COUNT(p.ts) AS purchases_next_24h
+FROM s LEFT JOIN p
+  ON s.user_id = p.user_id
+ AND p.ts >= s.ts
+ AND p.ts < s.ts + INTERVAL 24 HOUR
+GROUP BY s.event_id, s.user_id, s.ts
+""",
+    doc="Interval (range) join: purchases within 24h after each signup, per "
+    "user. Equi-key + range predicate — Catalyst plans the equi part as "
+    "the join key and evaluates the range inside the matched group, so "
+    "cost is Σ per-user(|signups|×|purchases|), bounded by the key "
+    "cardinality, not a global range scan. For keyless range joins the "
+    "1-D analogue of operators.pairs.geo_bucket_join (time-bucket + "
+    "neighbor replication) is the scale path.",
+)
+def q36_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    s = e.where(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = s.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("ts"))
+        & (F.col("p_ts") < F.col("ts") + F.expr("INTERVAL 24 HOURS")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id", "ts").agg(
+        F.count("p_ts").alias("purchases_next_24h")
+    )
+
+
+@register(
+    "q37_value_quantiles",
+    """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="Exact continuous quantiles per group (SURVEY §2.4 notes the "
+    "reference has no distinct/approx/percentile aggregates — added as "
+    "first-class). Spark's percentile() and DuckDB's quantile_cont share "
+    "the linear-interpolation definition, so results hash-match. The "
+    "100 TB path swaps in approx_percentile with a documented error "
+    "bound — same plan shape, sketch-mergeable partials.",
+)
+def q37_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "q38_moving_average",
+    """
+SELECT user_id, event_id, ts,
+       round(AVG(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS value_ma4
+FROM events
+""",
+    doc="Explicit ROWS frame (the reference only ever uses default frames, "
+    "SURVEY §2.5): 4-row trailing moving average of event value per user. "
+    "One shuffle on the partition key; the frame is evaluated in a "
+    "single pass over each sorted partition.",
+)
+def q38_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.avg("value").over(w), 6).alias("value_ma4"),
+    )

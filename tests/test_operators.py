@@ -182,3 +182,35 @@ def test_asof_join_semantics(spark):
     assert got[101] == (5.0, T(2024, 1, 1, 9, 0))    # tie counts (<=)
     assert got[102] == (None, None)                  # nothing prior
     assert got[200] == (None, None)                  # key isolation
+
+
+def test_salted_two_level_aggregation(spark):
+    """salt() enables skew-safe two-level aggregation: aggregate by
+    (key, salt) then re-aggregate by key — totals must equal the direct
+    single-level aggregation on a pathologically skewed key."""
+    from spark_hadoop_automation_in_cloud_spark.operators.pairs import salt
+
+    rows = [("hot", float(i)) for i in range(5000)] + [
+        (f"cold{i}", 1.0) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    direct = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        ).collect()
+    }
+    salted = salt(df, "k", buckets=8)
+    lvl1 = salted.groupBy("k", "__salt").agg(
+        F.count(F.lit(1)).alias("n1"), F.sum("v").alias("s1")
+    )
+    lvl2 = {
+        r["k"]: (r["n"], r["s"])
+        for r in lvl1.groupBy("k").agg(
+            F.sum("n1").alias("n"), F.sum("s1").alias("s")
+        ).collect()
+    }
+    assert lvl2 == direct
+    # the hot key must actually split across salts
+    n_salts = lvl1.where(F.col("k") == "hot").count()
+    assert n_salts > 1
