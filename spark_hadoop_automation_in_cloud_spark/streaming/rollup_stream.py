@@ -76,14 +76,36 @@ def weekly_counts_stream(
 
 
 def run_available_now(
-    result: DataFrame, query_name: str, output_mode: str = "complete"
+    result: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    shuffle_partitions: int = 16,
 ) -> None:
-    """Drain the full input as one availableNow run into a memory sink."""
-    q = (
-        result.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    """Drain the full input as one availableNow run into a memory sink.
+
+    Streaming disables AQE, so the state-store/shuffle partition count is
+    taken literally from ``spark.sql.shuffle.partitions`` — on a default
+    session that is 200 near-empty tasks per micro-batch.  The conf is
+    temporarily pinned to ``shuffle_partitions`` for the drain and restored
+    after (a per-deployment streaming job would size this to its key
+    cardinality and executor count instead).
+    """
+    spark = result.sparkSession
+    before = spark.conf.get("spark.sql.shuffle.partitions", None)
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions:
+            if before is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", before)
+            else:
+                spark.conf.unset("spark.sql.shuffle.partitions")
