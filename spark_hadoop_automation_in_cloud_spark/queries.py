@@ -1279,3 +1279,43 @@ def q38_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.round(F.avg("value").over(w), 6).alias("value_ma4"),
     )
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.components import (  # noqa: E402
+    neardup_clusters,
+)
+
+_SQL_NEARDUP_EDGES = dd.sql_embedding_neardup_pairs("embeddings", threshold=0.4)
+
+
+@register(
+    "q39_neardup_clusters",
+    f"""
+WITH RECURSIVE pairs AS ({_SQL_NEARDUP_EDGES}),
+edges AS (
+  SELECT left_id AS a, right_id AS b FROM pairs
+  UNION
+  SELECT right_id AS a, left_id AS b FROM pairs
+  UNION
+  SELECT vec_id AS a, vec_id AS b FROM embeddings
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS vec_id, MIN(b) AS cluster_id
+FROM reach
+GROUP BY a
+""",
+    doc="Dedup clusters: connected components over the embedding near-dup "
+    "pairs (q19), every vector labeled min-member-id of its component "
+    "(singletons label themselves). Distributed label propagation — each "
+    "round one join+min-aggregate, lineage cut per round; rounds = graph "
+    "diameter. Oracle: DuckDB recursive-CTE transitive closure + MIN, "
+    "proving the iterative Spark form computes the same fixpoint.",
+)
+def q39_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
+    pairs = dd.embedding_neardup_pairs(emb, threshold=0.4)
+    return neardup_clusters(pairs, emb, "vec_id").select("vec_id", "cluster_id")

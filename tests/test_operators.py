@@ -214,3 +214,30 @@ def test_salted_two_level_aggregation(spark):
     # the hot key must actually split across salts
     n_salts = lvl1.where(F.col("k") == "hot").count()
     assert n_salts > 1
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Label propagation must converge across multi-hop chains (rounds >
+    1) and keep disjoint components separate."""
+    from spark_hadoop_automation_in_cloud_spark.operators.components import (
+        connected_components,
+        neardup_clusters,
+    )
+
+    # chain 1-2-3-4-5 (diameter 4), island {10, 11}, singleton 20
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11)], ["left_id", "right_id"]
+    )
+    comp = {
+        r["node"]: r["component_id"]
+        for r in connected_components(pairs, "left_id", "right_id").collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 20]], ["vec_id"])
+    full = {
+        r["vec_id"]: r["cluster_id"]
+        for r in neardup_clusters(pairs, ids, "vec_id").collect()
+    }
+    assert full[20] == 20  # singleton labels itself
+    assert all(full[i] == 1 for i in (1, 2, 3, 4, 5))
