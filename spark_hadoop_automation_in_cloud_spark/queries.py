@@ -1319,3 +1319,77 @@ def q39_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
     pairs = dd.embedding_neardup_pairs(emb, threshold=0.4)
     return neardup_clusters(pairs, emb, "vec_id").select("vec_id", "cluster_id")
+
+
+_SQL_KEPT_SHINGLES = dd.sql_shingle_rows("kept", "doc_id", "text", n=2)
+_SQL_KEPT_PAIRS = dd.sql_jaccard_pairs(_SQL_KEPT_SHINGLES, min_jaccard=0.35)
+
+
+@register(
+    "q40_corpus_curation",
+    f"""
+WITH RECURSIVE q AS ({tx.sql_quality_score("documents", "doc_id", "text")}),
+kept AS (
+  SELECT d.doc_id, d.text, q.quality
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+  WHERE q.quality >= 0.9
+),
+pairs AS (SELECT * FROM ({_SQL_KEPT_PAIRS}) jp),
+edges AS (
+  SELECT left_doc_id AS a, right_doc_id AS b FROM pairs
+  UNION
+  SELECT right_doc_id AS a, left_doc_id AS b FROM pairs
+  UNION
+  SELECT doc_id AS a, doc_id AS b FROM kept
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clus AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+tok AS ({tx.sql_token_stats("kept", "doc_id", "text")})
+SELECT k.doc_id, c.cluster_id,
+       CASE WHEN c.cluster_id = k.doc_id THEN 1 ELSE 0 END AS is_canonical,
+       t.ws_tokens, t.bpe_tokens, k.quality
+FROM kept k
+JOIN clus c ON k.doc_id = c.doc_id
+JOIN tok t ON k.doc_id = t.doc_id
+""",
+    doc="End-to-end training-corpus curation slice: quality-score filter → "
+    "exact n-gram-Jaccard near-dup pairs among survivors → connected- "
+    "component clustering → canonical selection (min doc_id) → token "
+    "accounting. The composition every LLM data pipeline runs, expressed "
+    "as one lazy Spark plan (the iterative clustering step is the only "
+    "materialization barrier). At 100 TB, swap the exact Jaccard stage "
+    "for the MinHash-LSH candidates (q21) with identical downstream "
+    "wiring. Oracle: the same pipeline in SQL with a recursive-CTE "
+    "closure for the clustering.",
+)
+def q40_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    qsc = tx.quality_score(d, "doc_id", "text").where(F.col("quality") >= 0.9)
+    kept = d.select("doc_id", "text").join(
+        qsc.select("doc_id", "quality"), "doc_id"
+    )
+    sh = dd.shingle_rows(kept, "doc_id", "text", n=2)
+    pairs = dd.jaccard_pairs(sh, min_jaccard=0.35).select(
+        F.col("left_doc_id").alias("left_id"), F.col("right_doc_id").alias("right_id")
+    )
+    clusters = neardup_clusters(pairs, kept, "doc_id")
+    tok = tx.token_stats(kept, "doc_id", "text").select(
+        "doc_id", "ws_tokens", "bpe_tokens"
+    )
+    return (
+        kept.select("doc_id", "quality")
+        .join(clusters, "doc_id")
+        .join(tok, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("cluster_id") == F.col("doc_id")).cast("int").alias("is_canonical"),
+            "ws_tokens",
+            "bpe_tokens",
+            "quality",
+        )
+    )
