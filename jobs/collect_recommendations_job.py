@@ -41,15 +41,6 @@ def main(argv: list[str]) -> int:
         contact_src = e.where(F.col("event_type") == "purchase").select(
             k.alias("k"), "user_id"
         )
-        contacts = (
-            contact_src.alias("a")
-            .join(
-                contact_src.alias("b"),
-                (F.col("a.k") == F.col("b.k"))
-                & (F.col("a.user_id") < F.col("b.user_id")),
-            )
-            .select(F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b"))
-        )
         last_pos = (
             read_events_window(geo_events(spark, args.src_path), "ts", args.date, args.depth)
             .groupBy("user_id")
@@ -61,7 +52,9 @@ def main(argv: list[str]) -> int:
             )
             .select("user_id", F.col("__p.lat").alias("lat"), F.col("__p.lon").alias("lon"))
         )
-        dm = friend_recommendations(subs, contacts, last_pos, max_km=500.0)
+        dm = friend_recommendations(
+            subs, None, last_pos, max_km=500.0, contact_memberships=contact_src
+        )
         write_datamart(dm, args.tgt_path, "friend-recommendations-dm", args.date)
     finally:
         stop_session(spark)

@@ -85,6 +85,44 @@ def exclude_pairs(
     )
 
 
+def exclude_pairs_by_shared_key(
+    candidates: DataFrame,
+    memberships: DataFrame,  # (member_col, key_col): entity → key it belongs to
+    left_col: str,
+    right_col: str,
+    member_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Remove candidate pairs whose two sides share ANY membership key.
+
+    Equivalent to building all same-key pairs and anti-joining
+    (``exclude_pairs``) when the exclusion relation is *defined* by a
+    shared key — but never materializes the pair blowup: memberships are
+    collected to one key-set array per entity (linear), attached to each
+    candidate side with two equi-joins, and tested with ``arrays_overlap``.
+    Cost is O(|candidates| + |memberships|) versus O(Σ per-key group²) for
+    the pair-list form — at 100 TB the difference between a shuffle and a
+    quadratic explosion.  Use ``exclude_pairs`` when exclusions arrive as
+    an explicit pair list instead.
+    """
+    key_sets = memberships.groupBy(F.col(member_col).alias("__m")).agg(
+        F.collect_set(F.col(key_col)).alias("__keys")
+    )
+    lk = key_sets.select(F.col("__m").alias(left_col), F.col("__keys").alias("__lkeys"))
+    rk = key_sets.select(F.col("__m").alias(right_col), F.col("__keys").alias("__rkeys"))
+    out = (
+        candidates.join(lk, left_col, "left")
+        .join(rk, right_col, "left")
+        # null key set (no memberships) can never overlap
+        .where(
+            ~F.coalesce(
+                F.arrays_overlap(F.col("__lkeys"), F.col("__rkeys")), F.lit(False)
+            )
+        )
+    )
+    return out.drop("__lkeys", "__rkeys")
+
+
 def within_distance(
     pairs: DataFrame,
     lat1: str,

@@ -24,15 +24,17 @@ from pyspark.sql import functions as F
 
 from spark_hadoop_automation_in_cloud_spark.operators.pairs import (
     exclude_pairs,
+    exclude_pairs_by_shared_key,
     geo_bucket_join,
 )
 
 
 def friend_recommendations(
     subscriptions: DataFrame,  # (user_id, channel)
-    contacts: DataFrame,  # (user_a, user_b) any order
+    contacts: DataFrame | None,  # (user_a, user_b) any order, or None
     last_positions: DataFrame,  # (user_id, lat, lon)
     max_km: float,
+    contact_memberships: DataFrame | None = None,  # (user_id, k) alternative
 ) -> DataFrame:
     """Output: left_user_id, right_user_id, distance_km (rounded 4dp).
 
@@ -67,9 +69,21 @@ def friend_recommendations(
     )
     # two shared channels yield the same (pair, distance) row twice
     cand = near.select("left_user_id", "right_user_id", "distance_km").distinct()
-    cand = exclude_pairs(
-        cand, contacts, "left_user_id", "right_user_id", "user_a", "user_b"
-    )
+    if contact_memberships is not None:
+        # exclusion relation defined by a shared key (e.g. "both purchased
+        # k"): test key-set overlap directly — linear, no pair blowup
+        cand = exclude_pairs_by_shared_key(
+            cand,
+            contact_memberships,
+            "left_user_id",
+            "right_user_id",
+            member_col="user_id",
+            key_col="k",
+        )
+    else:
+        cand = exclude_pairs(
+            cand, contacts, "left_user_id", "right_user_id", "user_a", "user_b"
+        )
     return cand.select(
         "left_user_id",
         "right_user_id",

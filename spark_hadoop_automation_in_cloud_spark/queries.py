@@ -673,18 +673,10 @@ def q16_friend_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     contact_src = e.where(F.col("event_type") == "purchase").select(
         k.alias("k"), "user_id"
     )
-    # canonical (a < b) from the start: half the self-join output of the
-    # reference's <> form, and exclude_pairs' least/greatest is a no-op on it
-    contacts = (
-        contact_src.alias("a")
-        .join(
-            contact_src.alias("b"),
-            (F.col("a.k") == F.col("b.k")) & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .select(
-            F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
-        )
-    )
+    # "in contact" = shares a purchase key — pass the membership relation
+    # itself; the plan tests key-set overlap per candidate instead of
+    # materializing the quadratic contact-pair list (exclude_pairs_by_
+    # shared_key). Semantics identical to the pair-join + anti-join form.
     last_pos = (
         geo_events(spark, sf_dir)
         .groupBy("user_id")
@@ -696,7 +688,9 @@ def q16_friend_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", F.col("__p.lat").alias("lat"), F.col("__p.lon").alias("lon"))
     )
-    return friend_recommendations(subs, contacts, last_pos, max_km=500.0)
+    return friend_recommendations(
+        subs, None, last_pos, max_km=500.0, contact_memberships=contact_src
+    )
 
 
 @register(

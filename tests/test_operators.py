@@ -241,3 +241,42 @@ def test_connected_components_chain_and_islands(spark):
     }
     assert full[20] == 20  # singleton labels itself
     assert all(full[i] == 1 for i in (1, 2, 3, 4, 5))
+
+
+def test_exclude_by_shared_key_equals_pair_form(spark):
+    """Key-set-overlap exclusion ≡ materialized-pair anti-join."""
+    from spark_hadoop_automation_in_cloud_spark.operators.pairs import (
+        exclude_pairs,
+        exclude_pairs_by_shared_key,
+    )
+
+    members = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "b"), (3, "c"), (4, "a"), (5, "z")],
+        ["user_id", "k"],
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (3, 5), (4, 5), (1, 6)],
+        ["left_user_id", "right_user_id"],
+    )
+    pairs = (
+        members.alias("a")
+        .join(
+            members.alias("b"),
+            (F.col("a.k") == F.col("b.k")) & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b"))
+    )
+    via_pairs = {
+        (r["left_user_id"], r["right_user_id"])
+        for r in exclude_pairs(
+            cand, pairs, "left_user_id", "right_user_id", "user_a", "user_b"
+        ).collect()
+    }
+    via_keys = {
+        (r["left_user_id"], r["right_user_id"])
+        for r in exclude_pairs_by_shared_key(
+            cand, members, "left_user_id", "right_user_id", "user_id", "k"
+        ).collect()
+    }
+    # expected: (1,2) share b, (1,4) share a → excluded; 6 has no keys → kept
+    assert via_keys == via_pairs == {(1, 3), (2, 3), (3, 5), (4, 5), (1, 6)}
