@@ -132,3 +132,25 @@ def write_partitioned(
         "compression", compression
     ).parquet(path)
     return path
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int = 64,
+    sort_cols: tuple[str, ...] | None = None,
+) -> None:
+    """Bucketed managed-table sink: pre-shuffles ONCE at write time so that
+    every later equi-join or aggregation on ``bucket_cols`` between
+    co-bucketed tables runs with NO exchange at all.
+
+    This is the storage-level answer to repeated big-table⋈big-table joins
+    at 100 TB (SURVEY §4: "bucketing for co-located joins"): the shuffle is
+    paid once during ingestion, not on every query.  Sorting within buckets
+    additionally removes the sort from sort-merge joins.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

@@ -280,3 +280,24 @@ def test_exclude_by_shared_key_equals_pair_form(spark):
     }
     # expected: (1,2) share b, (1,4) share a → excluded; 6 has no keys → kept
     assert via_keys == via_pairs == {(1, 3), (2, 3), (3, 5), (4, 5), (1, 6)}
+
+
+def test_haversine_reference_quirk_flag(spark):
+    """reference_quirk=True reproduces the reference's sin(sqrt(a)) formula
+    (collector.py:130-131); default gives the correct asin form. They agree
+    for small distances and diverge for large central angles."""
+    from spark_hadoop_automation_in_cloud_spark.functions.geo import haversine_km
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 0.01, 0.01), (0.0, 0.0, 60.0, 120.0)],
+        ["la1", "lo1", "la2", "lo2"],
+    )
+    rows = df.select(
+        haversine_km(F.col("la1"), F.col("lo1"), F.col("la2"), F.col("lo2")).alias("correct"),
+        haversine_km(
+            F.col("la1"), F.col("lo1"), F.col("la2"), F.col("lo2"), reference_quirk=True
+        ).alias("quirk"),
+    ).collect()
+    small, large = rows[0], rows[1]
+    assert abs(small["correct"] - small["quirk"]) < 0.001  # ~coincide near 0
+    assert large["quirk"] < large["correct"]  # sin(x) < asin-based for large x

@@ -13,6 +13,8 @@ from __future__ import annotations
 import contextlib
 import io
 
+from pyspark.sql import functions as F
+
 from spark_hadoop_automation_in_cloud_spark import queries as q
 
 
@@ -66,3 +68,35 @@ def test_q24_cosine_broadcasts_query_side(spark, sf_dir):
     assert "SortMergeJoin" not in plan or "Exchange hashpartitioning" not in plan.split(
         "BroadcastNestedLoopJoin"
     )[0]
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-bucketed tables joined on the bucket key must not shuffle: the
+    write-once bucket layout replaces the per-query exchange."""
+    from spark_hadoop_automation_in_cloud_spark.io import read_table, write_bucketed
+
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed(o, "b_orders", ("o_custkey",), num_buckets=8, sort_cols=("o_custkey",))
+    write_bucketed(c, "b_customer", ("c_custkey",), num_buckets=8, sort_cols=("c_custkey",))
+    try:
+        bo, bc = spark.table("b_orders"), spark.table("b_customer")
+        # force the sort-merge path (small test tables auto-broadcast
+        # otherwise) — at scale this IS the plan bucketing exists for
+        joined = bo.hint("merge").join(bc, bo.o_custkey == bc.c_custkey)
+        plan = explain_str(joined)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # and it actually computes the right thing
+        plain = (
+            read_table(spark, sf_dir, "orders")
+            .join(
+                read_table(spark, sf_dir, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .count()
+        )
+        assert joined.count() == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
