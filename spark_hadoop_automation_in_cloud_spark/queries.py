@@ -1387,3 +1387,30 @@ def q40_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality",
         )
     )
+
+
+from spark_hadoop_automation_in_cloud_spark.streaming.rollup_stream import (  # noqa: E402
+    daily_sliding_week_counts_stream,
+)
+
+
+@register(
+    "q41_streaming_sliding_window",
+    """
+WITH days AS (SELECT unnest(generate_series(0, 6)) AS k)
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) - k * INTERVAL 1 DAY AS window_start,
+       COUNT(*) AS cnt
+FROM events CROSS JOIN days
+GROUP BY 1, 2
+""",
+    doc="Sliding-window streaming aggregation: 7-day windows advancing "
+    "daily — each event lands in 7 overlapping windows (trailing-week "
+    "rollup). availableNow replay ≡ the batch form, which the oracle "
+    "expresses as a 7-way day-offset expansion.",
+)
+def q41_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, f"{sf_dir}/events.parquet")
+    result = daily_sliding_week_counts_stream(ev)
+    run_available_now(result, "q41_sliding_sink")
+    return spark.table("q41_sliding_sink").select("event_type", "window_start", "cnt")

@@ -109,3 +109,24 @@ def run_available_now(
                 spark.conf.set("spark.sql.shuffle.partitions", before)
             else:
                 spark.conf.unset("spark.sql.shuffle.partitions")
+
+
+def daily_sliding_week_counts_stream(
+    events: DataFrame, watermark: str = "14 days"
+) -> DataFrame:
+    """Sliding windows: 7-day span advancing 1 day — each event contributes
+    to 7 overlapping windows (trailing-week activity, refreshed daily).
+    State per key = #open windows × #types, bounded by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.col("event_type"),
+            F.window("ts", "7 days", "1 day").alias("win"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "event_type",
+            F.col("win.start").alias("window_start"),
+            "cnt",
+        )
+    )
