@@ -1414,3 +1414,50 @@ def q41_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = daily_sliding_week_counts_stream(ev)
     run_available_now(result, "q41_sliding_sink")
     return spark.table("q41_sliding_sink").select("event_type", "window_start", "cnt")
+
+
+@register(
+    "q42_hash_split",
+    """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc_id
+FROM b
+GROUP BY 1
+""",
+    doc="Deterministic train/val/test split (80/10/10) by content-free id "
+    "hash — the reproducible alternative to sample(): stable across "
+    "runs, partitioners, and engines, no RNG state to ship. A pure "
+    "projection + tiny aggregate; at 100 TB the split column is computed "
+    "in the scan stage and can partition the write directly.",
+)
+def q42_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return (
+        d.select("doc_id", bucket.alias("bucket"))
+        .select(
+            "doc_id",
+            F.when(F.col("bucket") < 80, "train")
+            .when(F.col("bucket") < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
