@@ -105,3 +105,55 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "media_id long, media_type string, width int, height int, payload binary"
+)
+
+
+def resize_media(
+    media: DataFrame, target_w: int, target_h: int, strict: bool = False
+) -> DataFrame:
+    """Resize stub: emits a payload whose size is proportional to the target
+    pixel count (deterministic byte subsampling/tiling of the source), with
+    the typed (width, height) metadata updated.
+
+    Exercises the binary→binary transform shape — unlike feature
+    extraction, the payload column SURVIVES the operator, so batch sizing
+    (``spark.sql.execution.arrow.maxRecordsPerBatch``) bounds peak executor
+    memory on both sides of the kernel.  A real implementation swaps the
+    byte arithmetic for an image library; ``strict=True`` marks that seam.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "real resizing requires an image library not present in "
+                    "this environment; plug one in place of the byte tiling"
+                )
+            out = {"media_id": [], "media_type": [], "width": [], "height": [], "payload": []}
+            n_target = max(1, (target_w * target_h) // 64)
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                data = bytes(payload) if payload is not None else b""
+                if not data:
+                    resized = b"\x00" * n_target
+                elif len(data) >= n_target:
+                    step = len(data) // n_target
+                    resized = data[:: step][:n_target]
+                else:
+                    reps = n_target // len(data) + 1
+                    resized = (data * reps)[:n_target]
+                out["media_id"].append(mid)
+                out["media_type"].append(mtype)
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+                out["payload"].append(resized)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        kernel, schema=RESIZE_SCHEMA
+    )

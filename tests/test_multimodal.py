@@ -55,3 +55,26 @@ def test_sample_frames_fanout(media):
     assert counts[1] == 3  # 3004 bytes → 3 chunks
     assert counts[2] == 1
     assert counts[3] == 1  # empty payload still yields one row
+
+
+def test_resize_media_deterministic_payload(media):
+    from spark_hadoop_automation_in_cloud_spark.multimodal.binary_ops import resize_media
+
+    out = resize_media(media, 32, 32).collect()
+    n_target = (32 * 32) // 64
+    for r in out:
+        assert r["width"] == 32 and r["height"] == 32
+        assert len(r["payload"]) == n_target
+    # deterministic: same inputs → identical bytes
+    again = {r["media_id"]: bytes(r["payload"]) for r in resize_media(media, 32, 32).collect()}
+    for r in out:
+        assert bytes(r["payload"]) == again[r["media_id"]]
+
+
+def test_resize_media_strict_raises(media):
+    import pytest as _pytest
+
+    from spark_hadoop_automation_in_cloud_spark.multimodal.binary_ops import resize_media
+
+    with _pytest.raises(Exception, match="NotImplementedError|real resizing"):
+        resize_media(media, 8, 8, strict=True).collect()

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from spark_hadoop_automation_in_cloud_spark.io import read_table
 from spark_hadoop_automation_in_cloud_spark.streaming.rollup_stream import (
+    EVENTS_FILE_SCHEMA,
     run_available_now,
     stream_events,
     weekly_counts_stream,
@@ -65,3 +66,61 @@ def test_stateful_user_sessions(spark, sf_dir, events_dir):
     )
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_watermark_closed_window_not_reemitted(spark, tmp_path):
+    """Watermark contract in append mode: once the watermark passes a
+    window's end the window is emitted exactly once — late rows for it,
+    arriving in a later micro-batch, cannot re-open or re-emit it."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "late_stream"
+    d.mkdir()
+    base = dt.datetime(2024, 3, 4)  # a Monday → its own week window start
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def write_batch(i, ts):
+        df = spark.createDataFrame([(i, ts, 1, "click", 1.0, "{}")], schema)
+        df.select(
+            "event_id",
+            (F.unix_micros("ts") * 1000).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        ).coalesce(1).write.mode("overwrite").parquet(str(d / f"batch{i}"))
+        time.sleep(1.1)  # distinct mod times → deterministic trigger order
+
+    # the watermark advances with a one-batch lag (it is recomputed at
+    # batch end from previously-seen data), so a second advancing batch
+    # guarantees week W is closed before the late row arrives
+    write_batch(0, base)                           # week W opens, cnt=1
+    write_batch(1, base + dt.timedelta(days=40))   # advances event-time max
+    write_batch(2, base + dt.timedelta(days=41))   # watermark passes W → W emits
+    write_batch(3, base + dt.timedelta(minutes=5)) # late row for W after close
+
+    raw = (
+        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/batch*/")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    q = (
+        weekly_counts_stream(raw, watermark="14 days")
+        .writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w_rows = [
+        r for r in spark.sql("SELECT * FROM late_test").collect()
+        if r["week"] == base
+    ]
+    # exactly one emission for week W, with only the on-time row counted
+    assert len(w_rows) == 1
+    assert w_rows[0]["week_cnt"] == 1
