@@ -1461,3 +1461,44 @@ def q42_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
     )
+
+
+@register(
+    "q43_session_windows",
+    """
+WITH seq AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+islands AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM seq
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM islands
+GROUP BY user_id, session_no
+""",
+    doc="Batch session windows (F.session_window, 30-min inactivity gap): "
+    "dynamic, data-driven windows — the batch twin of q33's stateful "
+    "streaming sessionizer, and the gap-based windowing the reference "
+    "lacks entirely. One shuffle on the session keys; window merge is "
+    "internal. Oracle: classic gaps-and-islands (lag → flag → running "
+    "sum → group).",
+)
+def q43_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )

@@ -124,3 +124,23 @@ def test_watermark_closed_window_not_reemitted(spark, tmp_path):
     # exactly one emission for week W, with only the on-time row counted
     assert len(w_rows) == 1
     assert w_rows[0]["week_cnt"] == 1
+
+
+def test_batch_session_window_equals_stateful_stream(spark):
+    """Three-way sessionization consistency: F.session_window (batch) must
+    produce the same per-user session counts as the custom
+    applyInPandasWithState streaming operator (both 30-min gaps)."""
+    from spark_hadoop_automation_in_cloud_spark.queries import (
+        q33_stateful_sessions,
+        q43_session_windows,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = (
+        q43_session_windows(spark, sf)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    stream = q33_stateful_sessions(spark, sf).select("user_id", "n_sessions")
+    assert batch.exceptAll(stream).count() == 0
+    assert stream.exceptAll(batch).count() == 0
