@@ -74,3 +74,56 @@ def nearest_neighbor_agg(
         F.col(f"__best.{c}").alias(c) for c in payload_cols
     ])
     return out
+
+
+def nearest_neighbor_fold(
+    facts: DataFrame,
+    dim_rows: Sequence[dict],
+    fact_lat: str,
+    fact_lon: str,
+    dim_id: str,
+    dim_lat: str,
+    dim_lon: str,
+    dim_payload: Sequence[str] = (),
+    distance_col: str = "distance_km",
+    reference_quirk: bool = False,
+) -> DataFrame:
+    """STATELESS 1-NN: the dimension is inlined as literal candidate structs
+    and the minimum is taken with ``least()`` — a pure projection, no join,
+    no aggregation, no shuffle.
+
+    This is the form streaming pipelines need: the aggregate form
+    (``nearest_neighbor_agg``) keys state by fact row, which is unbounded
+    on a stream, while a projection is stateless and watermark-free.  It is
+    also the right batch form when the plan must stay single-stage.  The
+    trade: the dim is baked into the plan (recompile on dim change) and
+    must be driver-small — same constraint a broadcast already implies.
+
+    ``dim_rows``: materialized dim rows (``df.collect()`` or plain dicts).
+    Ties break on ascending dim id via struct comparison, matching
+    ``nearest_neighbor_agg`` exactly (equivalence is tested).
+    """
+    cands = []
+    for r in dim_rows:
+        d = haversine_km(
+            F.col(fact_lat),
+            F.col(fact_lon),
+            F.lit(float(r[dim_lat])),
+            F.lit(float(r[dim_lon])),
+            reference_quirk=reference_quirk,
+        )
+        cands.append(
+            F.struct(
+                d.alias("__d"),
+                F.lit(r[dim_id]).alias(dim_id),
+                *[F.lit(r[c]).alias(c) for c in dim_payload],
+            )
+        )
+    best = F.least(*cands)
+    out = facts.withColumn("__best", best)
+    return out.select(
+        *facts.columns,
+        F.col(f"__best.{dim_id}").alias(dim_id),
+        *[F.col(f"__best.{c}").alias(c) for c in dim_payload],
+        F.col("__best.__d").alias(distance_col),
+    )

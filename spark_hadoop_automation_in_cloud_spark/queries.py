@@ -1502,3 +1502,57 @@ def q43_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.nearest import (  # noqa: E402
+    nearest_neighbor_fold,
+)
+
+
+@register(
+    "q44_streaming_geo_rollup",
+    f"""
+WITH best AS ({SQL_NEAREST})
+SELECT city_id,
+       {_SQL_WEEK} AS week,
+       COUNT(*) AS week_cnt
+FROM best
+GROUP BY 1, 2
+""",
+    doc="Streaming geo enrichment + rollup: the signature 1-NN operator "
+    "running INSIDE a stream via its stateless fold form (dim inlined as "
+    "literal candidates + least() — pure projection, no per-event state), "
+    "then watermarked weekly counts per city. The aggregate 1-NN form "
+    "would key unbounded state by event on a stream; the fold form is "
+    "the streaming-safe twin (equivalence tested in test_operators).",
+)
+def q44_streaming_geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim_rows = [r.asDict() for r in city_dim(spark, sf_dir).collect()]
+    ev = stream_events(spark, f"{sf_dir}/events.parquet")
+    geo_ev = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        geo.synth_event_lat(F.col("user_id"), F.col("event_id")).alias("lat"),
+        geo.synth_event_lon(F.col("user_id"), F.col("event_id")).alias("lon"),
+    )
+    ne = nearest_neighbor_fold(
+        geo_ev,
+        dim_rows,
+        fact_lat="lat",
+        fact_lon="lon",
+        dim_id="city_id",
+        dim_lat="city_lat",
+        dim_lon="city_lon",
+    )
+    result = (
+        ne.withWatermark("ts", "14 days")
+        .groupBy(
+            "city_id",
+            F.window("ts", "7 days", "7 days", "4 days").alias("win"),
+        )
+        .agg(F.count(F.lit(1)).alias("week_cnt"))
+        .select("city_id", F.col("win.start").alias("week"), "week_cnt")
+    )
+    run_available_now(result, "q44_geo_sink")
+    return spark.table("q44_geo_sink").select("city_id", "week", "week_cnt")

@@ -301,3 +301,28 @@ def test_haversine_reference_quirk_flag(spark):
     small, large = rows[0], rows[1]
     assert abs(small["correct"] - small["quirk"]) < 0.001  # ~coincide near 0
     assert large["quirk"] < large["correct"]  # sin(x) < asin-based for large x
+
+
+def test_nearest_fold_equals_agg_form(spark, sf_dir):
+    """The stateless fold 1-NN (streaming-safe) must agree exactly with the
+    aggregate form, including distance and tiebreaks."""
+    from spark_hadoop_automation_in_cloud_spark.operators.nearest import (
+        nearest_neighbor_fold,
+    )
+    from spark_hadoop_automation_in_cloud_spark.queries import (
+        city_dim,
+        geo_events,
+        nearest_city_events,
+    )
+
+    ev = geo_events(spark, sf_dir)
+    rows = [r.asDict() for r in city_dim(spark, sf_dir).collect()]
+    fold = nearest_neighbor_fold(
+        ev, rows, "lat", "lon", "city_id", "city_lat", "city_lon",
+        dim_payload=("city_name", "tz_offset_hours"),
+    ).select("event_id", "city_id", "city_name", F.round("distance_km", 9).alias("d"))
+    agg = nearest_city_events(spark, sf_dir).select(
+        "event_id", "city_id", "city_name", F.round("distance_km", 9).alias("d")
+    )
+    assert fold.exceptAll(agg).count() == 0
+    assert agg.exceptAll(fold).count() == 0
