@@ -1556,3 +1556,63 @@ def q44_streaming_geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_available_now(result, "q44_geo_sink")
     return spark.table("q44_geo_sink").select("city_id", "week", "week_cnt")
+
+
+@register(
+    "q45_distinct_aggregates",
+    """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)) AS n_active_days,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+    doc="Distinct aggregates (absent from the reference, SURVEY §2.4 note): "
+    "multiple COUNT(DISTINCT) in one grouped aggregation — Catalyst "
+    "expands to partial de-dup + final count. The sketch path for 100 TB "
+    "is approx_count_distinct (HLL, mergeable partials, fixed memory); "
+    "its ≤5%-error agreement with these exact counts is asserted in "
+    "tests/test_operators.py.",
+)
+def q45_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.date_trunc("day", F.col("ts"))).alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q46_pivot",
+    """
+SELECT c_mktsegment,
+       COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+       COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS n_medium,
+       COUNT(*) FILTER (o_orderpriority = '5-LOW')    AS n_low
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    doc="Pivot (rows→columns reshape) via the DataFrame pivot() API with an "
+    "EXPLICIT value list — omitting it triggers a driver-side distinct "
+    "scan to discover columns, a hidden extra job at scale. One shuffle, "
+    "conditional-count expansion under the hood (same plan as q18's "
+    "manual pivot).",
+)
+def q46_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    piv = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", ["1-URGENT", "3-MEDIUM", "5-LOW"])
+        .count()
+        .na.fill(0)
+    )
+    return piv.select(
+        "c_mktsegment",
+        F.col("1-URGENT").alias("n_urgent"),
+        F.col("3-MEDIUM").alias("n_medium"),
+        F.col("5-LOW").alias("n_low"),
+    )

@@ -326,3 +326,15 @@ def test_nearest_fold_equals_agg_form(spark, sf_dir):
     )
     assert fold.exceptAll(agg).count() == 0
     assert agg.exceptAll(fold).count() == 0
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    """HLL sketch (the 100 TB path for distinct counts) stays within its
+    configured relative error of the exact counts."""
+    e = read_table(spark, sf_dir, "events")
+    both = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx"),
+    )
+    for r in both.collect():
+        assert abs(r["approx"] - r["exact"]) <= max(3, 0.15 * r["exact"]), r
