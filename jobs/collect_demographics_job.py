@@ -16,19 +16,16 @@ from spark_hadoop_automation_in_cloud_spark.args import JobArgs
 from spark_hadoop_automation_in_cloud_spark.io import read_events_window, write_datamart
 from spark_hadoop_automation_in_cloud_spark.plans.demographics import user_demographics
 from spark_hadoop_automation_in_cloud_spark.queries import nearest_city_events
-from spark_hadoop_automation_in_cloud_spark.session import get_session, stop_session
+from spark_hadoop_automation_in_cloud_spark.session import session_scope
 
 
 def main(argv: list[str]) -> int:
     args = JobArgs.from_argv(argv)
-    spark = get_session()
-    try:
+    with session_scope() as spark:
         ez = nearest_city_events(spark, args.src_path)
         windowed = read_events_window(ez, "ts", args.date, args.depth)
         dm = user_demographics(windowed)
         write_datamart(dm, args.tgt_path, "users-demographics-dm", args.date)
-    finally:
-        stop_session(spark)
     return 0
 
 

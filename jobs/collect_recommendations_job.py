@@ -24,13 +24,12 @@ from spark_hadoop_automation_in_cloud_spark.plans.recommendations import (
     friend_recommendations,
 )
 from spark_hadoop_automation_in_cloud_spark.queries import geo_events
-from spark_hadoop_automation_in_cloud_spark.session import get_session, stop_session
+from spark_hadoop_automation_in_cloud_spark.session import session_scope
 
 
 def main(argv: list[str]) -> int:
     args = JobArgs.from_argv(argv)
-    spark = get_session()
-    try:
+    with session_scope() as spark:
         e = read_events_window(
             read_table(spark, args.src_path, "events"), "ts", args.date, args.depth
         )
@@ -56,8 +55,6 @@ def main(argv: list[str]) -> int:
             subs, None, last_pos, max_km=500.0, contact_memberships=contact_src
         )
         write_datamart(dm, args.tgt_path, "friend-recommendations-dm", args.date)
-    finally:
-        stop_session(spark)
     return 0
 
 

@@ -20,13 +20,12 @@ from spark_hadoop_automation_in_cloud_spark.plans.activity_rollup import (
     zone_week_month_rollup,
 )
 from spark_hadoop_automation_in_cloud_spark.queries import EVENT_CLASSES, nearest_city_events
-from spark_hadoop_automation_in_cloud_spark.session import get_session, stop_session
+from spark_hadoop_automation_in_cloud_spark.session import session_scope
 
 
 def main(argv: list[str]) -> int:
     args = JobArgs.from_argv(argv)
-    spark = get_session()
-    try:
+    with session_scope() as spark:
         ez = nearest_city_events(spark, args.src_path).withColumnRenamed(
             "city_id", "zone_id"
         )
@@ -35,8 +34,6 @@ def main(argv: list[str]) -> int:
             zone_week_month_rollup(windowed, EVENT_CLASSES), EVENT_CLASSES
         )
         write_datamart(dm, args.tgt_path, "zone-activity-dm", args.date)
-    finally:
-        stop_session(spark)
     return 0
 
 

@@ -1616,3 +1616,40 @@ def q46_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("3-MEDIUM").alias("n_medium"),
         F.col("5-LOW").alias("n_low"),
     )
+
+
+@register(
+    "q47_unpivot",
+    """
+SELECT l_orderkey, l_linenumber, charge_kind, round(amount, 6) AS amount
+FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax
+  FROM lineitem WHERE l_orderkey < 1000
+)
+UNPIVOT (amount FOR charge_kind IN (
+  l_extendedprice AS 'price', l_discount AS 'discount', l_tax AS 'tax'
+))
+""",
+    doc="Unpivot/melt (columns→rows reshape, inverse of q46): one wide row "
+    "becomes one row per measure — pure projection + generator, no "
+    "shuffle; the idiomatic long-format feed for per-measure aggregation "
+    "downstream.",
+)
+def q47_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    return (
+        l.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            [("l_extendedprice"), ("l_discount"), ("l_tax")],
+            "charge_kind",
+            "amount",
+        )
+        .withColumn(
+            "charge_kind",
+            F.when(F.col("charge_kind") == "l_extendedprice", "price")
+            .when(F.col("charge_kind") == "l_discount", "discount")
+            .otherwise("tax"),
+        )
+        .withColumn("amount", F.round("amount", 6))
+    )

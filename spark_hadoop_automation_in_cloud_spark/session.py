@@ -14,6 +14,7 @@ into caching explicitly.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -150,3 +151,20 @@ def get_test_session(app_name: str = "spark-graft-test") -> SparkSession:
 def stop_session(spark: SparkSession) -> None:
     """Reference parity: ``stop_session`` (``runner.py:98-105``)."""
     spark.stop()
+
+
+@contextmanager
+def session_scope(config: SessionConfig | None = None):
+    """Context manager for job entrypoints: yields a session, and stops it
+    on exit ONLY if this scope created it — ``getOrCreate`` reuses any
+    active session (e.g. when a job's ``main`` is invoked in-process from
+    a test or notebook), and stopping a borrowed session would kill the
+    caller's context.
+    """
+    borrowed = SparkSession.getActiveSession() is not None
+    spark = get_session(config)
+    try:
+        yield spark
+    finally:
+        if not borrowed:
+            stop_session(spark)
