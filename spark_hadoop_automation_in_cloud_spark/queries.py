@@ -1653,3 +1653,72 @@ def q47_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("amount", F.round("amount", 6))
     )
+
+
+@register(
+    "q48_ranking_functions",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(rank()         OVER w AS INT) AS rnk,
+       CAST(dense_rank()   OVER w AS INT) AS drnk,
+       CAST(ntile(4)       OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS prnk
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY round(o_totalprice, 2) DESC, o_orderkey)
+""",
+    doc="Ranking-function family the reference never uses (SURVEY §2.5 "
+    "note): rank / dense_rank / ntile / percent_rank over one shared "
+    "window spec — one shuffle + per-partition sort serves all four.",
+)
+def q48_ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.round("o_totalprice", 2).desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+    )
+
+
+@register(
+    "q49_cube",
+    f"""
+SELECT COALESCE(r_name, '<all>') AS region_name,
+       COALESCE(o_orderpriority, '<all>') AS priority,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice")} AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, o_orderpriority)
+""",
+    doc="CUBE grouping (all 2^n subtotal combinations in one aggregation "
+    "pass — absent from the reference, which hand-built its one rollup "
+    "level with a window). Null grouping cells are marker-filled so the "
+    "oracle comparison distinguishes subtotal rows from data nulls.",
+)
+def q49_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = F.broadcast(read_table(spark, sf_dir, "nation"))
+    r = F.broadcast(read_table(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .cube("r_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("<all>")).alias("region_name"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
