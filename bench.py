@@ -35,6 +35,7 @@ HEADLINE = [
     "q21_minhash_lsh_pairs",
     "q24_cosine_topk",
     "q31_multimodal_features",
+    "q35_asof_join",
 ]
 
 

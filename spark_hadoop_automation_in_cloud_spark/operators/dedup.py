@@ -24,7 +24,7 @@ Scale shape (100 TB of documents):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_hadoop_automation_in_cloud_spark.functions.hashing import (
@@ -365,3 +365,4 @@ scored AS (
 )
 SELECT * FROM scored WHERE cosine_sim >= {threshold}
 """
+

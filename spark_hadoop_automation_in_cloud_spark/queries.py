@@ -1367,6 +1367,9 @@ def q40_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         qsc.select("doc_id", "quality"), "doc_id"
     )
     sh = dd.shingle_rows(kept, "doc_id", "text", n=2)
+    # naive inverted-index Jaccard: at this LOW threshold (0.35) the prefix
+    # filter keeps ~65% of shingles and loses to the plain index (measured);
+    # jaccard_pairs_prefix wins at high thresholds, MinHash-LSH at scale
     pairs = dd.jaccard_pairs(sh, min_jaccard=0.35).select(
         F.col("left_doc_id").alias("left_id"), F.col("right_doc_id").alias("right_id")
     )
@@ -1721,4 +1724,38 @@ def q49_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "revenue",
         )
+    )
+
+
+@register(
+    "q50_fuzzy_name_pairs",
+    """
+WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 300)
+SELECT a.c_custkey AS left_id, b.c_custkey AS right_id,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+""",
+    doc="Fuzzy-key matching via Levenshtein edit distance ≤ 2 — the "
+    "entity-resolution primitive (near-identical names/titles) that "
+    "complements content dedup. Exact all-pairs on a bounded block; the "
+    "100 TB path blocks first (length bucket / first-chars / phonetic "
+    "key) so the quadratic comparison runs only inside small blocks — "
+    "the same prefilter-then-verify shape as q19/q21.",
+)
+def q50_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 300).select(
+        "c_custkey", "c_name"
+    )
+    a = c.select(F.col("c_custkey").alias("left_id"), F.col("c_name").alias("__na"))
+    b = c.select(F.col("c_custkey").alias("right_id"), F.col("c_name").alias("__nb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("left_id") < F.col("right_id"))
+        .select(
+            "left_id",
+            "right_id",
+            F.levenshtein(F.col("__na"), F.col("__nb")).cast("int").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 2)
     )
