@@ -1759,3 +1759,38 @@ def q50_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("edit_dist") <= 2)
     )
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.checks import (  # noqa: E402
+    profile_columns,
+)
+
+
+@register(
+    "q51_data_quality_profile",
+    """
+WITH base AS (
+  SELECT COUNT(*) AS n,
+         COUNT(*) FILTER (user_id IS NULL)    AS nu,  COUNT(DISTINCT user_id)    AS du,
+         COUNT(*) FILTER (event_type IS NULL) AS nt,  COUNT(DISTINCT event_type) AS dt,
+         COUNT(*) FILTER (value IS NULL)      AS nv,  COUNT(DISTINCT value)      AS dv,
+         COUNT(*) FILTER (props IS NULL)      AS np,  COUNT(DISTINCT props)      AS dp
+  FROM events
+)
+SELECT 'user_id' AS col_name, nu AS n_nulls, round(CAST(nu AS DOUBLE)/n, 6) AS null_ratio, du AS n_distinct, n AS n_rows FROM base
+UNION ALL
+SELECT 'event_type', nt, round(CAST(nt AS DOUBLE)/n, 6), dt, n FROM base
+UNION ALL
+SELECT 'value', nv, round(CAST(nv AS DOUBLE)/n, 6), dv, n FROM base
+UNION ALL
+SELECT 'props', np, round(CAST(np AS DOUBLE)/n, 6), dp, n FROM base
+""",
+    doc="Data-quality profiling (operators.checks): null counts/ratios and "
+    "distinct cardinalities for N columns in ONE aggregation pass over "
+    "one scan — the run-over-run guardrail metrics (row-count collapse, "
+    "null spikes, cardinality drift) production pipelines alert on; "
+    "absent from the reference entirely.",
+)
+def q51_data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return profile_columns(e, ["user_id", "event_type", "value", "props"])
