@@ -103,12 +103,19 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataF
 
 
 def minhash_signatures(shingles: DataFrame) -> DataFrame:
-    """(doc_id, shingle) → one row per doc with mh_0..mh_{NUM_PERM-1}."""
-    h = md5_int60(F.col("shingle"))
+    """(doc_id, shingle) → one row per doc with mh_0..mh_{NUM_PERM-1}.
+
+    The md5-derived base hash is projected ONCE before the aggregation —
+    inlining it into the 16 permutation aggregates would rely on Catalyst
+    CSE across aggregate expressions, which is not guaranteed; md5 is the
+    expensive part, the permutations are two integer ops each.
+    """
+    hashed = shingles.select("doc_id", md5_int60(F.col("shingle")).alias("__h"))
     aggs = [
-        F.min(perm_hash(h, a, b)).alias(f"mh_{i}") for i, (a, b) in enumerate(COEFFS)
+        F.min(perm_hash(F.col("__h"), a, b)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(COEFFS)
     ]
-    return shingles.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def sql_minhash_signatures(shingle_src_sql: str) -> str:
