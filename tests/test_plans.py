@@ -25,6 +25,15 @@ def explain_str(df) -> str:
     return buf.getvalue()
 
 
+def explain_simple(df) -> str:
+    """Simple mode keeps node arguments inline (e.g. 'Exchange
+    hashpartitioning(...)'), which node-count assertions need."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
 def test_q01_filter_pushdown_and_column_pruning(spark, sf_dir):
     plan = explain_str(q.q01_pricing_summary(spark, sf_dir))
     # the shipdate predicate must reach the parquet scan
@@ -100,3 +109,41 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union-and-window as-of join operator must shuffle exactly once
+    (on the join key) — a second hash exchange would mean the union or the
+    carry-forward window broke the single-sort design.  (q35 itself shows
+    one more exchange: its clicks-side dedup pre-aggregation, an input
+    concern, not the operator's.)"""
+    import datetime as dt
+
+    from spark_hadoop_automation_in_cloud_spark.operators.asof import asof_join
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [(1, 10, T(2024, 1, 1))], ["k", "lid", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, T(2024, 1, 1), 5.0)], ["k", "ts", "v"]
+    )
+    plan = explain_simple(asof_join(left, right, ["k"], "ts", "ts", ["v"]))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan  # no join operator at all — union + window
+
+
+def test_q43_session_window_plan(spark, sf_dir):
+    """Gap-based session windows: one hash exchange on the session keys;
+    no join (the merge is internal to the aggregation)."""
+    plan = explain_simple(q.q43_session_windows(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan
+
+
+def test_q51_profile_single_scan(spark, sf_dir):
+    """N-column profiling must read the table once — one scan node, no
+    join/union of per-column subqueries."""
+    plan = explain_simple(q.q51_data_quality_profile(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Union" not in plan
