@@ -63,3 +63,34 @@ def test_move_raw_to_staging_partitioned(spark, tmp_path):
     back = spark.read.parquet(tgt)
     assert back.count() == 2
     assert {"event_type", "date"} <= set(back.columns)  # partition cols recovered
+
+
+def test_sql_surface(spark, sf_dir):
+    """spark.sql over registered views matches the DataFrame path, with
+    pushdown intact through the view."""
+    from spark_hadoop_automation_in_cloud_spark.sql import register_tables, sql
+
+    names = register_tables(spark, sf_dir)
+    assert "lineitem" in names and "events" in names
+    got = sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderpriority
+        """,
+    )
+    from spark_hadoop_automation_in_cloud_spark.io import read_table
+    from pyspark.sql import functions as F
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    want = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
