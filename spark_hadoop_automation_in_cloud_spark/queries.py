@@ -1794,3 +1794,35 @@ SELECT 'props', np, round(CAST(np AS DOUBLE)/n, 6), dp, n FROM base
 def q51_data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
     return profile_columns(e, ["user_id", "event_type", "value", "props"])
+
+
+@register(
+    "q52_above_group_average",
+    """
+SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price,
+       round(prio_avg, 6) AS prio_avg
+FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         AVG(o_totalprice) OVER (PARTITION BY o_orderpriority) AS prio_avg
+  FROM orders
+)
+WHERE o_totalprice > 2 * prio_avg
+""",
+    doc="Correlated-scalar-subquery semantics ('orders above twice their "
+    "priority class average'), decorrelated into a window aggregate — "
+    "one shuffle instead of the subquery-per-row a naive engine runs; "
+    "the same rewrite Catalyst applies to the SQL form.",
+)
+def q52_above_group_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    return (
+        o.withColumn("prio_avg", F.avg("o_totalprice").over(w))
+        .where(F.col("o_totalprice") > 2 * F.col("prio_avg"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("price"),
+            F.round("prio_avg", 6).alias("prio_avg"),
+        )
+    )
