@@ -403,7 +403,7 @@ WITH seq AS (
 )
 SELECT user_id,
        COUNT(*) AS n_events,
-       SUM(CASE WHEN prev_type IS NULL OR event_type <> prev_type THEN 1 ELSE 0 END) AS n_type_changes
+       CAST(SUM(CASE WHEN prev_type IS NULL OR event_type <> prev_type THEN 1 ELSE 0 END) AS BIGINT) AS n_type_changes
 FROM seq
 GROUP BY user_id
 """,
@@ -1052,9 +1052,9 @@ WITH seq AS (
 )
 SELECT user_id,
        COUNT(*) AS n_events,
-       SUM(CASE WHEN prev_ts IS NULL
+       CAST(SUM(CASE WHEN prev_ts IS NULL
                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
-                THEN 1 ELSE 0 END) AS n_sessions
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM seq
 GROUP BY user_id
 """,
@@ -1800,10 +1800,10 @@ def q51_data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q52_above_group_average",
     """
 SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price,
-       round(prio_avg, 6) AS prio_avg
+       prio_avg
 FROM (
   SELECT o_orderkey, o_orderpriority, o_totalprice,
-         AVG(o_totalprice) OVER (PARTITION BY o_orderpriority) AS prio_avg
+         round(AVG(o_totalprice) OVER (PARTITION BY o_orderpriority), 6) AS prio_avg
   FROM orders
 )
 WHERE o_totalprice > 2 * prio_avg
@@ -1817,12 +1817,16 @@ def q52_above_group_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority")
     return (
-        o.withColumn("prio_avg", F.avg("o_totalprice").over(w))
+        # Round the window average to 6dp BEFORE the threshold predicate so a
+        # borderline row can't flip inclusion between Spark's and the oracle's
+        # float summation order (rounding-before-predicate convention, as in
+        # q19/q22).
+        o.withColumn("prio_avg", F.round(F.avg("o_totalprice").over(w), 6))
         .where(F.col("o_totalprice") > 2 * F.col("prio_avg"))
         .select(
             "o_orderkey",
             "o_orderpriority",
             F.round("o_totalprice", 2).alias("price"),
-            F.round("prio_avg", 6).alias("prio_avg"),
+            "prio_avg",
         )
     )

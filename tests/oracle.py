@@ -56,7 +56,21 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str) -> li
     """Return list of mismatch descriptions (empty = pass)."""
     errs: list[str] = []
     sp = spark_df.toPandas()
-    du = con.execute(sql).fetchdf()
+    rel = con.execute(sql)
+    # The driver hashes typed values: DuckDB HUGEINT (bare integer SUM) never
+    # hash-matches a Spark BIGINT even when every value is equal. Flag it here
+    # so the fix (CAST(... AS BIGINT) in the oracle string) happens locally.
+    try:
+        typed = con.sql(sql)
+        for cname, ctype in zip(typed.columns, typed.types):
+            if "HUGEINT" in str(ctype).upper():
+                errs.append(
+                    f"{name}: oracle column {cname} is {ctype} — CAST it "
+                    "(driver value-hash will mismatch Spark BIGINT)"
+                )
+    except Exception:
+        pass
+    du = rel.fetchdf()
     if len(sp) != len(du):
         errs.append(f"{name}: row count spark={len(sp)} duckdb={len(du)}")
     s_cols, d_cols = sorted(sp.columns), sorted(du.columns)
