@@ -318,6 +318,8 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lsh_dim: int | None = None,
+    lsh_planes: int = 4,
+    lsh_bands: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity ≥ ``threshold``.
 
@@ -325,12 +327,17 @@ def embedding_neardup_pairs(
 
     ``lsh_dim=None`` (default) is the exact all-pairs form — O(n²) dot
     products, oracle-checkable, fine for a block of documents.  At 100 TB
-    pass ``lsh_dim=<vector dim>``: both sides get a random-hyperplane
-    bucket signature (``operators.similarity.lsh_bucket``) and pairing
-    becomes an equi-join on the bucket — candidates shrink to colliding
-    buckets (shuffle-bounded, like MinHash LSH for text), at the cost of
-    missing cross-bucket pairs (recall < 1 by construction, the standard
-    trade; raise recall with multi-probe as in ``ann_lsh_topk``).
+    pass ``lsh_dim=<vector dim>``: banded random-hyperplane LSH — each of
+    ``lsh_bands`` hash tables concatenates ``lsh_planes`` sign bits from a
+    disjoint deterministic plane set, a pair is a candidate when it collides
+    in ANY band (OR-amplification, exactly MinHash LSH's band trick), and
+    candidate generation is an equi-join on (band, bucket) — shuffle-bounded,
+    never a cross product.  Recall = 1-(1-p^r)^b where p = 1-θ/π; tune
+    (r, b) to the operating threshold: r=4/b=8 gives ~0.75 at cos 0.4 (the
+    loose bar this corpus needs), real near-dup corpora (cos ≥ 0.85) want
+    longer bands, e.g. r=8/b=8 → recall ~0.93 while passing only ~3% of
+    random pairs per band.  Missed cross-bucket pairs remain the standard
+    documented trade.
     """
     from spark_hadoop_automation_in_cloud_spark.functions.vectors import cosine
     from spark_hadoop_automation_in_cloud_spark.operators.similarity import lsh_bucket
@@ -338,19 +345,102 @@ def embedding_neardup_pairs(
     a = emb.select(F.col(id_col).alias("left_id"), F.col(vec_col).alias("__va"))
     b = emb.select(F.col(id_col).alias("right_id"), F.col(vec_col).alias("__vb"))
     if lsh_dim is not None:
-        a = a.withColumn("__bucket", lsh_bucket(F.col("__va"), lsh_dim))
-        b = b.withColumn("__bucket", lsh_bucket(F.col("__vb"), lsh_dim))
-        cand = a.join(b, "__bucket").where(F.col("left_id") < F.col("right_id"))
+        def banded(vec_name: str):
+            return F.posexplode(
+                F.array(*[
+                    lsh_bucket(
+                        F.col(vec_name), lsh_dim, lsh_planes,
+                        first_plane=band * lsh_planes,
+                    )
+                    for band in range(lsh_bands)
+                ])
+            )
+
+        a = a.select("left_id", "__va", banded("__va").alias("__band", "__bucket"))
+        b = b.select("right_id", "__vb", banded("__vb").alias("__band", "__bucket"))
+        cand = a.join(b, ["__band", "__bucket"]).where(
+            F.col("left_id") < F.col("right_id")
+        )
     else:
         cand = a.crossJoin(b).where(F.col("left_id") < F.col("right_id"))
-    return (
-        cand.select(
-            "left_id",
-            "right_id",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
-        )
-        .where(F.col("cosine_sim") >= threshold)
+    scored = cand.select(
+        "left_id",
+        "right_id",
+        F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
     )
+    if lsh_dim is not None:
+        # same pair can collide in several bands; cosine is deterministic per
+        # pair so distinct on the output tuple == distinct on the pair
+        scored = scored.distinct()
+    return scored.where(F.col("cosine_sim") >= threshold)
+
+
+def sql_embedding_neardup_pairs_lsh(
+    src: str,
+    threshold: float,
+    dim: int,
+    planes: int = 4,
+    bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for the banded-LSH form.
+
+    The hyperplane weights are pure integer arithmetic (the same LCG step as
+    ``operators.similarity._hyperplane_sign``), so DuckDB reproduces every
+    band's bucket signature bit-for-bit: weight(p, d) =
+    ((1103515245*(p*512+d)+12345) % 2147483647)/2147483647.0 - 0.5.
+    Candidates are the UNION (set semantics = pair dedup, matching Spark's
+    ``distinct``) of per-band bucket equi-joins — the oracle runs the SAME
+    candidate set as the Spark plan, recall trade included.
+    """
+    def dot_plane(p: int) -> str:
+        weights = (
+            f"list_transform(range(0, {dim}), d -> "
+            f"((1103515245 * ({p} * 512 + d) + 12345) % 2147483647) "
+            f"/ 2147483647.0 - 0.5)"
+        )
+        return (
+            f"list_sum(list_transform(list_zip(vec, {weights}), "
+            f"pr -> CAST(pr[1] AS DOUBLE) * pr[2]))"
+        )
+
+    def bucket(band: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {dot_plane(band * planes + p)} > 0 "
+            f"THEN {1 << (planes - 1 - p)} ELSE 0 END)"
+            for p in range(planes)
+        )
+
+    bucket_cols = ",\n         ".join(
+        f"{bucket(band)} AS bk{band}" for band in range(bands)
+    )
+    cand_union = "\n  UNION\n".join(
+        f"  SELECT a.vid AS l, b.vid AS r FROM base a JOIN base b "
+        f"ON a.bk{band} = b.bk{band} AND a.vid < b.vid"
+        for band in range(bands)
+    )
+    dot = (
+        "list_sum(list_transform(list_zip(va.vec, vb.vec), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    na = "sqrt(list_sum(list_transform(va.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    nb = "sqrt(list_sum(list_transform(vb.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS vid, {vec_col} AS vec,
+         {bucket_cols}
+  FROM {src}
+),
+cand AS (
+{cand_union}
+),
+scored AS (
+  SELECT l AS left_id, r AS right_id, round({dot} / ({na} * {nb}), 6) AS cosine_sim
+  FROM cand JOIN base va ON va.vid = l JOIN base vb ON vb.vid = r
+)
+SELECT * FROM scored WHERE cosine_sim >= {threshold}
+"""
 
 
 def sql_embedding_neardup_pairs(

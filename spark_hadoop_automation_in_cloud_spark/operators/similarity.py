@@ -110,10 +110,17 @@ def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
     return (dot > 0).cast("int")
 
 
-def lsh_bucket(vec: Column, dim: int, planes: int = NUM_HYPERPLANES) -> Column:
+def lsh_bucket(
+    vec: Column, dim: int, planes: int = NUM_HYPERPLANES, first_plane: int = 0
+) -> Column:
     """Bucket signature: the concatenated sign bits of ``planes`` random
-    hyperplane projections (similar vectors collide with high probability)."""
-    bits = [_hyperplane_sign(vec, p, dim) for p in range(planes)]
+    hyperplane projections (similar vectors collide with high probability).
+
+    ``first_plane`` offsets the deterministic plane indices so multiple
+    independent hash tables (banded OR-amplification, as in MinHash LSH)
+    can be built from disjoint plane sets.
+    """
+    bits = [_hyperplane_sign(vec, first_plane + p, dim) for p in range(planes)]
     out = F.lit(0)
     for b in bits:
         out = out * 2 + b

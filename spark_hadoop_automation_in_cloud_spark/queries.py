@@ -878,16 +878,20 @@ def q25_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q19_embedding_neardup",
-    dd.sql_embedding_neardup_pairs("embeddings", threshold=0.4),
-    doc="Embedding-cosine near-duplicate pairs (exact all-pairs form, the "
-    "oracle-checkable baseline). The 100 TB path is the same operator "
-    "with lsh_dim set: random-hyperplane bucket prefilter turns the "
-    "cross product into an equi-join on bucket signature, exact cosine "
-    "verifies inside buckets (recall trade documented, not silent).",
+    dd.sql_embedding_neardup_pairs_lsh("embeddings", threshold=0.4, dim=64),
+    doc="Embedding-cosine near-duplicate pairs, LSH-bucketed (the 100 TB "
+    "path): random-hyperplane bucket signature on both sides, candidate "
+    "pairs from an equi-join on the bucket id (NO cross product — "
+    "shuffle-bounded like MinHash LSH), exact cosine verifies inside "
+    "buckets. The hyperplanes are deterministic integer-LCG weights, so "
+    "the DuckDB oracle reproduces the bucket assignment bit-for-bit and "
+    "checks the SAME candidate set; the recall trade vs the exact "
+    "all-pairs form is measured in tests/test_operators.py, which keeps "
+    "the exact form as the small-block verifier.",
 )
 def q19_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
-    return dd.embedding_neardup_pairs(emb, threshold=0.4)
+    return dd.embedding_neardup_pairs(emb, threshold=0.4, lsh_dim=64)
 
 
 @register(
