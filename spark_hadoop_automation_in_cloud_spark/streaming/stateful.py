@@ -22,6 +22,13 @@ STATE_SCHEMA = "n_events long, n_sessions long, last_ts_us long"
 #: gap math on integer epoch-MICROseconds: exact, so a full replay is
 #: bit-equal to the batch lag() formulation (the q33 oracle) — a float
 #: seconds representation would admit ulp flips at the threshold.
+#:
+#: Ordering contract: timestamps are gathered across ALL Arrow chunks of a
+#: micro-batch and sorted once, so intra-batch arrival order never matters.
+#: ACROSS micro-batches the fold is order-sensitive by design (state folds
+#: forward); equivalence to the batch lag() oracle holds for availableNow
+#: replays and for live streams whose per-key events arrive batch-monotonic
+#: — late cross-batch events would need a watermark-deep reorder buffer.
 SESSION_GAP_US = 30 * 60 * 1_000_000
 _NEVER = -(1 << 62)
 
@@ -35,14 +42,19 @@ def _update_user_state(
     n_events, n_sessions, last_ts_us = (
         state.get if state.exists else (0, 0, _NEVER)
     )
+    # A key's rows can arrive split across several Arrow chunks whose time
+    # ranges interleave — gather every timestamp first, sort ONCE, then fold
+    # (a per-chunk sort would let last_ts_us go backward and overcount
+    # sessions).
+    ts: list[int] = []
     for pdf in pdfs:
-        ts = (pdf["ts"].astype("int64").to_numpy() // 1000).tolist()  # ns → µs
-        ts.sort()
-        for t in ts:
-            if t - last_ts_us > SESSION_GAP_US:
-                n_sessions += 1
-            last_ts_us = t
-            n_events += 1
+        ts.extend((pdf["ts"].astype("int64").to_numpy() // 1000).tolist())  # ns → µs
+    ts.sort()
+    for t in ts:
+        if t - last_ts_us > SESSION_GAP_US:
+            n_sessions += 1
+        last_ts_us = t
+        n_events += 1
     state.update((int(n_events), int(n_sessions), int(last_ts_us)))
     yield pd.DataFrame(
         {"user_id": [user_id], "n_events": [n_events], "n_sessions": [n_sessions]}

@@ -126,6 +126,45 @@ def test_watermark_closed_window_not_reemitted(spark, tmp_path):
     assert w_rows[0]["week_cnt"] == 1
 
 
+def test_stateful_fold_sorts_across_chunks():
+    """One key's rows may arrive in several Arrow chunks with interleaved
+    time ranges; the fold must gather ALL timestamps and sort once — a
+    per-chunk sort lets last_ts_us go backward and overcounts sessions."""
+    import pandas as pd
+
+    from spark_hadoop_automation_in_cloud_spark.streaming.stateful import (
+        SESSION_GAP_US,
+        _update_user_state,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists, self.get = True, v
+
+    minutes = 60 * 1_000_000_000  # pandas ns
+
+    # Events at 0, 20 and 40 min with a 30-min gap are ONE session, but the
+    # 20-min event arrives in a later chunk. A per-chunk fold sees 0 → 40
+    # (new session: gap 40 > 30) and then 20, i.e. 2 sessions; the global
+    # sort sees gaps of 20/20 min and counts 1.
+    chunks = [
+        pd.DataFrame({"ts": [pd.Timestamp(0), pd.Timestamp(40 * minutes)]}),
+        pd.DataFrame({"ts": [pd.Timestamp(20 * minutes)]}),
+    ]
+    st = FakeState()
+    (out,) = _update_user_state((7,), iter(chunks), st)
+    assert out["n_sessions"].iloc[0] == 1 and out["n_events"].iloc[0] == 3
+
+    # And the state must carry across calls: a later batch 31 min after the
+    # last event opens session 2.
+    later = [pd.DataFrame({"ts": [pd.Timestamp(71 * minutes)]})]
+    (out,) = _update_user_state((7,), iter(later), st)
+    assert out["n_sessions"].iloc[0] == 2 and out["n_events"].iloc[0] == 4
+    assert SESSION_GAP_US == 30 * 60 * 1_000_000
+
+
 def test_batch_session_window_equals_stateful_stream(spark):
     """Three-way sessionization consistency: F.session_window (batch) must
     produce the same per-user session counts as the custom
