@@ -4,9 +4,11 @@ Replaces the reference's manual S3 path enumeration with Catalyst-native
 partition pruning, and its ``repartition(1)`` sinks with AQE-sized writes.
 
 Reference parity map (SURVEY §2.1):
-- S1 multi-path scan w/ mergeSchema  → ``read_events`` (root-path read +
-  partition-column predicate; Catalyst prunes directories —
-  ``src/helper/helper.py:169-231`` did this driver-side with boto3)
+- S1 multi-path scan w/ mergeSchema  → ``read_table(merge_schema=True)`` +
+  ``read_events_window`` (root-path read + partition-column predicate;
+  Catalyst prunes directories — ``src/helper/helper.py:169-231`` did this
+  driver-side with boto3; per-read ``mergeSchema`` matches
+  ``src/spark/collector.py:302-304``)
 - S2 dimension scan                  → ``read_dim`` (broadcast-tagged)
 - S4 idempotent datamart sink        → ``write_datamart``
 - S5 partitioned staging sink        → ``write_partitioned``
@@ -40,9 +42,20 @@ TABLES = (
 _NANO_TS_COLS = {"events": ("ts",)}
 
 def read_table(
-    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    parallelize: bool = False,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """One synthetic table (TESTDATA.md layout: ``{sf_dir}/{name}.parquet``).
+
+    ``merge_schema=True``: per-read parquet schema reconciliation for tables
+    whose files drift over time (the reference reads N daily event
+    partitions with ``mergeSchema=true``, ``src/spark/collector.py:302-304``
+    — a wide event schema gains columns across days).  Off by default:
+    schema merging footers across 100 TB of files is a real planning cost,
+    so only window-reads over evolving staging opt in.
 
     ``parallelize=True``: the testdata files are single-row-group parquet,
     which Spark cannot split — the scan, and everything codegen fuses into
@@ -63,7 +76,10 @@ def read_table(
         # (e.g. the driver harness builds its own vanilla SparkSession)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
-    df = spark.read.parquet(path)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(path)
     for c in _NANO_TS_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             # integer DIV, not `/`: epoch-nanos exceed double's 2^53 mantissa

@@ -65,6 +65,45 @@ def test_move_raw_to_staging_partitioned(spark, tmp_path):
     assert {"event_type", "date"} <= set(back.columns)  # partition cols recovered
 
 
+def test_merge_schema_window_read(spark, tmp_path):
+    """S1 parity (reference collector.py:302-304): a depth-window re-read
+    over evolving staging must reconcile drifted per-day schemas when the
+    caller opts into merge_schema — day 2 gains a column day 1 lacks, and
+    the merged frame exposes it as NULL for day-1 rows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from spark_hadoop_automation_in_cloud_spark.io import read_events_window, read_table
+
+    root = tmp_path / "staging" / "events.parquet"
+    day1 = spark.range(3).select(
+        F.col("id").alias("event_id"),
+        F.lit("2024-01-05").cast("date").alias("event_date"),
+        F.lit("message").alias("event_type"),
+    )
+    day2 = day1.select(
+        (F.col("event_id") + 100).alias("event_id"),
+        F.lit("2024-01-06").cast("date").alias("event_date"),
+        "event_type",
+        F.lit(4.5).alias("reaction_score"),  # schema drift: new column
+    )
+    day1.write.parquet(str(root / "date=d1"))
+    day2.write.parquet(str(root / "date=d2"))
+
+    merged = read_table(spark, str(tmp_path / "staging"), "events", merge_schema=True)
+    assert "reaction_score" in merged.columns
+    window = read_events_window(merged, "event_date", dt.date(2024, 1, 6), depth_days=2)
+    rows = {r.event_id: r.reaction_score for r in window.collect()}
+    assert len(rows) == 6
+    assert rows[0] is None and rows[100] == 4.5
+
+    # without the opt-in the read keeps the first-footer schema (global
+    # conf stays false) — the drifted column must NOT leak in
+    plain = read_table(spark, str(tmp_path / "staging"), "events")
+    assert "reaction_score" not in plain.columns
+
+
 def test_sql_surface(spark, sf_dir):
     """spark.sql over registered views matches the DataFrame path, with
     pushdown intact through the view."""
