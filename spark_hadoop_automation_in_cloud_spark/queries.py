@@ -1733,36 +1733,21 @@ def q49_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q50_fuzzy_name_pairs",
-    """
-WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 300)
-SELECT a.c_custkey AS left_id, b.c_custkey AS right_id,
-       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
-FROM c a JOIN c b ON a.c_custkey < b.c_custkey
-WHERE levenshtein(a.c_name, b.c_name) <= 2
-""",
-    doc="Fuzzy-key matching via Levenshtein edit distance ≤ 2 — the "
+    dd.sql_fuzzy_pairs_blocked("customer", max_dist=1),
+    doc="Fuzzy-key matching via Levenshtein edit distance — the "
     "entity-resolution primitive (near-identical names/titles) that "
-    "complements content dedup. Exact all-pairs on a bounded block; the "
-    "100 TB path blocks first (length bucket / first-chars / phonetic "
-    "key) so the quadratic comparison runs only inside small blocks — "
-    "the same prefilter-then-verify shape as q19/q21.",
+    "complements content dedup. Blocked form over the FULL customer "
+    "table: probe-length band (lossless for the distance bound) + "
+    "first-char block key, so candidate pairing is an equi-join and the "
+    "quadratic comparison runs only inside blocks — the same "
+    "prefilter-then-verify shape as q19/q21. dist ≤ 1 here because "
+    "TPC-H digit-names make dist ≤ 2 degenerate (half of all pairs "
+    "match); the bounded exact all-pairs form stays as the verifier in "
+    "tests/test_operators.py at dist ≤ 2.",
 )
 def q50_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = read_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 300).select(
-        "c_custkey", "c_name"
-    )
-    a = c.select(F.col("c_custkey").alias("left_id"), F.col("c_name").alias("__na"))
-    b = c.select(F.col("c_custkey").alias("right_id"), F.col("c_name").alias("__nb"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("left_id") < F.col("right_id"))
-        .select(
-            "left_id",
-            "right_id",
-            F.levenshtein(F.col("__na"), F.col("__nb")).cast("int").alias("edit_dist"),
-        )
-        .where(F.col("edit_dist") <= 2)
-    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return dd.fuzzy_pairs_blocked(c, max_dist=1)
 
 
 from spark_hadoop_automation_in_cloud_spark.operators.checks import (  # noqa: E402

@@ -119,6 +119,54 @@ def test_embedding_neardup_lsh_subset_of_exact(spark, sf_dir):
     assert n_hit / n_exact >= 0.5, f"banded LSH recall collapsed: {n_hit}/{n_exact}"
 
 
+def test_fuzzy_blocked_equals_exact_allpairs(spark, sf_dir):
+    """The blocked fuzzy matcher must find exactly the pairs the bounded
+    all-pairs verifier finds on a block (length banding is lossless at
+    dist ≤ 2; this corpus shares first chars, so no prefix loss either)."""
+    from spark_hadoop_automation_in_cloud_spark.operators.dedup import fuzzy_pairs_blocked
+
+    c = (
+        read_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 300)
+        .select("c_custkey", "c_name")
+    )
+    blocked = fuzzy_pairs_blocked(c, max_dist=2)
+    a = c.select(F.col("c_custkey").alias("left_id"), F.col("c_name").alias("__na"))
+    b = c.select(F.col("c_custkey").alias("right_id"), F.col("c_name").alias("__nb"))
+    exact = (
+        a.crossJoin(b)
+        .where(F.col("left_id") < F.col("right_id"))
+        .select(
+            "left_id",
+            "right_id",
+            F.levenshtein("__na", "__nb").cast("int").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 2)
+    )
+    assert blocked.exceptAll(exact).count() == 0
+    assert exact.exceptAll(blocked).count() == 0
+    assert exact.count() > 0
+
+
+def test_fuzzy_blocked_semantics_on_synthetic(spark):
+    """Pin the documented block semantics: cross-length pairs within the
+    band are found; a first-character edit is the (only) documented miss."""
+    from spark_hadoop_automation_in_cloud_spark.operators.dedup import fuzzy_pairs_blocked
+
+    rows = [
+        (1, "smith"),
+        (2, "smiths"),   # 1 insertion, same first char -> found
+        (3, "smith12"),  # dist 2 from smith, length +2 -> found
+        (4, "Smith"),    # dist 1 but first char edited -> documented miss
+    ]
+    df = spark.createDataFrame(rows, "c_custkey int, c_name string")
+    got = {
+        (r.left_id, r.right_id, r.edit_dist)
+        for r in fuzzy_pairs_blocked(df, max_dist=2).collect()
+    }
+    assert got == {(1, 2, 1), (1, 3, 2), (2, 3, 2)}
+
+
 def test_rollup_three_forms_agree(spark, sf_dir):
     """Window, re-agg-join, and GROUPING SETS forms of the week/month
     rollup are interchangeable physical strategies for one semantics."""
