@@ -32,6 +32,8 @@ HEADLINE = [
     "q09_user_sessions",
     "q11_travel_history",
     "q16_friend_recommendations",
+    "q17_user_demographics",
+    "q18_zone_activity",
     "q21_minhash_lsh_pairs",
     "q24_cosine_topk",
     "q31_multimodal_features",
