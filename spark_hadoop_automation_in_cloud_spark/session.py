@@ -161,10 +161,38 @@ def session_scope(config: SessionConfig | None = None):
     a test or notebook), and stopping a borrowed session would kill the
     caller's context.
     """
-    borrowed = SparkSession.getActiveSession() is not None
+    # getActiveSession() is thread-local; getOrCreate() can still return a
+    # default session created on ANOTHER thread — treat either as borrowed
+    # so the scope never stops a session the caller still owns.
+    borrowed = (
+        SparkSession.getActiveSession() is not None
+        or SparkSession.getDefaultSession() is not None
+    )
     spark = get_session(config)
     try:
         yield spark
     finally:
         if not borrowed:
             stop_session(spark)
+
+
+@contextmanager
+def cached(df, storage_level: str = "MEMORY_AND_DISK"):
+    """Persist a frame that several downstream plans will consume, and
+    unpersist it when the consumers are done.
+
+    Reference parity: the collector persists its 4-way reused metric
+    frames and never unpersists (``src/spark/collector.py:623-625,
+    841-848``), leaking executor memory across job steps.  Scoping the
+    persist bounds the lifetime, and MEMORY_AND_DISK (vs the reference's
+    default) degrades to disk instead of recomputation when a 100 TB
+    intermediate outgrows the cache.  The consumer's physical plan reads
+    ``InMemoryRelation`` — asserted in tests/test_plans.py.
+    """
+    from pyspark import StorageLevel
+
+    df = df.persist(getattr(StorageLevel, storage_level))
+    try:
+        yield df
+    finally:
+        df.unpersist()

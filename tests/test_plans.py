@@ -147,3 +147,25 @@ def test_q51_profile_single_scan(spark, sf_dir):
     plan = explain_simple(q.q51_data_quality_profile(spark, sf_dir))
     assert plan.count("Scan parquet") == 1, plan
     assert "Union" not in plan
+
+
+def test_cached_scope_reads_inmemoryrelation(spark, sf_dir):
+    """A frame consumed twice inside a cached() scope must be served from
+    the cache (InMemoryRelation in both consumers' plans), and the scope
+    must release it on exit (reference persisted and never unpersisted)."""
+    from spark_hadoop_automation_in_cloud_spark.io import read_table
+    from spark_hadoop_automation_in_cloud_spark.session import cached
+
+    base = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    with cached(base) as hot:
+        hot.count()  # materialize the cache
+        consumer_a = hot.where(F.col("n") > 0)
+        consumer_b = hot.select(F.sum("n").alias("total"))
+        assert "InMemoryRelation" in explain_str(consumer_a)
+        assert "InMemoryRelation" in explain_str(consumer_b)
+        assert hot.storageLevel.useMemory
+    assert not base.storageLevel.useMemory  # released on scope exit
