@@ -36,7 +36,7 @@ class JobArgs:
             d = dt.date.fromisoformat(self.date)
         except ValueError as exc:
             raise ValueError(f"date must be yyyy-MM-dd, got {self.date!r}") from exc
-        if d > dt.date.today() + dt.timedelta(days=1):
+        if d > dt.date.today():
             raise ValueError(f"date {self.date} is in the future")
         if not 1 <= self.depth <= MAX_DEPTH:
             raise ValueError(f"depth must be in [1, {MAX_DEPTH}], got {self.depth}")

@@ -6,10 +6,14 @@ No Spark built-in exists (GraphX is Scala-only, graphframes is an external
 package), so this is a hand-rolled label-propagation loop — the one place
 the engine runs driver-side iteration, and deliberately so: each round is
 a pure DataFrame join+aggregate (fully distributed); the driver only
-decides "are we done".  Rounds needed = graph diameter ≤ O(log n) for the
-short, clumpy chains dedup produces — at 100 TB that is a handful of
-shuffles, each AQE-sized.  Lineage is cut every round with
-``localCheckpoint`` so the plan doesn't grow with iterations.
+decides "are we done".  Each round combines one hop of neighbor-min
+propagation with a pointer-jumping shortcut (label := label's label, the
+same doubling trick as Hash-to-Min / large-star contraction), so rounds
+needed = O(log diameter) — a 1M-hop boilerplate chain converges in ~20
+rounds, and at 100 TB that is a bounded handful of shuffles, each
+AQE-sized.  Lineage is cut every round with ``localCheckpoint`` so the
+plan doesn't grow with iterations.  If the round budget is ever exhausted
+the operator RAISES rather than returning silently-wrong labels.
 
 Determinism: the final label of every node is exactly
 min(id over its component) — independent of iteration order, partitioning,
@@ -36,6 +40,12 @@ def connected_components(
     coalesce-to-self.
 
     Output: node, component_id.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_rounds`` — with pointer jumping that needs a component diameter
+    over ~2^max_rounds, so a raise means something is structurally wrong
+    (e.g. an unbounded pair generator), never a case to paper over with
+    wrong cluster ids.
     """
     edges = (
         pairs.select(F.col(left_col).alias("a"), F.col(right_col).alias("b"))
@@ -49,16 +59,28 @@ def connected_components(
         "node", F.col("node").alias("component_id")
     ).localCheckpoint()
 
+    changed = 1
     for _ in range(max_rounds):
         # candidate label per node: min over (own label, neighbors' labels)
         neighbor_labels = (
             edges.join(labels, edges.b == labels.node)
             .select(F.col("a").alias("node"), "component_id")
         )
-        new_labels = (
+        propagated = (
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component_id").alias("component_id"))
+        )
+        # pointer jump: component_id is itself a labeled node, so replace
+        # each label by that node's (never larger) label — chain depth
+        # halves per round, giving O(log diameter) convergence where pure
+        # propagation is O(diameter)
+        parent = propagated.select(
+            F.col("node").alias("__lbl"), F.col("component_id").alias("__lbl_comp")
+        )
+        new_labels = (
+            propagated.join(parent, propagated.component_id == parent.__lbl)
+            .select("node", F.col("__lbl_comp").alias("component_id"))
             .localCheckpoint()
         )
         changed = (
@@ -71,6 +93,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds; "
+            "labels would be wrong — raise max_rounds or check the pair "
+            "generator for unbounded chains"
+        )
     return labels
 
 

@@ -298,6 +298,31 @@ def test_connected_components_chain_and_islands(spark):
     assert all(full[i] == 1 for i in (1, 2, 3, 4, 5))
 
 
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A chain far longer than the round budget must still converge —
+    pointer jumping makes rounds O(log diameter), and boilerplate doc
+    series routinely form chains deeper than any linear-round budget."""
+    import pytest as pt
+
+    from spark_hadoop_automation_in_cloud_spark.operators.components import (
+        connected_components,
+    )
+
+    n = 200  # diameter 199 — one-hop-per-round propagation would need 199
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["left_id", "right_id"]
+    )
+    comp = {
+        r["node"]: r["component_id"]
+        for r in connected_components(pairs, "left_id", "right_id", max_rounds=12).collect()
+    }
+    assert comp == {i: 0 for i in range(n)}
+
+    # and an exhausted budget must raise, never return wrong labels
+    with pt.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, "left_id", "right_id", max_rounds=2)
+
+
 def test_exclude_by_shared_key_equals_pair_form(spark):
     """Key-set-overlap exclusion ≡ materialized-pair anti-join."""
     from spark_hadoop_automation_in_cloud_spark.operators.pairs import (
