@@ -12,7 +12,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from spark_hadoop_automation_in_cloud_spark.args import JobArgs
+from spark_hadoop_automation_in_cloud_spark.config import resolve_job_args
 from spark_hadoop_automation_in_cloud_spark.io import read_events_window, write_datamart
 from spark_hadoop_automation_in_cloud_spark.plans.demographics import user_demographics
 from spark_hadoop_automation_in_cloud_spark.queries import nearest_city_events
@@ -20,7 +20,7 @@ from spark_hadoop_automation_in_cloud_spark.session import session_scope
 
 
 def main(argv: list[str]) -> int:
-    args = JobArgs.from_argv(argv)
+    args = resolve_job_args(argv, "collect_demographics_job")
     with session_scope() as spark:
         ez = nearest_city_events(spark, args.src_path)
         windowed = read_events_window(ez, "ts", args.date, args.depth)

@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from spark_hadoop_automation_in_cloud_spark.args import JobArgs
+from spark_hadoop_automation_in_cloud_spark.config import resolve_job_args
 from spark_hadoop_automation_in_cloud_spark.io import (
     read_events_window,
     read_table,
@@ -28,7 +28,7 @@ from spark_hadoop_automation_in_cloud_spark.session import session_scope
 
 
 def main(argv: list[str]) -> int:
-    args = JobArgs.from_argv(argv)
+    args = resolve_job_args(argv, "collect_recommendations_job")
     with session_scope() as spark:
         e = read_events_window(
             read_table(spark, args.src_path, "events"), "ts", args.date, args.depth

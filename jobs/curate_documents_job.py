@@ -16,14 +16,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from spark_hadoop_automation_in_cloud_spark.args import JobArgs
+from spark_hadoop_automation_in_cloud_spark.config import resolve_job_args
 from spark_hadoop_automation_in_cloud_spark.io import write_datamart
 from spark_hadoop_automation_in_cloud_spark.queries import q40_corpus_curation
 from spark_hadoop_automation_in_cloud_spark.session import session_scope
 
 
 def main(argv: list[str]) -> int:
-    args = JobArgs.from_argv(argv)
+    args = resolve_job_args(argv, "curate_documents_job")
     with session_scope() as spark:
         dm = q40_corpus_curation(spark, args.src_path)
         write_datamart(dm, args.tgt_path, "curated-documents-dm", args.date)

@@ -55,3 +55,61 @@ def test_zone_activity_job_window_filtering(spark, sf_dir, tmp_path):
     for w in weeks:
         assert w >= dt.datetime(2024, 1, 1)  # window start's week
         assert w <= dt.datetime(2024, 1, 14)
+
+
+def test_job_runs_from_yaml_config(spark, sf_dir, tmp_path):
+    """Config-file contract (reference src/config/config.py parity): a job
+    resolves its window and paths from spark.jobs.<job_name> in config.yaml."""
+    tgt = str(tmp_path / "dm")
+    (tmp_path / "config.yaml").write_text(
+        f"""
+spark:
+  application_name: test-app
+  jobs:
+    collect_zone_activity_job:
+      date: 2024-01-14
+      depth: 7
+      src_path: {sf_dir}
+      tgt_path: {tgt}
+"""
+    )
+    job = _load("collect_zone_activity_job")
+    assert job.main(["--config", str(tmp_path / "config.yaml")]) == 0
+    out = spark.read.parquet(f"{tgt}/zone-activity-dm/date=2024-01-14")
+    assert out.count() > 0
+
+
+def test_config_loader_semantics(tmp_path):
+    """find_config walks up; YAML bare dates normalize; missing job names
+    fail with the available ones listed; session settings map through."""
+    import pytest as pt
+
+    from spark_hadoop_automation_in_cloud_spark.config import (
+        ConfigError,
+        find_config,
+        job_args,
+        load_config,
+        session_config,
+    )
+
+    (tmp_path / "config.yaml").write_text(
+        """
+logging:
+  level: {java: info}
+spark:
+  application_name: my-app
+  jobs:
+    demo: {date: 2024-01-05, depth: 3, src_path: /src, tgt_path: /tgt}
+"""
+    )
+    nested = tmp_path / "a" / "b"
+    nested.mkdir(parents=True)
+    assert find_config(nested) == tmp_path / "config.yaml"
+
+    cfg = load_config(find_config(nested))
+    a = job_args(cfg, "demo")
+    assert a.date == "2024-01-05" and a.depth == 3  # date came in as dt.date
+    with pt.raises(ConfigError, match="demo"):
+        job_args(cfg, "nope")
+    sc = session_config(cfg)
+    assert sc.app_name == "MY-APP" and sc.log_level == "INFO"
