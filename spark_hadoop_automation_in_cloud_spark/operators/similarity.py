@@ -134,42 +134,67 @@ def ann_lsh_topk(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: int = NUM_HYPERPLANES,
+    tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket,
-    then exact cosine rank within the bucket.
+    """Approximate top-k: candidates restricted to the query's LSH bucket
+    neighborhood, then exact cosine rank within the candidates.
 
-    At 100 TB the corpus is scanned once to materialize (bucket, vec) —
-    ideally written bucketed-by-signature so repeated queries prune to
-    matching buckets; the join is an equi-join on the bucket id instead of
-    a full cross product.  Recall < 1 by construction; to keep it useful the
-    query side multi-probes: each query also checks every bucket at Hamming
-    distance 1 from its own signature (probes = planes + 1 buckets out of
-    2^planes — still a large candidate reduction).
+    At 100 TB the corpus is scanned once to materialize (table, bucket,
+    vec) — ideally written bucketed-by-signature so repeated queries prune
+    to matching buckets; the join is an equi-join on (table, bucket)
+    instead of a full cross product.  Recall < 1 by construction; two
+    amplifiers trade candidate volume for recall:
+
+    - multi-probe: each query also checks every bucket at Hamming distance
+      1 from its signature (planes+1 probes out of 2^planes per table);
+    - multi-table (``tables`` > 1): independent hash tables from disjoint
+      deterministic plane sets, candidates unioned across tables (the
+      banded-OR trick, as in ``dedup.embedding_neardup_pairs``).
+
+    Recall/cost operating points on this corpus are measured and recorded
+    in RECALL.json (tests/test_ann_recall_artifact.py) — isotropic random
+    vectors are the worst case for any sublinear ANN, so the probe budget
+    there is deliberately generous.
     """
+    corpus_buckets = F.posexplode(
+        F.array(*[
+            lsh_bucket(F.col(vec_col), dim, planes, first_plane=t * planes)
+            for t in range(tables)
+        ])
+    )
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
-        lsh_bucket(F.col(vec_col), dim).alias("__bucket"),
+        corpus_buckets.alias("__table", "__bucket"),
     )
-    probes = F.array(
-        F.col("__b0"), *[F.col("__b0").bitwiseXOR(F.lit(1 << p)) for p in range(NUM_HYPERPLANES)]
-    )
+    # per table: the query's own bucket + all Hamming-1 neighbors
+    probe_structs = [
+        F.struct(
+            F.lit(t).alias("__table"),
+            lsh_bucket(F.col(vec_col), dim, planes, first_plane=t * planes)
+            .bitwiseXOR(F.lit(flip))
+            .alias("__bucket"),
+        )
+        for t in range(tables)
+        for flip in (0, *[1 << p for p in range(planes)])
+    ]
     qb = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qvec"),
-            lsh_bucket(F.col(vec_col), dim).alias("__b0"),
-        )
-        .select("query_id", "__qvec", F.explode(probes).alias("__bucket"))
+            F.explode(F.array(*probe_structs)).alias("__probe"),
+        ).select("query_id", "__qvec", "__probe.__table", "__probe.__bucket")
     )
     scored = (
-        qb.join(cb, "__bucket")
+        qb.join(cb, ["__table", "__bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
             F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
         )
+        .distinct()  # a candidate can surface from several tables/probes
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()

@@ -867,13 +867,17 @@ def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # approximate by construction — driver does the rows-only check;
     # recall vs q24 is asserted in tests/test_operators.py
     doc="LSH-bucketed approximate nearest neighbors: random-hyperplane "
-    "bucket signature (pure projection), equi-join on bucket, exact "
-    "cosine rank within bucket. The 100 TB path: corpus scanned once, "
-    "bucketed storage prunes future queries.",
+    "bucket signatures (pure projection), equi-join on (table, bucket), "
+    "exact cosine rank within candidates. Operating point planes=4 x "
+    "6 tables with Hamming-1 multi-probe: recall@5 = 0.84 on this "
+    "corpus, measured and recorded in RECALL.json. The 100 TB path: "
+    "corpus scanned once, bucketed storage prunes future queries.",
 )
 def q25_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
-    return ann_lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64)
+    return ann_lsh_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, dim=64, planes=4, tables=6
+    )
 
 
 @register(
@@ -901,11 +905,14 @@ def q19_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="IVF approximate nearest neighbors: deterministic coarse centroids, "
     "broadcast assignment pass + one reduce to build inverted lists, "
     "nprobe-cell probing as an equi-join on cell_id. Alternate scale "
-    "path to q25's LSH (cell-pruned storage instead of bucket hashing).",
+    "path to q25's LSH (cell-pruned storage instead of bucket hashing). "
+    "nprobe=10 of ~13 cells: recall@5 = 0.90 on this corpus "
+    "(RECALL.json) — isotropic random vectors force a generous probe "
+    "budget; clustered real embeddings prune far harder.",
 )
 def q30_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
-    return ann_ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, nprobe=3)
+    return ann_ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, nprobe=10)
 
 
 @register(
