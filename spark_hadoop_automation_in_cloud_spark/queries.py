@@ -1826,3 +1826,293 @@ def q52_above_group_average(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prio_avg",
         )
     )
+
+
+@register(
+    "q53_time_range_average",
+    """
+SELECT user_id, event_id, ts,
+       round(AVG(value) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 6) AS value_h1
+FROM events
+""",
+    doc="RANGE frame keyed by event TIME, not row count (complements q38's "
+    "ROWS frame): trailing 1-hour average of value per user. Spark "
+    "expresses interval frames as a rangeBetween on epoch-micros — "
+    "exact integer bounds, so the frame contents match DuckDB's "
+    "INTERVAL arithmetic bit-for-bit. Same single-shuffle plan as any "
+    "window: partition by user, one sorted pass.",
+)
+def q53_time_range_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.avg("value").over(w), 6).alias("value_h1"),
+    )
+
+
+@register(
+    "q54_repetition_ratio",
+    """
+SELECT doc_id,
+       CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_shingles,
+       CAST(CASE WHEN len(toks) >= 2 THEN len(list_distinct(
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1])))
+            ELSE 0 END AS BIGINT) AS n_distinct,
+       CASE WHEN len(toks) >= 2 THEN round(1.0 - CAST(len(list_distinct(
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+         / (len(toks) - 1), 6) END AS repetition_ratio
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+""",
+    doc="Repetition ratio — the boilerplate/spam quality signal LLM corpus "
+    "filters cut on (high duplicate-shingle share ⇒ navigation bars, "
+    "keyword stuffing, generated filler): 1 − distinct/total word-"
+    "bigrams per document. Pure projection over the token array — no "
+    "explode, no shuffle; at 100 TB this runs inside the scan stage "
+    "(complements q27's length/punct/stopword scoring).",
+)
+def q54_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    total = F.greatest(F.size(toks) - 1, F.lit(0)).cast("bigint")
+    distinct = F.size(dd.word_shingles(F.col("text"), 2)).cast("bigint")
+    return d.select(
+        "doc_id",
+        total.alias("n_shingles"),
+        distinct.alias("n_distinct"),
+        F.when(
+            total > 0,
+            F.round(F.lit(1.0) - distinct.cast("double") / total, 6),
+        ).alias("repetition_ratio"),
+    )
+
+
+@register(
+    "q55_stratified_sample",
+    """
+WITH s AS (
+  SELECT lang, doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 8)) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_sampled,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM s
+WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 60 END
+GROUP BY lang
+""",
+    doc="Deterministic stratified sampling — downsample the majority class "
+    "(en: 20%) while keeping minority languages at 60%, the standard "
+    "corpus-rebalancing move before training. Hash-bucket predicate "
+    "(same md5 idiom as the q42 split): reproducible across runs, "
+    "engines, and partitionings, unlike sampleBy()'s RNG; a pure "
+    "scan-stage filter at 100 TB.",
+)
+def q55_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":strat"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", 20).otherwise(60)
+    return (
+        d.where(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@register(
+    "q56_full_outer_reconciliation",
+    """
+WITH o AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+l AS (
+  SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS n_ship
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(COALESCE(o.d, l.d) AS VARCHAR) AS day,
+       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(n_ship, 0) AS BIGINT) AS n_ship,
+       CASE WHEN o.d IS NULL THEN 'ship_only'
+            WHEN l.d IS NULL THEN 'order_only'
+            ELSE 'both' END AS status
+FROM o FULL OUTER JOIN l ON o.d = l.d
+""",
+    doc="FULL OUTER reconciliation (completes the join-type surface next "
+    "to inner/left/semi/anti/cross): daily order placements vs daily "
+    "shipments, unmatched days kept from BOTH sides and tagged. "
+    "Aggregate-then-join: each side reduces to one row per day before "
+    "the join, so the full-outer shuffle moves day-level rows, not raw "
+    "fact rows — the only sane order at 100 TB.",
+)
+def q56_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("od"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").cast("date").alias("ld"))
+        .agg(F.count(F.lit(1)).alias("n_ship"))
+    )
+    j = o.join(li, o.od == li.ld, "full_outer")
+    return j.select(
+        # string day: pandas/arrow round-trips DATE and TIMESTAMP
+        # differently across engines; the ISO string is representation-proof
+        F.date_format(F.coalesce(F.col("od"), F.col("ld")), "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("n_ship"), F.lit(0)).alias("n_ship"),
+        F.when(F.col("od").isNull(), "ship_only")
+        .when(F.col("ld").isNull(), "order_only")
+        .otherwise("both")
+        .alias("status"),
+    )
+
+
+@register(
+    "q57_streaming_dedup",
+    """
+SELECT DISTINCT user_id, event_type FROM events
+""",
+    doc="Streaming deduplication: dropDuplicates over a keyed stream emits "
+    "each (user_id, event_type) exactly once, on first arrival — the "
+    "stateful stream counterpart of batch q07/q20 (state = one marker "
+    "per key, partitioned across executors; a production stream bounds "
+    "it with dropDuplicatesWithinWatermark). An availableNow replay "
+    "equals batch DISTINCT, which is the oracle.",
+)
+def q57_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, f"{sf_dir}/events.parquet")
+    deduped = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    run_available_now(deduped, "q57_dedup_sink", output_mode="append")
+    return spark.table("q57_dedup_sink").select("user_id", "event_type")
+
+
+@register(
+    "q58_training_sequences",
+    """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       array_to_string(list_slice(
+         list(event_type ORDER BY ts, event_id), 1, 20), ',') AS seq20
+FROM events
+GROUP BY user_id
+""",
+    doc="Ordered training-sequence construction: each user's event-type "
+    "history as a deterministic (ts, id)-ordered sequence truncated to "
+    "the first 20 steps — the sequence-model feature shape (next-event "
+    "prediction, session embeddings). One shuffle on the grouping key; "
+    "the sorted-struct collect is the same deterministic idiom as q11, "
+    "with slice() bounding row width regardless of user history length.",
+)
+def q58_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+                ),
+                1,
+                20,
+            ),
+            lambda s: s["event_type"],
+        ),
+        ",",
+    )
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), seq.alias("seq20")
+    )
+
+
+@register(
+    "q59_upsert_merge",
+    """
+WITH base AS (
+  SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-15')
+  WHERE rn = 1
+),
+upd_rows AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-15'),
+upd AS (
+  SELECT r.user_id, r.event_type AS last_type, r.value AS last_value,
+         r.ts AS last_ts, c.n_updates
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM upd_rows) r
+  JOIN (SELECT user_id, COUNT(*) AS n_updates FROM upd_rows GROUP BY user_id) c
+    USING (user_id)
+  WHERE r.rn = 1
+)
+SELECT COALESCE(u.user_id, b.user_id) AS user_id,
+       COALESCE(u.last_type, b.last_type) AS last_type,
+       round(COALESCE(u.last_value, b.last_value), 6) AS last_value,
+       COALESCE(u.last_ts, b.last_ts) AS last_ts,
+       CAST(COALESCE(u.n_updates, 0) AS BIGINT) AS n_updates
+FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id
+""",
+    doc="MERGE/upsert semantics without a table format: a keyed snapshot "
+    "(state before the cutover date) merged with an update batch, last-"
+    "writer-wins per key, unmatched keys kept from both sides — the "
+    "Spark-first expression of what Delta MERGE INTO does, usable on "
+    "plain parquet. Both sides pre-aggregate to one row per key before "
+    "the full-outer join, so the shuffle carries keys, not events; the "
+    "(ts, event_id) tiebreak makes the winner deterministic.",
+)
+def q59_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+
+    def last_state(df: DataFrame, with_count: bool) -> DataFrame:
+        aggs = [
+            F.max_by("event_type", key).alias("last_type"),
+            F.max_by("value", key).alias("last_value"),
+            F.max("ts").alias("last_ts"),
+        ]
+        if with_count:
+            aggs.append(F.count(F.lit(1)).alias("n_updates"))
+        return df.groupBy("user_id").agg(*aggs)
+
+    base = last_state(e.where(F.col("ts") < cut), with_count=False)
+    upd = last_state(e.where(F.col("ts") >= cut), with_count=True)
+    b, u = base.alias("b"), upd.alias("u")
+    j = b.join(u, F.col("b.user_id") == F.col("u.user_id"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("u.user_id"), F.col("b.user_id")).alias("user_id"),
+        F.coalesce(F.col("u.last_type"), F.col("b.last_type")).alias("last_type"),
+        F.round(
+            F.coalesce(F.col("u.last_value"), F.col("b.last_value")), 6
+        ).alias("last_value"),
+        F.coalesce(F.col("u.last_ts"), F.col("b.last_ts")).alias("last_ts"),
+        F.coalesce(F.col("u.n_updates"), F.lit(0)).alias("n_updates"),
+    )
