@@ -536,3 +536,82 @@ FROM {src} a JOIN {src} b
  AND abs(length(a.{name_col}) - length(b.{name_col})) <= {max_dist}
 WHERE levenshtein(a.{name_col}, b.{name_col}) <= {max_dist}
 """
+
+
+def contamination_overlap(
+    train_shingles: DataFrame,
+    test_shingles: DataFrame,
+    min_shared: int = 2,
+    max_test_df: int | None = None,
+) -> DataFrame:
+    """Train/test decontamination: flag training documents that share
+    ``min_shared``+ distinct n-gram shingles with any held-out document.
+
+    The standard pre-training hygiene step (an eval answer leaking into the
+    training corpus inflates benchmark scores): build the shingle inverted
+    index of the *held-out* side, equi-join the training shingles against
+    it, and count per train doc how many distinct shingles hit and how many
+    test docs they touch.
+
+    Output: doc_id, n_shared_shingles, n_test_docs.
+
+    Scale shape: one equi-join on the shingle string — shuffle-bounded, no
+    all-pairs stage anywhere (same inverted-index idiom as
+    :func:`jaccard_pairs`, but train×test instead of corpus×corpus, so the
+    quadratic-in-document-frequency risk only applies per shingle).
+    ``max_test_df`` caps that risk: shingles occurring in more than this
+    many held-out docs are dropped from the index before the join —
+    boilerplate n-grams ("terms of service apply") carry no contamination
+    signal but dominate join fanout.  The cap is applied to the test side
+    only, so a contaminated train doc is still found through its rarer
+    shared shingles.
+    """
+    te = test_shingles
+    if max_test_df is not None:
+        keep = (
+            te.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_test_df)
+            .select("shingle")
+        )
+        te = te.join(keep, "shingle")
+    tr = train_shingles.select(F.col("doc_id").alias("__tr_doc"), "shingle")
+    te = te.select(F.col("doc_id").alias("__te_doc"), "shingle")
+    return (
+        tr.join(te, "shingle")
+        .groupBy(F.col("__tr_doc").alias("doc_id"))
+        .agg(
+            F.count_distinct("shingle").cast("bigint").alias("n_shared_shingles"),
+            F.count_distinct("__te_doc").cast("bigint").alias("n_test_docs"),
+        )
+        .where(F.col("n_shared_shingles") >= min_shared)
+    )
+
+
+def sql_contamination_overlap(
+    shingle_src_sql: str,
+    bucket_sql: str,
+    train_pred: str,
+    test_pred: str,
+    min_shared: int = 2,
+    max_test_df: int | None = None,
+) -> str:
+    """DuckDB oracle for :func:`contamination_overlap` — the split buckets
+    and the df cap are replayed as plain predicates."""
+    df_filter = (
+        f"HAVING COUNT(*) <= {max_test_df}" if max_test_df is not None else ""
+    )
+    return f"""
+WITH b AS ({bucket_sql}),
+sh AS ({shingle_src_sql}),
+tr AS (SELECT sh.doc_id, shingle FROM sh JOIN b USING (doc_id) WHERE {train_pred}),
+te AS (SELECT sh.doc_id, shingle FROM sh JOIN b USING (doc_id) WHERE {test_pred}),
+te_keep AS (SELECT shingle FROM te GROUP BY shingle {df_filter}),
+te_f AS (SELECT te.doc_id, te.shingle FROM te JOIN te_keep USING (shingle))
+SELECT tr.doc_id,
+       CAST(COUNT(DISTINCT tr.shingle) AS BIGINT) AS n_shared_shingles,
+       CAST(COUNT(DISTINCT te_f.doc_id) AS BIGINT) AS n_test_docs
+FROM tr JOIN te_f ON tr.shingle = te_f.shingle
+GROUP BY tr.doc_id
+HAVING COUNT(DISTINCT tr.shingle) >= {min_shared}
+"""

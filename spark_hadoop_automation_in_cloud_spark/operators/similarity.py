@@ -279,3 +279,84 @@ def ann_ivf_topk(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 128,
+) -> DataFrame:
+    """L2 stats + fixed-point int8 quantization of an embedding column.
+
+    Quantization is ``trunc(x * scale)`` with a power-of-two ``scale``:
+    multiplying a float by 2^k only shifts its exponent (exact in IEEE-754),
+    and truncation-toward-zero of an exact value is engine-independent — so
+    the quantized integers are bit-identical in Spark, DuckDB, or any
+    faiss-style consumer, with no rounding-boundary coin flips.  (A
+    round-to-nearest quantizer would flip on ties whenever two engines'
+    ``x/norm`` differ in the last ulp — the fixed-point form has no ties.)
+
+    Output per vector: rounded L2 norm, first unit-vector component (the
+    normalize witness), and exact integer digests of the quantized vector
+    (L1 mass, max, position-weighted checksum — the checksum catches
+    element-order corruption that the L1 sum would miss).
+
+    Scale shape: pure projection over the array column, no shuffle; at
+    100 TB the quantized form is the write-out path (4× smaller than
+    float32, 8× smaller than float64).
+    """
+    v = F.col(vec_col)
+    sumsq = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    norm = F.sqrt(sumsq)
+    q = F.transform(v, lambda x: (x.cast("double") * scale).cast("int"))
+    l1 = F.aggregate(
+        q, F.lit(0).cast("bigint"), lambda acc, x: acc + F.abs(x).cast("bigint")
+    )
+    checksum = F.aggregate(
+        F.zip_with(
+            q,
+            F.sequence(F.lit(1), F.size(v)),
+            lambda x, i: x.cast("bigint") * i.cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(F.element_at(v, 1).cast("double") / norm, 6).alias("unit0"),
+        l1.alias("q_l1"),
+        F.array_max(q).alias("q_max"),
+        checksum.alias("q_checksum"),
+    )
+
+
+def sql_quantize_embeddings(
+    src: str, id_col: str = "vec_id", vec_col: str = "embedding", scale: int = 128
+) -> str:
+    """DuckDB oracle for :func:`quantize_embeddings` — same sequential double
+    fold for the norm, same exact trunc quantizer (DuckDB CAST to INT
+    rounds, so the trunc() is explicit)."""
+    q = f"list_transform({vec_col}, x -> CAST(trunc(CAST(x AS DOUBLE) * {scale}) AS INT))"
+    return f"""
+WITH qv AS (
+  SELECT {id_col},
+         sqrt(list_sum(list_transform({vec_col},
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm,
+         CAST({vec_col}[1] AS DOUBLE) AS x0,
+         {q} AS q,
+         len({vec_col}) AS n
+  FROM {src}
+)
+SELECT {id_col},
+       round(norm, 6) AS l2_norm,
+       round(x0 / norm, 6) AS unit0,
+       CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+       CAST(list_max(q) AS INT) AS q_max,
+       CAST(list_sum(list_transform(list_zip(q, generate_series(1, n)),
+            p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) AS q_checksum
+FROM qv
+"""

@@ -248,3 +248,74 @@ selected AS (
 SELECT doc_id, COUNT(DISTINCT fp) AS n_fingerprints, MIN(fp) AS min_fingerprint
 FROM selected GROUP BY doc_id
 """
+
+
+def pii_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: dict[str, str],
+    redaction: str = "[PII]",
+) -> DataFrame:
+    """PII / identifier scrubbing: per-category match counts, a stable
+    pseudonym for the first identifier found, and a redacted text.
+
+    ``patterns`` maps category name → Java/RE2-common regex (stick to the
+    shared subset: character classes, ``\\d``, quantifiers — both engines
+    and DuckDB compile them identically).  Output per row:
+    ``n_<category>`` match counts, ``pseudonym`` (md5-derived surrogate for
+    the first match of the FIRST category — stable across runs/engines, so
+    downstream joins on the pseudonym still link records), and
+    ``redacted_<text_col>`` with every match of every category replaced.
+
+    Pure projection — regexp_count/replace are JVM codegen expressions; at
+    100 TB this runs inside the scan stage with zero shuffle.
+    """
+    first_cat = next(iter(patterns))
+    first_pat = patterns[first_cat]
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(p)).cast("bigint").alias(f"n_{name}")
+        for name, p in patterns.items()
+    ]
+    redacted = F.col(text_col)
+    for p in patterns.values():
+        redacted = F.regexp_replace(redacted, p, redaction)
+    first_match = F.regexp_extract(F.col(text_col), first_pat, 0)
+    pseudonym = F.when(
+        first_match != "",
+        F.substring(F.md5(F.concat(first_match, F.lit(":pii"))), 1, 12),
+    ).alias("pseudonym")
+    return df.select(
+        F.col(id_col),
+        *counts,
+        pseudonym,
+        redacted.alias(f"redacted_{text_col}"),
+    )
+
+
+def sql_pii_scrub(
+    src: str,
+    id_col: str,
+    text_col: str,
+    patterns: dict[str, str],
+    redaction: str = "[PII]",
+) -> str:
+    """DuckDB oracle for :func:`pii_scrub` (regexp_extract_all for counts,
+    'g'-flagged regexp_replace for redaction)."""
+    first_pat = patterns[next(iter(patterns))]
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all({text_col}, '{p}')) AS BIGINT) AS n_{name}"
+        for name, p in patterns.items()
+    )
+    redacted = text_col
+    for p in patterns.values():
+        redacted = f"regexp_replace({redacted}, '{p}', '{redaction}', 'g')"
+    return f"""
+SELECT {id_col},
+       {counts},
+       CASE WHEN regexp_extract({text_col}, '{first_pat}') <> ''
+            THEN substr(md5(regexp_extract({text_col}, '{first_pat}') || ':pii'), 1, 12)
+       END AS pseudonym,
+       {redacted} AS redacted_{text_col}
+FROM {src}
+"""

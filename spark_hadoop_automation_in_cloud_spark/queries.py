@@ -794,7 +794,9 @@ from spark_hadoop_automation_in_cloud_spark.operators.similarity import (  # noq
     ann_ivf_topk,
     ann_lsh_topk,
     cosine_topk,
+    quantize_embeddings,
     sql_cosine_topk,
+    sql_quantize_embeddings,
 )
 
 
@@ -2116,3 +2118,91 @@ def q59_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("u.last_ts"), F.col("b.last_ts")).alias("last_ts"),
         F.coalesce(F.col("u.n_updates"), F.lit(0)).alias("n_updates"),
     )
+
+
+_SPLIT_BUCKET_SQL = """
+SELECT doc_id,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT)
+         % 100 AS bucket
+FROM documents
+"""
+
+
+@register(
+    "q60_decontamination",
+    dd.sql_contamination_overlap(
+        dd.sql_shingle_rows("documents", "doc_id", "text", n=3),
+        _SPLIT_BUCKET_SQL,
+        train_pred="bucket < 80",
+        test_pred="bucket >= 90",
+        min_shared=2,
+        max_test_df=20,
+    ),
+    doc="Train/test decontamination: flag training documents sharing >= 2 "
+    "distinct word-trigrams with the held-out split (same deterministic "
+    "id-hash split as q42, so train/test membership is reproducible "
+    "across engines). Inverted-index equi-join on the shingle string — "
+    "shuffle-bounded, never all-pairs; shingles present in > 20 held-out "
+    "docs are dropped from the index first (boilerplate n-grams carry no "
+    "contamination signal but dominate join fanout at 100 TB).",
+)
+def q60_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    d = d.withColumn("__bucket", bucket)
+    train = d.where(F.col("__bucket") < 80)
+    test = d.where(F.col("__bucket") >= 90)
+    return dd.contamination_overlap(
+        dd.shingle_rows(train, "doc_id", "text", n=3),
+        dd.shingle_rows(test, "doc_id", "text", n=3),
+        min_shared=2,
+        max_test_df=20,
+    )
+
+
+_PII_PATTERNS = {
+    "id": r"#\d+",
+    "longnum": r"\d{6,}",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+}
+
+
+@register(
+    "q61_pii_scrub",
+    tx.sql_pii_scrub("customer", "c_custkey", "c_name", _PII_PATTERNS),
+    doc="PII / identifier scrubbing over customer names: per-category regex "
+    "match counts (id tokens, long digit runs, emails — the email "
+    "category intentionally never fires on this corpus, exercising the "
+    "all-null negative path), a stable md5 pseudonym for the first "
+    "identifier (so scrubbed records still join), and the fully "
+    "redacted text. Pure JVM regex projection — runs inside the scan "
+    "stage, zero shuffle at any scale.",
+)
+def q61_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    return tx.pii_scrub(c, "c_custkey", "c_name", _PII_PATTERNS)
+
+
+@register(
+    "q62_embedding_quantize",
+    sql_quantize_embeddings("embeddings"),
+    doc="Embedding L2-normalization + fixed-point int8 quantization: "
+    "trunc(x * 128) with a power-of-two scale is EXACT in IEEE floats "
+    "(exponent shift, no rounding boundary), so the quantized integers "
+    "and their digests (L1 mass, max, position-weighted checksum) are "
+    "bit-identical across engines — the one quantizer design that is "
+    "hash-checkable with no tie-break risk. Pure array projection, zero "
+    "shuffle; the 4x-smaller quantized form is the 100 TB write path.",
+)
+def q62_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
+    return quantize_embeddings(emb)
