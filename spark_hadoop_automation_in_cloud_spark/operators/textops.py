@@ -319,3 +319,140 @@ SELECT {id_col},
        {redacted} AS redacted_{text_col}
 FROM {src}
 """
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    tfidf(term, doc) = tf * ln(N / df) — raw counts, natural log, no
+    smoothing (df >= 1 for every term that appears, so the log is always
+    finite).  Scores are rounded to 6dp BEFORE ranking, with the term
+    string as final tiebreaker, so the top-k set is engine-independent.
+
+    Scale shape: token explode → (doc, term) count [shuffle 1, map-side
+    partial] → vocabulary df count [shuffle 2, vocabulary-sized output] →
+    df broadcast back onto tf (vocabulary ≪ corpus; no third shuffle) →
+    one window per doc [shuffle 3, same key as shuffle 1].  The corpus-
+    sized frames only ever shuffle on doc or (doc, term) — nothing
+    quadratic, no driver-side vocabulary.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def sql_tfidf_top_terms(src: str, id_col: str, text_col: str, k: int = 3) -> str:
+    """DuckDB oracle for :func:`tfidf_top_terms`."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, unnest(string_split({text_col}, ' ')) AS term
+  FROM {src}
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM {src}),
+scored AS (
+  SELECT doc_id, term,
+         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping token windows — the
+    standard corpus→training-example transform (windows of ``chunk_tokens``
+    tokens every ``stride`` tokens; ``stride < chunk_tokens`` gives the
+    overlap that keeps context at window boundaries).
+
+    One window starts at every ``1 + k*stride`` ≤ token count, so every
+    document emits at least one chunk and the final (possibly short) tail
+    is kept.  Output: doc_id, chunk_id, start_tok, n_tokens, chunk_text.
+
+    Scale shape: array-build + explode — a pure generator projection, no
+    shuffle, no state; the fan-out factor is len/stride (bounded by the
+    longest document), and the chunk rows inherit the parent partitioning,
+    so the write after this is partition-preserving.
+    """
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride)
+    )
+    chunked = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__toks"),
+        F.explode(starts).alias("start_tok"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("start_tok"), chunk_tokens)
+    return chunked.select(
+        "doc_id",
+        ((F.col("start_tok") - 1) / stride).cast("int").alias("chunk_id"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.size(piece).cast("int").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+def sql_chunk_documents(
+    src: str, id_col: str, text_col: str, chunk_tokens: int = 50, stride: int = 40
+) -> str:
+    """DuckDB oracle for :func:`chunk_documents` (list_slice clamps at the
+    list end exactly like Spark's slice)."""
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id, string_split({text_col}, ' ') AS toks
+  FROM {src}
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks), 1), {stride})) AS start_tok
+  FROM t
+)
+SELECT doc_id,
+       CAST((start_tok - 1) / {stride} AS INT) AS chunk_id,
+       CAST(start_tok AS INT) AS start_tok,
+       CAST(len(list_slice(toks, start_tok, start_tok + {chunk_tokens} - 1)) AS INT)
+         AS n_tokens,
+       array_to_string(list_slice(toks, start_tok, start_tok + {chunk_tokens} - 1), ' ')
+         AS chunk_text
+FROM s
+"""

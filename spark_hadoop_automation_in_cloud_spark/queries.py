@@ -2206,3 +2206,67 @@ def q61_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q62_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
     return quantize_embeddings(emb)
+
+
+@register(
+    "q63_tfidf_top_terms",
+    tx.sql_tfidf_top_terms("documents", "doc_id", "text", k=3),
+    doc="Top-3 characteristic terms per document by TF-IDF (tf * ln(N/df), "
+    "rounded before ranking, term-string tiebreak). Corpus-sized frames "
+    "shuffle only on doc or (doc, term); the vocabulary-sized document-"
+    "frequency table broadcasts back onto tf, so adding documents never "
+    "adds a shuffle — the keyword-extraction primitive for corpus "
+    "labeling at 100 TB.",
+)
+def q63_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    return tx.tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
+@register(
+    "q64_document_chunking",
+    tx.sql_chunk_documents("documents", "doc_id", "text", chunk_tokens=50, stride=40),
+    doc="Overlapping token-window chunking (50-token windows every 40 "
+    "tokens): the corpus→training-example transform. Pure generator "
+    "projection — sequence + explode + slice, no shuffle, fan-out "
+    "bounded by len/stride; chunk rows inherit the parent partitioning "
+    "so the downstream write is partition-preserving at 100 TB.",
+)
+def q64_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    return tx.chunk_documents(d, "doc_id", "text", chunk_tokens=50, stride=40)
+
+
+from spark_hadoop_automation_in_cloud_spark.streaming.joins import (  # noqa: E402
+    interval_join_stream,
+    sql_interval_join,
+)
+
+
+@register(
+    "q65_stream_stream_join",
+    sql_interval_join(
+        "events",
+        "user_id",
+        left_pred="event_type = 'signup'",
+        right_pred="event_type = 'purchase'",
+        window_hours=24,
+    ),
+    doc="Stream-stream inner interval join: the signup stream joined to the "
+    "purchase stream on user within [signup, signup+24h), both sides "
+    "watermarked. For a both-bounded INNER join the watermark only "
+    "limits state retention, never which matches emit — so an "
+    "availableNow replay equals the batch interval join (q36's inner "
+    "form), which is the oracle. State at scale = events/sec x "
+    "watermark per side, independent of history length.",
+)
+def q65_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = stream_events(spark, f"{sf_dir}/events.parquet").where(
+        F.col("event_type") == "signup"
+    )
+    p = stream_events(spark, f"{sf_dir}/events.parquet").where(
+        F.col("event_type") == "purchase"
+    )
+    joined = interval_join_stream(s, p, key="user_id", window="24 hours")
+    run_available_now(joined, "q65_ssjoin_sink", output_mode="append")
+    return spark.table("q65_ssjoin_sink")
