@@ -2270,3 +2270,129 @@ def q65_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = interval_join_stream(s, p, key="user_id", window="24 hours")
     run_available_now(joined, "q65_ssjoin_sink", output_mode="append")
     return spark.table("q65_ssjoin_sink")
+
+
+@register(
+    "q66_grouped_moments",
+    """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100) AS BIGINT) AS q_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p_c
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(q_c AS DECIMAL(38,0))) AS DOUBLE) AS sq,
+         CAST(SUM(CAST(p_c AS DECIMAL(38,0))) AS DOUBLE) AS sp,
+         CAST(SUM(CAST(q_c * q_c AS DECIMAL(38,0))) AS DOUBLE) AS sqq,
+         CAST(SUM(CAST(p_c * p_c AS DECIMAL(38,0))) AS DOUBLE) AS spp,
+         CAST(SUM(CAST(q_c * p_c AS DECIMAL(38,0))) AS DOUBLE) AS sqp
+  FROM c GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       round(sp / n / 100.0, 6) AS avg_price,
+       round(sqrt((spp - sp * sp / n) / (n - 1)) / 100.0, 6) AS std_price,
+       round((sqp - sq * sp / n) / (n - 1) / 10000.0, 6) AS covar_qty_price,
+       round((n * sqp - sq * sp)
+             / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6)
+         AS corr_qty_price
+FROM s
+""",
+    doc="Grouped statistical moments (stddev, covariance, correlation) with "
+    "order-INDEPENDENT accumulation: the five raw sums (Σx, Σy, Σx², "
+    "Σy², Σxy) accumulate as exact integer-cent DECIMALs (bit-identical "
+    "under any partitioning or merge order — built-in stddev/corr merge "
+    "doubles, whose result depends on partition boundaries), and only "
+    "the closed-form moment formulas run in double, from identical "
+    "inputs on every engine. One map-side-combinable aggregation; the "
+    "pattern every 100 TB profiling job needs to be reproducible.",
+)
+def q66_grouped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    q_c = F.round(F.col("l_quantity") * 100).cast("bigint")
+    p_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    s = li.select(
+        "l_returnflag", q_c.alias("q_c"), p_c.alias("p_c")
+    ).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("q_c").cast(DEC)).cast("double").alias("sq"),
+        F.sum(F.col("p_c").cast(DEC)).cast("double").alias("sp"),
+        F.sum((F.col("q_c") * F.col("q_c")).cast(DEC)).cast("double").alias("sqq"),
+        F.sum((F.col("p_c") * F.col("p_c")).cast(DEC)).cast("double").alias("spp"),
+        F.sum((F.col("q_c") * F.col("p_c")).cast(DEC)).cast("double").alias("sqp"),
+    )
+    n = F.col("n")
+    sq, sp, sqq, spp, sqp = (F.col(x) for x in ("sq", "sp", "sqq", "spp", "sqp"))
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(sp / n / 100.0, 6).alias("avg_price"),
+        F.round(F.sqrt((spp - sp * sp / n) / (n - 1)) / 100.0, 6).alias("std_price"),
+        F.round((sqp - sq * sp / n) / (n - 1) / 10000.0, 6).alias("covar_qty_price"),
+        F.round(
+            (n * sqp - sq * sp)
+            / (F.sqrt(n * sqq - sq * sq) * F.sqrt(n * spp - sp * sp)),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "q67_stream_static_join",
+    """
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(CAST(round(e.value * 100) AS BIGINT) AS DECIMAL(38,0)))
+            AS DOUBLE) / 100.0 AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    doc="Stream-static join: the event stream enriched against the static "
+    "customer dimension (planned as a broadcast hash join per micro-"
+    "batch — the dim is re-resolved each batch, so a slowly-changing "
+    "dimension picks up updates without restarting the stream), then a "
+    "streaming aggregate per market segment with exact integer-cent "
+    "value sums. No watermark needed: stream-static inner joins are "
+    "stateless on the stream side. availableNow replay equals the "
+    "batch join+aggregate, which is the oracle.",
+)
+def q67_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, f"{sf_dir}/events.parquet")
+    cust = F.broadcast(
+        read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    joined = ev.join(cust, ev.user_id == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), cents.alias("v_c")
+    )
+    agg = joined.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.sum(F.col("v_c").cast(DEC)).cast("double") / 100.0).alias("sum_value"),
+    )
+    run_available_now(agg, "q67_ssj_sink", output_mode="complete")
+    return spark.table("q67_ssj_sink")
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.pandas_aggs import (  # noqa: E402
+    sql_trimmed_mean,
+    trimmed_mean,
+)
+
+
+@register(
+    "q68_trimmed_mean",
+    sql_trimmed_mean("orders", "o_orderpriority", "o_totalprice", trim_pct=10),
+    doc="Custom Arrow UDAF (applyInPandas): per-priority 10%-trimmed mean "
+    "of order value — the robust-location aggregate built-ins can't "
+    "express. Kernel rules that make a pandas aggregate hash-checkable: "
+    "integer cents in, int64 sum inside, integer-division cut indices, "
+    "rounding done by Spark (Python round is banker's). One shuffle on "
+    "the group key; for groups beyond executor memory the same trim "
+    "runs on a pre-aggregated value histogram.",
+)
+def q68_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return trimmed_mean(o, "o_orderpriority", "o_totalprice", trim_pct=10)

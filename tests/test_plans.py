@@ -169,3 +169,42 @@ def test_cached_scope_reads_inmemoryrelation(spark, sf_dir):
         assert "InMemoryRelation" in explain_str(consumer_b)
         assert hot.storageLevel.useMemory
     assert not base.storageLevel.useMemory  # released on scope exit
+
+
+def test_q60_decontamination_is_equi_join(spark, sf_dir):
+    plan = explain_str(q.q60_decontamination(spark, sf_dir))
+    # shingle-index joins only — never an all-pairs stage
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q62_quantize_is_pure_projection(spark, sf_dir):
+    plan = explain_simple(q.q62_embedding_quantize(spark, sf_dir))
+    # no KEYED shuffle for a per-row transform (the round-robin Exchange is
+    # read_table(parallelize=True) spreading the unsplittable test file)
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_q63_tfidf_broadcasts_vocabulary(spark, sf_dir):
+    plan = explain_str(q.q63_tfidf_top_terms(spark, sf_dir))
+    # the df table joins back onto tf via broadcast, not a sort-merge join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q64_chunking_is_pure_generator(spark, sf_dir):
+    plan = explain_simple(q.q64_document_chunking(spark, sf_dir))
+    assert "hashpartitioning" not in plan  # generator adds no keyed shuffle
+    assert "Generate" in plan  # the explode
+
+
+def test_q66_moments_single_aggregation(spark, sf_dir):
+    plan = explain_simple(q.q66_grouped_moments(spark, sf_dir))
+    # one partial+final pair on the group key: exactly one shuffle
+    assert plan.count("Exchange") == 1
+
+
+def test_q61_pii_scrub_no_shuffle(spark, sf_dir):
+    plan = explain_simple(q.q61_pii_scrub(spark, sf_dir))
+    assert "Exchange" not in plan
