@@ -38,6 +38,8 @@ HEADLINE = [
     "q24_cosine_topk",
     "q31_multimodal_features",
     "q35_asof_join",
+    "q60_decontamination",
+    "q63_tfidf_top_terms",
 ]
 
 
