@@ -123,3 +123,75 @@ def neardup_clusters(
             F.coalesce(F.col("component_id"), F.col(id_col)).alias("cluster_id"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list.
+
+    Same driver-role contract as :func:`connected_components`: every round
+    is one distributed join+aggregate (rank mass flows src→dst divided by
+    out-degree), the driver only counts rounds.  Dangling nodes (no
+    out-edges) donate their mass uniformly each round via a 1-row
+    aggregate broadcast-crossed back in — no collect, no driver math.
+    Lineage is cut per round with ``localCheckpoint`` so the plan stays
+    flat across iterations.
+
+    Fixed ``n_iter`` (not convergence-tested): PageRank mass moves <1%
+    after ~10 damped rounds on social-shaped graphs, and a deterministic
+    round count is what makes two runs comparable.  Output:
+    node, rank (rounded 6dp; Σ rank = 1).
+
+    Not oracle-checked by DuckDB (recursive CTEs cannot re-aggregate per
+    round): correctness is pinned by a pytest fixture vs an independent
+    dense power iteration (tests/test_operators.py).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()  # one scalar the driver legitimately needs
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+
+    for _ in range(n_iter):
+        with_deg = ranks.join(out_deg, ranks.node == out_deg.src, "left").select(
+            "node", "rank", "deg"
+        )
+        # mass each node sends per out-edge; dangling nodes send nothing here
+        contribs = (
+            with_deg.join(e, with_deg.node == e.src)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        dangling = (
+            with_deg.where(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + damping
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dm") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -2396,3 +2396,36 @@ from spark_hadoop_automation_in_cloud_spark.operators.pandas_aggs import (  # no
 def q68_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
     return trimmed_mean(o, "o_orderpriority", "o_totalprice", trim_pct=10)
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.components import (  # noqa: E402
+    pagerank,
+)
+
+
+@register(
+    "q69_pagerank",
+    None,  # iterative re-aggregation per round — not expressible in one SQL
+    # query; correctness pinned by tests/test_operators.py vs an
+    # independent dense power iteration
+    doc="PageRank over the user contact graph (users sharing a purchase "
+    "key, edges both directions): 10 damped power-iteration rounds, "
+    "each one distributed join+aggregate with per-round localCheckpoint "
+    "lineage cuts; dangling mass redistributed via a 1-row broadcast, "
+    "no driver-side math. The influence-scoring companion to q39's "
+    "connected components on the same iterative-dataflow skeleton.",
+)
+def q69_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events", parallelize=True)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        k.alias("k"), "user_id"
+    ).distinct()
+    edges = (
+        purchases.alias("a")
+        .join(purchases.alias("b"), "k")
+        .where(F.col("a.user_id") != F.col("b.user_id"))
+        .select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
+        .distinct()
+    )
+    return pagerank(edges, n_iter=10)

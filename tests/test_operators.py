@@ -418,3 +418,31 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
     )
     for r in both.collect():
         assert abs(r["approx"] - r["exact"]) <= max(3, 0.15 * r["exact"]), r
+
+
+def test_pagerank_matches_dense_power_iteration(spark):
+    import numpy as np
+
+    from spark_hadoop_automation_in_cloud_spark.operators.components import pagerank
+
+    # 5-node graph with a hub (0), a cycle (1->2->3->1) and a dangler (4)
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 1), (1, 4)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=10).collect()}
+
+    # independent dense computation, identical update rule
+    n, d = 5, 0.85
+    out: dict[int, int] = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = sum(r[v] for v in range(n) if v not in out)
+        nxt += d * dangling / n
+        for s, t in edges:
+            nxt[t] += d * r[s] / out[s]
+        r = nxt
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-6, (v, got[v], r[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-4
