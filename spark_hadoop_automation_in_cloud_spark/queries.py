@@ -2429,3 +2429,82 @@ def q69_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank(edges, n_iter=10)
+
+
+@register(
+    "q70_resample_forward_fill",
+    """
+WITH daily AS (
+  SELECT user_id, d, value AS day_value FROM (
+    SELECT user_id, CAST(ts AS DATE) AS d, value,
+           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+bounds AS (
+  SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+)
+SELECT s.user_id,
+       strftime(s.day, '%Y-%m-%d') AS day,
+       CASE WHEN daily.day_value IS NULL THEN 1 ELSE 0 END AS gap_filled,
+       last_value(daily.day_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS UNBOUNDED PRECEDING) AS value_ff
+FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.day = daily.d
+""",
+    doc="Time-series resampling to a daily grid with forward fill (LOCF): "
+    "per user, a calendar spine from first to last active day "
+    "(sequence + explode — the spine is generated distributed, never "
+    "on the driver), the last event value of each active day "
+    "(deterministic ts/event_id tiebreak), and gaps carried forward "
+    "with last(ignorenulls) over an unbounded-preceding frame. One "
+    "shuffle on user_id shared by the aggregate, the spine join, and "
+    "the fill window; spine length is bounded per key, so the explode "
+    "fan-out scales with active span, not corpus size.",
+)
+def q70_resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            F.struct(F.col("ts"), F.col("event_id"), F.col("value")).alias("s"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.max("s").alias("s"))
+        .select("user_id", "d", F.col("s.value").alias("day_value"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    joined = (
+        spine.alias("s")
+        .join(
+            daily.alias("dl"),
+            (F.col("s.user_id") == F.col("dl.user_id"))
+            & (F.col("s.day") == F.col("dl.d")),
+            "left",
+        )
+        .select(F.col("s.user_id").alias("user_id"), "day", "day_value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("day_value").isNull(), 1).otherwise(0).alias("gap_filled"),
+        F.last("day_value", ignorenulls=True).over(w).alias("value_ff"),
+    )

@@ -183,3 +183,45 @@ def test_batch_session_window_equals_stateful_stream(spark):
     stream = q33_stateful_sessions(spark, sf).select("user_id", "n_sessions")
     assert batch.exceptAll(stream).count() == 0
     assert stream.exceptAll(batch).count() == 0
+
+
+def test_incremental_upsert_multi_batch_equals_batch_merge(spark, sf_dir, tmp_path):
+    """Two micro-batches merged via foreachBatch == one batch last-writer-wins."""
+    from spark_hadoop_automation_in_cloud_spark.streaming.incremental import (
+        latest_per_key,
+        run_incremental_upsert,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    # split by time into two files so maxFilesPerTrigger=1 yields 2 batches,
+    # with the SECOND batch containing the newer rows (upsert must overwrite)
+    cut = ev.agg(F.expr("percentile(ts_us, 0.5)")).first()[0]
+    src = tmp_path / "src"
+    old = ev.where(F.col("ts_us") <= cut)
+    new = ev.where(F.col("ts_us") > cut)
+    old.coalesce(1).write.parquet(str(src / "a=1"))
+    new.coalesce(1).write.parquet(str(src / "a=2"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = tmp_path / "mart"
+    run_incremental_upsert(
+        stream,
+        str(out),
+        key_cols=["user_id", "event_type"],
+        order_cols=["ts_us", "event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    got = spark.read.parquet(str(out))
+    want = latest_per_key(ev, ["user_id", "event_type"], ["ts_us", "event_id"])
+    assert got.count() == want.count()
+    assert (
+        got.unionByName(want).distinct().count() == want.count()
+    ), "merged snapshot differs from batch last-writer-wins"
