@@ -170,3 +170,46 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    rebalance: bool = False,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files sized
+    ~``target_file_bytes``, returning the new file count.
+
+    The lake disease at 100 TB is not data volume but FILE COUNT — a
+    streaming sink or over-parallel writer leaving thousands of KB-sized
+    files makes every later scan pay per-file open/footer/listing cost.
+    Compaction reads once and rewrites with ``coalesce(n)`` — a
+    partition-merge with NO shuffle (``rebalance=True`` switches to
+    ``repartition(n)`` when the inputs are skewed enough that merged
+    partitions would be lopsided — that pays one shuffle for even output).
+
+    The rewrite lands in ``<path>.tmp-compact`` and replaces the original
+    via directory rename, so a crash mid-compaction leaves the original
+    intact (same swap discipline as streaming.incremental.upsert_batch).
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    out = df.repartition(n) if rebalance else df.coalesce(n)
+    tmp = f"{path}.tmp-compact"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )

@@ -2508,3 +2508,36 @@ def q70_resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("day_value").isNull(), 1).otherwise(0).alias("gap_filled"),
         F.last("day_value", ignorenulls=True).over(w).alias("value_ff"),
     )
+
+
+@register(
+    "q71_map_explode",
+    """
+WITH kv AS (
+  SELECT user_id, props, unnest(json_keys(props)) AS prop_key
+  FROM events
+)
+SELECT prop_key,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(CAST(json_extract_string(props, '$.' || prop_key) AS INT)
+                     AS DECIMAL(38,0))) AS DOUBLE) AS sum_int_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM kv
+GROUP BY prop_key
+""",
+    doc="MapType surface: the JSON props column parsed into map<string,int> "
+    "(from_json with a map schema — typed, not the per-key "
+    "get_json_object idiom of q16), exploded into (key, value) rows, "
+    "aggregated per key. explode(map) is a generator projection fused "
+    "into the scan; the only shuffle is the final per-key aggregate, "
+    "map-side-combined. Exact DECIMAL value sums.",
+)
+def q71_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,int>")
+    kv = e.select("user_id", F.explode(m).alias("prop_key", "prop_value"))
+    return kv.groupBy("prop_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("prop_value").cast(DEC)).cast("double").alias("sum_int_value"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )

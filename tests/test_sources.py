@@ -133,3 +133,21 @@ def test_sql_surface(spark, sf_dir):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_compact_merges_small_files(spark, sf_dir, tmp_path):
+    from spark_hadoop_automation_in_cloud_spark.io import compact, read_table
+
+    path = str(tmp_path / "frag")
+    ev = read_table(spark, sf_dir, "events")
+    ev.repartition(32).write.parquet(path)
+    import os
+
+    before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert before >= 32
+    n_after = compact(spark, path, target_file_bytes=1 << 30)
+    assert n_after < before
+    got = spark.read.parquet(path)
+    assert got.count() == ev.count()
+    # full content equality via symmetric-difference
+    assert got.unionByName(ev).distinct().count() == ev.distinct().count()
