@@ -446,3 +446,15 @@ def test_pagerank_matches_dense_power_iteration(spark):
     for v in range(n):
         assert abs(got[v] - r[v]) < 1e-6, (v, got[v], r[v])
     assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_approx_count_distinct_within_documented_rsd(spark, sf_dir):
+    """HLL++ default rsd is 5%; pin the measured error under 3x that so a
+    Spark upgrade silently degrading the sketch fails here (the full
+    measured sweep at sf0.1 lives in APPROX_ERROR.json)."""
+    ev = read_table(spark, sf_dir, "events")
+    row = ev.agg(
+        F.count_distinct("event_id").alias("exact"),
+        F.approx_count_distinct("event_id").alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.15
