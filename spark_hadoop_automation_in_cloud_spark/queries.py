@@ -2541,3 +2541,154 @@ def q71_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("prop_value").cast(DEC)).cast("double").alias("sum_int_value"),
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@register(
+    "q72_conversion_funnel",
+    """
+WITH s1 AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id) AS s_ts
+  FROM events
+),
+s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' AND ts > s_ts THEN ts END)
+              OVER (PARTITION BY user_id) AS v_ts
+  FROM s1
+),
+s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > v_ts THEN ts END)
+              OVER (PARTITION BY user_id) AS p_ts
+  FROM s2
+),
+per_user AS (
+  SELECT user_id, MIN(s_ts) AS s_ts, MIN(v_ts) AS v_ts, MIN(p_ts) AS p_ts
+  FROM s3 GROUP BY user_id
+)
+SELECT CAST(SUM(CASE WHEN s_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_after,
+       CAST(SUM(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after,
+       round(CAST(SUM(CASE WHEN p_ts IS NOT NULL
+                           THEN epoch_us(p_ts) - epoch_us(s_ts) END) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END), 0)
+             / 3600000000.0, 6) AS avg_hours_to_convert
+FROM per_user
+""",
+    doc="Ordered conversion funnel (signup -> later view -> later "
+    "purchase): three chained min-over-user windows — Catalyst collapses "
+    "same-partitioning Window nodes into ONE user_id shuffle — then a "
+    "global count per stage and the exact epoch-micros mean conversion "
+    "time. The strict ts ordering makes it a sequence pattern, not three "
+    "independent existence checks.",
+)
+def q72_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s1 = e.withColumn(
+        "s_ts", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "v_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "view") & (F.col("ts") > F.col("s_ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "p_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("v_ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.min("s_ts").alias("s_ts"),
+        F.min("v_ts").alias("v_ts"),
+        F.min("p_ts").alias("p_ts"),
+    )
+    converted = F.col("p_ts").isNotNull()
+    return per_user.agg(
+        F.sum(F.col("s_ts").isNotNull().cast("int")).cast("bigint").alias("n_signup"),
+        F.sum(F.col("v_ts").isNotNull().cast("int")).cast("bigint").alias("n_view_after"),
+        F.sum(converted.cast("int")).cast("bigint").alias("n_purchase_after"),
+        F.round(
+            F.sum(
+                F.when(converted, F.unix_micros("p_ts") - F.unix_micros("s_ts"))
+            ).cast("double")
+            / F.nullif(F.sum(converted.cast("int")), F.lit(0))
+            / 3_600_000_000.0,
+            6,
+        ).alias("avg_hours_to_convert"),
+    )
+
+
+@register(
+    "q73_retention_cohorts",
+    """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+),
+cohort_sizes AS (
+  SELECT cohort_week, COUNT(*) AS n_cohort FROM firsts GROUP BY cohort_week
+)
+SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('week', f.cohort_week, a.active_week) AS INT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(cs.n_cohort AS BIGINT) AS n_cohort,
+       round(CAST(COUNT(*) AS DOUBLE) / cs.n_cohort, 6) AS retention
+FROM firsts f
+JOIN active a USING (user_id)
+JOIN cohort_sizes cs ON f.cohort_week = cs.cohort_week
+GROUP BY f.cohort_week, week_offset, cs.n_cohort
+""",
+    doc="Weekly retention cohorts: users grouped by first-activity week, "
+    "retention = share of the cohort active N weeks later. Two "
+    "aggregations and a join, ALL keyed on user_id or the tiny "
+    "(cohort_week) — the cohort-size frame is vocabulary-sized and "
+    "broadcasts; nothing quadratic. Week arithmetic on date_trunc "
+    "boundaries (both engines truncate to Monday), emitted as ISO "
+    "strings to dodge date-representation drift.",
+)
+def q73_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_cohort"))
+    j = (
+        firsts.join(active, "user_id")
+        .withColumn(
+            "week_offset",
+            (
+                F.datediff(F.to_date("active_week"), F.to_date("cohort_week")) / 7
+            ).cast("int"),
+        )
+        .join(F.broadcast(sizes), "cohort_week")
+    )
+    return j.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_cohort",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+    ).select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.col("n_cohort").cast("bigint").alias("n_cohort"),
+        F.round(F.col("n_active").cast("double") / F.col("n_cohort"), 6).alias(
+            "retention"
+        ),
+    )

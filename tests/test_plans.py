@@ -208,3 +208,11 @@ def test_q66_moments_single_aggregation(spark, sf_dir):
 def test_q61_pii_scrub_no_shuffle(spark, sf_dir):
     plan = explain_simple(q.q61_pii_scrub(spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_q72_funnel_single_keyed_shuffle(spark, sf_dir):
+    plan = explain_simple(q.q72_conversion_funnel(spark, sf_dir))
+    # three chained windows + per-user agg all reuse ONE user_id exchange;
+    # the only other exchange is the final SinglePartition gather
+    keyed = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(keyed) == 1, keyed
