@@ -2692,3 +2692,182 @@ def q73_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+@register(
+    "q74_scd2_intervals",
+    """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM seq
+),
+grouped AS (
+  SELECT user_id, event_type, run_id,
+         MIN(ts) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY user_id, event_type, run_id
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         AS valid_to,
+       n_events
+FROM grouped
+""",
+    doc="SCD Type 2 interval build: each user's event_type value-runs become "
+    "dimension rows with [valid_from, valid_to) validity — valid_to is "
+    "the next run's start, NULL while current (the open row). The "
+    "gaps-and-islands detect + cumulative run id + per-run aggregate + "
+    "lead() all partition on user_id: one keyed shuffle end to end. "
+    "(Both windows order by (ts, event_id) so run assignment is "
+    "deterministic under timestamp ties.)",
+)
+def q74_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
+    ).cast("int")
+    runs = e.select(
+        "user_id", "event_type", "ts", "event_id", chg.alias("chg")
+    ).withColumn(
+        "run_id",
+        F.sum("chg").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    grouped = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return grouped.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )
+
+
+@register(
+    "q75_weighted_sample",
+    """
+WITH mx AS (SELECT MAX(n_chars) AS max_chars FROM documents),
+s AS (
+  SELECT source, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pps'), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS u,
+         CAST(n_chars AS DOUBLE) / max_chars AS w
+  FROM documents CROSS JOIN mx
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN u < w THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       round(AVG(w), 6) AS avg_weight
+FROM s GROUP BY source
+""",
+    doc="Deterministic weighted (PPS Bernoulli) sampling: each document "
+    "kept with probability proportional to its length weight — the "
+    "data-mixing primitive for up/down-weighting sources by quality. "
+    "The coin is a 32-bit md5 bucket over 2^32 (exact double) compared "
+    "to weight = n_chars/max — all inputs exact, so the kept set is "
+    "bit-identical across engines and runs, unlike rand()-based "
+    "sample(). Scan-stage projection + one aggregate; the 1-row max "
+    "broadcasts.",
+)
+def q75_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("n_chars").alias("max_chars"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":pps"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    s = d.crossJoin(F.broadcast(mx)).select(
+        "source",
+        u.alias("u"),
+        (F.col("n_chars").cast("double") / F.col("max_chars")).alias("w"),
+    )
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum((F.col("u") < F.col("w")).cast("int")).cast("bigint").alias("n_sampled"),
+        F.round(F.avg("w"), 6).alias("avg_weight"),
+    )
+
+
+@register(
+    "q76_mad_outliers",
+    """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(v_c, 0.5) AS med_c FROM c GROUP BY event_type
+),
+dev AS (
+  SELECT c.event_type, c.v_c, med.med_c, abs(c.v_c - med.med_c) AS ad
+  FROM c JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad_c FROM dev GROUP BY event_type
+)
+SELECT dev.event_type,
+       round(MIN(dev.med_c) / 100.0, 6) AS median_value,
+       round(MIN(mad.mad_c) / 100.0, 6) AS mad_value,
+       CAST(SUM(CASE WHEN dev.ad > 3 * mad.mad_c THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+""",
+    doc="Robust outlier detection per group: median + MAD (median absolute "
+    "deviation), flagging |x - med| > 3*MAD — the quality gate that, "
+    "unlike q66's stddev, is not dragged by the outliers it hunts. All "
+    "math on exact integer cents (medians are at worst half-integers — "
+    "exact doubles), so the flag comparison has no rounding boundary. "
+    "Two percentile aggregations + broadcast joins of the 5-row "
+    "medians frame; the events table shuffles on event_type once per "
+    "percentile pass.",
+)
+def q76_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("v_c")
+    )
+    med = c.groupBy("event_type").agg(
+        F.expr("percentile(v_c, 0.5)").alias("med_c")
+    )
+    dev = c.join(F.broadcast(med), "event_type").select(
+        "event_type", "v_c", "med_c", F.abs(F.col("v_c") - F.col("med_c")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad_c")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("med_c") / 100.0, 6).alias("median_value"),
+            F.round(F.min("mad_c") / 100.0, 6).alias("mad_value"),
+            F.sum((F.col("ad") > 3 * F.col("mad_c")).cast("int"))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        )
+    )
