@@ -595,15 +595,21 @@ def sql_contamination_overlap(
     test_pred: str,
     min_shared: int = 2,
     max_test_df: int | None = None,
+    hash_shingles: bool = False,
 ) -> str:
     """DuckDB oracle for :func:`contamination_overlap` — the split buckets
-    and the df cap are replayed as plain predicates."""
+    and the df cap are replayed as plain predicates; ``hash_shingles``
+    replays the md5-int60 shingle compression of the Spark plan."""
     df_filter = (
         f"HAVING COUNT(*) <= {max_test_df}" if max_test_df is not None else ""
     )
+    from spark_hadoop_automation_in_cloud_spark.functions.hashing import sql_md5_int60
+
+    sh_expr = sql_md5_int60("shingle") if hash_shingles else "shingle"
     return f"""
 WITH b AS ({bucket_sql}),
-sh AS ({shingle_src_sql}),
+sh0 AS ({shingle_src_sql}),
+sh AS (SELECT doc_id, {sh_expr} AS shingle FROM sh0),
 tr AS (SELECT sh.doc_id, shingle FROM sh JOIN b USING (doc_id) WHERE {train_pred}),
 te AS (SELECT sh.doc_id, shingle FROM sh JOIN b USING (doc_id) WHERE {test_pred}),
 te_keep AS (SELECT shingle FROM te GROUP BY shingle {df_filter}),
