@@ -2880,3 +2880,46 @@ def q76_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_total"),
         )
     )
+
+
+@register(
+    "q77_value_histogram",
+    """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c FROM events
+),
+mm AS (SELECT MIN(v_c) AS lo, MAX(v_c) AS hi FROM c)
+SELECT event_type,
+       CAST((v_c - lo) * 10 // (hi - lo + 1) AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round((lo + (v_c - lo) * 10 // (hi - lo + 1) * (hi - lo + 1) / 10.0)
+             / 100.0, 6) AS bin_lo
+FROM c CROSS JOIN mm
+GROUP BY event_type, bin, bin_lo
+""",
+    doc="Fixed-width value histogram per group (10 bins over the global "
+    "range): the bin index is PURE INTEGER arithmetic on cents — "
+    "(v-lo)*10 // (hi-lo+1) — so bin edges have no float-boundary "
+    "ambiguity on any engine. The 1-row min/max frame broadcasts; one "
+    "aggregate over (group, bin). The profiling primitive behind "
+    "q51's quality report and q76's outlier bands.",
+)
+def q77_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("v_c")
+    )
+    mm = c.agg(F.min("v_c").alias("lo"), F.max("v_c").alias("hi"))
+    span = F.col("hi") - F.col("lo") + 1
+    # integer DIV, not floor(double /): bin edges must be exact on any engine
+    bin_ = F.expr("((v_c - lo) * 10) div (hi - lo + 1)").cast("int")
+    binned = c.crossJoin(F.broadcast(mm)).select(
+        "event_type",
+        bin_.alias("bin"),
+        F.round(
+            (F.col("lo") + bin_.cast("bigint") * span / 10.0) / 100.0, 6
+        ).alias("bin_lo"),
+    )
+    return binned.groupBy("event_type", "bin", "bin_lo").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select("event_type", "bin", "n", "bin_lo")

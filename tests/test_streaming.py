@@ -225,3 +225,61 @@ def test_incremental_upsert_multi_batch_equals_batch_merge(spark, sf_dir, tmp_pa
     assert (
         got.unionByName(want).distinct().count() == want.count()
     ), "merged snapshot differs from batch last-writer-wins"
+
+
+def test_incremental_upsert_checkpoint_resume_processes_only_new_files(
+    spark, sf_dir, tmp_path
+):
+    """Restarting the drain with the same checkpoint must process ONLY files
+    that arrived since — the exactly-once source contract a production
+    incremental pipeline leans on."""
+    from spark_hadoop_automation_in_cloud_spark.streaming.incremental import (
+        latest_per_key,
+        upsert_batch,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    cut = ev.agg(F.expr("percentile(ts_us, 0.5)")).first()[0]
+    src = tmp_path / "src"
+    ev.where(F.col("ts_us") <= cut).coalesce(1).write.parquet(str(src / "a=1"))
+
+    out, ckpt = str(tmp_path / "mart"), str(tmp_path / "ckpt")
+    seen_batches: list[int] = []
+
+    def drain():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, _bid: (
+                    seen_batches.append(bdf.count()),
+                    upsert_batch(
+                        bdf, out, ["user_id", "event_type"], ["ts_us", "event_id"]
+                    ),
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first_rows = sum(seen_batches)
+    assert first_rows == ev.where(F.col("ts_us") <= cut).count()
+
+    # new data arrives; the resumed drain must not re-read file a=1
+    ev.where(F.col("ts_us") > cut).coalesce(1).write.parquet(str(src / "a=2"))
+    seen_batches.clear()
+    drain()
+    assert sum(seen_batches) == ev.where(F.col("ts_us") > cut).count()
+
+    got = spark.read.parquet(out)
+    want = latest_per_key(ev, ["user_id", "event_type"], ["ts_us", "event_id"])
+    assert got.count() == want.count()
+    assert got.unionByName(want).distinct().count() == want.count()
