@@ -2923,3 +2923,60 @@ def q77_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned.groupBy("event_type", "bin", "bin_lo").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     ).select("event_type", "bin", "n", "bin_lo")
+
+
+@register(
+    "q78_pareto_abc",
+    """
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  AS DECIMAL(38,0))) AS rev_c
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(rev_c) AS total_c FROM rev),
+ranked AS (
+  SELECT l_partkey, rev_c, total_c,
+         SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                          ROWS UNBOUNDED PRECEDING) AS cum_c
+  FROM rev CROSS JOIN tot
+)
+SELECT l_partkey,
+       round(CAST(rev_c AS DOUBLE) / 100.0, 6) AS revenue,
+       round(CAST(cum_c AS DOUBLE) / CAST(total_c AS DOUBLE), 6) AS cum_share,
+       CASE WHEN CAST(cum_c AS DOUBLE) / CAST(total_c AS DOUBLE) <= 0.5 THEN 'A'
+            WHEN CAST(cum_c AS DOUBLE) / CAST(total_c AS DOUBLE) <= 0.8 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+""",
+    doc="Pareto / ABC analysis: parts ranked by exact-cents revenue, "
+    "cumulative share over a GLOBAL ordered window, A/B/C class at the "
+    "50/80% knees. The global running sum is the one inherently "
+    "single-ordered operator in the suite — Spark plans it as a range "
+    "exchange + per-partition scan, acceptable because the input is the "
+    "ALREADY-AGGREGATED per-part frame (vocabulary-sized), never raw "
+    "lineitem. Class predicate runs on the exact DECIMAL cumulative "
+    "cast once to double — identical inputs both engines, no "
+    "accumulation-order drift.",
+)
+def q78_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint").cast(DEC)
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("rev_c"))
+    tot = rev.agg(F.sum("rev_c").alias("total_c"))
+    w = (
+        Window.orderBy(F.col("rev_c").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = rev.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_c", F.sum("rev_c").over(w)
+    )
+    share = F.col("cum_c").cast("double") / F.col("total_c").cast("double")
+    return ranked.select(
+        "l_partkey",
+        F.round(F.col("rev_c").cast("double") / 100.0, 6).alias("revenue"),
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
