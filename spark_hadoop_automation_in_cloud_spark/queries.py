@@ -2980,3 +2980,135 @@ def q78_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abc_class"
         ),
     )
+
+
+@register(
+    "q79_growth_accounting",
+    """
+WITH days AS (
+  SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day FROM events
+),
+firsts AS (SELECT user_id, MIN(day) AS first_day FROM days GROUP BY user_id),
+daily AS (
+  SELECT d.day,
+         CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_active,
+         CAST(COUNT(DISTINCT CASE WHEN f.first_day = d.day
+                                  THEN d.user_id END) AS BIGINT) AS n_new
+  FROM days d JOIN firsts f USING (user_id)
+  GROUP BY d.day
+)
+SELECT day, n_active, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM daily
+""",
+    doc="Growth accounting: daily active users, new users (first-ever "
+    "activity that day), and the cumulative user base — running COUNT "
+    "DISTINCT decomposed into first-seen attribution + a running SUM, "
+    "because a naive distinct-over-expanding-window re-scans history "
+    "per day. Two aggregates keyed on user_id/day; the final running "
+    "sum orders the ~30-row daily frame only. Day emitted as ISO string "
+    "(date-representation-proof).",
+)
+def q79_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    )
+    firsts = days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = (
+        days.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count_distinct("user_id").cast("bigint").alias("n_active"),
+            F.count_distinct(
+                F.when(F.col("first_day") == F.col("day"), F.col("user_id"))
+            )
+            .cast("bigint")
+            .alias("n_new"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "n_active",
+        "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
+@register(
+    "q80_next_event_features",
+    """
+SELECT event_id, user_id, event_type,
+       lead(event_type) OVER w AS next_type,
+       CAST((epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000000 AS BIGINT)
+         AS gap_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    doc="Next-event sequence features: per event, the following event's "
+    "type and the integer-seconds gap to it — the label/feature pair "
+    "for next-event-prediction training (the forward-looking twin of "
+    "q09's lag change detection). One user_id window shuffle; gap math "
+    "on integer epoch-micros, NULL at each user's sequence end.",
+)
+def q80_next_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+        / F.lit(1_000_000)
+    ).cast("bigint")
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        gap.alias("gap_s"),
+    )
+
+
+@register(
+    "q81_transition_matrix",
+    """
+WITH seq AS (
+  SELECT event_type, lead(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+counted AS (
+  SELECT event_type, next_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY event_type), 6)
+         AS p_transition
+FROM counted
+""",
+    doc="Markov transition matrix over user event sequences: P(next type | "
+    "type), the path-analysis aggregate behind funnel discovery and "
+    "next-step recommendation. One user_id window for the successor, "
+    "one (type, next) count, and a partition-total window on the "
+    "25-cell matrix — heavy lifting all on the user_id shuffle the "
+    "sequence family (q09/q74/q80) shares.",
+)
+def q81_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    counted = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("event_type")
+    return counted.select(
+        "event_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias(
+            "p_transition"
+        ),
+    )
