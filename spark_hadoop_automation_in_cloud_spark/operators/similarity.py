@@ -327,7 +327,10 @@ def quantize_embeddings(
     return df.select(
         F.col(id_col),
         F.round(norm, 6).alias("l2_norm"),
-        F.round(F.element_at(v, 1).cast("double") / norm, 6).alias("unit0"),
+        # NULL (not a crash) for the zero vector — ANSI mode raises on x/0
+        F.when(
+            norm > 0, F.round(F.element_at(v, 1).cast("double") / norm, 6)
+        ).alias("unit0"),
         l1.alias("q_l1"),
         F.array_max(q).alias("q_max"),
         checksum.alias("q_checksum"),
@@ -353,7 +356,7 @@ WITH qv AS (
 )
 SELECT {id_col},
        round(norm, 6) AS l2_norm,
-       round(x0 / norm, 6) AS unit0,
+       CASE WHEN norm > 0 THEN round(x0 / norm, 6) END AS unit0,
        CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
        CAST(list_max(q) AS INT) AS q_max,
        CAST(list_sum(list_transform(list_zip(q, generate_series(1, n)),

@@ -406,7 +406,11 @@ def chunk_documents(
 
     One window starts at every ``1 + k*stride`` ≤ token count, so every
     document emits at least one chunk and the final (possibly short) tail
-    is kept.  Output: doc_id, chunk_id, start_tok, n_tokens, chunk_text.
+    is kept.  Full token coverage holds iff ``stride <= chunk_tokens``
+    (property-tested); ``stride > chunk_tokens`` is the deliberate
+    SUBSAMPLING mode — spaced windows with gaps, for corpus preview or
+    sketching, never for lossless training-example construction.
+    Output: doc_id, chunk_id, start_tok, n_tokens, chunk_text.
 
     Scale shape: array-build + explode — a pure generator projection, no
     shuffle, no state; the fan-out factor is len/stride (bounded by the

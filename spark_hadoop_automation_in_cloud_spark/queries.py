@@ -3112,3 +3112,69 @@ def q81_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_transition"
         ),
     )
+
+
+@register(
+    "q82_linear_regression",
+    """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100) AS BIGINT) AS q_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p_c
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(q_c AS DECIMAL(38,0))) AS DOUBLE) AS sq,
+         CAST(SUM(CAST(p_c AS DECIMAL(38,0))) AS DOUBLE) AS sp,
+         CAST(SUM(CAST(q_c * q_c AS DECIMAL(38,0))) AS DOUBLE) AS sqq,
+         CAST(SUM(CAST(p_c * p_c AS DECIMAL(38,0))) AS DOUBLE) AS spp,
+         CAST(SUM(CAST(q_c * p_c AS DECIMAL(38,0))) AS DOUBLE) AS sqp
+  FROM c GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       round((n * sqp - sq * sp) / (n * sqq - sq * sq), 6) AS slope,
+       round((sp - (n * sqp - sq * sp) / (n * sqq - sq * sq) * sq) / n / 100.0, 6)
+         AS intercept,
+       round(((n * sqp - sq * sp) * (n * sqp - sq * sp))
+             / ((n * sqq - sq * sq) * (n * spp - sp * sp)), 6) AS r2
+FROM s
+""",
+    doc="Grouped ordinary-least-squares regression (price ~ quantity): "
+    "slope, intercept, R² assembled from the SAME five exact DECIMAL "
+    "raw sums as q66 — order-independent accumulation, closed-form "
+    "finish in double from identical inputs (built-in regr_slope "
+    "merges doubles and is partitioning-dependent). The cents scale "
+    "cancels in slope and R²; intercept rescales once. One map-side-"
+    "combinable aggregation — the distributed-ML-lite primitive.",
+)
+def q82_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    q_c = F.round(F.col("l_quantity") * 100).cast("bigint")
+    p_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    s = li.select(
+        "l_returnflag", q_c.alias("q_c"), p_c.alias("p_c")
+    ).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("q_c").cast(DEC)).cast("double").alias("sq"),
+        F.sum(F.col("p_c").cast(DEC)).cast("double").alias("sp"),
+        F.sum((F.col("q_c") * F.col("q_c")).cast(DEC)).cast("double").alias("sqq"),
+        F.sum((F.col("p_c") * F.col("p_c")).cast(DEC)).cast("double").alias("spp"),
+        F.sum((F.col("q_c") * F.col("p_c")).cast(DEC)).cast("double").alias("sqp"),
+    )
+    n = F.col("n")
+    sq, sp, sqq, spp, sqp = (F.col(x) for x in ("sq", "sp", "sqq", "spp", "sqp"))
+    slope = (n * sqp - sq * sp) / (n * sqq - sq * sq)
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sp - slope * sq) / n / 100.0, 6).alias("intercept"),
+        F.round(
+            ((n * sqp - sq * sp) * (n * sqp - sq * sp))
+            / ((n * sqq - sq * sq) * (n * spp - sp * sp)),
+            6,
+        ).alias("r2"),
+    )

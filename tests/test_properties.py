@@ -115,3 +115,136 @@ def test_haversine_metric_properties(spark):
         assert math.isclose(r["d"], r["dr"], rel_tol=1e-12)
         if (r["la1"], r["lo1"]) == (r["la2"], r["lo2"]):
             assert r["d"] == 0.0
+
+
+word = st.text(alphabet="abcde", min_size=1, max_size=4)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(word, min_size=1, max_size=120).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    cs=st.sampled_from([(5, 3), (16, 10), (50, 40), (50, 50), (8, 16)]),
+)
+def test_chunking_covers_every_token_in_order(spark, texts, cs):
+    """Chunks are the exact token slices they claim at exactly the stride
+    offsets; token coverage is complete iff stride <= chunk (stride >
+    chunk is the documented subsampling mode with holes)."""
+    chunk, stride = cs
+    from spark_hadoop_automation_in_cloud_spark.operators.textops import chunk_documents
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    rows = chunk_documents(df, "doc_id", "text", chunk, stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        chunks = sorted(by_doc[i], key=lambda r: r["start_tok"])
+        # starts are exactly 1, 1+stride, ... <= len(toks)
+        assert [c["start_tok"] for c in chunks] == list(
+            range(1, len(toks) + 1, stride)
+        )
+        # each chunk is the exact token slice it claims
+        for c in chunks:
+            lo = c["start_tok"] - 1
+            assert c["chunk_text"] == " ".join(toks[lo : lo + chunk])
+            assert c["n_tokens"] == len(toks[lo : lo + chunk])
+        covered = set()
+        for c in chunks:
+            covered.update(range(c["start_tok"] - 1, c["start_tok"] - 1 + c["n_tokens"]))
+        if stride <= chunk:
+            # lossless mode: the union of [start, start+chunk) covers [0, len)
+            assert covered == set(range(len(toks)))
+        else:
+            # subsampling mode: exactly the spaced windows, nothing else
+            expect = set()
+            for s0 in range(0, len(toks), stride):
+                expect.update(range(s0, min(s0 + chunk, len(toks))))
+            assert covered == expect
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-0.984375,  # exact in float32
+                max_value=0.984375,
+                allow_nan=False,
+                width=32,
+                # the JVM/numpy in-process set FTZ; hypothesis refuses
+                # subnormals under it, and they're irrelevant to the bound
+                allow_subnormal=False,
+            ),
+            min_size=4,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_quantization_reconstruction_bound(spark, vecs):
+    """|q/scale - x| < 1/scale for every element (truncation quantizer), and
+    the digests are consistent with a local recomputation."""
+    from spark_hadoop_automation_in_cloud_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    dim = len(vecs[0])
+    vecs = [v[:dim] + [0.0] * (dim - len(v)) for v in vecs]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    import struct
+
+    for i, v in enumerate(vecs):
+        # replicate float32 storage then the exact quantizer
+        v32 = [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+        q = [int(x * 128) for x in v32]  # int() truncates toward zero
+        assert got[i]["q_l1"] == sum(abs(x) for x in q)
+        assert got[i]["q_max"] == max(q)
+        assert got[i]["q_checksum"] == sum(x * (j + 1) for j, x in enumerate(q))
+        for x, qx in zip(v32, q):
+            assert abs(qx / 128.0 - x) < 1.0 / 128.0
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.01, max_value=9999.99, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_trimmed_mean_bounds_and_zero_trim(spark, vals):
+    """The trimmed mean lies within [min, max]; with trim_pct=0 it equals
+    the exact cents mean."""
+    from spark_hadoop_automation_in_cloud_spark.operators.pandas_aggs import trimmed_mean
+
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "grp string, v double")
+    row = trimmed_mean(df, "grp", "v", trim_pct=10).collect()[0]
+    assert min(vals) - 0.01 <= row["trimmed_mean"] <= max(vals) + 0.01
+    row0 = trimmed_mean(df, "grp", "v", trim_pct=0).collect()[0]
+    cents = [round(v * 100) for v in vals]
+    assert row0["n_kept"] == len(vals)
+    assert abs(row0["trimmed_mean"] - sum(cents) / len(cents) / 100.0) < 1e-6
