@@ -84,8 +84,14 @@ def read_table(
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             # integer DIV, not `/`: epoch-nanos exceed double's 2^53 mantissa
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
-    if parallelize and os.path.isfile(path):
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+    if parallelize:
+        # fan out whenever the scan is under-parallel — a single file OR a
+        # directory of few/unsplittable (single-row-group) files both plan
+        # as fewer tasks than cores, and everything codegen fuses into the
+        # scan stage inherits that ceiling
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df
 
 

@@ -543,6 +543,7 @@ def contamination_overlap(
     test_shingles: DataFrame,
     min_shared: int = 2,
     max_test_df: int | None = None,
+    max_train_df: int | None = None,
 ) -> DataFrame:
     """Train/test decontamination: flag training documents that share
     ``min_shared``+ distinct n-gram shingles with any held-out document.
@@ -559,23 +560,33 @@ def contamination_overlap(
     all-pairs stage anywhere (same inverted-index idiom as
     :func:`jaccard_pairs`, but train×test instead of corpus×corpus, so the
     quadratic-in-document-frequency risk only applies per shingle).
-    ``max_test_df`` caps that risk: shingles occurring in more than this
-    many held-out docs are dropped from the index before the join —
-    boilerplate n-grams ("terms of service apply") carry no contamination
-    signal but dominate join fanout.  The cap is applied to the test side
-    only, so a contaminated train doc is still found through its rarer
-    shared shingles.
+    ``max_test_df`` / ``max_train_df`` cap that risk: shingles occurring in
+    more than this many docs on the respective side are dropped from the
+    index before the join — boilerplate n-grams ("terms of service apply")
+    carry no contamination signal but dominate join fanout.  With both
+    caps, pairs per shingle ≤ cap_tr × cap_te, so total join output is
+    LINEAR in vocabulary size no matter how duplicated the corpus is
+    (measured: an uncapped train side went superlinear on a 10×-replicated
+    corpus; capped, the same corpus scales ~linearly).  Contaminated docs
+    are still found through their RARE shared shingles — which is where
+    the contamination signal lives.
     """
-    te = test_shingles
-    if max_test_df is not None:
+
+    def _cap(sh: DataFrame, max_df: int | None) -> DataFrame:
+        if max_df is None:
+            return sh
         keep = (
-            te.groupBy("shingle")
+            sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") <= max_test_df)
+            .where(F.col("__df") <= max_df)
             .select("shingle")
         )
-        te = te.join(keep, "shingle")
-    tr = train_shingles.select(F.col("doc_id").alias("__tr_doc"), "shingle")
+        return sh.join(keep, "shingle")
+
+    te = _cap(test_shingles, max_test_df)
+    tr = _cap(train_shingles, max_train_df).select(
+        F.col("doc_id").alias("__tr_doc"), "shingle"
+    )
     te = te.select(F.col("doc_id").alias("__te_doc"), "shingle")
     return (
         tr.join(te, "shingle")
@@ -595,13 +606,17 @@ def sql_contamination_overlap(
     test_pred: str,
     min_shared: int = 2,
     max_test_df: int | None = None,
+    max_train_df: int | None = None,
     hash_shingles: bool = False,
 ) -> str:
     """DuckDB oracle for :func:`contamination_overlap` — the split buckets
-    and the df cap are replayed as plain predicates; ``hash_shingles``
+    and the df caps are replayed as plain predicates; ``hash_shingles``
     replays the md5-int60 shingle compression of the Spark plan."""
-    df_filter = (
+    te_filter = (
         f"HAVING COUNT(*) <= {max_test_df}" if max_test_df is not None else ""
+    )
+    tr_filter = (
+        f"HAVING COUNT(*) <= {max_train_df}" if max_train_df is not None else ""
     )
     from spark_hadoop_automation_in_cloud_spark.functions.hashing import sql_md5_int60
 
@@ -610,9 +625,11 @@ def sql_contamination_overlap(
 WITH b AS ({bucket_sql}),
 sh0 AS ({shingle_src_sql}),
 sh AS (SELECT doc_id, {sh_expr} AS shingle FROM sh0),
-tr AS (SELECT sh.doc_id, shingle FROM sh JOIN b USING (doc_id) WHERE {train_pred}),
+tr0 AS (SELECT sh.doc_id, shingle FROM sh JOIN b USING (doc_id) WHERE {train_pred}),
 te AS (SELECT sh.doc_id, shingle FROM sh JOIN b USING (doc_id) WHERE {test_pred}),
-te_keep AS (SELECT shingle FROM te GROUP BY shingle {df_filter}),
+tr_keep AS (SELECT shingle FROM tr0 GROUP BY shingle {tr_filter}),
+tr AS (SELECT tr0.doc_id, tr0.shingle FROM tr0 JOIN tr_keep USING (shingle)),
+te_keep AS (SELECT shingle FROM te GROUP BY shingle {te_filter}),
 te_f AS (SELECT te.doc_id, te.shingle FROM te JOIN te_keep USING (shingle))
 SELECT tr.doc_id,
        CAST(COUNT(DISTINCT tr.shingle) AS BIGINT) AS n_shared_shingles,

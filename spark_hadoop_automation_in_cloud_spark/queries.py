@@ -2137,6 +2137,7 @@ FROM documents
         test_pred="bucket >= 90",
         min_shared=2,
         max_test_df=20,
+        max_train_df=50,
         hash_shingles=True,
     ),
     doc="Train/test decontamination: flag training documents sharing >= 2 "
@@ -2175,6 +2176,7 @@ def q60_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed(dd.shingle_rows(test, "doc_id", "text", n=3)),
         min_shared=2,
         max_test_df=20,
+        max_train_df=50,
     )
 
 
