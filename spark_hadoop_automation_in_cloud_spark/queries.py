@@ -1884,7 +1884,9 @@ FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     "(complements q27's length/punct/stopword scoring).",
 )
 def q54_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    # the per-row shingle array build is the cost — don't leave the
+    # unsplittable scan single-task
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
     toks = F.split(F.col("text"), " ")
     total = F.greatest(F.size(toks) - 1, F.lit(0)).cast("bigint")
     distinct = F.size(dd.word_shingles(F.col("text"), 2)).cast("bigint")

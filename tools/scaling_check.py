@@ -1,0 +1,88 @@
+"""Measure wall-clock scaling of the corpus operators on a 10x-replicated
+document table, writing SCALING.json at the repo root.
+
+Replication is the WORST case for dedup-family operators: every shingle's
+document frequency grows with the replication factor, so anything
+quadratic in df goes superlinear here long before it would on organically
+grown data (which mostly adds NEW shingles).  A sublinear-or-linear result
+on this corpus is strong evidence the plan survives a real scale-up; this
+harness is what caught the uncapped decontamination join at 30x wall for
+10x input.
+
+Run: ``python tools/scaling_check.py`` (env ``SPARK_GRAFT_SF_DIR``,
+``SPARK_GRAFT_SCALE`` to vary; scaled data is built under /tmp).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from spark_hadoop_automation_in_cloud_spark import queries as q
+from spark_hadoop_automation_in_cloud_spark.io import TABLES
+from spark_hadoop_automation_in_cloud_spark.session import get_test_session
+
+QUERIES = ["q60_decontamination", "q63_tfidf_top_terms", "q54_repetition_ratio"]
+
+
+def best_of(fn, sf_dir: str, n: int = 2) -> float:
+    fn(sf_dir).write.format("noop").mode("overwrite").save()  # warm
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn(sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    scale = int(os.environ.get("SPARK_GRAFT_SCALE", "10"))
+    spark = get_test_session("scaling-check")
+
+    scaled = f"/tmp/spark_graft_scaled_{scale}x"
+    shutil.rmtree(scaled, ignore_errors=True)
+    os.makedirs(scaled)
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = base.count()
+    rep = (
+        base.crossJoin(spark.range(scale).withColumnRenamed("id", "__rep"))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * (n * scale))
+        .drop("__rep")
+    )
+    rep.write.mode("overwrite").parquet(f"{scaled}/documents.parquet")
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", f"{scaled}/{t}.parquet")
+
+    fns = {s.name: s.fn for s in q.specs()}
+    out: dict[str, dict] = {}
+    for name in QUERIES:
+        fn = fns[name]
+        t1 = best_of(lambda d: fn(spark, d), sf_dir)
+        t10 = best_of(lambda d: fn(spark, d), scaled)
+        out[name] = {
+            "base_sec": t1,
+            f"{scale}x_sec": t10,
+            "wall_ratio": round(t10 / t1, 2),
+            "sublinear": t10 / t1 < scale,
+        }
+
+    result = {"sf_dir": sf_dir, "scale": scale, "n_docs_base": n, "queries": out}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SCALING.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    shutil.rmtree(scaled, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
