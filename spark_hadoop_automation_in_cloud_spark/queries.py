@@ -1742,21 +1742,25 @@ def q49_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q50_fuzzy_name_pairs",
-    dd.sql_fuzzy_pairs_blocked("customer", max_dist=1),
+    dd.sql_fuzzy_pairs_exact("customer", max_dist=1),
     doc="Fuzzy-key matching via Levenshtein edit distance — the "
     "entity-resolution primitive (near-identical names/titles) that "
-    "complements content dedup. Blocked form over the FULL customer "
-    "table: probe-length band (lossless for the distance bound) + "
-    "first-char block key, so candidate pairing is an equi-join and the "
-    "quadratic comparison runs only inside blocks — the same "
-    "prefilter-then-verify shape as q19/q21. dist ≤ 1 here because "
-    "TPC-H digit-names make dist ≤ 2 degenerate (half of all pairs "
-    "match); the bounded exact all-pairs form stays as the verifier in "
-    "tests/test_operators.py at dist ≤ 2.",
+    "complements content dedup. PassJoin pigeonhole blocking over the "
+    "FULL customer table: k+1 segments per indexed name, shifted-"
+    "substring probes, equi-join on the segment key, exact verify — "
+    "LOSSLESS (unlike first-char blocking, a first-character edit is "
+    "still found) and robust to template corpora where every name "
+    "shares prefix and length (measured 208s -> 26s at sf0.1, dist 2; "
+    "the residual cost is output-bound — millions of true pairs). "
+    "dist <= 1 registered because TPC-H digit-names make dist <= 2 "
+    "result sets degenerate; the first-char blocked form stays as the "
+    "documented cheaper-but-lossy alternative.",
 )
 def q50_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    return dd.fuzzy_pairs_blocked(c, max_dist=1)
+    c = read_table(spark, sf_dir, "customer", parallelize=True).select(
+        "c_custkey", "c_name"
+    )
+    return dd.fuzzy_pairs_passjoin(c, max_dist=1)
 
 
 from spark_hadoop_automation_in_cloud_spark.operators.checks import (  # noqa: E402

@@ -458,3 +458,43 @@ def test_approx_count_distinct_within_documented_rsd(spark, sf_dir):
         F.approx_count_distinct("event_id").alias("approx"),
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.15
+
+
+def test_fuzzy_passjoin_lossless_vs_exact_allpairs(spark, sf_dir):
+    """PassJoin segment blocking must find EXACTLY the all-pairs result —
+    including pairs whose first character was edited (the documented miss
+    of fuzzy_pairs_blocked)."""
+    from spark_hadoop_automation_in_cloud_spark.operators.dedup import (
+        fuzzy_pairs_passjoin,
+    )
+
+    c = (
+        read_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 300)
+        .select("c_custkey", "c_name")
+    )
+    got = fuzzy_pairs_passjoin(c, max_dist=2)
+    a = c.select(F.col("c_custkey").alias("left_id"), F.col("c_name").alias("__na"))
+    b = c.select(F.col("c_custkey").alias("right_id"), F.col("c_name").alias("__nb"))
+    exact = (
+        a.crossJoin(b)
+        .where(F.col("left_id") < F.col("right_id"))
+        .select(
+            "left_id",
+            "right_id",
+            F.levenshtein("__na", "__nb").cast("int").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 2)
+    )
+    assert got.exceptAll(exact).count() == 0
+    assert exact.exceptAll(got).count() == 0
+    assert exact.count() > 0
+
+    # synthetic: the first-char edit is found (blocked form misses it)
+    rows = [(1, "smith"), (2, "Smith"), (3, "smith12")]
+    df = spark.createDataFrame(rows, "c_custkey int, c_name string")
+    pj = {
+        (r.left_id, r.right_id, r.edit_dist)
+        for r in fuzzy_pairs_passjoin(df, max_dist=2).collect()
+    }
+    assert (1, 2, 1) in pj
