@@ -17,9 +17,13 @@ Scale shape (100 TB of documents):
   bucket keys (boilerplate docs) are handled by AQE skew join.
 - simhash: shingle explode → per-(doc, token) count → one 60-term
   conditional-sum aggregation to a 60-bit fingerprint.
-- jaccard: inverted-index self-join on shingle — exact but quadratic in
-  per-shingle document frequency; use for verification / small blocks,
-  MinHash for the scale path (documented, not silently capped).
+- jaccard: ``jaccard_pairs_prefix`` is the default — lossless PPJoin-style
+  prefix filtering (candidates must collide on a rarest-first prefix of
+  size n - ceil(t*n) + 1, then exact verification on candidates only), so
+  the inverted-index fan-out is bounded by prefix document frequency
+  instead of full-shingle document frequency.  ``jaccard_pairs`` keeps the
+  naive full-index form as the small-block verifier; a property test pins
+  prefix == naive on random corpora.
 """
 
 from __future__ import annotations
@@ -255,26 +259,10 @@ SELECT doc_id, CAST({value} AS BIGINT) AS simhash FROM sums
 """
 
 
-def jaccard_pairs(
-    shingles: DataFrame, min_jaccard: float
+def _finish_jaccard(
+    inter: DataFrame, sizes: DataFrame, min_jaccard: float
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity via shingle inverted index.
-
-    Output: left_doc_id, right_doc_id, jaccard (rounded 6dp).
-    Quadratic in per-shingle doc frequency — verification / small-block
-    tool; MinHash LSH is the scale path.
-    """
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    l = shingles.alias("l")
-    r = shingles.alias("r")
-    inter = (
-        l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.doc_id") < F.col("r.doc_id")))
-        .groupBy(
-            F.col("l.doc_id").alias("left_doc_id"),
-            F.col("r.doc_id").alias("right_doc_id"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    """(pair, |intersection|) + per-doc set sizes → thresholded Jaccard."""
     sl = sizes.select(F.col("doc_id").alias("left_doc_id"), F.col("n_sh").alias("n_l"))
     sr = sizes.select(F.col("doc_id").alias("right_doc_id"), F.col("n_sh").alias("n_r"))
     return (
@@ -289,6 +277,92 @@ def jaccard_pairs(
         )
         .where(F.col("jaccard") >= min_jaccard)
     )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, min_jaccard: float
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via the FULL shingle inverted index.
+
+    Output: left_doc_id, right_doc_id, jaccard (rounded 6dp).
+    Quadratic in per-shingle doc frequency — small-block verifier for
+    ``jaccard_pairs_prefix`` (the bounded default) and the shape the DuckDB
+    oracle runs.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    l = shingles.alias("l")
+    r = shingles.alias("r")
+    inter = (
+        l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .groupBy(
+            F.col("l.doc_id").alias("left_doc_id"),
+            F.col("r.doc_id").alias("right_doc_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return _finish_jaccard(inter, sizes, min_jaccard)
+
+
+def jaccard_pairs_prefix(
+    shingles: DataFrame, min_jaccard: float
+) -> DataFrame:
+    """Exact n-gram Jaccard via LOSSLESS prefix filtering (PPJoin family:
+    Xiao et al., "Efficient Similarity Joins for Near Duplicate Detection",
+    WWW'08).  Identical output to ``jaccard_pairs`` — a property test pins
+    the equivalence — but the inverted-index join is bounded.
+
+    Why it is lossless: order all shingles by a global total order (ascending
+    document frequency, rarest first, tie-break on the shingle string).  If
+    J(x, y) >= t, the two docs must overlap in at least
+    ``|x| - ceil(t*|x|) + 1`` of x's first shingles under that order — so
+    joining only on each doc's length-``n - ceil(t*n) + 1`` prefix cannot
+    miss a qualifying pair.  Candidates are then verified with an exact
+    intersection count computed ONLY for candidate pairs.
+
+    Scale shape (100 TB): the self-join fans out on PREFIX shingles, which
+    are the rarest by construction — boilerplate shingles shared by every
+    doc in a template corpus never enter the index.  Verification cost is
+    |candidates| x avg set size, an equi-join on (doc, shingle), not a
+    quadratic blow-up on hot shingles.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df_counts = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        shingles.join(df_counts, "shingle")
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")),
+        )
+        .join(sizes, "doc_id")
+    )
+    # Prefix length n - ceil(t*n) + 1.  The 1e-9 slack makes float rounding
+    # err only toward a LARGER prefix, which stays lossless.
+    prefix = ranked.where(
+        F.col("pos")
+        <= F.col("n_sh") - F.ceil(F.lit(min_jaccard) * F.col("n_sh") - F.lit(1e-9)) + 1
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.alias("l")
+        .join(
+            prefix.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("left_doc_id"),
+            F.col("r.doc_id").alias("right_doc_id"),
+        )
+        .distinct()
+    )
+    sh_l = shingles.select(F.col("doc_id").alias("left_doc_id"), "shingle")
+    sh_r = shingles.select(F.col("doc_id").alias("right_doc_id"), "shingle")
+    inter = (
+        cand.join(sh_l, "left_doc_id")
+        .join(sh_r, ["right_doc_id", "shingle"])
+        .groupBy("left_doc_id", "right_doc_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return _finish_jaccard(inter, sizes, min_jaccard)
 
 
 def sql_jaccard_pairs(shingle_src_sql: str, min_jaccard: float) -> str:

@@ -50,8 +50,56 @@ def register(name: str, sql: str | None, doc: str = ""):
     return deco
 
 
+# The driver's CORRECTNESS run verifies a bounded window of entries taken in
+# registration order, so queries() exposes the registry ROTATED: operators
+# that have no driver-oracle row yet (the round-2 additions q51-q82) and
+# operators whose implementation or oracle changed this round come first;
+# previously driver-verified queries follow in their original order.  Local
+# pytest parity (tests/test_oracle_parity.py) still covers every registered
+# query regardless of position.
+_ROTATE_FIRST: tuple[str, ...] = (
+    "q51_data_quality_profile",
+    "q52_above_group_average",
+    "q53_time_range_average",
+    "q54_repetition_ratio",
+    "q55_stratified_sample",
+    "q56_full_outer_reconciliation",
+    "q57_streaming_dedup",
+    "q58_training_sequences",
+    "q59_upsert_merge",
+    "q60_decontamination",
+    "q61_pii_scrub",
+    "q62_embedding_quantize",
+    "q63_tfidf_top_terms",
+    "q64_document_chunking",
+    "q65_stream_stream_join",
+    "q66_grouped_moments",
+    "q67_stream_static_join",
+    "q68_trimmed_mean",
+    "q69_pagerank",
+    "q70_resample_forward_fill",
+    "q71_map_explode",
+    "q72_conversion_funnel",
+    "q73_retention_cohorts",
+    "q74_scd2_intervals",
+    "q75_weighted_sample",
+    "q76_mad_outliers",
+    "q77_value_histogram",
+    "q78_pareto_abc",
+    "q79_growth_accounting",
+    "q80_next_event_features",
+    "q81_transition_matrix",
+    "q82_linear_regression",
+    # changed this round → needs a fresh driver row
+    "q22_ngram_jaccard_dups",
+)
+
+
 def specs() -> list[QuerySpec]:
-    return list(_REGISTRY)
+    rotated = set(_ROTATE_FIRST)
+    by_name = {s.name: s for s in _REGISTRY}
+    first = [by_name[n] for n in _ROTATE_FIRST if n in by_name]
+    return first + [s for s in _REGISTRY if s.name not in rotated]
 
 
 # --- helpers ----------------------------------------------------------------
@@ -831,14 +879,17 @@ def q21_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q22_ngram_jaccard_dups",
     dd.sql_jaccard_pairs(_SHINGLE_SQL, min_jaccard=0.35),
-    doc="Exact 2-gram Jaccard similarity via shingle inverted index — "
-    "verification tool for the MinHash estimates (quadratic in shingle "
-    "document frequency; not the scale path).",
+    doc="Exact 2-gram Jaccard similarity via LOSSLESS prefix filtering "
+    "(PPJoin): the inverted-index self-join runs only on each doc's "
+    "rarest n-ceil(t*n)+1 shingles, then candidates are verified with "
+    "an exact intersection count — identical output to the naive full "
+    "index (the oracle runs the naive form; a property test pins the "
+    "equivalence) with fan-out bounded by PREFIX document frequency.",
 )
 def q22_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", parallelize=True)
     sh = dd.shingle_rows(d, "doc_id", "text", n=2)
-    return dd.jaccard_pairs(sh, min_jaccard=0.35)
+    return dd.jaccard_pairs_prefix(sh, min_jaccard=0.35)
 
 
 @register(

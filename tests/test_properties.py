@@ -248,3 +248,43 @@ def test_trimmed_mean_bounds_and_zero_trim(spark, vals):
     cents = [round(v * 100) for v in vals]
     assert row0["n_kept"] == len(vals)
     assert abs(row0["trimmed_mean"] - sum(cents) / len(cents) / 100.0) < 1e-6
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=2, max_size=12),
+        min_size=2,
+        max_size=16,
+    ),
+    t=st.sampled_from([0.2, 0.35, 0.5, 0.8]),
+)
+def test_jaccard_prefix_filter_equals_naive(spark, docs, t):
+    """Lossless prefix filtering: jaccard_pairs_prefix must produce EXACTLY
+    the pairs (and values) of the naive full-inverted-index join, for
+    arbitrary corpora and thresholds — small vocab ('a'..'f') forces heavy
+    shingle collisions, the regime where the prefix filter actually prunes."""
+    from spark_hadoop_automation_in_cloud_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+        shingle_rows,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id bigint, text string",
+    )
+    sh = shingle_rows(df, "doc_id", "text", n=2)
+    naive = {
+        (r.left_doc_id, r.right_doc_id, r.jaccard)
+        for r in jaccard_pairs(sh, t).collect()
+    }
+    pref = {
+        (r.left_doc_id, r.right_doc_id, r.jaccard)
+        for r in jaccard_pairs_prefix(sh, t).collect()
+    }
+    assert pref == naive
