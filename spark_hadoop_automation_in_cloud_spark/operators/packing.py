@@ -1,0 +1,110 @@
+"""Sequence packing: concatenate-then-chunk documents into fixed token bins.
+
+LLM pretraining consumes fixed-length token sequences (e.g. 2048/4096/8192
+tokens), not variable-length documents.  The standard data-pipeline step is
+GPT-style packing: lay the corpus out as one long token stream (documents
+in a deterministic order, separated implicitly), then slice the stream
+into capacity-sized bins; a document that straddles a bin boundary is
+split across the adjacent bins.  Compared with greedy first-fit (which is
+inherently sequential per bin), concat-then-chunk is a pure prefix-sum —
+embarrassingly parallel and exactly reproducible, which is why the big
+pretraining pipelines use it.
+
+Distributed shape: one window prefix-sum of token counts PARTITIONED BY
+``part_col`` (here: the document ``source``) — each source packs its own
+bin sequence, so no global single-partition sort exists anywhere in the
+plan; at 100 TB each source's prefix sum is an independent range-sorted
+window.  The boundary-crossing explode emits at most
+``ceil(n_tok / capacity) + 1`` rows per document.
+
+Output grain: one row per (document × bin it touches), with the half-open
+token slice ``[tok_start, tok_end)`` of the document that lands in that
+bin.  ``SUM(tok_end - tok_start)`` over a bin = bin fill (== capacity for
+every bin except each source's last).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    part_col: str,
+    id_col: str,
+    text_col: str,
+    capacity: int = 2048,
+) -> DataFrame:
+    """Assign whitespace-token slices of each document to fixed-size bins.
+
+    Columns out: ``part_col``, ``doc_id``, ``n_tok``, ``bin_id``,
+    ``tok_start``, ``tok_end`` (slice of the doc in that bin, half-open).
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    w = Window.partitionBy(part_col).orderBy(id_col)
+    t = docs.select(
+        F.col(part_col),
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tok"),
+    )
+    o = t.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    cap = F.lit(capacity).cast("bigint")
+    first_bin = F.expr("start_off DIV " + str(capacity))
+    last_bin = F.expr(f"(start_off + n_tok - 1) DIV {capacity}")
+    b = o.select(
+        part_col,
+        "doc_id",
+        "n_tok",
+        "start_off",
+        F.explode(F.sequence(first_bin, last_bin)).alias("bin_id"),
+    )
+    return b.select(
+        part_col,
+        "doc_id",
+        "n_tok",
+        F.col("bin_id").cast("bigint").alias("bin_id"),
+        (F.greatest(F.col("start_off"), F.col("bin_id") * cap) - F.col("start_off"))
+        .cast("bigint")
+        .alias("tok_start"),
+        (
+            F.least(F.col("start_off") + F.col("n_tok"), (F.col("bin_id") + 1) * cap)
+            - F.col("start_off")
+        )
+        .cast("bigint")
+        .alias("tok_end"),
+    )
+
+
+def sql_pack_sequences(
+    src: str, part_col: str, id_col: str, text_col: str, capacity: int = 2048
+) -> str:
+    """DuckDB oracle for :func:`pack_sequences` (generate_series is
+    inclusive on both ends, matching Spark's ``sequence``)."""
+    return f"""
+WITH t AS (
+  SELECT {part_col},
+         {id_col} AS doc_id,
+         CAST(len(string_split({text_col}, ' ')) AS BIGINT) AS n_tok
+  FROM {src}
+),
+o AS (
+  SELECT {part_col}, doc_id, n_tok,
+         CAST(SUM(n_tok) OVER (PARTITION BY {part_col} ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT)
+           AS start_off
+  FROM t
+),
+e AS (
+  SELECT {part_col}, doc_id, n_tok, start_off,
+         unnest(generate_series(start_off // {capacity},
+                                (start_off + n_tok - 1) // {capacity})) AS b
+  FROM o
+)
+SELECT {part_col}, doc_id, n_tok,
+       CAST(b AS BIGINT) AS bin_id,
+       CAST(GREATEST(start_off, b * {capacity}) - start_off AS BIGINT) AS tok_start,
+       CAST(LEAST(start_off + n_tok, (b + 1) * {capacity}) - start_off AS BIGINT) AS tok_end
+FROM e
+"""

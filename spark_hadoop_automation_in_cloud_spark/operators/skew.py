@@ -1,0 +1,57 @@
+"""Skew-safe equi-join via deterministic key salting.
+
+The hot-key problem: an equi-join shuffles both sides on the key, so one
+pathological key (a bot user, a default id, an empty-string sentinel) lands
+its entire row set in ONE reduce task — at 100 TB that task runs for hours
+while 999 executors idle.  AQE's skew-join split handles the *sorted
+merge* case at runtime, but only after the skewed shuffle blocks exist;
+salting removes the hot partition *before* the shuffle by widening the key
+space:
+
+- the FACT side gets a deterministic salt in ``[0, n_salts)`` derived from
+  its own columns (never ``rand()`` — results must be reproducible and
+  retry-stable: a task retry that re-rolls salts would double-count rows);
+- the DIM side is replicated ``n_salts`` times via ``explode(sequence())``;
+- the join runs on ``(key, salt)``, splitting each hot key across
+  ``n_salts`` reduce tasks.
+
+Replication multiplies the dim shuffle volume by ``n_salts``, so this sits
+between broadcast (dim fits in memory — no shuffle at all) and a plain
+shuffle join (no skew): a mid-sized dim and a skewed fact key.  The output
+is row-identical to the unsalted join — salting is a physical rewrite, not
+a semantic one — which is what the q87 oracle checks.
+
+Reference parity: the reference joins events to user dims with no skew
+handling at all (``src/spark/collector.py`` equi-joins); this operator is
+part of the scale extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT = "__salt"
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    fact_salt: Column,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``fact`` to ``dim`` on equi-key ``on``, salted ``n_salts`` ways.
+
+    ``fact_salt`` must be a deterministic integer expression over fact
+    columns (e.g. ``F.pmod(F.col("l_linenumber") * 31 + F.col("l_orderkey"),
+    8)``); it is reduced mod ``n_salts`` here so callers can pass any int.
+    """
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    f = fact.withColumn(SALT, F.pmod(fact_salt.cast("bigint"), F.lit(n_salts)))
+    d = dim.withColumn(
+        SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
+    )
+    return f.join(d, on + [SALT], how).drop(SALT)

@@ -92,6 +92,17 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q82_linear_regression",
     # changed this round → needs a fresh driver row
     "q22_ngram_jaccard_dups",
+    # round-3 additions
+    "q83_modal_event_type",
+    "q84_event_entropy",
+    "q85_basket_pairs",
+    "q86_price_skyline",
+    "q87_salted_priority_revenue",
+    "q88_rfm_segments",
+    "q89_session_intervals",
+    "q90_weighted_median",
+    "q91_mixture_sampling",
+    "q92_sequence_packing",
 )
 
 
@@ -3237,3 +3248,413 @@ def q82_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# --- round-3 batch: statistics, skew handling, training-data packing --------
+
+from spark_hadoop_automation_in_cloud_spark.operators.packing import (  # noqa: E402
+    pack_sequences,
+    sql_pack_sequences,
+)
+from spark_hadoop_automation_in_cloud_spark.operators.skew import salted_join  # noqa: E402
+
+
+@register(
+    "q83_modal_event_type",
+    """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+),
+r AS (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS modal_type, CAST(n AS BIGINT) AS n_mode
+FROM r WHERE rn = 1
+""",
+    doc="Per-group mode (most frequent event_type per user, ties to the "
+    "lexicographically smallest type). Count-then-rank: the count "
+    "shrinks each user to <=|type domain| rows before the window, so "
+    "the rank sorts a tiny frame — never the raw events. Both engines "
+    "run the identical ROW_NUMBER tiebreak.",
+)
+def q83_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("n").cast("bigint").alias("n_mode"),
+        )
+    )
+
+
+@register(
+    "q84_event_entropy",
+    """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+),
+w AS (
+  SELECT user_id, n, SUM(n) OVER (PARTITION BY user_id) AS total FROM c
+)
+SELECT user_id,
+       CAST(MAX(total) AS BIGINT) AS n_events,
+       round(-SUM((CAST(n AS DOUBLE) / CAST(total AS DOUBLE))
+                  * ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))), 6) AS entropy
+FROM w GROUP BY user_id
+""",
+    doc="Shannon entropy of each user's event-type distribution (behavioral "
+    "diversity; 0 = single-type bot, ln(5) = uniform). Counts first — "
+    "the entropy math runs on the per-(user,type) frame, <= |domain| "
+    "rows per user. The window total and the final aggregate share the "
+    "user_id hash partitioning, so Spark plans ONE shuffle. ln() "
+    "follows the q63 TF-IDF precedent: identical double inputs both "
+    "engines, rounded to 6dp.",
+)
+def q84_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy("user_id"))
+    p = F.col("n").cast("double") / F.col("total").cast("double")
+    return (
+        c.withColumn("total", total)
+        .groupBy("user_id")
+        .agg(
+            F.max("total").cast("bigint").alias("n_events"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )
+
+
+@register(
+    "q85_basket_pairs",
+    """
+SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem a
+JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+ORDER BY n DESC, p1, p2
+LIMIT 50
+""",
+    doc="Market-basket co-occurrence: top-50 part pairs ordered together. "
+    "Self equi-join on l_orderkey — fan-out is sum(k_i^2) over per-order "
+    "line counts (k ~ 4), NOT corpus-quadratic, so the shuffle stays "
+    "proportional to the input at any scale; canonical p1 < p2 halves "
+    "it. Global top-50 is TakeOrderedAndProject (per-partition heaps, "
+    "no full sort), deterministic via the (n, p1, p2) tiebreak.",
+)
+def q85_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, "ok")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "p1", "p2")
+        .limit(50)
+    )
+
+
+@register(
+    "q86_price_skyline",
+    """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS m
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+),
+s AS (
+  SELECT d, m,
+         MAX(m) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prev
+  FROM daily
+)
+SELECT CAST(d AS VARCHAR) AS d, round(CAST(m AS DOUBLE) / 100.0, 2) AS best_price
+FROM s WHERE prev IS NULL OR m > prev
+""",
+    doc="2-D skyline (Pareto staircase): days whose max order price beats "
+    "every earlier day — the record-breaking frontier of (date min, "
+    "price max) dominance. Aggregate-first: the day-level MAX collapses "
+    "the input to |days| rows, THEN the running max walks that tiny "
+    "frame (same bounded-window-input discipline as q78). Exact cents "
+    "comparison; no double ordering anywhere.",
+)
+def q86_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.max(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("m")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        daily.withColumn("prev", F.max("m").over(w))
+        .where(F.col("prev").isNull() | (F.col("m") > F.col("prev")))
+        .select(
+            F.col("d").cast("string").alias("d"),
+            F.round(F.col("m").cast("double") / 100.0, 2).alias("best_price"),
+        )
+    )
+
+
+@register(
+    "q87_salted_priority_revenue",
+    f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       round({sql_dsum("l_extendedprice")}, 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    doc="Skew-safe fact-to-dim equi-join: lineitem keys are salted 8 ways "
+    "by a deterministic expression and orders is replicated 8x, so a "
+    "pathologically hot l_orderkey splits across 8 reduce tasks instead "
+    "of stalling one straggler (operators/skew.py). Salting is a "
+    "physical rewrite only — the oracle is the PLAIN join, and the "
+    "exact-cents revenue per priority must come out identical.",
+)
+def q87_salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    salt = F.col("o_orderkey") * 31 + F.col("l_linenumber")
+    joined = salted_join(li, o, ["o_orderkey"], fact_salt=salt, n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.round(dsum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "q88_rfm_segments",
+    f"""
+WITH m AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                        DATE '1998-08-02') AS INT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         round({sql_dsum("o_totalprice")}, 2) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       CAST(NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r_quartile,
+       CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_quartile,
+       CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS m_quartile
+FROM m
+""",
+    doc="RFM customer segmentation: recency (days from last order to the "
+    "dataset horizon), frequency, exact-cents monetary, each cut into "
+    "NTILE(4) quartiles with o_custkey tiebreaks so assignment is "
+    "total-ordered and engine-independent. The three global NTILEs run "
+    "on the per-customer aggregate (|customers| rows), not raw orders; "
+    "at 100 TB NTILE over customers is a range-partitioned sort of a "
+    "frame 3 orders of magnitude smaller than the fact table.",
+)
+def q88_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1998-08-02").cast("date"), F.to_date(F.max("o_orderdate"))
+        )
+        .cast("int")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.round(dsum("o_totalprice"), 2).alias("monetary"),
+    )
+    return m.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .cast("int")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .cast("int")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .cast("int")
+        .alias("m_quartile"),
+    )
+
+
+@register(
+    "q89_session_intervals",
+    """
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM seq
+)
+SELECT user_id, session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+FROM islands
+GROUP BY user_id, session_id
+""",
+    doc="Sessionization with materialized intervals: ordinal session ids, "
+    "start/end timestamps and exact integer-microsecond durations — the "
+    "session-table grain that per-session sequence construction and "
+    "engagement analysis consume (q43 keeps only counts; q33 is the "
+    "streaming twin). Gaps-and-islands on one user_id window; the "
+    "running flag-sum and the final GROUP BY share the same hash "
+    "partitioning, so the whole query is a single shuffle.",
+)
+def q89_session_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    islands = e.select(
+        "user_id",
+        "ts",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("session_id"),
+    )
+    return islands.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("bigint")
+        .alias("duration_us"),
+    )
+
+
+@register(
+    "q90_weighted_median",
+    """
+WITH g AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         SUM(CAST(round(l_quantity) AS BIGINT)) AS w
+  FROM lineitem GROUP BY l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT)
+),
+cum AS (
+  SELECT l_returnflag, price_c,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_c
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM g
+)
+SELECT l_returnflag,
+       round(CAST(MIN(price_c) AS DOUBLE) / 100.0, 2) AS weighted_median
+FROM cum WHERE cw * 2 >= tw
+GROUP BY l_returnflag
+""",
+    doc="Exact quantity-weighted median price per return flag: collapse to "
+    "distinct (flag, price-cents) with summed integer weights FIRST — "
+    "the cumulative window then walks the distinct-price frame, not raw "
+    "lineitem — and pick the smallest price whose cumulative weight "
+    "reaches half the total. Pure integer comparisons end to end; "
+    "contrast with q37's approx_percentile, which trades exactness for "
+    "a mergeable sketch.",
+)
+def q90_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+    ).agg(F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("w"))
+    wp = Window.partitionBy("l_returnflag")
+    cum = g.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("w").over(wp.orderBy("price_c").rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
+        F.sum("w").over(wp).alias("tw"),
+    )
+    return (
+        cum.where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("price_c").cast("double") / 100.0, 2).alias(
+                "weighted_median"
+            )
+        )
+    )
+
+
+@register(
+    "q91_mixture_sampling",
+    f"""
+WITH rated AS (
+  SELECT doc_id, source,
+         CASE CAST(substr(source, 4) AS INT) % 3
+           WHEN 0 THEN 900000 WHEN 1 THEN 500000 ELSE 200000
+         END AS rate_micro
+  FROM documents
+)
+SELECT doc_id, source, CAST(rate_micro AS INT) AS rate_micro
+FROM rated
+WHERE {hashing.sql_md5_int60("doc_id || ':' || source")} % 1000000 < rate_micro
+""",
+    doc="Source-mixture sampling for training-set composition: each source "
+    "tier gets a target keep-rate (90/50/20% by source index mod 3) and "
+    "a document survives iff its portable 60-bit content hash falls "
+    "under the rate — deterministic, seedless, retry-stable, and "
+    "decided row-locally (a pure filter: no shuffle, no sort, no "
+    "global count; pushdown-friendly at any scale). The same hash "
+    "gates both engines, so the kept set matches exactly — unlike "
+    "rand()-based sampling, which is irreproducible across retries.",
+)
+def q91_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    rate = (
+        F.when(F.substring("source", 4, 10).cast("int") % 3 == 0, 900000)
+        .when(F.substring("source", 4, 10).cast("int") % 3 == 1, 500000)
+        .otherwise(200000)
+    )
+    h = hashing.md5_int60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))
+    )
+    return (
+        d.withColumn("rate_micro", rate.cast("int"))
+        .where(h % 1000000 < F.col("rate_micro"))
+        .select("doc_id", "source", "rate_micro")
+    )
+
+
+@register(
+    "q92_sequence_packing",
+    sql_pack_sequences("documents", "source", "doc_id", "text", capacity=256),
+    doc="GPT-style sequence packing (concat-then-chunk): documents are laid "
+    "out as one token stream per source and sliced into fixed 256-token "
+    "bins; boundary-straddling docs split across adjacent bins. One "
+    "prefix-sum window PARTITIONED BY source (never a global "
+    "single-partition sort) + a bounded explode of bin spans — "
+    "embarrassingly parallel and exactly reproducible, which is why "
+    "pretraining pipelines pack this way instead of greedy first-fit "
+    "(inherently sequential). operators/packing.py.",
+)
+def q92_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    return pack_sequences(d, "source", "doc_id", "text", capacity=256)
