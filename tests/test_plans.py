@@ -216,3 +216,46 @@ def test_q72_funnel_single_keyed_shuffle(spark, sf_dir):
     # the only other exchange is the final SinglePartition gather
     keyed = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len(keyed) == 1, keyed
+
+
+def test_q84_entropy_shuffles_counts_not_events(spark, sf_dir):
+    plan = explain_simple(q.q84_event_entropy(spark, sf_dir))
+    # the raw events must be map-side combined BEFORE any exchange: both
+    # keyed shuffles then carry only (user, type) count rows (<= |domain|
+    # per user), never raw events — that's what holds at 100 TB
+    first_exchange = plan.split("Exchange hashpartitioning", 1)[1]
+    assert "partial_count" in first_exchange  # partial agg below the shuffle
+    # and the window total + final agg reuse ONE user_id exchange
+    keyed = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(keyed) == 2, keyed
+
+
+def test_q85_basket_pairs_no_cartesian(spark, sf_dir):
+    plan = explain_str(q.q85_basket_pairs(spark, sf_dir))
+    # pair generation must be the l_orderkey equi-join, never a cross product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # global top-50 must be a heap, not a full sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q87_salted_join_widens_key(spark, sf_dir):
+    plan = explain_simple(q.q87_salted_priority_revenue(spark, sf_dir))
+    # the join key must include the salt column — that's the whole point
+    assert "__salt" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q91_mixture_sampling_no_shuffle(spark, sf_dir):
+    plan = explain_simple(q.q91_mixture_sampling(spark, sf_dir))
+    # row-local hash-gate filter: no keyed exchange anywhere (the only
+    # exchange allowed is the parallelize round-robin after the scan)
+    assert "hashpartitioning" not in plan
+
+
+def test_q92_packing_no_global_sort(spark, sf_dir):
+    plan = explain_simple(q.q92_sequence_packing(spark, sf_dir))
+    # the prefix sum must be partitioned by source — a SinglePartition
+    # window over all documents would be the 100 TB scale-killer
+    assert "SinglePartition" not in plan
+    assert "Generate" in plan  # the bin-span explode
