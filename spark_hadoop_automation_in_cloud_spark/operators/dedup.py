@@ -842,3 +842,123 @@ FROM {src} a JOIN {src} b
  AND abs(length(a.{name_col}) - length(b.{name_col})) <= {max_dist}
 WHERE levenshtein(a.{name_col}, b.{name_col}) <= {max_dist}
 """
+
+
+# --- containment (asymmetric subset) near-dup --------------------------------
+
+
+def containment_pairs(shingles: DataFrame, min_containment: float) -> DataFrame:
+    """Exact shingle-containment pairs: C(A→B) = |A ∩ B| / |A| ≥ t.
+
+    Asymmetric near-dup: finds documents whose shingle set is mostly a
+    SUBSET of another's — the boilerplate/template relation (a footer doc
+    contained in every page; a snippet contained in the page that quotes
+    it) that symmetric Jaccard misses when the container is much larger.
+
+    Lossless prefix filtering, containment variant: order shingles rarest-
+    first (ascending document frequency, shingle tiebreak).  If
+    |A ∩ B| ≥ t·|A|, then B must hit one of A's first
+    ``|A| - ceil(t·|A|) + 1`` shingles (pigeonhole on A's misses), so the
+    candidate join indexes only A-side prefixes against B's FULL posting
+    list — the contained side prunes, the container side cannot (its size
+    is unconstrained).  Candidates are verified by exact intersection
+    count, so the output is identical to the naive full-index form
+    (property-tested), with fan-out bounded by prefix document frequency.
+
+    Output: left_doc_id (contained), right_doc_id (container), containment
+    (rounded 6dp); ordered pairs in both directions, left ≠ right.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df_counts = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        shingles.join(df_counts, "shingle")
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")),
+        )
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.where(
+        F.col("pos")
+        <= F.col("n_sh")
+        - F.ceil(F.lit(min_containment) * F.col("n_sh") - F.lit(1e-9))
+        + 1
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.alias("l")
+        .join(
+            shingles.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc_id") != F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("left_doc_id"),
+            F.col("r.doc_id").alias("right_doc_id"),
+        )
+        .distinct()
+    )
+    sh_l = shingles.select(F.col("doc_id").alias("left_doc_id"), "shingle")
+    sh_r = shingles.select(F.col("doc_id").alias("right_doc_id"), "shingle")
+    inter = (
+        cand.join(sh_l, "left_doc_id")
+        .join(sh_r, ["right_doc_id", "shingle"])
+        .groupBy("left_doc_id", "right_doc_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sl = sizes.select(F.col("doc_id").alias("left_doc_id"), F.col("n_sh").alias("n_l"))
+    return (
+        inter.join(sl, "left_doc_id")
+        .select(
+            "left_doc_id",
+            "right_doc_id",
+            F.round(F.col("inter") / F.col("n_l"), 6).alias("containment"),
+        )
+        .where(F.col("containment") >= min_containment)
+    )
+
+
+def containment_pairs_naive(shingles: DataFrame, min_containment: float) -> DataFrame:
+    """Full-inverted-index containment — the small-block verifier for
+    :func:`containment_pairs` and the shape the DuckDB oracle runs."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    l = shingles.alias("l")
+    r = shingles.alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc_id") != F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("left_doc_id"),
+            F.col("r.doc_id").alias("right_doc_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sl = sizes.select(F.col("doc_id").alias("left_doc_id"), F.col("n_sh").alias("n_l"))
+    return (
+        inter.join(sl, "left_doc_id")
+        .select(
+            "left_doc_id",
+            "right_doc_id",
+            F.round(F.col("inter") / F.col("n_l"), 6).alias("containment"),
+        )
+        .where(F.col("containment") >= min_containment)
+    )
+
+
+def sql_containment_pairs(shingle_src_sql: str, min_containment: float) -> str:
+    return f"""
+WITH sh AS ({shingle_src_sql}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT l.doc_id AS left_doc_id, r.doc_id AS right_doc_id, COUNT(*) AS inter
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id <> r.doc_id
+  GROUP BY 1, 2
+)
+SELECT left_doc_id, right_doc_id,
+       round(CAST(inter AS DOUBLE) / sl.n_sh, 6) AS containment
+FROM inter
+JOIN sizes sl ON sl.doc_id = left_doc_id
+WHERE round(CAST(inter AS DOUBLE) / sl.n_sh, 6) >= {min_containment}
+"""

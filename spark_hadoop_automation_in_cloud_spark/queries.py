@@ -103,6 +103,10 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q90_weighted_median",
     "q91_mixture_sampling",
     "q92_sequence_packing",
+    "q93_countmin_heavy_hitters",
+    "q94_benford_first_digit",
+    "q95_containment_dups",
+    "q96_kmeans_clusters",
 )
 
 
@@ -3658,3 +3662,151 @@ def q91_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q92_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", parallelize=True)
     return pack_sequences(d, "source", "doc_id", "text", capacity=256)
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.clustering import (  # noqa: E402
+    kmeans_assign,
+)
+
+_CM_COEFFS = hashing.minhash_coeffs(4, seed=11)
+_CM_W = 64  # sketch width (buckets per row)
+
+
+def _cm_sketch_sql() -> str:
+    h = hashing.sql_md5_int60("user_id")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT user_id, {i} AS row_i, ({hashing.sql_perm_hash('h', a, b)}) % {_CM_W} AS bucket FROM ev"
+        for i, (a, b) in enumerate(_CM_COEFFS)
+    )
+    return f"""
+WITH ev AS (SELECT user_id, {h} AS h FROM events),
+b AS (
+{rows}
+),
+sketch AS (SELECT row_i, bucket, COUNT(*) AS n FROM b GROUP BY row_i, bucket),
+items AS (SELECT DISTINCT user_id, row_i, bucket FROM b),
+est AS (
+  SELECT user_id, MIN(n) AS est_n
+  FROM items JOIN sketch USING (row_i, bucket) GROUP BY user_id
+),
+tru AS (SELECT user_id, COUNT(*) AS true_n FROM events GROUP BY user_id)
+SELECT user_id, CAST(true_n AS BIGINT) AS true_n, CAST(est_n AS BIGINT) AS est_n
+FROM tru JOIN est USING (user_id)
+"""
+
+
+@register(
+    "q93_countmin_heavy_hitters",
+    _cm_sketch_sql(),
+    doc="Count-min sketch frequency estimation: 4 portable integer hash "
+    "rows x 64 buckets, incremented per event, point-queried with the "
+    "min-over-rows rule — est_n >= true_n always (one-sided error), "
+    "with overestimate bounded by collisions. The sketch is a FIXED "
+    "256-cell aggregate regardless of corpus size: fully map-side "
+    "combinable, mergeable across partitions/streams, and the "
+    "estimate join broadcasts 256 rows — the sketch answer to heavy "
+    "hitters when exact per-key state (q45's distinct counts) stops "
+    "fitting. true_n sits alongside so the error is visible per key.",
+)
+def q93_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    ev = e.select("user_id", hashing.md5_int60(F.col("user_id")).alias("h"))
+    buckets = [
+        (hashing.perm_hash(F.col("h"), a, b) % _CM_W).alias(f"b{i}")
+        for i, (a, b) in enumerate(_CM_COEFFS)
+    ]
+    b = ev.select("user_id", *buckets).select(
+        "user_id",
+        F.posexplode(F.array(*[F.col(f"b{i}") for i in range(len(_CM_COEFFS))])).alias(
+            "row_i", "bucket"
+        ),
+    )
+    sketch = b.groupBy("row_i", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    items = b.distinct()
+    est = (
+        items.join(F.broadcast(sketch), ["row_i", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("n").alias("est_n"))
+    )
+    tru = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    return tru.join(est, "user_id").select(
+        "user_id",
+        F.col("true_n").cast("bigint").alias("true_n"),
+        F.col("est_n").cast("bigint").alias("est_n"),
+    )
+
+
+@register(
+    "q94_benford_first_digit",
+    """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INT) AS digit
+  FROM orders
+),
+c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+t AS (SELECT SUM(n) AS total FROM c)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / total, 6) AS share,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_p
+FROM c CROSS JOIN t
+""",
+    doc="Benford first-digit audit: the leading digit of every order total "
+    "(taken from exact integer cents — never from engine-specific "
+    "double formatting) against the Benford expectation log10(1+1/d). "
+    "The fraud/data-quality screen: fabricated or unit-mangled amounts "
+    "flare as share-vs-benford_p gaps. One 9-row aggregate; the total "
+    "joins back via broadcast.",
+)
+def q94_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6).alias(
+            "benford_p"
+        ),
+    )
+
+
+@register(
+    "q95_containment_dups",
+    dd.sql_containment_pairs(_SHINGLE_SQL, min_containment=0.4),
+    doc="Asymmetric shingle-containment near-dup: |A∩B|/|A| >= 0.4 finds "
+    "docs mostly CONTAINED in another (boilerplate/template/quote "
+    "relation) that symmetric Jaccard (q22) misses when the container "
+    "is much larger. Same lossless rarest-first prefix filter, "
+    "containment variant: only the contained side prunes its posting "
+    "list; candidates verified by exact intersection (oracle runs the "
+    "naive full index; property test pins equivalence).",
+)
+def q95_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    sh = dd.shingle_rows(d, "doc_id", "text", n=2)
+    return dd.containment_pairs(sh, min_containment=0.4)
+
+
+@register(
+    "q96_kmeans_clusters",
+    None,  # iterative fixpoint — no single SQL equivalent; cluster-recovery
+    # vs ground truth is asserted in tests/test_clustering.py
+    doc="Distributed Lloyd's k-means on the embeddings table (k=8, 5 "
+    "iterations, deterministic lowest-id seeding, exact integer-"
+    "quantized centroid means). Iterative-broadcast pattern: centroids "
+    "(k x dim doubles) broadcast each round, assignment is a JVM-side "
+    "F.aggregate distance + min_by argmin, new means come back as ONE "
+    "dimension-exploded map-side-combined aggregation — the corpus is "
+    "rescanned but never shuffled at full width, and only k x dim "
+    "model values ever reach the driver. operators/clustering.py.",
+)
+def q96_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
+    return kmeans_assign(emb, k=8, max_iter=5)

@@ -32,7 +32,6 @@ from __future__ import annotations
 import json
 import os
 
-import numpy as np
 from pyspark.sql import functions as F
 
 from spark_hadoop_automation_in_cloud_spark.io import read_table
@@ -41,13 +40,11 @@ from spark_hadoop_automation_in_cloud_spark.operators.similarity import (
     ann_lsh_topk,
     cosine_topk,
 )
+from tests.clustered import DIM, N_CLUSTERS, clustered_corpus
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = "/root/testdata/sf0.01"
 K = 5
-DIM = 64
-N_CLUSTERS = 20
-NOISE = 0.044  # ⇒ E[cos(v, centroid)] ≈ 0.94, a realistic near-dup tightness
 ISO_LSH = {"planes": 4, "tables": 6}  # keep in sync with q25
 ISO_IVF = {"nprobe": 10}  # keep in sync with q30
 CL_LSH = {"planes": 10, "tables": 8}  # longer bands: clusters allow selectivity
@@ -86,22 +83,6 @@ def _measure(emb, queries, n_corpus, n_queries, lsh_params, ivf_params):
     return out
 
 
-def _clustered_corpus(spark, vec_ids):
-    """Deterministic clustered re-embedding of the given vec_ids: 20 unit
-    centroids + seeded Gaussian noise, vec_id i in cluster i % 20."""
-    rs = np.random.RandomState(7)
-    cent = rs.normal(size=(N_CLUSTERS, DIM))
-    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
-    ids = sorted(vec_ids)
-    noise = rs.normal(size=(len(ids), DIM)) * NOISE
-    vecs = cent[[i % N_CLUSTERS for i in ids]] + noise
-    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
-    return spark.createDataFrame(
-        [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
-        "vec_id bigint, embedding array<double>",
-    ).repartition(8)
-
-
 def test_ann_recall_artifact(spark):
     emb = read_table(spark, SF, "embeddings", parallelize=True)
     queries = emb.where(F.col("vec_id") < 10)
@@ -109,7 +90,7 @@ def test_ann_recall_artifact(spark):
     n_queries = queries.count()
     iso = _measure(emb, queries, n_corpus, n_queries, ISO_LSH, ISO_IVF)
 
-    cl_emb = _clustered_corpus(spark, [r.vec_id for r in emb.select("vec_id").collect()])
+    cl_emb = clustered_corpus(spark, [r.vec_id for r in emb.select("vec_id").collect()])
     cl_queries = cl_emb.where(F.col("vec_id") < 10)
     cl = _measure(cl_emb, cl_queries, n_corpus, n_queries, CL_LSH, CL_IVF)
 

@@ -288,3 +288,43 @@ def test_jaccard_prefix_filter_equals_naive(spark, docs, t):
         for r in jaccard_pairs_prefix(sh, t).collect()
     }
     assert pref == naive
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=2, max_size=12),
+        min_size=2,
+        max_size=16,
+    ),
+    t=st.sampled_from([0.2, 0.4, 0.6, 0.9]),
+)
+def test_containment_prefix_filter_equals_naive(spark, docs, t):
+    """Lossless containment prefix filtering: containment_pairs must produce
+    EXACTLY the ordered pairs (and values) of the naive full-index join —
+    the asymmetric variant prunes only the contained side, so losing a
+    container would be the natural bug; this pins it."""
+    from spark_hadoop_automation_in_cloud_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_naive,
+        shingle_rows,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id bigint, text string",
+    )
+    sh = shingle_rows(df, "doc_id", "text", n=2)
+    naive = {
+        (r.left_doc_id, r.right_doc_id, r.containment)
+        for r in containment_pairs_naive(sh, t).collect()
+    }
+    pref = {
+        (r.left_doc_id, r.right_doc_id, r.containment)
+        for r in containment_pairs(sh, t).collect()
+    }
+    assert pref == naive
