@@ -107,6 +107,10 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q94_benford_first_digit",
     "q95_containment_dups",
     "q96_kmeans_clusters",
+    "q97_point_in_time_state",
+    "q98_mom_revenue_growth",
+    "q99_text_normalize",
+    "q100_waiting_suppliers",
 )
 
 
@@ -3810,3 +3814,226 @@ def q95_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q96_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
     return kmeans_assign(emb, k=8, max_iter=5)
+
+
+@register(
+    "q97_point_in_time_state",
+    """
+WITH st AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM events WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM st
+),
+iv AS (
+  SELECT user_id, event_type AS state_type,
+         MIN(ts) AS valid_from,
+         lead(MIN(ts)) OVER (PARTITION BY user_id ORDER BY MIN(ts)) AS valid_to
+  FROM runs GROUP BY user_id, event_type, run_id
+)
+SELECT p.event_id, p.user_id, p.ts, iv.state_type
+FROM events p
+JOIN iv ON iv.user_id = p.user_id
+       AND p.ts >= iv.valid_from
+       AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)
+WHERE p.event_type = 'purchase'
+""",
+    doc="Point-in-time (as-of-state) lookup against an SCD2 dimension: "
+    "build validity intervals from each user's non-purchase state runs "
+    "(q74's gaps-and-islands), then attribute every purchase to the "
+    "state the user was in at that instant — the temporal-join pattern "
+    "behind feature-store training-data correctness (no future "
+    "leakage). The interval join is an equi-join on user_id with the "
+    "range predicate applied inside the matched group: per-user "
+    "interval lists are bounded, so there is no cross-user fan-out and "
+    "the whole query rides the one user_id shuffle.",
+)
+def q97_point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    st = e.where(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
+    ).cast("int")
+    runs = st.select(
+        "user_id", "event_type", "ts", "event_id", chg.alias("chg")
+    ).withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    grouped = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("valid_from")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    iv = grouped.select(
+        "user_id",
+        F.col("event_type").alias("state_type"),
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return p.join(
+        iv,
+        (p["user_id"] == iv["user_id"])
+        & (p["ts"] >= iv["valid_from"])
+        & (iv["valid_to"].isNull() | (p["ts"] < iv["valid_to"])),
+    ).select("event_id", p["user_id"], "ts", "state_type")
+
+
+@register(
+    "q98_mom_revenue_growth",
+    f"""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         {sql_dsum("o_totalprice")} AS revenue
+  FROM orders GROUP BY date_trunc('month', o_orderdate)
+)
+SELECT month,
+       round(revenue, 2) AS revenue,
+       round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS delta,
+       round((revenue - lag(revenue) OVER (ORDER BY month))
+             / lag(revenue) OVER (ORDER BY month), 6) AS growth_rate
+FROM m
+""",
+    doc="Month-over-month revenue growth: exact-cents monthly rollup, then "
+    "lag deltas and growth rate over the month sequence. The ordered "
+    "window runs on the ALREADY-AGGREGATED month frame (q78's "
+    "bounded-window-input discipline) — at 100 TB the heavy lifting is "
+    "one map-side-combinable month aggregation; the trend math touches "
+    "|months| rows.",
+)
+def q98_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        dsum("o_totalprice").alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") - prev, 2).alias("delta"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("growth_rate"),
+    )
+
+
+#: small demonstrative stopword list — shared literal between both engines
+_STOPWORDS = ("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
+_SQL_STOPWORDS = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+
+@register(
+    "q99_text_normalize",
+    f"""
+WITH norm AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_raw_tokens,
+         list_filter(
+           string_split(
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g')),
+             ' '),
+           tok -> len(tok) > 0 AND tok NOT IN {_SQL_STOPWORDS}
+         ) AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_raw_tokens AS INT) AS n_raw_tokens,
+       CAST(len(toks) AS INT) AS n_clean_tokens,
+       {hashing.sql_md5_int60("list_aggregate(toks, 'string_agg', ' ')")} AS norm_hash
+FROM norm
+""",
+    doc="Text normalization pipeline: lowercase → punctuation to spaces → "
+    "whitespace collapse → stopword removal, emitting token counts and "
+    "a portable 60-bit hash of the normalized text (the canonical form "
+    "downstream dedup keys on — q20's input in a real pipeline). Pure "
+    "JVM projections, no shuffle, no Python; the oracle recomputes the "
+    "identical normalization so the hash pins byte equality, not just "
+    "counts.",
+)
+def q99_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    toks = F.filter(
+        F.split(cleaned, " "),
+        lambda t: (F.length(t) > 0) & ~t.isin(*_STOPWORDS),
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_raw_tokens"),
+        F.size(toks).cast("int").alias("n_clean_tokens"),
+        hashing.md5_int60(F.array_join(toks, " ")).alias("norm_hash"),
+    )
+
+
+@register(
+    "q100_waiting_suppliers",
+    """
+WITH ordsupp AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+),
+nsupp AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp FROM ordsupp GROUP BY l_orderkey
+),
+late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+),
+nlate AS (
+  SELECT l_orderkey, COUNT(*) AS n_late FROM late GROUP BY l_orderkey
+)
+SELECT l.l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l
+JOIN nsupp USING (l_orderkey)
+JOIN nlate USING (l_orderkey)
+WHERE nsupp.n_supp >= 2 AND nlate.n_late = 1
+GROUP BY l.l_suppkey
+ORDER BY numwait DESC, l_suppkey
+LIMIT 100
+""",
+    doc="Sole-blame late suppliers (TPC-H Q21 shape on this schema): "
+    "suppliers who shipped >90 days after the order date on multi-"
+    "supplier orders where NO other supplier was late. The classic "
+    "EXISTS/NOT-EXISTS correlated pair, decorrelated by hand into two "
+    "per-order aggregates joined back on the order key — every step an "
+    "equi-join or map-side-combinable count on l_orderkey, so the "
+    "whole query rides one join key and AQE can broadcast the shrunken "
+    "per-order frames. Deterministic heap top-100.",
+)
+def q100_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    ordsupp = li.select("l_orderkey", "l_suppkey").distinct()
+    nsupp = ordsupp.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_supp"))
+    late = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    nlate = late.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_late"))
+    return (
+        late.join(nsupp, "l_orderkey")
+        .join(nlate, "l_orderkey")
+        .where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "l_suppkey")
+        .limit(100)
+    )
