@@ -90,8 +90,6 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q80_next_event_features",
     "q81_transition_matrix",
     "q82_linear_regression",
-    # changed this round → needs a fresh driver row
-    "q22_ngram_jaccard_dups",
     # round-3 additions
     "q83_modal_event_type",
     "q84_event_entropy",
@@ -111,6 +109,10 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q98_mom_revenue_growth",
     "q99_text_normalize",
     "q100_waiting_suppliers",
+    # changed implementation (output pinned identical by property test) but
+    # already driver-verified in r1 — behind the never-verified entries so
+    # all 50 slots of the driver window go to queries with no row yet
+    "q22_ngram_jaccard_dups",
 )
 
 
