@@ -29,7 +29,13 @@ from spark_hadoop_automation_in_cloud_spark import queries as q
 from spark_hadoop_automation_in_cloud_spark.io import TABLES
 from spark_hadoop_automation_in_cloud_spark.session import get_test_session
 
-QUERIES = ["q60_decontamination", "q63_tfidf_top_terms", "q54_repetition_ratio"]
+QUERIES = [
+    "q60_decontamination",
+    "q63_tfidf_top_terms",
+    "q54_repetition_ratio",
+    "q92_sequence_packing",
+    "q99_text_normalize",
+]
 
 
 def best_of(fn, sf_dir: str, n: int = 2) -> float:
