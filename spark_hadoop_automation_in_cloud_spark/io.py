@@ -36,10 +36,69 @@ TABLES = (
 )
 
 
-#: columns written as TIMESTAMP(NANOS) by the testdata generator; read as
-#: epoch-nanos (session conf nanosAsLong) and truncated to micros, exactly
-#: as DuckDB's reader does.
-_NANO_TS_COLS = {"events": ("ts",)}
+#: event-time columns normalized to TIMESTAMP on read, whatever the writer's
+#: parquet encoding was — see ``_normalize_ts`` / ``_read_parquet_any_ts``.
+_TS_COLS = {"events": ("ts",)}
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _read_parquet_any_ts(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """``spark.read.parquet`` that tolerates every timestamp encoding the
+    lake has shipped: TIMESTAMP (LTZ), TIMESTAMP(MICROS) without UTC
+    adjustment (→ ``TIMESTAMP_NTZ``), and legacy TIMESTAMP(NANOS), which the
+    parquet reader rejects outright unless the ``nanosAsLong`` conf is set
+    (→ epoch-nanos ``bigint``).
+
+    The nanos fallback is SCOPED: the conf is set only for the duration of
+    the read call and restored after.  The returned DataFrame stays valid —
+    the relation snapshots its reader configuration at creation, so later
+    collections don't depend on the session conf (pinned by
+    ``tests/test_sources.py::test_read_table_nanos_and_micros_encodings``).
+    No library read path leaves a session-global side effect behind.
+    """
+
+    def _read() -> DataFrame:
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(path)
+
+    try:
+        return _read()
+    except Exception as e:  # noqa: BLE001 — inspect and re-raise below
+        if "PARQUET_TYPE_ILLEGAL" not in str(e):
+            raise
+        before = spark.conf.get(_NANOS_CONF, None)
+        spark.conf.set(_NANOS_CONF, "true")
+        try:
+            return _read()
+        finally:
+            if before is not None:
+                spark.conf.set(_NANOS_CONF, before)
+            else:
+                spark.conf.unset(_NANOS_CONF)
+
+
+def _normalize_ts(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """Bring declared event-time columns to ``TIMESTAMP`` whatever the
+    reader delivered: epoch-nanos ``bigint`` (legacy nanos files) is
+    truncated to micros exactly as DuckDB's reader does; ``TIMESTAMP_NTZ``
+    (micros files without UTC adjustment) is reinterpreted under the UTC
+    session timezone — value-preserving; ``TIMESTAMP`` passes through.
+    """
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        t = dtypes.get(c)
+        if t == "bigint":
+            # integer DIV, not `/`: epoch-nanos exceed double's 2^53 mantissa
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+        elif t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
 
 def read_table(
     spark: SparkSession,
@@ -71,19 +130,10 @@ def read_table(
     files (the ``os.path.isfile`` gate is False for directories and object
     stores), where Catalyst's bin-packing already yields full parallelism.
     """
-    if name in _NANO_TS_COLS:
-        # runtime-settable SQL conf — the caller's session may not have it
-        # (e.g. the driver harness builds its own vanilla SparkSession)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    df = reader.parquet(path)
-    for c in _NANO_TS_COLS.get(name, ()):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            # integer DIV, not `/`: epoch-nanos exceed double's 2^53 mantissa
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    df = _read_parquet_any_ts(spark, path, merge_schema=merge_schema)
+    if name in _TS_COLS:
+        df = _normalize_ts(df, _TS_COLS[name])
     if parallelize:
         # fan out whenever the scan is under-parallel — a single file OR a
         # directory of few/unsplittable (single-row-group) files both plan

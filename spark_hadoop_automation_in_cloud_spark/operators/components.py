@@ -131,6 +131,7 @@ def pagerank(
     dst_col: str = "dst",
     n_iter: int = 10,
     damping: float = 0.85,
+    per_iter_round_dp: int | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list.
 
@@ -147,9 +148,18 @@ def pagerank(
     round count is what makes two runs comparable.  Output:
     node, rank (rounded 6dp; Σ rank = 1).
 
-    Not oracle-checked by DuckDB (recursive CTEs cannot re-aggregate per
-    round): correctness is pinned by a pytest fixture vs an independent
-    dense power iteration (tests/test_operators.py).
+    ``per_iter_round_dp``: round each iteration's ranks to this many
+    decimal places.  The per-round float summation ORDER differs between
+    engines (Spark sums inflow in partition order, a sequential engine in
+    scan order) — last-ulp differences that 10 damped rounds then amplify.
+    Snapping every iteration to 12dp makes the whole trajectory
+    bit-reproducible across engines (the perturbation, <5e-13/round, is
+    far below PageRank's meaningful resolution), which is what lets q69
+    carry an iteration-unrolled DuckDB oracle instead of a rows-only
+    check.  ``None`` keeps raw doubles.
+
+    Correctness is additionally pinned by a pytest fixture vs an
+    independent dense power iteration (tests/test_operators.py).
     """
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -181,17 +191,17 @@ def pagerank(
             with_deg.where(F.col("deg").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
+        new_rank = (
+            F.lit((1.0 - damping) / n)
+            + damping
+            * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dm") / n)
+        )
+        if per_iter_round_dp is not None:
+            new_rank = F.round(new_rank, per_iter_round_dp)
         ranks = (
             nodes.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + damping
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dm") / n)
-                ).alias("rank"),
-            )
+            .select("node", new_rank.alias("rank"))
             .localCheckpoint()
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))

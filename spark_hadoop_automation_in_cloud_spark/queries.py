@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_hadoop_automation_in_cloud_spark.functions import geo, hashing
+from spark_hadoop_automation_in_cloud_spark.functions.timeutils import epoch_us
 from spark_hadoop_automation_in_cloud_spark.io import read_table
 from spark_hadoop_automation_in_cloud_spark.operators import changes as chg
 from spark_hadoop_automation_in_cloud_spark.operators import topk as topk_ops
@@ -50,69 +51,76 @@ def register(name: str, sql: str | None, doc: str = ""):
     return deco
 
 
-# The driver's CORRECTNESS run verifies a bounded window of entries taken in
-# registration order, so queries() exposes the registry ROTATED: operators
-# that have no driver-oracle row yet (the round-2 additions q51-q82) and
-# operators whose implementation or oracle changed this round come first;
-# previously driver-verified queries follow in their original order.  Local
-# pytest parity (tests/test_oracle_parity.py) still covers every registered
-# query regardless of position.
+# The driver's CORRECTNESS run verifies a bounded window (50 entries) taken
+# in registration order, so queries() exposes the registry ROTATED.  Round-3
+# allocation (VERDICT r2 item 2 — no query whose implementation or shared
+# reader changed since its last green row may stay unverified): the 9
+# broken/stale rows, then everything whose code or shared infrastructure
+# (io.read_table ts normalization, stream_events rewrite, epoch_us sites)
+# changed since its last green driver row, then a refresh rotation of the
+# oldest r01 greens.  Local pytest parity (tests/test_oracle_parity.py)
+# still covers every registered query regardless of position.
 _ROTATE_FIRST: tuple[str, ...] = (
-    "q51_data_quality_profile",
-    "q52_above_group_average",
+    # --- r02 driver failures (timestamp-encoding break, fixed this round)
     "q53_time_range_average",
-    "q54_repetition_ratio",
-    "q55_stratified_sample",
-    "q56_full_outer_reconciliation",
-    "q57_streaming_dedup",
-    "q58_training_sequences",
-    "q59_upsert_merge",
-    "q60_decontamination",
-    "q61_pii_scrub",
-    "q62_embedding_quantize",
-    "q63_tfidf_top_terms",
-    "q64_document_chunking",
     "q65_stream_stream_join",
-    "q66_grouped_moments",
+    "q72_conversion_funnel",
+    "q80_next_event_features",
+    "q89_session_intervals",
+    # --- stale r01 streaming greens broken by the same root cause
+    "q32_streaming_weekly_rollup",
+    "q33_stateful_sessions",
+    "q41_streaming_sliding_window",
+    "q44_streaming_geo_rollup",
+    # --- changed since their last driver row, never re-verified
+    "q09_user_sessions",
+    "q19_embedding_neardup",
+    "q22_ngram_jaccard_dups",
+    # --- r02 greens that consume the rewritten stream_events source
+    "q57_streaming_dedup",
+    "q59_upsert_merge",
     "q67_stream_static_join",
-    "q68_trimmed_mean",
+    # --- no_oracle rows upgraded to deterministic oracles this round
     "q69_pagerank",
+    "q96_kmeans_clusters",
+    # --- r01 greens reading events: read_table now yields TIMESTAMP (was
+    #     NTZ at their r02-era reads / long at r01) — re-pin under the new reader
+    "q06_event_rollup",
+    "q07_event_dedup",
+    "q08_conditional_enrichment",
+    "q10_first_last_value",
+    "q16_friend_recommendations",
+    "q29_fingerprint",
+    "q34_raw_event_flatten",
+    "q35_asof_join",
+    "q36_interval_join",
+    "q38_moving_average",
+    "q43_session_windows",
+    "q45_distinct_aggregates",
+    # --- infra-touched r01 greens named by the r2 verdict (shared plans)
+    "q05_nearest_city",
+    "q11_travel_history",
+    "q14_local_time",
+    "q17_user_demographics",
+    # --- r02 greens whose OUTPUT carries event timestamps (type drift risk)
+    "q51_data_quality_profile",
     "q70_resample_forward_fill",
     "q71_map_explode",
-    "q72_conversion_funnel",
     "q73_retention_cohorts",
     "q74_scd2_intervals",
-    "q75_weighted_sample",
-    "q76_mad_outliers",
-    "q77_value_histogram",
-    "q78_pareto_abc",
     "q79_growth_accounting",
-    "q80_next_event_features",
-    "q81_transition_matrix",
-    "q82_linear_regression",
-    # round-3 additions
-    "q83_modal_event_type",
-    "q84_event_entropy",
-    "q85_basket_pairs",
-    "q86_price_skyline",
-    "q87_salted_priority_revenue",
-    "q88_rfm_segments",
-    "q89_session_intervals",
-    "q90_weighted_median",
-    "q91_mixture_sampling",
-    "q92_sequence_packing",
-    "q93_countmin_heavy_hitters",
-    "q94_benford_first_digit",
-    "q95_containment_dups",
-    "q96_kmeans_clusters",
     "q97_point_in_time_state",
-    "q98_mom_revenue_growth",
-    "q99_text_normalize",
-    "q100_waiting_suppliers",
-    # changed implementation (output pinned identical by property test) but
-    # already driver-verified in r1 — behind the never-verified entries so
-    # all 50 slots of the driver window go to queries with no row yet
-    "q22_ngram_jaccard_dups",
+    # --- refresh rotation: oldest unre-verified r01 greens (non-events)
+    "q01_pricing_summary",
+    "q02_regional_revenue",
+    "q03_top_order_per_customer",
+    "q04_customers_without_orders",
+    "q12_active_user_segments",
+    "q13_order_priority_sets",
+    "q15_top_parts_global",
+    "q18_zone_activity",
+    "q20_exact_dedup",
+    "q21_minhash_lsh_pairs",
 )
 
 
@@ -1926,7 +1934,7 @@ def q53_time_range_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(epoch_us("ts"))
         .rangeBetween(-3600 * 1_000_000, 0)
     )
     return e.select(
@@ -2492,17 +2500,63 @@ from spark_hadoop_automation_in_cloud_spark.operators.components import (  # noq
 )
 
 
+def _pagerank_oracle_sql(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Iteration-UNROLLED DuckDB PageRank (one CTE per power-iteration
+    round) — a recursive CTE can't re-aggregate per round, but a fixed
+    round count unrolls mechanically.  Exactly mirrors operators.
+    components.pagerank with ``per_iter_round_dp=12``: both engines snap
+    each round's ranks to 12dp, so summation-order float noise never
+    accumulates and the trajectories are bit-identical.
+
+    The q69 graph is symmetric by construction (both directions of every
+    co-purchase pair), so every node has out-degree >= 1 and the operator's
+    dangling-mass term is identically zero — the oracle omits it.
+    """
+    prev = "r0"
+    rounds = []
+    for i in range(1, n_iter + 1):
+        rounds.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         round((1 - {damping}) / (SELECT n FROM nn)
+               + {damping} * COALESCE(i.inflow, 0), 12) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / d.deg) AS inflow
+    FROM e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.node = e.src
+    GROUP BY e.dst) i ON i.node = n.node
+)"""
+        )
+        prev = f"r{i}"
+    unrolled = ",\n".join(rounds)
+    return f"""
+WITH p AS (
+  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS INT) AS k, user_id
+  FROM events WHERE event_type = 'purchase'
+),
+e AS (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM p a JOIN p b USING (k) WHERE a.user_id <> b.user_id
+),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+{unrolled}
+SELECT node, round(rank, 6) AS rank FROM {prev}
+"""
+
+
 @register(
     "q69_pagerank",
-    None,  # iterative re-aggregation per round — not expressible in one SQL
-    # query; correctness pinned by tests/test_operators.py vs an
-    # independent dense power iteration
+    _pagerank_oracle_sql(n_iter=10),
     doc="PageRank over the user contact graph (users sharing a purchase "
     "key, edges both directions): 10 damped power-iteration rounds, "
     "each one distributed join+aggregate with per-round localCheckpoint "
     "lineage cuts; dangling mass redistributed via a 1-row broadcast, "
     "no driver-side math. The influence-scoring companion to q39's "
-    "connected components on the same iterative-dataflow skeleton.",
+    "connected components on the same iterative-dataflow skeleton. "
+    "Oracle: iteration-unrolled CTE chain; both engines round ranks to "
+    "12dp per round, making the float trajectory engine-independent.",
 )
 def q69_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events", parallelize=True)
@@ -2517,7 +2571,7 @@ def q69_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
         .distinct()
     )
-    return pagerank(edges, n_iter=10)
+    return pagerank(edges, n_iter=10, per_iter_round_dp=12)
 
 
 @register(
@@ -2707,7 +2761,7 @@ def q72_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(converted.cast("int")).cast("bigint").alias("n_purchase_after"),
         F.round(
             F.sum(
-                F.when(converted, F.unix_micros("p_ts") - F.unix_micros("s_ts"))
+                F.when(converted, epoch_us("p_ts") - epoch_us("s_ts"))
             ).cast("double")
             / F.nullif(F.sum(converted.cast("int")), F.lit(0))
             / 3_600_000_000.0,
@@ -3137,7 +3191,7 @@ def q80_next_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = (
-        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+        (epoch_us(F.lead("ts").over(w)) - epoch_us("ts"))
         / F.lit(1_000_000)
     ).cast("bigint")
     return e.select(
@@ -3538,7 +3592,7 @@ GROUP BY user_id, session_id
 def q89_session_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gap_us = epoch_us("ts") - epoch_us(F.lag("ts").over(w))
     is_new = F.when(
         F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1
     ).otherwise(0)
@@ -3554,7 +3608,7 @@ def q89_session_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        (epoch_us(F.max("ts")) - epoch_us(F.min("ts")))
         .cast("bigint")
         .alias("duration_us"),
     )

@@ -37,10 +37,10 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.parquet.mergeSchema": "false",
     # Don't let tiny local runs mask pushdown bugs.
     "spark.sql.parquet.filterPushdown": "true",
-    # Some producers (pandas/arrow) write TIMESTAMP(NANOS) parquet, which the
-    # Spark reader rejects by default; read as epoch-nanos long and let
-    # io.read_table convert to micros (matches DuckDB's truncation).
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # NOTE: no legacy timestamp knobs here.  TIMESTAMP(NANOS) files are
+    # handled per-read by io._read_parquet_any_ts with a scoped conf — a
+    # session-global nanosAsLong masked exactly the encoding drift that
+    # broke round 2 (testdata moved from nanos to micros/NTZ).
 }
 
 

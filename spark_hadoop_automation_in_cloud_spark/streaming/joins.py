@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spark_hadoop_automation_in_cloud_spark.functions.timeutils import epoch_us
+
 
 def interval_join_stream(
     left: DataFrame,
@@ -57,7 +59,7 @@ def interval_join_stream(
         "inner",
     )
     gap_min = (
-        (F.unix_micros("r_ts") - F.unix_micros("l_ts")) / F.lit(60_000_000)
+        (epoch_us("r_ts") - epoch_us("l_ts")) / F.lit(60_000_000)
     ).cast("bigint")
     return joined.select(
         "left_event_id", key, "right_event_id", gap_min.alias("gap_min")

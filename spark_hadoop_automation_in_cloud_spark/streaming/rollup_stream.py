@@ -22,38 +22,49 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-#: staging/testdata event schema as stored (ts is TIMESTAMP(NANOS) parquet →
-#: read as epoch-nanos long, converted after read)
-EVENTS_FILE_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from spark_hadoop_automation_in_cloud_spark.io import _NANOS_CONF, _read_parquet_any_ts
 
 MONDAY_ALIGN = "4 days"  # epoch-align weekly tumbling windows to Monday
 
 
 def stream_events(spark: SparkSession, path: str) -> DataFrame:
-    """File-stream source over the event table.
+    """File-stream source over the event table, with ``ts`` normalized to
+    ``TIMESTAMP`` whatever the files' parquet encoding is.
+
+    The file schema is INFERRED FROM A BATCH READ of the same path (the
+    FileStreamSource requires an explicit schema) rather than hardcoded —
+    round 2 hardcoded the legacy nanos-as-long schema and silently shrank
+    every micros-encoded timestamp 1000×.  The batch probe goes through
+    ``io._read_parquet_any_ts``, so all three historical encodings resolve:
+
+    - ``TIMESTAMP``/``TIMESTAMP_NTZ`` (micros): stream with the inferred
+      schema; NTZ is reinterpreted under the UTC session timezone
+      (value-preserving cast).
+    - legacy TIMESTAMP(NANOS) → ``bigint`` epoch-nanos: the parquet reader
+      needs ``nanosAsLong`` for the LIFETIME of the stream (each micro-batch
+      re-reads footers), so only on this path the conf is set un-scoped, and
+      the long is truncated to micros.
 
     ``path`` may be a directory (the file source's native shape) or a single
     parquet file — the latter is exposed through its parent directory with a
     ``pathGlobFilter``, since FileStreamSource requires a directory basePath.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    raw_schema = _read_parquet_any_ts(spark, path).schema
+    ts_dtype = {f.name: f.dataType.simpleString() for f in raw_schema}.get("ts")
+    if ts_dtype == "bigint":
+        # legacy nanos files: the conf must outlive this call (see docstring)
+        spark.conf.set(_NANOS_CONF, "true")
+    reader = spark.readStream.schema(raw_schema)
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_dtype == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_dtype == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def weekly_counts_stream(

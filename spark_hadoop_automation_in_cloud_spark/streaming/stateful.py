@@ -16,6 +16,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from spark_hadoop_automation_in_cloud_spark.functions.timeutils import epoch_us
+
 OUTPUT_SCHEMA = "user_id long, n_events long, n_sessions long"
 STATE_SCHEMA = "n_events long, n_sessions long, last_ts_us long"
 
@@ -45,10 +47,13 @@ def _update_user_state(
     # A key's rows can arrive split across several Arrow chunks whose time
     # ranges interleave — gather every timestamp first, sort ONCE, then fold
     # (a per-chunk sort would let last_ts_us go backward and overcount
-    # sessions).
+    # sessions).  ts arrives as int64 epoch-MICROS: user_session_totals
+    # projects epoch_us() JVM-side, so the kernel never depends on which
+    # datetime unit Arrow/pandas picked for a timestamp column (the round-2
+    # `// 1000` here assumed ns and would corrupt a datetime64[us] batch).
     ts: list[int] = []
     for pdf in pdfs:
-        ts.extend((pdf["ts"].astype("int64").to_numpy() // 1000).tolist())  # ns → µs
+        ts.extend(pdf["ts"].astype("int64").to_numpy().tolist())
     ts.sort()
     for t in ts:
         if t - last_ts_us > SESSION_GAP_US:
@@ -64,7 +69,10 @@ def _update_user_state(
 def user_session_totals(events: DataFrame) -> DataFrame:
     """events(user_id, ts, ...) stream → running (n_events, n_sessions)."""
     return (
-        events.select("user_id", "ts")
+        # epoch_us BEFORE the Python boundary: the kernel folds exact int64
+        # micros, immune to Arrow's datetime unit choice and to whether the
+        # source delivered TIMESTAMP or TIMESTAMP_NTZ.
+        events.select("user_id", epoch_us("ts").alias("ts"))
         .groupBy("user_id")
         .applyInPandasWithState(
             _update_user_state,

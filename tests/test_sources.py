@@ -151,3 +151,88 @@ def test_compact_merges_small_files(spark, sf_dir, tmp_path):
     assert got.count() == ev.count()
     # full content equality via symmetric-difference
     assert got.unionByName(ev).distinct().count() == ev.distinct().count()
+
+
+def test_read_table_nanos_and_micros_encodings(spark, tmp_path):
+    """The same helpers must read events whatever parquet timestamp encoding
+    the writer used — round 2 broke when the lake moved from TIMESTAMP(NANOS)
+    to TIMESTAMP(MICROS)/NTZ.  Both encodings of identical data must come out
+    as identical TIMESTAMP values, with no session conf left behind."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_hadoop_automation_in_cloud_spark.io import _NANOS_CONF, read_table
+
+    ts = [
+        dt.datetime(2024, 1, 1, 12, 0, 0, 123456),
+        dt.datetime(2024, 6, 1, 0, 0, 1),
+    ]
+    cols = {"event_id": [1, 2], "user_id": [10, 20]}
+    for unit, sub in (("ns", "nanos"), ("us", "micros")):
+        d = tmp_path / sub
+        d.mkdir()
+        pq.write_table(
+            pa.table({**cols, "ts": pa.array(ts, type=pa.timestamp(unit))}),
+            d / "events.parquet",
+            store_schema=False,
+        )
+
+    before = spark.conf.get(_NANOS_CONF, None)
+    nanos = read_table(spark, str(tmp_path / "nanos"), "events")
+    micros = read_table(spark, str(tmp_path / "micros"), "events")
+    # no lingering session mutation from the scoped nanos fallback
+    assert spark.conf.get(_NANOS_CONF, None) == before
+
+    for df in (nanos, micros):
+        assert dict(df.dtypes)["ts"] == "timestamp"
+    got_n = [r["ts"] for r in nanos.orderBy("event_id").collect()]
+    got_u = [r["ts"] for r in micros.orderBy("event_id").collect()]
+    assert got_n == got_u == ts
+
+
+def test_stream_events_micros_encoding_matches_batch(spark, tmp_path):
+    """stream_events must infer the file schema from the files (round 2
+    hardcoded nanos-as-long and shrank micros timestamps 1000×): an
+    availableNow drain over a micros/NTZ-encoded file yields exactly the
+    batch read's timestamps."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_hadoop_automation_in_cloud_spark.io import read_table
+    from spark_hadoop_automation_in_cloud_spark.streaming.rollup_stream import (
+        stream_events,
+    )
+
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    ts = [dt.datetime(2024, 3, 4, 0, 0, 0), dt.datetime(2024, 3, 5, 6, 7, 8)]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": [1, 2],
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+                "user_id": [1, 1],
+            }
+        ),
+        d / "events.parquet",
+        store_schema=False,
+    )
+    stream = stream_events(spark, str(d))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("enc_check")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [r["ts"] for r in spark.sql("SELECT ts FROM enc_check ORDER BY event_id").collect()]
+    want = [
+        r["ts"]
+        for r in read_table(spark, str(d), "events").orderBy("event_id").collect()
+    ]
+    assert got == want == ts

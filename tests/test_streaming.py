@@ -10,7 +10,6 @@ from pyspark.sql import functions as F
 
 from spark_hadoop_automation_in_cloud_spark.io import read_table
 from spark_hadoop_automation_in_cloud_spark.streaming.rollup_stream import (
-    EVENTS_FILE_SCHEMA,
     run_available_now,
     stream_events,
     weekly_counts_stream,
@@ -87,11 +86,7 @@ def test_watermark_closed_window_not_reemitted(spark, tmp_path):
 
     def write_batch(i, ts):
         df = spark.createDataFrame([(i, ts, 1, "click", 1.0, "{}")], schema)
-        df.select(
-            "event_id",
-            (F.unix_micros("ts") * 1000).alias("ts"),
-            "user_id", "event_type", "value", "props",
-        ).coalesce(1).write.mode("overwrite").parquet(str(d / f"batch{i}"))
+        df.coalesce(1).write.mode("overwrite").parquet(str(d / f"batch{i}"))
         time.sleep(1.1)  # distinct mod times → deterministic trigger order
 
     # the watermark advances with a one-batch lag (it is recomputed at
@@ -103,10 +98,9 @@ def test_watermark_closed_window_not_reemitted(spark, tmp_path):
     write_batch(3, base + dt.timedelta(minutes=5)) # late row for W after close
 
     raw = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(f"{d}/batch*/")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
     q = (
         weekly_counts_stream(raw, watermark="14 days")
@@ -143,15 +137,15 @@ def test_stateful_fold_sorts_across_chunks():
         def update(self, v):
             self.exists, self.get = True, v
 
-    minutes = 60 * 1_000_000_000  # pandas ns
+    minutes = 60 * 1_000_000  # int64 epoch-micros, as user_session_totals projects
 
     # Events at 0, 20 and 40 min with a 30-min gap are ONE session, but the
     # 20-min event arrives in a later chunk. A per-chunk fold sees 0 → 40
     # (new session: gap 40 > 30) and then 20, i.e. 2 sessions; the global
     # sort sees gaps of 20/20 min and counts 1.
     chunks = [
-        pd.DataFrame({"ts": [pd.Timestamp(0), pd.Timestamp(40 * minutes)]}),
-        pd.DataFrame({"ts": [pd.Timestamp(20 * minutes)]}),
+        pd.DataFrame({"ts": [0, 40 * minutes]}),
+        pd.DataFrame({"ts": [20 * minutes]}),
     ]
     st = FakeState()
     (out,) = _update_user_state((7,), iter(chunks), st)
@@ -159,7 +153,7 @@ def test_stateful_fold_sorts_across_chunks():
 
     # And the state must carry across calls: a later batch 31 min after the
     # last event opens session 2.
-    later = [pd.DataFrame({"ts": [pd.Timestamp(71 * minutes)]})]
+    later = [pd.DataFrame({"ts": [71 * minutes]})]
     (out,) = _update_user_state((7,), iter(later), st)
     assert out["n_sessions"].iloc[0] == 2 and out["n_events"].iloc[0] == 4
     assert SESSION_GAP_US == 30 * 60 * 1_000_000
