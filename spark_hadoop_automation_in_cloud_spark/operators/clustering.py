@@ -24,7 +24,7 @@ recomputed intermediate; the iterations rescan it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: mean quantization: partial sums accumulate value*1e6 as DECIMAL(38,0);
@@ -47,17 +47,22 @@ def kmeans_assign(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     spark = emb.sparkSession
+    # All distance/mean arithmetic in DOUBLE from the start: float32→double
+    # widening is exact, and a single arithmetic type is what lets the
+    # DuckDB oracle (q96) reproduce the trajectory bit-for-bit — mixed
+    # float/double subtraction would round differently per engine.
+    emb = emb.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
     dim = len(emb.select(vec_col).first()[0])
 
-    seed_rows = (
-        emb.withColumn(
-            "__rn", F.row_number().over(Window.orderBy(id_col))
-        )
-        .where(F.col("__rn") <= k)
-        .select("__rn", vec_col)
-        .collect()
-    )
-    centroids = {int(r["__rn"]) - 1: list(r[vec_col]) for r in seed_rows}
+    # k lowest-id seeds via orderBy+limit → TakeOrderedAndProject: a
+    # distributed per-partition top-k merged on the driver.  (A global
+    # row_number() window would move the WHOLE corpus to one partition —
+    # the exact anti-pattern this operator otherwise avoids.)
+    seed_rows = emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    centroids = {
+        i: list(r[vec_col])
+        for i, r in enumerate(sorted(seed_rows, key=lambda r: r[id_col]))
+    }
 
     def assign(df: DataFrame) -> DataFrame:
         cent = spark.createDataFrame(

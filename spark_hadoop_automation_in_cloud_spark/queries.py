@@ -3854,10 +3854,81 @@ def q95_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.containment_pairs(sh, min_containment=0.4)
 
 
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 5) -> str:
+    """Iteration-UNROLLED DuckDB Lloyd's k-means, mirroring
+    operators.clustering.kmeans_assign exactly:
+
+    - all arithmetic in DOUBLE (the operator casts the float32 embeddings
+      up front; widening is exact),
+    - seeds = the k lowest-id vectors, cluster_id = rank-1,
+    - assignment = argmin of squared L2 with ties to the lowest cluster id,
+    - centroid means via micro-quantized integer accumulation
+      (SUM(round(v*1e6)::HUGEINT)/ (n*1e6)) — order-independent and
+      bit-identical across engines, so the trajectories cannot diverge
+      (the same _Q=1e6 quantization as the Spark side),
+    - empty clusters keep their previous centroid,
+    - output: assignment under the final centroids, sq_dist rounded 6dp.
+
+    The only float summation in the loop is the squared-L2 fold itself;
+    both engines fold the 64 per-dimension terms in array order.
+    """
+    iters = []
+    prev = "c0"
+    for i in range(1, n_iter + 1):
+        iters.append(
+            f"""a{i} AS (
+  SELECT vec_id, v, cid, d FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           list_sum(list_transform(generate_series(1, len(e.v)),
+                    i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) AS d,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(generate_series(1, len(e.v)),
+                      i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.cid
+           ) AS rn
+    FROM emb e CROSS JOIN {prev} c) WHERE rn = 1
+),
+c{i} AS (
+  SELECT p.cid, COALESCE(m.c, p.c) AS c
+  FROM {prev} p LEFT JOIN (
+    SELECT cid, list(m ORDER BY pos) AS c FROM (
+      SELECT cid, pos,
+             CAST(SUM(CAST(round(val * 1000000) AS HUGEINT)) AS DOUBLE)
+               / (COUNT(*) * 1000000) AS m
+      FROM (SELECT cid,
+                   unnest(generate_series(1, len(v))) AS pos,
+                   unnest(v) AS val
+            FROM a{i})
+      GROUP BY cid, pos) GROUP BY cid) m ON m.cid = p.cid
+)"""
+        )
+        prev = f"c{i}"
+    unrolled = ",\n".join(iters)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+  FROM emb ORDER BY vec_id LIMIT {k}
+),
+{unrolled}
+SELECT vec_id, cid AS cluster_id, round(d, 6) AS sq_dist FROM (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(generate_series(1, len(e.v)),
+                  i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) AS d,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_sum(list_transform(generate_series(1, len(e.v)),
+                    i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.cid
+         ) AS rn
+  FROM emb e CROSS JOIN {prev} c) WHERE rn = 1
+"""
+
+
 @register(
     "q96_kmeans_clusters",
-    None,  # iterative fixpoint — no single SQL equivalent; cluster-recovery
-    # vs ground truth is asserted in tests/test_clustering.py
+    _kmeans_oracle_sql(k=8, n_iter=5),
     doc="Distributed Lloyd's k-means on the embeddings table (k=8, 5 "
     "iterations, deterministic lowest-id seeding, exact integer-"
     "quantized centroid means). Iterative-broadcast pattern: centroids "
