@@ -363,3 +363,133 @@ SELECT {id_col},
             p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) AS q_checksum
 FROM qv
 """
+
+
+# --- DuckDB oracles for the ANN paths ----------------------------------------
+#
+# Approximate != non-deterministic: the hyperplanes are integer-LCG weights,
+# IVF centroids are a modulus rule, all similarities are rounded to 6dp
+# before ranking, and every tie breaks on an id — so the EXACT candidate
+# sets and rankings are reproducible in SQL, recall trade included.  These
+# oracles re-derive the same buckets/cells and run the same ranking,
+# upgrading q25/q30 from rows-only checks to full value-hash checks.
+
+_SQL_COS = (
+    "round(list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+)
+
+
+def _sql_lsh_bucket(vec: str, dim: int, planes: int, first_plane: int) -> str:
+    """Bucket signature of ``vec``: same LCG weights and bit order as
+    :func:`lsh_bucket` (bit p carries weight 2^(planes-1-p)).  ``dim`` must
+    match the Spark side — list_zip pads the shorter list with NULLs."""
+
+    def dot_plane(p: int) -> str:
+        weights = (
+            f"list_transform(range(0, {dim}), d -> "
+            f"((1103515245 * ({p} * 512 + d) + 12345) % 2147483647) "
+            f"/ 2147483647.0 - 0.5)"
+        )
+        return (
+            f"list_sum(list_transform(list_zip({vec}, {weights}), "
+            f"pr -> CAST(pr[1] AS DOUBLE) * pr[2]))"
+        )
+
+    return " + ".join(
+        f"(CASE WHEN {dot_plane(first_plane + p)} > 0 "
+        f"THEN {1 << (planes - 1 - p)} ELSE 0 END)"
+        for p in range(planes)
+    )
+
+
+def sql_ann_lsh_topk(
+    src: str,
+    query_pred: str,
+    k: int,
+    dim: int,
+    planes: int = 4,
+    tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for :func:`ann_lsh_topk` (multi-table + Hamming-1
+    multi-probe).  Candidate rule: a corpus vector is a candidate when, in
+    ANY table, its bucket equals the query's bucket or differs in exactly
+    one bit — expressed as an OR join over xor() probes (the oracle runs at
+    sf0.01 where a nested-loop join is fine; scalability is the Spark
+    plan's job, correctness is the oracle's)."""
+    bucket_cols = ",\n         ".join(
+        f"{_sql_lsh_bucket('vec', dim, planes, t * planes)} AS bk{t}"
+        for t in range(tables)
+    )
+    flips = [0] + [1 << p for p in range(planes)]
+    probe_cond = " OR ".join(
+        f"c.bk{t} = xor(q.bk{t}, {flip})" for t in range(tables) for flip in flips
+    )
+    cos = _SQL_COS.format(a="q.vec", b="c.vec")
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS vid, {vec_col} AS vec,
+         {bucket_cols}
+  FROM {src}
+),
+q AS (SELECT * FROM base WHERE vid IN (SELECT {id_col} FROM {src} WHERE {query_pred})),
+scored AS (
+  SELECT q.vid AS query_id, c.vid AS neighbor_id,
+         {cos} AS cosine_sim
+  FROM q JOIN base c ON ({probe_cond})
+  WHERE q.vid <> c.vid
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= {k}
+"""
+
+
+def sql_ann_ivf_topk(
+    src: str,
+    query_pred: str,
+    k: int,
+    centroid_mod: int = 37,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for :func:`ann_ivf_topk`: same modulus centroids, same
+    rounded-cosine assignment with ties to the lowest centroid id, same
+    nprobe cell probing, same final ranking."""
+    cos_cent = _SQL_COS.format(a="v.vec", b="c.cvec")
+    cos_pair = _SQL_COS.format(a="p.vec", b="l.vec")
+    return f"""
+WITH emb AS (SELECT {id_col} AS vid, {vec_col} AS vec FROM {src}),
+cent AS (SELECT vid AS cent_id, vec AS cvec FROM emb WHERE vid % {centroid_mod} = 0),
+lists AS (
+  SELECT vid AS neighbor_id, vec, cent_id AS cell_id FROM (
+    SELECT v.vid, v.vec, c.cent_id,
+           row_number() OVER (PARTITION BY v.vid
+             ORDER BY {cos_cent} DESC, c.cent_id ASC) AS rn
+    FROM emb v CROSS JOIN cent c) WHERE rn = 1
+),
+probes AS (
+  SELECT vid AS query_id, vec, cent_id AS cell_id FROM (
+    SELECT v.vid, v.vec, c.cent_id,
+           row_number() OVER (PARTITION BY v.vid
+             ORDER BY {cos_cent} DESC, c.cent_id ASC) AS rn
+    FROM (SELECT * FROM emb WHERE vid IN
+            (SELECT {id_col} FROM {src} WHERE {query_pred})) v
+    CROSS JOIN cent c) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, l.neighbor_id, {cos_pair} AS cosine_sim
+  FROM probes p JOIN lists l ON p.cell_id = l.cell_id
+  WHERE p.query_id <> l.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= {k}
+"""

@@ -83,6 +83,8 @@ _ROTATE_FIRST: tuple[str, ...] = (
     # --- no_oracle rows upgraded to deterministic oracles this round
     "q69_pagerank",
     "q96_kmeans_clusters",
+    "q25_ann_lsh_topk",
+    "q30_ann_ivf_topk",
     # --- r01 greens reading events: read_table now yields TIMESTAMP (was
     #     NTZ at their r02-era reads / long at r01) — re-pin under the new reader
     "q06_event_rollup",
@@ -119,8 +121,6 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q13_order_priority_sets",
     "q15_top_parts_global",
     "q18_zone_activity",
-    "q20_exact_dedup",
-    "q21_minhash_lsh_pairs",
 )
 
 
@@ -872,6 +872,8 @@ from spark_hadoop_automation_in_cloud_spark.operators.similarity import (  # noq
     ann_lsh_topk,
     cosine_topk,
     quantize_embeddings,
+    sql_ann_ivf_topk,
+    sql_ann_lsh_topk,
     sql_cosine_topk,
     sql_quantize_embeddings,
 )
@@ -946,8 +948,7 @@ def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q25_ann_lsh_topk",
-    None,  # approximate by construction — driver does the rows-only check;
-    # recall vs q24 is asserted in tests/test_operators.py
+    sql_ann_lsh_topk("embeddings", "vec_id < 10", k=5, dim=64, planes=4, tables=6),
     doc="LSH-bucketed approximate nearest neighbors: random-hyperplane "
     "bucket signatures (pure projection), equi-join on (table, bucket), "
     "exact cosine rank within candidates. Operating point planes=4 x "
@@ -982,8 +983,7 @@ def q19_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q30_ann_ivf_topk",
-    None,  # approximate by construction — rows-only check here; recall vs
-    # the exact q24 is asserted in tests/test_operators.py
+    sql_ann_ivf_topk("embeddings", "vec_id < 10", k=5, centroid_mod=37, nprobe=10),
     doc="IVF approximate nearest neighbors: deterministic coarse centroids, "
     "broadcast assignment pass + one reduce to build inverted lists, "
     "nprobe-cell probing as an equi-join on cell_id. Alternate scale "
