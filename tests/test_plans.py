@@ -259,3 +259,21 @@ def test_q92_packing_no_global_sort(spark, sf_dir):
     # window over all documents would be the 100 TB scale-killer
     assert "SinglePartition" not in plan
     assert "Generate" in plan  # the bin-span explode
+
+
+def test_events_ts_normalization_keeps_pushdown(spark, sf_dir):
+    """The encoding-normalizing cast on events.ts (io._normalize_ts) must
+    not block predicate pushdown or column pruning for the OTHER columns —
+    a filter on event_type still reaches the parquet scan, and untouched
+    wide columns (props) are pruned when unreferenced."""
+    from spark_hadoop_automation_in_cloud_spark.io import read_table
+
+    df = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    plan = explain_str(df)
+    assert "PushedFilters" in plan
+    assert "event_type" in plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
+    assert "props" not in plan.split("ReadSchema", 1)[1].split("\n", 1)[0]

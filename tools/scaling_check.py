@@ -37,6 +37,18 @@ QUERIES = [
     "q99_text_normalize",
 ]
 
+#: events-table operators: replication shifts user_id/event_id per copy, so
+#: the KEY SPACE grows with the factor while per-key work stays constant —
+#: the growth shape a real event lake has, and the one that validates that
+#: per-user window/sessionization plans parallelize instead of piling onto
+#: existing keys.
+EVENTS_QUERIES = [
+    "q89_session_intervals",   # gaps-and-islands window + groupBy
+    "q53_time_range_average",  # epoch-keyed RANGE frame
+    "q97_point_in_time_state", # SCD2 build + temporal join
+    "q81_transition_matrix",   # lag window + matrix aggregate
+]
+
 
 def best_of(fn, sf_dir: str, n: int = 2) -> float:
     fn(sf_dir).write.format("noop").mode("overwrite").save()  # warm
@@ -64,13 +76,26 @@ def main() -> None:
         .drop("__rep")
     )
     rep.write.mode("overwrite").parquet(f"{scaled}/documents.parquet")
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))  # any encoding
+    n_users = ev.agg(F.max("user_id")).first()[0] + 1
+    n_events = ev.agg(F.max("event_id")).first()[0] + 1
+    ev_rep = (
+        ev.crossJoin(spark.range(scale).withColumnRenamed("id", "__rep"))
+        .withColumn("user_id", F.col("user_id") + F.col("__rep") * n_users)
+        .withColumn("event_id", F.col("event_id") + F.col("__rep") * n_events)
+        .drop("__rep")
+    )
+    ev_rep.write.mode("overwrite").parquet(f"{scaled}/events.parquet")
+
     for t in TABLES:
-        if t != "documents":
+        if t not in ("documents", "events"):
             os.symlink(f"{sf_dir}/{t}.parquet", f"{scaled}/{t}.parquet")
 
     fns = {s.name: s.fn for s in q.specs()}
     out: dict[str, dict] = {}
-    for name in QUERIES:
+    for name in QUERIES + EVENTS_QUERIES:
         fn = fns[name]
         t1 = best_of(lambda d: fn(spark, d), sf_dir)
         t10 = best_of(lambda d: fn(spark, d), scaled)
