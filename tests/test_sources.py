@@ -236,3 +236,63 @@ def test_stream_events_micros_encoding_matches_batch(spark, tmp_path):
         for r in read_table(spark, str(d), "events").orderBy("event_id").collect()
     ]
     assert got == want == ts
+
+
+def test_stream_events_nanos_encoding_matches_batch(spark, tmp_path):
+    """The legacy-nanos stream path: stream_events detects TIMESTAMP(NANOS)
+    files via the failed-then-scoped batch probe, pins the nanosAsLong conf
+    for the stream's lifetime, and truncates to micros — the drained rows
+    must equal the batch read (which DuckDB-truncates identically)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_hadoop_automation_in_cloud_spark.io import read_table
+    from spark_hadoop_automation_in_cloud_spark.streaming.rollup_stream import (
+        stream_events,
+    )
+
+    d = tmp_path / "stream_src_ns"
+    d.mkdir()
+    ts = [dt.datetime(2024, 3, 4, 0, 0, 0, 123456), dt.datetime(2024, 3, 5, 6, 7, 8)]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": [1, 2],
+                "ts": pa.array(ts, type=pa.timestamp("ns")),
+                "user_id": [1, 1],
+            }
+        ),
+        d / "events.parquet",
+        store_schema=False,
+    )
+    from spark_hadoop_automation_in_cloud_spark.io import _NANOS_CONF
+
+    before = spark.conf.get(_NANOS_CONF, None)
+    try:
+        stream = stream_events(spark, str(d))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("enc_check_ns")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # stream_events pins the conf for the stream's lifetime; the drain is
+        # done, so restore the shared test session's state
+        if before is not None:
+            spark.conf.set(_NANOS_CONF, before)
+        else:
+            spark.conf.unset(_NANOS_CONF)
+    got = [
+        r["ts"]
+        for r in spark.sql("SELECT ts FROM enc_check_ns ORDER BY event_id").collect()
+    ]
+    want = [
+        r["ts"]
+        for r in read_table(spark, str(d), "events").orderBy("event_id").collect()
+    ]
+    assert got == want == ts
