@@ -44,7 +44,7 @@ _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
 def _read_parquet_any_ts(
-    spark: SparkSession, path: str, merge_schema: bool = False
+    spark: SparkSession, path: str | list[str], merge_schema: bool = False
 ) -> DataFrame:
     """``spark.read.parquet`` that tolerates every timestamp encoding the
     lake has shipped: TIMESTAMP (LTZ), TIMESTAMP(MICROS) without UTC
@@ -60,11 +60,13 @@ def _read_parquet_any_ts(
     No library read path leaves a session-global side effect behind.
     """
 
+    paths = [path] if isinstance(path, str) else list(path)
+
     def _read() -> DataFrame:
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(path)
+        return reader.parquet(*paths)
 
     try:
         return _read()
@@ -80,6 +82,63 @@ def _read_parquet_any_ts(
                 spark.conf.set(_NANOS_CONF, before)
             else:
                 spark.conf.unset(_NANOS_CONF)
+
+
+def read_mixed_ts_dir(
+    spark: SparkSession,
+    path: str,
+    ts_cols: tuple[str, ...] = ("ts",),
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Read a local parquet directory whose FILES MIX timestamp encodings —
+    the mid-migration lake state where some files predate a producer's
+    nanos→micros upgrade.  A single ``spark.read.parquet`` cannot express
+    this: the scan either rejects the nanos files (PARQUET_TYPE_ILLEGAL at
+    task time) or, under ``nanosAsLong``, cannot merge ``bigint`` with the
+    micros files' timestamp type.
+
+    Files are grouped by the ts column's physical encoding (one footer read
+    per file), each group goes through the same scoped-conf reader and
+    normalization as :func:`read_table`, and the groups union by name.
+
+    Driver-side footer listing is O(#files) — this is an EXPLICIT
+    migration-era tool (same opt-in reasoning as ``merge_schema``), not the
+    default read path; a settled lake uses one encoding and never pays it.
+    """
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(root, f)
+        for root, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path!r}")
+    # Group by the parquet PHYSICAL+LOGICAL type, not the arrow-mapped type:
+    # pyarrow reports both Spark-classic INT96 timestamps and INT64
+    # TIMESTAMP(NANOS) as ``timestamp[ns]``, but Spark reads the former
+    # natively and rejects the latter — they must land in different scans.
+    groups: dict[str, list[str]] = {}
+    for f in files:
+        md = pq.read_metadata(f).schema
+        enc = "none"
+        for i in range(len(md)):
+            col = md.column(i)
+            if col.name in ts_cols:
+                enc = f"{col.physical_type}:{col.logical_type}"
+                break
+        groups.setdefault(enc, []).append(f)
+
+    parts = []
+    for fs in groups.values():
+        # multi-path read keeps each encoding group as ONE scan
+        df = _read_parquet_any_ts(spark, fs, merge_schema=merge_schema)
+        parts.append(_normalize_ts(df, ts_cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=merge_schema)
+    return out
 
 
 def _normalize_ts(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:

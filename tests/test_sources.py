@@ -296,3 +296,47 @@ def test_stream_events_nanos_encoding_matches_batch(spark, tmp_path):
         for r in read_table(spark, str(d), "events").orderBy("event_id").collect()
     ]
     assert got == want == ts
+
+
+def test_read_mixed_ts_dir_unions_encodings(spark, tmp_path):
+    """A mid-migration directory mixing TIMESTAMP(NANOS), micros/NTZ and
+    engine-written TIMESTAMP files must read as one frame with every ts
+    normalized to TIMESTAMP — the state a real lake passes through when a
+    producer upgrades its writer."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_hadoop_automation_in_cloud_spark.io import read_mixed_ts_dir
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    t1 = dt.datetime(2024, 1, 1, 12, 0, 0, 123456)
+    t2 = dt.datetime(2024, 6, 1, 0, 0, 1)
+    t3 = dt.datetime(2024, 9, 9, 9, 9, 9)
+    pq.write_table(
+        pa.table({"event_id": [1], "ts": pa.array([t1], type=pa.timestamp("ns"))}),
+        d / "old_nanos.parquet",
+        store_schema=False,
+    )
+    pq.write_table(
+        pa.table({"event_id": [2], "ts": pa.array([t2], type=pa.timestamp("us"))}),
+        d / "new_micros.parquet",
+        store_schema=False,
+    )
+    spark.createDataFrame([(3, t3)], "event_id long, ts timestamp").coalesce(
+        1
+    ).write.parquet(str(d / "engine_ltz"))
+    # move the engine-written file up so the walk sees three leaf files
+    import glob
+    import shutil
+
+    (src,) = glob.glob(str(d / "engine_ltz" / "*.parquet"))
+    shutil.move(src, d / "engine_ltz.parquet")
+    shutil.rmtree(d / "engine_ltz")
+
+    out = read_mixed_ts_dir(spark, str(d))
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    rows = {r["event_id"]: r["ts"] for r in out.collect()}
+    assert rows == {1: t1, 2: t2, 3: t3}
