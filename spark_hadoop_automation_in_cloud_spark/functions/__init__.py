@@ -19,5 +19,5 @@ from spark_hadoop_automation_in_cloud_spark.functions import (  # noqa: F401
 )
 from spark_hadoop_automation_in_cloud_spark.functions.timeutils import (  # noqa: F401
     epoch_us,
-    to_timestamp_any,
+    ntz_to_utc_timestamp,
 )

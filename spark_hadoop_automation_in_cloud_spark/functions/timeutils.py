@@ -30,7 +30,22 @@ def epoch_us(col: Column | str) -> Column:
     return F.unix_micros(c.cast("timestamp"))
 
 
-def to_timestamp_any(col: Column | str) -> Column:
-    """Normalize any timestamp flavor to ``TIMESTAMP`` (UTC session)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return c.cast("timestamp")
+def ntz_to_utc_timestamp(col_name: str) -> Column:
+    """``TIMESTAMP_NTZ`` column → ``TIMESTAMP``, treating the naive value as
+    UTC **regardless of the session timezone**.
+
+    A plain ``cast("timestamp")`` reinterprets the naive value in the
+    SESSION timezone — correct under this engine's pinned UTC default, but a
+    vanilla session on a non-UTC host would silently shift every instant.
+    ``timestampdiff(MICROSECOND, NTZ-epoch, col)`` is pure NTZ arithmetic
+    (no timezone anywhere), and ``timestamp_micros`` builds the LTZ instant
+    from the epoch count — the composition is timezone-independent.
+
+    The input column must actually be NTZ (callers branch on the observed
+    dtype — see ``io._normalize_ts``).
+    """
+    return F.timestamp_micros(
+        F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col_name}`)"
+        )
+    )

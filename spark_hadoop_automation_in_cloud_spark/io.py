@@ -145,9 +145,14 @@ def _normalize_ts(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     """Bring declared event-time columns to ``TIMESTAMP`` whatever the
     reader delivered: epoch-nanos ``bigint`` (legacy nanos files) is
     truncated to micros exactly as DuckDB's reader does; ``TIMESTAMP_NTZ``
-    (micros files without UTC adjustment) is reinterpreted under the UTC
-    session timezone — value-preserving; ``TIMESTAMP`` passes through.
+    (micros files without UTC adjustment) is treated as naive-UTC via pure
+    NTZ epoch arithmetic — timezone-INDEPENDENT, so a vanilla session on a
+    non-UTC host gets the same instants; ``TIMESTAMP`` passes through.
     """
+    from spark_hadoop_automation_in_cloud_spark.functions.timeutils import (
+        ntz_to_utc_timestamp,
+    )
+
     dtypes = dict(df.dtypes)
     for c in cols:
         t = dtypes.get(c)
@@ -155,7 +160,7 @@ def _normalize_ts(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
             # integer DIV, not `/`: epoch-nanos exceed double's 2^53 mantissa
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
         elif t == "timestamp_ntz":
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+            df = df.withColumn(c, ntz_to_utc_timestamp(c))
     return df
 
 
@@ -167,6 +172,10 @@ def read_table(
     merge_schema: bool = False,
 ) -> DataFrame:
     """One synthetic table (TESTDATA.md layout: ``{sf_dir}/{name}.parquet``).
+
+    Declared event-time columns (``_TS_COLS``) come out as ``TIMESTAMP``
+    whatever encoding the writer used — see ``_read_parquet_any_ts`` /
+    ``_normalize_ts``.
 
     ``merge_schema=True``: per-read parquet schema reconciliation for tables
     whose files drift over time (the reference reads N daily event

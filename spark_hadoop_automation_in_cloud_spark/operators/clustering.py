@@ -52,13 +52,16 @@ def kmeans_assign(
     # DuckDB oracle (q96) reproduce the trajectory bit-for-bit — mixed
     # float/double subtraction would round differently per engine.
     emb = emb.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
-    dim = len(emb.select(vec_col).first()[0])
 
     # k lowest-id seeds via orderBy+limit → TakeOrderedAndProject: a
     # distributed per-partition top-k merged on the driver.  (A global
     # row_number() window would move the WHOLE corpus to one partition —
-    # the exact anti-pattern this operator otherwise avoids.)
+    # the exact anti-pattern this operator otherwise avoids.)  The seed
+    # rows also carry dim — no separate first() job for it.
     seed_rows = emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if not seed_rows:
+        raise ValueError("kmeans_assign: empty input")
+    dim = len(seed_rows[0][vec_col])
     centroids = {
         i: list(r[vec_col])
         for i, r in enumerate(sorted(seed_rows, key=lambda r: r[id_col]))

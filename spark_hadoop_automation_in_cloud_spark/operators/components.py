@@ -152,11 +152,13 @@ def pagerank(
     decimal places.  The per-round float summation ORDER differs between
     engines (Spark sums inflow in partition order, a sequential engine in
     scan order) — last-ulp differences that 10 damped rounds then amplify.
-    Snapping every iteration to 12dp makes the whole trajectory
-    bit-reproducible across engines (the perturbation, <5e-13/round, is
-    far below PageRank's meaningful resolution), which is what lets q69
-    carry an iteration-unrolled DuckDB oracle instead of a rows-only
-    check.  ``None`` keeps raw doubles.
+    Snapping every iteration re-synchronizes the trajectories: with
+    identical scalar arithmetic on both sides (see q69's oracle), the only
+    per-round noise is the inflow sum's ~1e-18 absolute wobble, so a 9dp
+    grid makes a cross-engine snap disagreement ~1e-9-per-node-round
+    unlikely — not a guarantee, but negligible against the oracle's 6dp
+    output rounding.  The perturbation itself (<5e-10/round) sits far
+    below PageRank's meaningful resolution.  ``None`` keeps raw doubles.
 
     Correctness is additionally pinned by a pytest fixture vs an
     independent dense power iteration (tests/test_operators.py).

@@ -2503,23 +2503,33 @@ from spark_hadoop_automation_in_cloud_spark.operators.components import (  # noq
 def _pagerank_oracle_sql(n_iter: int = 10, damping: float = 0.85) -> str:
     """Iteration-UNROLLED DuckDB PageRank (one CTE per power-iteration
     round) — a recursive CTE can't re-aggregate per round, but a fixed
-    round count unrolls mechanically.  Exactly mirrors operators.
-    components.pagerank with ``per_iter_round_dp=12``: both engines snap
-    each round's ranks to 12dp, so summation-order float noise never
-    accumulates and the trajectories are bit-identical.
+    round count unrolls mechanically.  Mirrors operators.components.
+    pagerank with ``per_iter_round_dp=9``.
+
+    Cross-engine float discipline: every scalar is forced onto the SAME
+    IEEE-double operation sequence Spark runs — DuckDB parses bare decimal
+    literals as DECIMAL (``1 - 0.85`` would be an exact 0.15, which is NOT
+    the double ``1.0 - 0.85`` = 0.15000000000000002 that Python/Spark
+    compute), so the base and damping terms are CAST to DOUBLE explicitly.
+    The one remaining order-dependent float op is the inflow SUM; snapping
+    each round to 9dp bounds that noise (~1e-18 absolute) far away from
+    the rounding grid, making a per-round snap disagreement vanishingly
+    unlikely (~1e-9 per node-round) rather than merely uncommon.
 
     The q69 graph is symmetric by construction (both directions of every
     co-purchase pair), so every node has out-degree >= 1 and the operator's
     dangling-mass term is identically zero — the oracle omits it.
     """
+    base = f"(CAST(1.0 AS DOUBLE) - CAST({damping} AS DOUBLE)) / (SELECT n FROM nn)"
+    damp = f"CAST({damping} AS DOUBLE)"
     prev = "r0"
     rounds = []
     for i in range(1, n_iter + 1):
         rounds.append(
             f"""r{i} AS (
   SELECT n.node,
-         round((1 - {damping}) / (SELECT n FROM nn)
-               + {damping} * COALESCE(i.inflow, 0), 12) AS rank
+         round({base}
+               + {damp} * COALESCE(i.inflow, CAST(0 AS DOUBLE)), 9) AS rank
   FROM nodes n LEFT JOIN (
     SELECT e.dst AS node, SUM(r.rank / d.deg) AS inflow
     FROM e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.node = e.src
@@ -2540,7 +2550,7 @@ e AS (
 nodes AS (SELECT DISTINCT src AS node FROM e),
 deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
 nn AS (SELECT COUNT(*) AS n FROM nodes),
-r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
 {unrolled}
 SELECT node, round(rank, 6) AS rank FROM {prev}
 """
@@ -2555,8 +2565,9 @@ SELECT node, round(rank, 6) AS rank FROM {prev}
     "lineage cuts; dangling mass redistributed via a 1-row broadcast, "
     "no driver-side math. The influence-scoring companion to q39's "
     "connected components on the same iterative-dataflow skeleton. "
-    "Oracle: iteration-unrolled CTE chain; both engines round ranks to "
-    "12dp per round, making the float trajectory engine-independent.",
+    "Oracle: iteration-unrolled CTE chain with identical IEEE-double "
+    "scalar arithmetic forced on both engines; ranks snap to a 9dp grid "
+    "per round so summation-order noise cannot accumulate.",
 )
 def q69_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events", parallelize=True)
@@ -2571,7 +2582,7 @@ def q69_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
         .distinct()
     )
-    return pagerank(edges, n_iter=10, per_iter_round_dp=12)
+    return pagerank(edges, n_iter=10, per_iter_round_dp=9)
 
 
 @register(

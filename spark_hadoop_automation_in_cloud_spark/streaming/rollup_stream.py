@@ -22,7 +22,9 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
+from spark_hadoop_automation_in_cloud_spark.functions.timeutils import ntz_to_utc_timestamp
 from spark_hadoop_automation_in_cloud_spark.io import _NANOS_CONF, _read_parquet_any_ts
 
 MONDAY_ALIGN = "4 days"  # epoch-align weekly tumbling windows to Monday
@@ -49,8 +51,29 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     ``path`` may be a directory (the file source's native shape) or a single
     parquet file — the latter is exposed through its parent directory with a
     ``pathGlobFilter``, since FileStreamSource requires a directory basePath.
+
+    An EMPTY landing directory (stream started before the first producer
+    write — the canonical FileStreamSource pattern) can't be probed, so the
+    stream falls back to the canonical events schema with ``ts TIMESTAMP``:
+    files that later arrive micros- or INT96-encoded read fine; a LEGACY
+    nanos producer must land at least one file before stream start (the
+    encoding is undetectable from nothing).
     """
-    raw_schema = _read_parquet_any_ts(spark, path).schema
+    try:
+        raw_schema = _read_parquet_any_ts(spark, path).schema
+    except Exception as e:  # noqa: BLE001 — only the empty-path case
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e) and "PATH_NOT_FOUND" not in str(e):
+            raise
+        raw_schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
     ts_dtype = {f.name: f.dataType.simpleString() for f in raw_schema}.get("ts")
     if ts_dtype == "bigint":
         # legacy nanos files: the conf must outlive this call (see docstring)
@@ -63,7 +86,7 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     if ts_dtype == "bigint":
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     if ts_dtype == "timestamp_ntz":
-        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return raw.withColumn("ts", ntz_to_utc_timestamp("ts"))
     return raw
 
 

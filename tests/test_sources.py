@@ -340,3 +340,40 @@ def test_read_mixed_ts_dir_unions_encodings(spark, tmp_path):
     assert dict(out.dtypes)["ts"] == "timestamp"
     rows = {r["event_id"]: r["ts"] for r in out.collect()}
     assert rows == {1: t1, 2: t2, 3: t3}
+
+
+def test_ntz_normalization_is_timezone_independent(spark, tmp_path):
+    """A vanilla session on a non-UTC host must read the same instants:
+    the NTZ->TIMESTAMP normalization uses pure NTZ epoch arithmetic, not a
+    session-timezone cast."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from spark_hadoop_automation_in_cloud_spark.io import read_table
+
+    d = tmp_path / "tzcheck"
+    d.mkdir()
+    ts = [dt.datetime(2024, 1, 1, 12, 0, 0, 123456)]
+    pq.write_table(
+        pa.table({"event_id": [1], "ts": pa.array(ts, type=pa.timestamp("us"))}),
+        d / "events.parquet",
+        store_schema=False,
+    )
+    tz_key = "spark.sql.session.timeZone"
+    before = spark.conf.get(tz_key)
+    try:
+        spark.conf.set(tz_key, "America/Los_Angeles")
+        # epoch micros are the tz-independent ground truth for the instant
+        got = (
+            read_table(spark, str(d), "events")
+            .select(F.unix_micros("ts").alias("us"))
+            .first()["us"]
+        )
+    finally:
+        spark.conf.set(tz_key, before)
+    want = int(ts[0].replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert got == want, "NTZ read shifted by the session timezone"

@@ -277,3 +277,22 @@ def test_incremental_upsert_checkpoint_resume_processes_only_new_files(
     want = latest_per_key(ev, ["user_id", "event_type"], ["ts_us", "event_id"])
     assert got.count() == want.count()
     assert got.unionByName(want).distinct().count() == want.count()
+
+
+def test_stream_events_starts_on_empty_landing_dir(spark, tmp_path):
+    """The canonical FileStreamSource pattern: the stream is created BEFORE
+    any producer writes a file.  stream_events must fall back to the
+    canonical schema instead of crashing on the unprobeable directory."""
+    d = tmp_path / "landing"
+    d.mkdir()
+    stream = stream_events(spark, str(d))
+    q = (
+        weekly_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName("empty_landing")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.sql("SELECT * FROM empty_landing").count() == 0

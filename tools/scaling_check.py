@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from spark_hadoop_automation_in_cloud_spark import queries as q
-from spark_hadoop_automation_in_cloud_spark.io import TABLES
+from spark_hadoop_automation_in_cloud_spark.io import TABLES, read_table
 from spark_hadoop_automation_in_cloud_spark.session import get_test_session
 
 QUERIES = [
@@ -77,8 +77,8 @@ def main() -> None:
     )
     rep.write.mode("overwrite").parquet(f"{scaled}/documents.parquet")
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))  # any encoding
+    # through read_table: ts normalized to TIMESTAMP from any encoding
+    ev = read_table(spark, sf_dir, "events")
     n_users = ev.agg(F.max("user_id")).first()[0] + 1
     n_events = ev.agg(F.max("event_id")).first()[0] + 1
     ev_rep = (
