@@ -1,0 +1,124 @@
+"""Distributed EXACT global ordering primitives: row numbers, ntiles and
+cumulative sums over a total order, without ever moving the frame to a
+single partition.
+
+``Window.orderBy(...)`` with no partitionBy — the natural Spark spelling of
+"rank everything" — executes as ONE task holding the whole frame.  That is
+acceptable for month- or day-cardinality aggregates, but a Pareto cumsum
+over every part or an RFM ntile over every customer would serialize a
+billion-row frame through a single executor at lake scale.
+
+The classic two-pass shape instead:
+
+1. ``repartitionByRange`` on the order columns — each partition holds a
+   contiguous key range, cluster-wide sorted across partitions;
+2. per-partition local ``row_number``/cumsum (an ordinary partitioned
+   window — parallel);
+3. one tiny driver pass collects the per-partition counts/sums (one row
+   per PARTITION, not per data row) and broadcasts prefix offsets back;
+4. global value = local value + offset of all preceding partitions.
+
+Determinism contract: the order columns MUST form a total order (include a
+unique tiebreaker).  With ties spanning a range boundary the local row
+numbers would depend on which side of the cut a row landed; with a total
+order the result is independent of partitioning, so these helpers are
+output-identical to the single-partition window forms (pinned by
+tests/test_operators.py equivalence tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__rank_pid"
+
+
+def _range_tagged(
+    df: DataFrame, order_cols: list[Column], num_partitions: int | None
+) -> DataFrame:
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartitionByRange(n, *order_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+
+
+def _offset_map(pairs: list[tuple[int, int]]) -> Column:
+    """pid → prefix offset as a literal map (one entry per partition)."""
+    offs: list[Column] = []
+    acc = 0
+    for pid, c in sorted(pairs):
+        offs += [F.lit(pid), F.lit(acc)]
+        acc += c
+    return F.create_map(*offs)
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global row number by ``order_cols`` (which must include
+    a unique tiebreaker), computed with range partitioning + local windows +
+    broadcast prefix offsets — never a single-partition sort."""
+    tagged = _range_tagged(df, order_cols, num_partitions)
+    counts = [
+        (r[_PID], r["c"])
+        for r in tagged.groupBy(_PID).agg(F.count(F.lit(1)).alias("c")).collect()
+    ]
+    local = F.row_number().over(Window.partitionBy(_PID).orderBy(*order_cols))
+    return tagged.withColumn(
+        out_col, (local + _offset_map(counts)[F.col(_PID)]).cast("bigint")
+    ).drop(_PID)
+
+
+def ntile_from_rank(rank: Column, total: int, k: int) -> Column:
+    """Spark ``ntile(k)`` bucket from an exact global 1-based rank: the
+    first ``total % k`` buckets take ``total // k + 1`` rows, the rest
+    ``total // k`` — the same remainder-to-the-front sizing ntile uses.
+    Pure integer expression: composes with :func:`global_row_number` into a
+    distributed exact ntile."""
+    q, m = divmod(total, k)
+    big = q + 1
+    threshold = m * big
+    small = max(q, 1)  # q == 0 → every rank lands in the first branch
+    return (
+        F.when(rank <= threshold, F.ceil(rank / F.lit(big)))
+        .otherwise(F.lit(m) + F.ceil((rank - F.lit(threshold)) / F.lit(small)))
+        .cast("int")
+    )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[Column],
+    val_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact running total of ``val_col`` over the global ``order_cols``
+    order (unique tiebreaker required), two-pass distributed.  Use an
+    order-independent value type (integer/decimal) — the per-partition
+    offsets are summed on the driver, so float rounding would depend on
+    the partition count."""
+    tagged = _range_tagged(df, order_cols, num_partitions)
+    sums = [
+        (r[_PID], r["s"])
+        for r in tagged.groupBy(_PID)
+        .agg(F.sum(val_col).alias("s"))
+        .collect()
+    ]
+    offs: list[Column] = []
+    acc = 0
+    for pid, s in sorted(sums):
+        offs += [F.lit(pid), F.lit(acc)]
+        acc += int(s)
+    local = F.sum(val_col).over(
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return tagged.withColumn(
+        out_col, local + F.create_map(*offs)[F.col(_PID)]
+    ).drop(_PID)

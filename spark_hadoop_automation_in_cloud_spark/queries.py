@@ -85,6 +85,9 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q96_kmeans_clusters",
     "q25_ann_lsh_topk",
     "q30_ann_ivf_topk",
+    # --- re-implemented on the distributed rank/cumsum primitives
+    "q78_pareto_abc",
+    "q88_rfm_segments",
     # --- r01 greens reading events: read_table now yields TIMESTAMP (was
     #     NTZ at their r02-era reads / long at r01) — re-pin under the new reader
     "q06_event_rollup",
@@ -119,8 +122,6 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q04_customers_without_orders",
     "q12_active_user_segments",
     "q13_order_priority_sets",
-    "q15_top_parts_global",
-    "q18_zone_activity",
 )
 
 
@@ -3095,26 +3096,25 @@ SELECT l_partkey,
 FROM ranked
 """,
     doc="Pareto / ABC analysis: parts ranked by exact-cents revenue, "
-    "cumulative share over a GLOBAL ordered window, A/B/C class at the "
-    "50/80% knees. The global running sum is the one inherently "
-    "single-ordered operator in the suite — Spark plans it as a range "
-    "exchange + per-partition scan, acceptable because the input is the "
-    "ALREADY-AGGREGATED per-part frame (vocabulary-sized), never raw "
-    "lineitem. Class predicate runs on the exact DECIMAL cumulative "
-    "cast once to double — identical inputs both engines, no "
-    "accumulation-order drift.",
+    "cumulative share over the GLOBAL revenue order, A/B/C class at the "
+    "50/80% knees. The running total uses the distributed two-pass "
+    "prefix sum (operators.ranks.global_cumsum): range-partition on the "
+    "order key, parallel per-partition cumsums, broadcast prefix "
+    "offsets — never a single-partition window, so the plan holds even "
+    "if the per-part frame itself is huge. Exact DECIMAL accumulation; "
+    "class predicate on the cumulative cast once to double — identical "
+    "inputs both engines, no accumulation-order drift.",
 )
 def q78_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint").cast(DEC)
     rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("rev_c"))
     tot = rev.agg(F.sum("rev_c").alias("total_c"))
-    w = (
-        Window.orderBy(F.col("rev_c").desc(), F.col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    ranked = rev.crossJoin(F.broadcast(tot)).withColumn(
-        "cum_c", F.sum("rev_c").over(w)
+    ranked = global_cumsum(
+        rev.crossJoin(F.broadcast(tot)),
+        [F.col("rev_c").desc(), F.col("l_partkey").asc()],
+        "rev_c",
+        out_col="cum_c",
     )
     share = F.col("cum_c").cast("double") / F.col("total_c").cast("double")
     return ranked.select(
@@ -3331,6 +3331,11 @@ from spark_hadoop_automation_in_cloud_spark.operators.packing import (  # noqa: 
     pack_sequences,
     sql_pack_sequences,
 )
+from spark_hadoop_automation_in_cloud_spark.operators.ranks import (  # noqa: E402
+    global_cumsum,
+    global_row_number,
+    ntile_from_rank,
+)
 from spark_hadoop_automation_in_cloud_spark.operators.skew import salted_join  # noqa: E402
 
 
@@ -3530,10 +3535,11 @@ FROM m
     doc="RFM customer segmentation: recency (days from last order to the "
     "dataset horizon), frequency, exact-cents monetary, each cut into "
     "NTILE(4) quartiles with o_custkey tiebreaks so assignment is "
-    "total-ordered and engine-independent. The three global NTILEs run "
-    "on the per-customer aggregate (|customers| rows), not raw orders; "
-    "at 100 TB NTILE over customers is a range-partitioned sort of a "
-    "frame 3 orders of magnitude smaller than the fact table.",
+    "total-ordered and engine-independent. Each quartile is computed as "
+    "a DISTRIBUTED exact ntile (operators.ranks): range-partitioned "
+    "global row number + closed-form bucket expression — a built-in "
+    "unpartitioned NTILE would serialize all customers through one "
+    "task; this plan stays parallel at any |customers|.",
 )
 def q88_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
@@ -3546,23 +3552,28 @@ def q88_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("frequency"),
         F.round(dsum("o_totalprice"), 2).alias("monetary"),
     )
-    return m.select(
+    # distributed exact NTILE: global rank per dimension (range partition +
+    # local windows + prefix offsets) composed with the closed-form bucket
+    # expression — ntile semantics preserved exactly (equivalence pinned in
+    # tests), with no single-partition sort even at |customers| scale
+    total = m.count()
+    r = global_row_number(
+        m, [F.col("recency_days").asc(), F.col("o_custkey").asc()], out_col="__r_rn"
+    )
+    r = global_row_number(
+        r, [F.col("frequency").desc(), F.col("o_custkey").asc()], out_col="__f_rn"
+    )
+    r = global_row_number(
+        r, [F.col("monetary").desc(), F.col("o_custkey").asc()], out_col="__m_rn"
+    )
+    return r.select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4)
-        .over(Window.orderBy("recency_days", "o_custkey"))
-        .cast("int")
-        .alias("r_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
-        .cast("int")
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
-        .cast("int")
-        .alias("m_quartile"),
+        ntile_from_rank(F.col("__r_rn"), total, 4).alias("r_quartile"),
+        ntile_from_rank(F.col("__f_rn"), total, 4).alias("f_quartile"),
+        ntile_from_rank(F.col("__m_rn"), total, 4).alias("m_quartile"),
     )
 
 

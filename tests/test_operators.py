@@ -498,3 +498,53 @@ def test_fuzzy_passjoin_lossless_vs_exact_allpairs(spark, sf_dir):
         for r in fuzzy_pairs_passjoin(df, max_dist=2).collect()
     }
     assert (1, 2, 1) in pj
+
+
+def test_global_rank_primitives_equal_single_partition_windows(spark):
+    """operators.ranks must be output-identical to the unpartitioned window
+    forms (the semantics they replace at scale), including tie groups and a
+    total not divisible by the bucket count."""
+    from pyspark.sql import Window
+
+    from spark_hadoop_automation_in_cloud_spark.operators.ranks import (
+        global_cumsum,
+        global_row_number,
+        ntile_from_rank,
+    )
+
+    n = 1003  # deliberately not divisible by 4
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 97).alias("v"),  # heavy tie groups spanning ranges
+        (F.col("id") * 3 % 1000).cast("decimal(38,0)").alias("amt"),
+    )
+    order = [F.col("v").desc(), F.col("id").asc()]
+
+    got_rn = global_row_number(df, order, out_col="rn", num_partitions=7)
+    want_rn = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(*order)).cast("bigint")
+    )
+    assert got_rn.exceptAll(want_rn).count() == 0
+    assert want_rn.exceptAll(got_rn).count() == 0
+
+    got_nt = got_rn.select(
+        "id", ntile_from_rank(F.col("rn"), n, 4).alias("q")
+    )
+    want_nt = df.select(
+        "id", F.ntile(4).over(Window.orderBy(*order)).cast("int").alias("q")
+    )
+    assert got_nt.exceptAll(want_nt).count() == 0
+    assert want_nt.exceptAll(got_nt).count() == 0
+
+    got_cs = global_cumsum(df, order, "amt", out_col="cum", num_partitions=7)
+    want_cs = df.withColumn(
+        "cum",
+        F.sum("amt").over(
+            Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    # align types for the set compare (offsets are bigint literals)
+    got_cs = got_cs.withColumn("cum", F.col("cum").cast("decimal(38,0)"))
+    want_cs = want_cs.withColumn("cum", F.col("cum").cast("decimal(38,0)"))
+    assert got_cs.exceptAll(want_cs).count() == 0
+    assert want_cs.exceptAll(got_cs).count() == 0
