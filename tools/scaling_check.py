@@ -47,7 +47,11 @@ EVENTS_QUERIES = [
     "q53_time_range_average",  # epoch-keyed RANGE frame
     "q97_point_in_time_state", # SCD2 build + temporal join
     "q81_transition_matrix",   # lag window + matrix aggregate
+    "q11_travel_history",      # broadcast 1-NN + change detection + collect_list
 ]
+# NOT replicated here: q16 (co-purchase pairing) — replicas share contact
+# keys, so pair density grows QUADRATICALLY with the factor; that stress
+# shape is covered by the documents-side dedup caps instead.
 
 
 def best_of(fn, sf_dir: str, n: int = 2) -> float:
