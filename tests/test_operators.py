@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from spark_hadoop_automation_in_cloud_spark.io import read_table
@@ -548,3 +549,19 @@ def test_global_rank_primitives_equal_single_partition_windows(spark):
     want_cs = want_cs.withColumn("cum", F.col("cum").cast("decimal(38,0)"))
     assert got_cs.exceptAll(want_cs).count() == 0
     assert want_cs.exceptAll(got_cs).count() == 0
+
+
+@pytest.mark.parametrize("total,k", [(3, 4), (10, 4), (100, 7), (8, 8), (1, 3)])
+def test_ntile_from_rank_matches_builtin(spark, total, k):
+    """Closed-form bucket expression == F.ntile for totals above, equal to,
+    and below the bucket count (remainder-to-the-front sizing)."""
+    from pyspark.sql import Window
+
+    from spark_hadoop_automation_in_cloud_spark.operators.ranks import ntile_from_rank
+
+    df = spark.range(1, total + 1).select(F.col("id").cast("bigint").alias("rn"))
+    got = df.select("rn", ntile_from_rank(F.col("rn"), total, k).alias("b"))
+    want = df.select(
+        "rn", F.ntile(k).over(Window.orderBy("rn")).cast("int").alias("b")
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
