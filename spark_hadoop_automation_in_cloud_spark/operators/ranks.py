@@ -11,11 +11,18 @@ billion-row frame through a single executor at lake scale.
 The classic two-pass shape instead:
 
 1. ``repartitionByRange`` on the order columns — each partition holds a
-   contiguous key range, cluster-wide sorted across partitions;
+   contiguous key range, cluster-wide sorted across partitions — then
+   ``localCheckpoint`` to PIN that partitioning: the range partitioner
+   samples its boundaries per job, so without materialization the stats
+   pass and the compute pass could see different cuts (task retries and
+   fetch interleaving make upstream row order nondeterministic) and the
+   offsets would be applied to a partitioning they weren't measured on;
 2. per-partition local ``row_number``/cumsum (an ordinary partitioned
    window — parallel);
 3. one tiny driver pass collects the per-partition counts/sums (one row
-   per PARTITION, not per data row) and broadcasts prefix offsets back;
+   per PARTITION, not per data row) and broadcasts prefix offsets back —
+   accumulated in exact ``Decimal`` arithmetic, so fractional decimal
+   values are never truncated;
 4. global value = local value + offset of all preceding partitions.
 
 Determinism contract: the order columns MUST form a total order (include a
@@ -23,10 +30,13 @@ unique tiebreaker).  With ties spanning a range boundary the local row
 numbers would depend on which side of the cut a row landed; with a total
 order the result is independent of partitioning, so these helpers are
 output-identical to the single-partition window forms (pinned by
-tests/test_operators.py equivalence tests).
+tests/test_operators.py equivalence tests, which also sweep partition
+counts).
 """
 
 from __future__ import annotations
+
+from decimal import Decimal
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -38,18 +48,27 @@ def _range_tagged(
     df: DataFrame, order_cols: list[Column], num_partitions: int | None
 ) -> DataFrame:
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    return df.repartitionByRange(n, *order_cols).withColumn(
-        _PID, F.spark_partition_id()
+    return (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        # eager materialization pins ONE partitioning for both passes
+        .localCheckpoint()
     )
 
 
-def _offset_map(pairs: list[tuple[int, int]]) -> Column:
-    """pid → prefix offset as a literal map (one entry per partition)."""
+def _offset_map(pairs: list[tuple[int, object]], cast_to: str | None) -> Column:
+    """pid → prefix-sum-of-preceding-partitions as a literal map.
+
+    Accumulates in exact ``Decimal`` (collected values may be int, Decimal,
+    or None for an all-NULL partition) and emits each offset as a string
+    literal cast to ``cast_to`` — no float, no silent truncation.
+    """
     offs: list[Column] = []
-    acc = 0
-    for pid, c in sorted(pairs):
-        offs += [F.lit(pid), F.lit(acc)]
-        acc += c
+    acc = Decimal(0)
+    for pid, v in sorted(pairs, key=lambda p: p[0]):
+        lit = F.lit(str(acc)).cast(cast_to) if cast_to else F.lit(int(acc))
+        offs += [F.lit(pid), lit]
+        acc += Decimal(v) if v is not None else Decimal(0)
     return F.create_map(*offs)
 
 
@@ -67,9 +86,11 @@ def global_row_number(
         (r[_PID], r["c"])
         for r in tagged.groupBy(_PID).agg(F.count(F.lit(1)).alias("c")).collect()
     ]
+    if not counts:  # empty frame: create_map() of zero pairs can't resolve
+        return tagged.withColumn(out_col, F.lit(None).cast("bigint")).drop(_PID)
     local = F.row_number().over(Window.partitionBy(_PID).orderBy(*order_cols))
     return tagged.withColumn(
-        out_col, (local + _offset_map(counts)[F.col(_PID)]).cast("bigint")
+        out_col, (local + _offset_map(counts, None)[F.col(_PID)]).cast("bigint")
     ).drop(_PID)
 
 
@@ -100,25 +121,21 @@ def global_cumsum(
     """Exact running total of ``val_col`` over the global ``order_cols``
     order (unique tiebreaker required), two-pass distributed.  Use an
     order-independent value type (integer/decimal) — the per-partition
-    offsets are summed on the driver, so float rounding would depend on
-    the partition count."""
+    offsets are accumulated on the driver in exact Decimal arithmetic and
+    cast back to the aggregate's own SQL type, so fractional decimals
+    survive; a float ``val_col`` would make the total depend on partition
+    count and is the caller's misuse."""
     tagged = _range_tagged(df, order_cols, num_partitions)
-    sums = [
-        (r[_PID], r["s"])
-        for r in tagged.groupBy(_PID)
-        .agg(F.sum(val_col).alias("s"))
-        .collect()
-    ]
-    offs: list[Column] = []
-    acc = 0
-    for pid, s in sorted(sums):
-        offs += [F.lit(pid), F.lit(acc)]
-        acc += int(s)
+    agg = tagged.groupBy(_PID).agg(F.sum(val_col).alias("s"))
+    sum_type = agg.schema["s"].dataType.simpleString()
+    sums = [(r[_PID], r["s"]) for r in agg.collect()]
+    if not sums:  # empty frame
+        return tagged.withColumn(out_col, F.lit(None).cast(sum_type)).drop(_PID)
     local = F.sum(val_col).over(
         Window.partitionBy(_PID)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return tagged.withColumn(
-        out_col, local + F.create_map(*offs)[F.col(_PID)]
+        out_col, local + _offset_map(sums, sum_type)[F.col(_PID)]
     ).drop(_PID)

@@ -3555,7 +3555,11 @@ def q88_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distributed exact NTILE: global rank per dimension (range partition +
     # local windows + prefix offsets) composed with the closed-form bucket
     # expression — ntile semantics preserved exactly (equivalence pinned in
-    # tests), with no single-partition sort even at |customers| scale
+    # tests), with no single-partition sort even at |customers| scale.
+    # localCheckpoint: the metric frame feeds 5 actions (count + 3 rank
+    # stat passes + the final job) — materialize it once instead of
+    # recomputing the orders aggregate each time
+    m = m.localCheckpoint()
     total = m.count()
     r = global_row_number(
         m, [F.col("recency_days").asc(), F.col("o_custkey").asc()], out_col="__r_rn"

@@ -61,8 +61,12 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     """
     try:
         raw_schema = _read_parquet_any_ts(spark, path).schema
-    except Exception as e:  # noqa: BLE001 — only the empty-path case
-        if "UNABLE_TO_INFER_SCHEMA" not in str(e) and "PATH_NOT_FOUND" not in str(e):
+    except Exception as e:  # noqa: BLE001 — only the empty-DIRECTORY case
+        # A nonexistent path stays a loud error: swallowing PATH_NOT_FOUND
+        # here would silently build the stream against a file path that the
+        # isfile() redirection below can't see yet (the file doesn't exist),
+        # leaving a FileStreamSource whose basePath is a file.
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
             raise
         raw_schema = T.StructType(
             [

@@ -565,3 +565,40 @@ def test_ntile_from_rank_matches_builtin(spark, total, k):
         "rn", F.ntile(k).over(Window.orderBy("rn")).cast("int").alias("b")
     )
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_global_cumsum_fractional_decimals_and_empty_inputs(spark):
+    """Prefix offsets must keep fractional decimal parts (the offsets are
+    accumulated in exact Decimal and cast back to the aggregate's type),
+    and both primitives must return an empty frame - not crash - on empty
+    input."""
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+
+    from spark_hadoop_automation_in_cloud_spark.operators.ranks import (
+        global_cumsum,
+        global_row_number,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") / 4).cast("decimal(38,2)").alias("amt")
+    )
+    order = [F.col("id").asc()]
+    got = global_cumsum(df, order, "amt", out_col="cum", num_partitions=5)
+    want = df.withColumn(
+        "cum",
+        F.sum("amt").over(
+            Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    g = {r["id"]: r["cum"] for r in got.collect()}
+    w = {r["id"]: r["cum"] for r in want.collect()}
+    assert g == w
+    assert g[99] == Decimal("1237.50")  # fractional part survives
+
+    empty = spark.range(0).select(
+        F.col("id"), F.col("id").cast("decimal(38,2)").alias("amt")
+    )
+    assert global_row_number(empty, order, num_partitions=3).count() == 0
+    assert global_cumsum(empty, order, "amt", num_partitions=3).count() == 0
