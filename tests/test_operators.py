@@ -602,3 +602,35 @@ def test_global_cumsum_fractional_decimals_and_empty_inputs(spark):
     )
     assert global_row_number(empty, order, num_partitions=3).count() == 0
     assert global_cumsum(empty, order, "amt", num_partitions=3).count() == 0
+
+
+def test_hll_sketch_rollup_is_lossless_reaggregation(spark, sf_dir):
+    """Union-of-daily-sketches must equal sketch-of-the-whole exactly (the
+    sketch is a deterministic function of the value set), so persisted
+    per-day sketches re-aggregate to any coarser grain without rescanning
+    facts; and the estimate must sit within the lgk=12 error bound of the
+    exact distinct count."""
+    from spark_hadoop_automation_in_cloud_spark.operators.sketches import (
+        distinct_sketches,
+        merge_sketches,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = distinct_sketches(ev, ["day"], "user_id")
+    total_via_merge = merge_sketches(
+        daily.select(F.lit(1).alias("g"), "hll"), ["g"]
+    ).first()["n_distinct"]
+    total_direct = merge_sketches(
+        distinct_sketches(ev.select(F.lit(1).alias("g"), "user_id"), ["g"], "user_id"),
+        ["g"],
+    ).first()["n_distinct"]
+    assert total_via_merge == total_direct, "re-aggregation changed the estimate"
+
+    exact = ev.select("user_id").distinct().count()
+    # 1.04/sqrt(2^12) ≈ 1.6% rse; allow 5 sigma
+    assert abs(total_via_merge - exact) <= max(3, int(exact * 0.082)), (
+        total_via_merge,
+        exact,
+    )
