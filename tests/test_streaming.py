@@ -296,3 +296,41 @@ def test_stream_events_starts_on_empty_landing_dir(spark, tmp_path):
     )
     q.awaitTermination()
     assert spark.sql("SELECT * FROM empty_landing").count() == 0
+
+
+def test_transform_with_state_v2_equals_v1(spark, sf_dir, events_dir):
+    """The Arbitrary State API v2 implementation must produce exactly the
+    v1 (applyInPandasWithState) totals on a full availableNow replay — a
+    cross-validation of both the new API wiring and the session kernel.
+    Skips where transformWithState's protobuf IPC dependency is absent
+    (this container); the v1 operator is the portable default."""
+    from spark_hadoop_automation_in_cloud_spark.streaming.stateful_v2 import (
+        run_session_totals_v2,
+        v2_available,
+    )
+
+    if not v2_available():
+        pytest.skip("google.protobuf unavailable - transformWithState gated off")
+
+    stream = stream_events(spark, events_dir)
+    run_session_totals_v2(stream, "v2_totals")
+    got = spark.sql(
+        "SELECT user_id, max(n_events) AS n_events, max(n_sessions) AS n_sessions "
+        "FROM v2_totals GROUP BY user_id"
+    )
+
+    v1 = (
+        user_session_totals(stream_events(spark, events_dir))
+        .writeStream.format("memory")
+        .queryName("v1_totals_ref")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    v1.awaitTermination()
+    want = spark.sql(
+        "SELECT user_id, max(n_events) AS n_events, max(n_sessions) AS n_sessions "
+        "FROM v1_totals_ref GROUP BY user_id"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
