@@ -303,6 +303,46 @@ def jaccard_pairs(
     return _finish_jaccard(inter, sizes, min_jaccard)
 
 
+def _rarest_first_prefix(
+    shingles: DataFrame, threshold: float
+) -> tuple[DataFrame, DataFrame]:
+    """Each doc's LOSSLESS prefix under the rarest-first total order
+    (ascending document frequency, shingle tiebreak): length
+    ``n - ceil(t*n) + 1``.  The 1e-9 slack makes float rounding err only
+    toward a LARGER prefix, which stays lossless.  Shared by the Jaccard
+    and containment prefix filters — the bound derivation lives ONCE.
+
+    Returns (prefix rows, per-doc sizes)."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df_counts = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        shingles.join(df_counts, "shingle")
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")),
+        )
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.where(
+        F.col("pos")
+        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9)) + 1
+    ).select("doc_id", "shingle")
+    return prefix, sizes
+
+
+def _candidate_intersections(cand: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact |A ∩ B| computed ONLY for candidate (left, right) pairs — the
+    shared verify step of the prefix-filtered joins."""
+    sh_l = shingles.select(F.col("doc_id").alias("left_doc_id"), "shingle")
+    sh_r = shingles.select(F.col("doc_id").alias("right_doc_id"), "shingle")
+    return (
+        cand.join(sh_l, "left_doc_id")
+        .join(sh_r, ["right_doc_id", "shingle"])
+        .groupBy("left_doc_id", "right_doc_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+
 def jaccard_pairs_prefix(
     shingles: DataFrame, min_jaccard: float
 ) -> DataFrame:
@@ -325,22 +365,7 @@ def jaccard_pairs_prefix(
     |candidates| x avg set size, an equi-join on (doc, shingle), not a
     quadratic blow-up on hot shingles.
     """
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    df_counts = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        shingles.join(df_counts, "shingle")
-        .withColumn(
-            "pos",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")),
-        )
-        .join(sizes, "doc_id")
-    )
-    # Prefix length n - ceil(t*n) + 1.  The 1e-9 slack makes float rounding
-    # err only toward a LARGER prefix, which stays lossless.
-    prefix = ranked.where(
-        F.col("pos")
-        <= F.col("n_sh") - F.ceil(F.lit(min_jaccard) * F.col("n_sh") - F.lit(1e-9)) + 1
-    ).select("doc_id", "shingle")
+    prefix, sizes = _rarest_first_prefix(shingles, min_jaccard)
     cand = (
         prefix.alias("l")
         .join(
@@ -354,14 +379,7 @@ def jaccard_pairs_prefix(
         )
         .distinct()
     )
-    sh_l = shingles.select(F.col("doc_id").alias("left_doc_id"), "shingle")
-    sh_r = shingles.select(F.col("doc_id").alias("right_doc_id"), "shingle")
-    inter = (
-        cand.join(sh_l, "left_doc_id")
-        .join(sh_r, ["right_doc_id", "shingle"])
-        .groupBy("left_doc_id", "right_doc_id")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    inter = _candidate_intersections(cand, shingles)
     return _finish_jaccard(inter, sizes, min_jaccard)
 
 
@@ -468,26 +486,16 @@ def sql_embedding_neardup_pairs_lsh(
     ``distinct``) of per-band bucket equi-joins — the oracle runs the SAME
     candidate set as the Spark plan, recall trade included.
     """
-    def dot_plane(p: int) -> str:
-        weights = (
-            f"list_transform(range(0, {dim}), d -> "
-            f"((1103515245 * ({p} * 512 + d) + 12345) % 2147483647) "
-            f"/ 2147483647.0 - 0.5)"
-        )
-        return (
-            f"list_sum(list_transform(list_zip(vec, {weights}), "
-            f"pr -> CAST(pr[1] AS DOUBLE) * pr[2]))"
-        )
-
-    def bucket(band: int) -> str:
-        return " + ".join(
-            f"(CASE WHEN {dot_plane(band * planes + p)} > 0 "
-            f"THEN {1 << (planes - 1 - p)} ELSE 0 END)"
-            for p in range(planes)
-        )
+    # single source of truth for the hyperplane-bucket SQL — shared with
+    # the ANN oracles so the LCG constants / bit order can never drift
+    # between the two generators
+    from spark_hadoop_automation_in_cloud_spark.operators.similarity import (
+        _sql_lsh_bucket,
+    )
 
     bucket_cols = ",\n         ".join(
-        f"{bucket(band)} AS bk{band}" for band in range(bands)
+        f"{_sql_lsh_bucket('vec', dim, planes, band * planes)} AS bk{band}"
+        for band in range(bands)
     )
     cand_union = "\n  UNION\n".join(
         f"  SELECT a.vid AS l, b.vid AS r FROM base a JOIN base b "
@@ -581,7 +589,9 @@ def fuzzy_pairs_blocked(
         F.col(name_col).alias("__na"),
         F.substring(name_col, 1, 1).alias("__blk_c1"),
         F.explode(probe_lens).alias("__blk_len"),
-    ).where(F.col("__blk_len") >= 1)
+        # >= 0, not >= 1: two empty names are a distance-0 pair and the
+        # oracle includes them — probe length 0 blocks with other empties
+    ).where(F.col("__blk_len") >= 0)
     return (
         left.join(right, ["__blk_len", "__blk_c1"])
         .where(F.col("left_id") < F.col("right_id"))
@@ -789,11 +799,17 @@ def fuzzy_pairs_passjoin(
             p = seg_start(i, cand)
             for shift in range(-k, k + 1):
                 start = p + shift
-                valid = (
-                    (cand >= 1)
-                    & (sl >= 1)
-                    & (start >= 0)
-                    & (start + sl <= lt)
+                # A ZERO-length segment is trivially "untouched" at any
+                # position — emit its key unconditionally (segments of
+                # length 0 only exist for strings shorter than k+1, so the
+                # degenerate block is bounded by the count of such tiny
+                # strings).  Without this, pairs whose every non-empty
+                # segment was edited (e.g. 'ab' vs 'cd' at k=2, or any
+                # pair involving '') were silently lost — violating the
+                # lossless contract.
+                valid = (cand >= 0) & (
+                    (sl == 0)
+                    | ((sl >= 1) & (start >= 0) & (start + sl <= lt))
                 )
                 probe_cols.append(
                     F.when(
@@ -868,22 +884,7 @@ def containment_pairs(shingles: DataFrame, min_containment: float) -> DataFrame:
     Output: left_doc_id (contained), right_doc_id (container), containment
     (rounded 6dp); ordered pairs in both directions, left ≠ right.
     """
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    df_counts = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        shingles.join(df_counts, "shingle")
-        .withColumn(
-            "pos",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")),
-        )
-        .join(sizes, "doc_id")
-    )
-    prefix = ranked.where(
-        F.col("pos")
-        <= F.col("n_sh")
-        - F.ceil(F.lit(min_containment) * F.col("n_sh") - F.lit(1e-9))
-        + 1
-    ).select("doc_id", "shingle")
+    prefix, sizes = _rarest_first_prefix(shingles, min_containment)
     cand = (
         prefix.alias("l")
         .join(
@@ -897,14 +898,7 @@ def containment_pairs(shingles: DataFrame, min_containment: float) -> DataFrame:
         )
         .distinct()
     )
-    sh_l = shingles.select(F.col("doc_id").alias("left_doc_id"), "shingle")
-    sh_r = shingles.select(F.col("doc_id").alias("right_doc_id"), "shingle")
-    inter = (
-        cand.join(sh_l, "left_doc_id")
-        .join(sh_r, ["right_doc_id", "shingle"])
-        .groupBy("left_doc_id", "right_doc_id")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    inter = _candidate_intersections(cand, shingles)
     sl = sizes.select(F.col("doc_id").alias("left_doc_id"), F.col("n_sh").alias("n_l"))
     return (
         inter.join(sl, "left_doc_id")

@@ -43,7 +43,14 @@ def pack_sequences(
     """
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
-    w = Window.partitionBy(part_col).orderBy(id_col)
+    # Explicit ROWS frame: orderBy without one defaults to RANGE, which
+    # sums PEER rows together — duplicate ids would share a start offset
+    # (overlapping slices) and diverge from the oracle's ROWS frame.
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     t = docs.select(
         F.col(part_col),
         F.col(id_col).alias("doc_id"),

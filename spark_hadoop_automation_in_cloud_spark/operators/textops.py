@@ -33,6 +33,11 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """n-gram-heuristic language ID: count per-language marker-token
     occurrences, predict the argmax (ties → lexicographic lang order).
 
+    Counting is NON-OVERLAPPING on the space-padded text (the oracle
+    replicates this exactly): immediately adjacent repeats share their
+    delimiting space, so "the the" counts once — a deliberate cheap-pass
+    trade; scores remain a consistent relative signal across languages.
+
     Output: doc_id, pred_lang, marker_hits.
     """
     padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
@@ -86,16 +91,20 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Components (all cheap, portable): length band, alpha-char ratio,
     mean token length band, stopword presence.  Output: doc_id, n_chars,
-    n_tokens, alpha_ratio, mean_token_len, quality (all rounded 6dp).
+    n_tokens, alpha_ratio, mean_token_len, quality.  Ratios are NOT
+    rounded: each is one exact integer-over-integer division done in
+    double, already bit-identical across engines (a rounding step would
+    itself be the portability hazard at half-boundary values like
+    0.9428125).
     """
-    # All ratios are exact integer divisions done ONCE in double — bit-
-    # identical across engines with no rounding step (rounding half-boundary
-    # values like 0.9428125 differs between engines).
     t = F.col(text_col)
-    n_chars = F.length(t)
+    # BIGINT from the start: the composite numerator reaches 10000*n_chars,
+    # which overflows 32-bit (silently, in non-ANSI sessions) for documents
+    # beyond ~214k chars — and the DuckDB oracle computes in BIGINT.
+    n_chars = F.length(t).cast("bigint")
     toks = F.split(t, " ")
     n_tokens = F.size(toks)
-    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("bigint")
     alpha_ratio = F.when(n_chars == 0, 0.0).otherwise(
         alpha.cast("double") / n_chars
     )
@@ -302,14 +311,18 @@ def sql_pii_scrub(
 ) -> str:
     """DuckDB oracle for :func:`pii_scrub` (regexp_extract_all for counts,
     'g'-flagged regexp_replace for redaction)."""
-    first_pat = patterns[next(iter(patterns))]
+    # escape quotes the same way sql_occurrence_count does — a pattern or
+    # redaction containing ' must not break (or alter) the generated SQL
+    esc = {name: p.replace("'", "''") for name, p in patterns.items()}
+    red = redaction.replace("'", "''")
+    first_pat = esc[next(iter(esc))]
     counts = ",\n       ".join(
         f"CAST(len(regexp_extract_all({text_col}, '{p}')) AS BIGINT) AS n_{name}"
-        for name, p in patterns.items()
+        for name, p in esc.items()
     )
     redacted = text_col
-    for p in patterns.values():
-        redacted = f"regexp_replace({redacted}, '{p}', '{redaction}', 'g')"
+    for p in esc.values():
+        redacted = f"regexp_replace({redacted}, '{p}', '{red}', 'g')"
     return f"""
 SELECT {id_col},
        {counts},

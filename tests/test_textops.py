@@ -1,0 +1,94 @@
+"""Edge-case regressions for the text/dedup/packing kernels (found by
+review, each one a real divergence from the DuckDB oracle or a silent
+wrong answer)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_quality_score_long_document_no_overflow(spark):
+    """The composite numerator reaches 10000*n_chars — int32 wrapped for
+    docs over ~214k chars (silently negative scores in non-ANSI sessions);
+    the arithmetic is now 64-bit like the oracle's."""
+    from spark_hadoop_automation_in_cloud_spark.operators.textops import quality_score
+
+    text = ("word " * 60_000).strip()  # ~300k chars, alpha-heavy
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = quality_score(df, "doc_id", "text").first()
+    assert row["n_chars"] == len(text)
+    assert 0.0 <= row["quality"] <= 1.0, row["quality"]
+
+
+def test_passjoin_short_strings_lossless(spark):
+    """Strings shorter than max_dist+1 have zero-length segments; an
+    untouched EMPTY segment must still generate a candidate ('ab' vs 'cd'
+    edits both non-empty segments; '' pairs have only empty segments)."""
+    from spark_hadoop_automation_in_cloud_spark.operators.dedup import (
+        fuzzy_pairs_passjoin,
+    )
+
+    rows = [(1, "ab"), (2, "cd"), (3, ""), (4, "a"), (5, "smith")]
+    df = spark.createDataFrame(rows, "c_custkey int, c_name string")
+    got = {
+        (r.left_id, r.right_id, r.edit_dist)
+        for r in fuzzy_pairs_passjoin(df, max_dist=2).collect()
+    }
+    # exact all-pairs truth at dist <= 2
+    want = set()
+    import itertools
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[len(b)]
+
+    for (i1, n1), (i2, n2) in itertools.combinations(rows, 2):
+        dd = lev(n1, n2)
+        if dd <= 2:
+            want.add((i1, i2, dd))
+    assert got == want, f"missing: {want - got}, extra: {got - want}"
+
+
+def test_fuzzy_blocked_empty_names_pair(spark):
+    """Two empty names are a distance-0 pair the oracle includes; the probe
+    side must not filter out length-0 blocks."""
+    from spark_hadoop_automation_in_cloud_spark.operators.dedup import (
+        fuzzy_pairs_blocked,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "abc")], "c_custkey int, c_name string"
+    )
+    got = {
+        (r.left_id, r.right_id, r.edit_dist)
+        for r in fuzzy_pairs_blocked(df, max_dist=2).collect()
+    }
+    assert (1, 2, 0) in got
+
+
+def test_pack_sequences_duplicate_ids_and_null_text(spark):
+    """Duplicate (part, id) rows must pack SEQUENTIALLY (explicit ROWS
+    frame — the default RANGE frame summed peers together, overlapping
+    their slices), and a NULL text row drops out without shifting later
+    documents' offsets (size(split(NULL)) is NULL, sums skip it — same as
+    the oracle's NULL propagation)."""
+    from spark_hadoop_automation_in_cloud_spark.operators.packing import pack_sequences
+
+    text_1k = " ".join(["t"] * 1024)
+    rows = [
+        ("s", 1, text_1k),
+        ("s", 1, text_1k),  # duplicate id
+        ("s", 2, None),  # null text
+        ("s", 3, text_1k),
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id long, text string")
+    out = pack_sequences(df, "src", "doc_id", "text", capacity=1024).collect()
+    assert all(r["doc_id"] != 2 for r in out), "null-text row must drop"
+    bins = sorted((r["doc_id"], r["bin_id"], r["tok_start"], r["tok_end"]) for r in out)
+    # three 1024-token docs at capacity 1024: bins 0,1,2 — each full slice
+    assert bins == [(1, 0, 0, 1024), (1, 1, 0, 1024), (3, 2, 0, 1024)], bins
+    assert all(ts < te for _, _, ts, te in bins)
