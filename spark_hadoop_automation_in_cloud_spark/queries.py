@@ -88,6 +88,10 @@ _ROTATE_FIRST: tuple[str, ...] = (
     # --- re-implemented on the distributed rank/cumsum primitives
     "q78_pareto_abc",
     "q88_rfm_segments",
+    # --- kernels changed by the review fixes (passjoin zero-length
+    #     segments; shared prefix pipeline)
+    "q50_fuzzy_name_pairs",
+    "q95_containment_dups",
     # --- r01 greens reading events: read_table now yields TIMESTAMP (was
     #     NTZ at their r02-era reads / long at r01) — re-pin under the new reader
     "q06_event_rollup",
@@ -120,8 +124,6 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q02_regional_revenue",
     "q03_top_order_per_customer",
     "q04_customers_without_orders",
-    "q12_active_user_segments",
-    "q13_order_priority_sets",
 )
 
 
