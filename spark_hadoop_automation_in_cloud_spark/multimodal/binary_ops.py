@@ -51,14 +51,18 @@ def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """payload → (dims, feature vector); binary column dropped on output."""
+    # strict is a CONSTRUCTION-time contract, checked before any kernel is
+    # built: a per-batch check would silently succeed on empty input —
+    # waiving the "a real decoder must be linked" guarantee exactly when a
+    # misconfigured upstream produces no rows
+    if strict:
+        raise NotImplementedError(
+            "real media decoding requires codec libraries not present "
+            "in this environment; plug a decoder in place of _fake_decode"
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real media decoding requires codec libraries not present "
-                    "in this environment; plug a decoder in place of _fake_decode"
-                )
             out = {
                 "media_id": [],
                 "media_type": [],
@@ -126,13 +130,15 @@ def resize_media(
     byte arithmetic for an image library; ``strict=True`` marks that seam.
     """
 
+    if strict:
+        # construction-time, not per-batch — see extract_features
+        raise NotImplementedError(
+            "real resizing requires an image library not present in "
+            "this environment; plug one in place of the byte tiling"
+        )
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real resizing requires an image library not present in "
-                    "this environment; plug one in place of the byte tiling"
-                )
             out = {"media_id": [], "media_type": [], "width": [], "height": [], "payload": []}
             n_target = max(1, (target_w * target_h) // 64)
             for mid, mtype, payload in zip(

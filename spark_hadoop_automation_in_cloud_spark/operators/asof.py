@@ -57,7 +57,13 @@ def asof_join(
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left_cols]).alias("__l"),
     )
-    r_half = right.select(
+    r_half = right.where(
+        # a NULL right timestamp would sort FIRST in the union window and
+        # be carried as the as-of match for every earlier left row; the
+        # `right.ts <= left.ts` contract (and the DuckDB ASOF oracle)
+        # excludes such rows entirely
+        F.col(right_ts).isNotNull()
+    ).select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),

@@ -50,7 +50,21 @@ def salted_join(
     """
     if n_salts < 1:
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
-    f = fact.withColumn(SALT, F.pmod(fact_salt.cast("bigint"), F.lit(n_salts)))
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        # the dim side is replicated n_salts times, so any join type that
+        # PRESERVES unmatched dim rows (right/full outer) would emit each
+        # of them n_salts times — silently breaking the row-identical-to-
+        # unsalted contract
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only, got {how!r}"
+        )
+    # coalesce: a null-evaluating salt expression (nullable input column)
+    # would never equi-match the dim replicas' 0..n-1 salts, silently
+    # dropping those fact rows from the join
+    f = fact.withColumn(
+        SALT,
+        F.coalesce(F.pmod(fact_salt.cast("bigint"), F.lit(n_salts)), F.lit(0)),
+    )
     d = dim.withColumn(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
     )

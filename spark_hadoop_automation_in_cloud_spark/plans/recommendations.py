@@ -81,6 +81,12 @@ def friend_recommendations(
             key_col="k",
         )
     else:
+        if contacts is None:
+            raise ValueError(
+                "friend_recommendations needs an exclusion relation: pass "
+                "contacts (pair list) or contact_memberships (shared-key "
+                "membership) — got neither"
+            )
         cand = exclude_pairs(
             cand, contacts, "left_user_id", "right_user_id", "user_a", "user_b"
         )
