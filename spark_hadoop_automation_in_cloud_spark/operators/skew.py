@@ -21,6 +21,15 @@ shuffle join (no skew): a mid-sized dim and a skewed fact key.  The output
 is row-identical to the unsalted join — salting is a physical rewrite, not
 a semantic one — which is what the q87 oracle checks.
 
+Dim-preserving joins (``right``/``full`` outer) need one extra step: a dim
+row whose key has no fact match — or whose fact matches all hash to OTHER
+salt values — would surface null-extended once per replica.  So those
+modes run the fact-preserving salted join first and UNION the unmatched
+dim rows (null-extended) after, where "matched" is decided by a distinct
+over the fact keys.  That distinct is itself skew-safe: Spark's partial
+hash aggregate collapses a hot key to one row per map task *before* the
+exchange, so no reduce task ever sees the hot key's full row set.
+
 Reference parity: the reference joins events to user dims with no skew
 handling at all (``src/spark/collector.py`` equi-joins); this operator is
 part of the scale extension surface.
@@ -50,14 +59,21 @@ def salted_join(
     """
     if n_salts < 1:
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    if how in ("right", "right_outer", "rightouter", "full", "full_outer", "fullouter", "outer"):
+        # dim-preserving modes: replicated dim rows can't be null-extended
+        # directly (each unmatched replica would surface once), so run the
+        # fact-preserving part salted and append the unmatched dim rows
+        inner_how = "left" if how in ("full", "full_outer", "fullouter", "outer") else "inner"
+        base = salted_join(fact, dim, on, fact_salt, n_salts, inner_how)
+        # distinct is safe on the hot key: partial aggregation collapses it
+        # map-side, so the exchange carries <=1 row per key per map task
+        matched_keys = fact.select(*on).distinct()
+        unmatched_dim = dim.join(matched_keys, on, "left_anti")
+        # unionByName null-extends the missing fact columns; column order
+        # and widened nullability follow the base frame
+        return base.unionByName(unmatched_dim, allowMissingColumns=True)
     if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
-        # the dim side is replicated n_salts times, so any join type that
-        # PRESERVES unmatched dim rows (right/full outer) would emit each
-        # of them n_salts times — silently breaking the row-identical-to-
-        # unsalted contract
-        raise ValueError(
-            f"salted_join supports fact-preserving joins only, got {how!r}"
-        )
+        raise ValueError(f"salted_join does not support how={how!r}")
     # coalesce: a null-evaluating salt expression (nullable input column)
     # would never equi-match the dim replicas' 0..n-1 salts, silently
     # dropping those fact rows from the join

@@ -272,6 +272,64 @@ def test_salted_two_level_aggregation(spark):
     assert n_salts > 1
 
 
+def _salted_join_fixture(spark):
+    """Skewed fact + mid dim with every awkward case: a hot fact key, fact
+    keys missing from dim, dim keys missing from fact (incl. duplicates so
+    preserved multiplicity is checked), and NULL keys on both sides."""
+    fact_rows = (
+        [(1, i * 1.0) for i in range(500)]        # hot key
+        + [(2, 2.0), (3, 3.0)]                    # matched, cold
+        + [(9, 9.0)]                              # no dim match
+        + [(None, -1.0)]                          # null key
+    )
+    dim_rows = [
+        (1, "a"), (2, "b"), (3, "c"),
+        (7, "orphan1"), (7, "orphan2"),           # unmatched, duplicated key
+        (8, "orphan3"),
+        (None, "nullkey"),
+    ]
+    fact = spark.createDataFrame(fact_rows, "k int, v double")
+    dim = spark.createDataFrame(dim_rows, "k int, label string")
+    return fact, dim
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "right", "full"])
+def test_salted_join_matches_plain_join(spark, how):
+    """salted_join is a physical rewrite only: for EVERY join type — now
+    including the dim-preserving right/full outer — the result must be
+    row-identical (as a multiset) to the plain unsalted join."""
+    from spark_hadoop_automation_in_cloud_spark.operators.skew import salted_join
+
+    fact, dim = _salted_join_fixture(spark)
+    salt = F.coalesce(F.col("k"), F.lit(0)) * 31 + F.round(F.col("v")).cast("int")
+    got = salted_join(fact, dim, ["k"], fact_salt=salt, n_salts=5, how=how)
+    want = fact.join(dim, ["k"], how)
+    assert sorted(got.columns) == sorted(want.columns)
+    key = lambda r: str(tuple((c, r[c]) for c in sorted(got.columns)))
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+def test_salted_join_right_outer_preserves_unmatched_dim_once(spark):
+    """The failure mode the pre-round-4 rejection guarded against: an
+    unmatched dim row must appear exactly once (not once per salt
+    replica), and a dim key matched by fact rows that all hash to one
+    salt value must NOT leak null-extended ghost rows for the other
+    replicas."""
+    from spark_hadoop_automation_in_cloud_spark.operators.skew import salted_join
+
+    fact, dim = _salted_join_fixture(spark)
+    # constant salt: every fact row lands on salt 3 — the worst case for
+    # replica-ghost rows (dim replicas 0,1,2,4 of matched keys match nothing)
+    got = salted_join(fact, dim, ["k"], fact_salt=F.lit(3), n_salts=5, how="right")
+    orphans = got.where(F.col("label").startswith("orphan")).collect()
+    assert sorted(r["label"] for r in orphans) == ["orphan1", "orphan2", "orphan3"]
+    assert all(r["v"] is None for r in orphans)
+    # matched key 2 has exactly one fact row -> exactly one output row
+    assert got.where(F.col("k") == 2).count() == 1
+    # null dim key never matches but IS dim-preserved
+    assert got.where(F.col("label") == "nullkey").count() == 1
+
+
 def test_connected_components_chain_and_islands(spark):
     """Label propagation must converge across multi-hop chains (rounds >
     1) and keep disjoint components separate."""
