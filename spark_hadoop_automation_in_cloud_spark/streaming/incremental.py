@@ -19,19 +19,36 @@ before merging (a delete-then-rename "swap" would destroy the snapshot
 if the process died between the two calls).  Local-filesystem paths only:
 the os-level renames are what make the swap atomic; a cloud deployment
 targets a table format (Delta/Iceberg ``MERGE INTO``) where the atomic
-commit is the format's job — the callback signature is the stable
-contract, the storage swap is one line.
+commit is the format's job.
+
+That cloud path is the ``merge_fn`` seam: ``upsert_batch(...,
+merge_fn=...)`` delegates the storage merge to the callable and skips the
+rename protocol entirely, so the foreachBatch wiring, the last-writer-wins
+dedup, and the checkpoint/replay semantics are IDENTICAL across backends —
+only the final "apply deduped rows to the table" step is swapped.
+:func:`delta_merge_fn` is the ready-made adapter (``MERGE INTO`` with a
+lexicographic newer-than condition, idempotent under micro-batch replay —
+the same contract the reference's overwrite datamart sink provides,
+``src/spark/collector.py:543-557``); any engine with a MERGE (Iceberg,
+a JDBC warehouse) plugs in the same way.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spark_hadoop_automation_in_cloud_spark.operators.topk import topk_per_group
+
+#: merge backend contract: (deduped_batch, path, key_cols, order_cols) ->
+#: None.  The batch arriving here is already last-writer-wins deduped per
+#: key (unique per key_cols), so a MERGE backend never sees a duplicate
+#: source match.
+MergeFn = Callable[[DataFrame, str, list[str], list[str]], None]
 
 
 def latest_per_key(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
@@ -44,18 +61,78 @@ def latest_per_key(df: DataFrame, key_cols: list[str], order_cols: list[str]) ->
     )
 
 
+def newer_than_condition(
+    order_cols: list[str], src: str = "src", tgt: str = "tgt"
+) -> str:
+    """SQL predicate: source's order tuple is lexicographically strictly
+    greater than the target's — the "only overwrite with newer" guard of a
+    last-writer-wins MERGE.  Order columns must be non-null (same contract
+    as the rename path, whose descending sort would otherwise rank NULLs
+    arbitrarily per engine).
+
+    Pure string builder so the condition is unit-testable without any
+    table-format library installed.
+    """
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    clauses = []
+    for i, c in enumerate(order_cols):
+        ties = " AND ".join(f"{src}.{p} = {tgt}.{p}" for p in order_cols[:i])
+        gt = f"{src}.{c} > {tgt}.{c}"
+        clauses.append(f"({ties} AND {gt})" if ties else f"({gt})")
+    return " OR ".join(clauses)
+
+
+def delta_merge_fn() -> MergeFn:
+    """Ready-made ``merge_fn`` backend for Delta Lake: atomic
+    ``MERGE INTO`` with :func:`newer_than_condition` as the update guard.
+
+    Idempotent under micro-batch replay: re-merging rows already applied
+    matches the target with an equal (not greater) order tuple, so the
+    WHEN MATCHED update is skipped and the table is unchanged — the
+    property the foreachBatch checkpoint contract needs.  Requires the
+    ``delta-spark`` package on the session (import-checked here, at
+    pipeline construction time, not inside the hot callback).
+    """
+    from delta.tables import DeltaTable  # noqa: PLC0415 — optional backend
+
+    def merge(deduped: DataFrame, path: str, key_cols: list[str], order_cols: list[str]) -> None:
+        spark = deduped.sparkSession
+        if not DeltaTable.isDeltaTable(spark, path):
+            deduped.write.format("delta").mode("errorifexists").save(path)
+            return
+        tgt = DeltaTable.forPath(spark, path)
+        on = " AND ".join(f"tgt.{k} = src.{k}" for k in key_cols)
+        (
+            tgt.alias("tgt")
+            .merge(deduped.alias("src"), on)
+            .whenMatchedUpdateAll(condition=newer_than_condition(order_cols))
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+
+    return merge
+
+
 def upsert_batch(
     batch_df: DataFrame,
     path: str,
     key_cols: list[str],
     order_cols: list[str],
+    merge_fn: MergeFn | None = None,
 ) -> None:
-    """Merge one micro-batch into the parquet snapshot at ``path``.
+    """Merge one micro-batch into the snapshot at ``path``.
 
-    Crash-safe swap protocol (see module docstring): tmp is written fresh
-    each call; the live dir is renamed aside before the tmp renames in, so
-    no crash point loses the snapshot.  Entry first REPAIRS any state a
-    previous crash left behind:
+    With ``merge_fn`` (a table-format backend — see :data:`MergeFn` and
+    :func:`delta_merge_fn`), the batch is last-writer-wins deduped here and
+    the storage merge is the backend's: atomic commit, URI paths, and
+    concurrent-reader behavior are the format's contract.
+
+    Without it, the default parquet backend applies the crash-safe swap
+    protocol (see module docstring): tmp is written fresh each call; the
+    live dir is renamed aside before the tmp renames in, so no crash point
+    loses the snapshot.  Entry first REPAIRS any state a previous crash
+    left behind:
 
     - backup + live both present → the old crash happened after the new
       snapshot landed: drop the backup;
@@ -64,11 +141,14 @@ def upsert_batch(
       failed micro-batch from its checkpoint);
     - stale tmp → always discarded (rewritten below).
     """
+    if merge_fn is not None:
+        merge_fn(latest_per_key(batch_df, key_cols, order_cols), path, key_cols, order_cols)
+        return
     if "://" in path:
         raise ValueError(
             "upsert_batch swaps directories with local-filesystem renames; "
-            f"got URI path {path!r} — point a cloud deployment at a table "
-            "format (Delta/Iceberg MERGE) instead"
+            f"got URI path {path!r} — pass merge_fn= (e.g. delta_merge_fn()) "
+            "to target a table format instead"
         )
     spark = batch_df.sparkSession
     tmp, bak = f"{path}.tmp-merge", f"{path}.bak-merge"
@@ -100,9 +180,11 @@ def run_incremental_upsert(
     key_cols: list[str],
     order_cols: list[str],
     checkpoint_dir: str,
+    merge_fn: MergeFn | None = None,
 ) -> None:
-    """Drain ``stream_df`` (availableNow) into a last-writer-wins parquet
-    snapshot at ``path`` via foreachBatch.
+    """Drain ``stream_df`` (availableNow) into a last-writer-wins snapshot
+    at ``path`` via foreachBatch — parquet swap by default, a table-format
+    MERGE backend when ``merge_fn`` is given.
 
     Batch sizing is the SOURCE's knob: set ``maxFilesPerTrigger`` when
     building ``stream_df`` to turn one big drain into many incremental
@@ -110,7 +192,7 @@ def run_incremental_upsert(
     """
     q = (
         stream_df.writeStream.foreachBatch(
-            lambda bdf, _bid: upsert_batch(bdf, path, key_cols, order_cols)
+            lambda bdf, _bid: upsert_batch(bdf, path, key_cols, order_cols, merge_fn)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
