@@ -20,13 +20,23 @@ Execution model (the part that matters at 100 TB):
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
 FEATURE_DIM = 16
+
+#: decoder contract for :func:`extract_features`:
+#: payload bytes -> (width, height, float feature vector of FEATURE_DIM).
+#: The callable is serialized to executors with the kernel closure, so it
+#: must be importable/picklable and must not capture a SparkSession.
+Decoder = Callable[[bytes], tuple[int, int, np.ndarray]]
+
+#: resizer contract for :func:`resize_media`:
+#: (payload, target_w, target_h) -> resized payload bytes.
+Resizer = Callable[[bytes, int, int], bytes]
 
 FEATURES_SCHEMA = (
     "media_id long, media_type string, n_bytes long, "
@@ -49,17 +59,28 @@ def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, features
 
 
-def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
-    """payload → (dims, feature vector); binary column dropped on output."""
+def extract_features(
+    media: DataFrame, strict: bool = False, decode: Decoder | None = None
+) -> DataFrame:
+    """payload → (dims, feature vector); binary column dropped on output.
+
+    ``decode`` is the production injection point: a :data:`Decoder`
+    callable (PIL/ffmpeg/torchvision wrapper on a codec-equipped cluster)
+    that replaces the deterministic fake.  Feature vectors longer than
+    ``FEATURE_DIM`` are truncated, shorter ones zero-padded, so the output
+    schema stays fixed whatever the decoder emits.
+    """
     # strict is a CONSTRUCTION-time contract, checked before any kernel is
     # built: a per-batch check would silently succeed on empty input —
     # waiving the "a real decoder must be linked" guarantee exactly when a
     # misconfigured upstream produces no rows
-    if strict:
+    if strict and decode is None:
         raise NotImplementedError(
-            "real media decoding requires codec libraries not present "
-            "in this environment; plug a decoder in place of _fake_decode"
+            "strict=True requires a real decoder: pass decode= (codec "
+            "libraries are not present in this environment, so the "
+            "built-in default is a deterministic fake)"
         )
+    decode = decode or _fake_decode
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -75,7 +96,12 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
                 pdf["media_id"], pdf["media_type"], pdf["payload"]
             ):
                 data = bytes(payload) if payload is not None else b""
-                w, h, feats = _fake_decode(data)
+                w, h, feats = decode(data)
+                feats = np.asarray(feats, dtype=np.float32).ravel()
+                if feats.size != FEATURE_DIM:  # fixed output schema
+                    feats = np.pad(feats, (0, max(0, FEATURE_DIM - feats.size)))[
+                        :FEATURE_DIM
+                    ]
                 out["media_id"].append(mid)
                 out["media_type"].append(mtype)
                 out["n_bytes"].append(len(data))
@@ -116,48 +142,58 @@ RESIZE_SCHEMA = (
 )
 
 
+def _fake_resize(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Default byte-arithmetic resizer: payload size proportional to the
+    target pixel count via deterministic subsampling/tiling."""
+    n_target = max(1, (target_w * target_h) // 64)
+    if not payload:
+        return b"\x00" * n_target
+    if len(payload) >= n_target:
+        step = len(payload) // n_target
+        return payload[::step][:n_target]
+    reps = n_target // len(payload) + 1
+    return (payload * reps)[:n_target]
+
+
 def resize_media(
-    media: DataFrame, target_w: int, target_h: int, strict: bool = False
+    media: DataFrame,
+    target_w: int,
+    target_h: int,
+    strict: bool = False,
+    resize: Resizer | None = None,
 ) -> DataFrame:
-    """Resize stub: emits a payload whose size is proportional to the target
-    pixel count (deterministic byte subsampling/tiling of the source), with
-    the typed (width, height) metadata updated.
+    """Resize: emits a transformed payload with the typed (width, height)
+    metadata updated.  ``resize`` is the production injection point — a
+    :data:`Resizer` callable wrapping a real image library; the default is
+    deterministic byte subsampling/tiling (codec libs absent here).
 
     Exercises the binary→binary transform shape — unlike feature
     extraction, the payload column SURVIVES the operator, so batch sizing
     (``spark.sql.execution.arrow.maxRecordsPerBatch``) bounds peak executor
-    memory on both sides of the kernel.  A real implementation swaps the
-    byte arithmetic for an image library; ``strict=True`` marks that seam.
+    memory on both sides of the kernel.
     """
 
-    if strict:
+    if strict and resize is None:
         # construction-time, not per-batch — see extract_features
         raise NotImplementedError(
-            "real resizing requires an image library not present in "
-            "this environment; plug one in place of the byte tiling"
+            "strict=True requires a real resizer: pass resize= (no image "
+            "library is present in this environment, so the built-in "
+            "default is byte tiling)"
         )
+    resize = resize or _fake_resize
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "media_type": [], "width": [], "height": [], "payload": []}
-            n_target = max(1, (target_w * target_h) // 64)
             for mid, mtype, payload in zip(
                 pdf["media_id"], pdf["media_type"], pdf["payload"]
             ):
                 data = bytes(payload) if payload is not None else b""
-                if not data:
-                    resized = b"\x00" * n_target
-                elif len(data) >= n_target:
-                    step = len(data) // n_target
-                    resized = data[:: step][:n_target]
-                else:
-                    reps = n_target // len(data) + 1
-                    resized = (data * reps)[:n_target]
                 out["media_id"].append(mid)
                 out["media_type"].append(mtype)
                 out["width"].append(target_w)
                 out["height"].append(target_h)
-                out["payload"].append(resized)
+                out["payload"].append(resize(data, target_w, target_h))
             yield pd.DataFrame(out)
 
     return media.select("media_id", "media_type", "payload").mapInPandas(
