@@ -43,6 +43,21 @@ _TS_COLS = {"events": ("ts",)}
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
+def _is_illegal_parquet_type(e: Exception) -> bool:
+    """Detect the parquet reader's illegal-type rejection (how TIMESTAMP
+    (NANOS) files surface without ``nanosAsLong``).  Prefer the structured
+    error class (``PySparkException.getErrorClass`` — stable identifier,
+    survives message rewording across Spark lines) and fall back to the
+    message substring for exception types that don't carry one."""
+    try:
+        cls = e.getErrorClass()
+    except Exception:  # noqa: BLE001 — not a PySparkException
+        cls = None
+    if cls and "PARQUET_TYPE_ILLEGAL" in cls:
+        return True
+    return "PARQUET_TYPE_ILLEGAL" in str(e)
+
+
 def _read_parquet_any_ts(
     spark: SparkSession, path: str | list[str], merge_schema: bool = False
 ) -> DataFrame:
@@ -71,7 +86,7 @@ def _read_parquet_any_ts(
     try:
         return _read()
     except Exception as e:  # noqa: BLE001 — inspect and re-raise below
-        if "PARQUET_TYPE_ILLEGAL" not in str(e):
+        if not _is_illegal_parquet_type(e):
             raise
         before = spark.conf.get(_NANOS_CONF, None)
         spark.conf.set(_NANOS_CONF, "true")

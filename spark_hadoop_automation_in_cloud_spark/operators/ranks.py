@@ -44,10 +44,22 @@ from pyspark.sql import functions as F
 _PID = "__rank_pid"
 
 
+def _default_partitions(df: DataFrame) -> int:
+    """Partition count when the caller didn't pass one: executor-core
+    parallelism where a SparkContext exists; under Spark Connect (no
+    SparkContext on the client) fall back to the session's shuffle
+    parallelism conf instead of crashing."""
+    spark = df.sparkSession
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:  # noqa: BLE001 — Connect: PySparkNotImplementedError
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
 def _range_tagged(
     df: DataFrame, order_cols: list[Column], num_partitions: int | None
 ) -> DataFrame:
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    n = num_partitions or _default_partitions(df)
     return (
         df.repartitionByRange(n, *order_cols)
         .withColumn(_PID, F.spark_partition_id())
@@ -109,6 +121,32 @@ def ntile_from_rank(rank: Column, total: int, k: int) -> Column:
         .otherwise(F.lit(m) + F.ceil((rank - F.lit(threshold)) / F.lit(small)))
         .cast("int")
     )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[Column],
+    k: int,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact distributed ``ntile(k)`` over the global ``order_cols`` order
+    (unique tiebreaker required): one range partitioning whose per-partition
+    counts serve BOTH as the rank offsets and (summed) as the total row
+    count, so no separate ``count()`` action or second materialization is
+    needed — one pass per ordering, vs two for
+    ``global_row_number`` + a caller-side count."""
+    tagged = _range_tagged(df, order_cols, num_partitions)
+    counts = [
+        (r[_PID], r["c"])
+        for r in tagged.groupBy(_PID).agg(F.count(F.lit(1)).alias("c")).collect()
+    ]
+    if not counts:
+        return tagged.withColumn(out_col, F.lit(None).cast("int")).drop(_PID)
+    total = sum(c for _, c in counts)
+    local = F.row_number().over(Window.partitionBy(_PID).orderBy(*order_cols))
+    rank = (local + _offset_map(counts, None)[F.col(_PID)]).cast("bigint")
+    return tagged.withColumn(out_col, ntile_from_rank(rank, total, k)).drop(_PID)
 
 
 def global_cumsum(

@@ -3335,8 +3335,7 @@ from spark_hadoop_automation_in_cloud_spark.operators.packing import (  # noqa: 
 )
 from spark_hadoop_automation_in_cloud_spark.operators.ranks import (  # noqa: E402
     global_cumsum,
-    global_row_number,
-    ntile_from_rank,
+    global_ntile,
 )
 from spark_hadoop_automation_in_cloud_spark.operators.skew import salted_join  # noqa: E402
 
@@ -3554,32 +3553,35 @@ def q88_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("frequency"),
         F.round(dsum("o_totalprice"), 2).alias("monetary"),
     )
-    # distributed exact NTILE: global rank per dimension (range partition +
-    # local windows + prefix offsets) composed with the closed-form bucket
-    # expression — ntile semantics preserved exactly (equivalence pinned in
-    # tests), with no single-partition sort even at |customers| scale.
-    # localCheckpoint: the metric frame feeds 5 actions (count + 3 rank
-    # stat passes + the final job) — materialize it once instead of
-    # recomputing the orders aggregate each time
+    # distributed exact NTILE per dimension (operators.ranks.global_ntile:
+    # range partition + local windows + broadcast prefix offsets + the
+    # closed-form bucket expression) — ntile semantics preserved exactly
+    # (equivalence pinned in tests), no single-partition sort at any
+    # |customers| scale.  Each ordering needs its own range partitioning,
+    # so the plan is one localCheckpoint of the metric frame + one
+    # materialization per dimension (4 total); global_ntile reuses its
+    # partition counts as the row total, so no separate count() action.
     m = m.localCheckpoint()
-    total = m.count()
-    r = global_row_number(
-        m, [F.col("recency_days").asc(), F.col("o_custkey").asc()], out_col="__r_rn"
+    r = global_ntile(
+        m, [F.col("recency_days").asc(), F.col("o_custkey").asc()], 4,
+        out_col="r_quartile",
     )
-    r = global_row_number(
-        r, [F.col("frequency").desc(), F.col("o_custkey").asc()], out_col="__f_rn"
+    r = global_ntile(
+        r, [F.col("frequency").desc(), F.col("o_custkey").asc()], 4,
+        out_col="f_quartile",
     )
-    r = global_row_number(
-        r, [F.col("monetary").desc(), F.col("o_custkey").asc()], out_col="__m_rn"
+    r = global_ntile(
+        r, [F.col("monetary").desc(), F.col("o_custkey").asc()], 4,
+        out_col="m_quartile",
     )
     return r.select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        ntile_from_rank(F.col("__r_rn"), total, 4).alias("r_quartile"),
-        ntile_from_rank(F.col("__f_rn"), total, 4).alias("f_quartile"),
-        ntile_from_rank(F.col("__m_rn"), total, 4).alias("m_quartile"),
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
     )
 
 

@@ -19,6 +19,7 @@ how long windows stay open.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,6 +29,30 @@ from spark_hadoop_automation_in_cloud_spark.functions.timeutils import ntz_to_ut
 from spark_hadoop_automation_in_cloud_spark.io import _NANOS_CONF, _read_parquet_any_ts
 
 MONDAY_ALIGN = "4 days"  # epoch-align weekly tumbling windows to Monday
+
+
+@contextmanager
+def legacy_nanos_stream_scope(spark: SparkSession):
+    """Snapshot-and-restore ``spark.sql.legacy.parquet.nanosAsLong`` around
+    a legacy-nanos stream's LIFETIME.
+
+    :func:`stream_events` must leave the conf set un-scoped while such a
+    stream is live (each micro-batch re-reads footers), which means an
+    unrelated *batch* ``spark.read.parquet`` on the same session would
+    read nanos ts columns as ``bigint`` until the conf is cleared.  A
+    caller sharing the session wraps stream start → stop in this scope (or
+    routes all concurrent reads through ``io.read_table``, which
+    normalizes either way); the conf returns to its prior state on exit
+    even if the drain raises.
+    """
+    before = spark.conf.get(_NANOS_CONF, None)
+    try:
+        yield
+    finally:
+        if before is not None:
+            spark.conf.set(_NANOS_CONF, before)
+        else:
+            spark.conf.unset(_NANOS_CONF)
 
 
 def stream_events(spark: SparkSession, path: str) -> DataFrame:
@@ -46,7 +71,12 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     - legacy TIMESTAMP(NANOS) → ``bigint`` epoch-nanos: the parquet reader
       needs ``nanosAsLong`` for the LIFETIME of the stream (each micro-batch
       re-reads footers), so only on this path the conf is set un-scoped, and
-      the long is truncated to micros.
+      the long is truncated to micros.  Callers sharing the session with
+      batch reads should wrap stream start → stop in
+      :func:`legacy_nanos_stream_scope`, which restores the conf on exit
+      (direct batch ``spark.read.parquet`` of nanos files would otherwise
+      keep coming back ``bigint`` after the stream stops; ``io.read_table``
+      normalizes under either conf state).
 
     ``path`` may be a directory (the file source's native shape) or a single
     parquet file — the latter is exposed through its parent directory with a

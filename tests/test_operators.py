@@ -609,6 +609,43 @@ def test_global_rank_primitives_equal_single_partition_windows(spark):
     assert want_cs.exceptAll(got_cs).count() == 0
 
 
+def test_global_ntile_matches_builtin_and_handles_empty(spark):
+    """The fused one-materialization-per-ordering form must equal the
+    built-in unpartitioned ntile, and chained calls (one per ordering, as
+    q88 uses it) must not disturb earlier bucket columns."""
+    from pyspark.sql import Window
+
+    from spark_hadoop_automation_in_cloud_spark.operators.ranks import global_ntile
+
+    n = 1003
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") % 97).alias("v"), (F.col("id") % 13).alias("w")
+    )
+    got = global_ntile(
+        df, [F.col("v").desc(), F.col("id").asc()], 4, out_col="q1", num_partitions=7
+    )
+    got = global_ntile(
+        got, [F.col("w").asc(), F.col("id").desc()], 5, out_col="q2", num_partitions=3
+    )
+    want = df.select(
+        "id",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("v").desc(), F.col("id").asc()))
+        .cast("int")
+        .alias("q1"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("w").asc(), F.col("id").desc()))
+        .cast("int")
+        .alias("q2"),
+    )
+    got = got.select("id", "q1", "q2")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    empty = df.where(F.lit(False))
+    assert global_ntile(empty, [F.col("id").asc()], 4, num_partitions=3).count() == 0
+
+
 @pytest.mark.parametrize("total,k", [(3, 4), (10, 4), (100, 7), (8, 8), (1, 3)])
 def test_ntile_from_rank_matches_builtin(spark, total, k):
     """Closed-form bucket expression == F.ntile for totals above, equal to,

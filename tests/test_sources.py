@@ -268,9 +268,13 @@ def test_stream_events_nanos_encoding_matches_batch(spark, tmp_path):
         store_schema=False,
     )
     from spark_hadoop_automation_in_cloud_spark.io import _NANOS_CONF
+    from spark_hadoop_automation_in_cloud_spark.streaming.rollup_stream import (
+        legacy_nanos_stream_scope,
+    )
 
-    before = spark.conf.get(_NANOS_CONF, None)
-    try:
+    # stream_events pins the conf for the stream's lifetime; the public
+    # scope restores the shared session's state when the drain is done
+    with legacy_nanos_stream_scope(spark):
         stream = stream_events(spark, str(d))
         q = (
             stream.writeStream.format("memory")
@@ -280,13 +284,7 @@ def test_stream_events_nanos_encoding_matches_batch(spark, tmp_path):
             .start()
         )
         q.awaitTermination()
-    finally:
-        # stream_events pins the conf for the stream's lifetime; the drain is
-        # done, so restore the shared test session's state
-        if before is not None:
-            spark.conf.set(_NANOS_CONF, before)
-        else:
-            spark.conf.unset(_NANOS_CONF)
+    assert spark.conf.get(_NANOS_CONF, None) is None  # restored on exit
     got = [
         r["ts"]
         for r in spark.sql("SELECT ts FROM enc_check_ns ORDER BY event_id").collect()
