@@ -2,10 +2,11 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query reports the best of two executions (scheduler-noise control)
-after a 1/100-scale warmup pass that JIT-compiles each plan family; timing
-covers full materialization into a noop sink — never a driver-side collect
-of rows.  Both samples are published per query under "runs".
+Each query reports the median of three executions (scheduler-noise control
+that doesn't chase the lucky tail) after a 1/100-scale warmup pass that
+JIT-compiles each plan family; timing covers full materialization into a
+noop sink — never a driver-side collect of rows.  All samples are
+published per query under "runs".
 
 Round-3 note on the r02 q11 (1.93x) / q16 (1.29x) "regressions": both
 queries' code was unchanged from r01; the slowdown was the timestamp-
@@ -48,6 +49,11 @@ HEADLINE = [
     "q35_asof_join",
     "q60_decontamination",
     "q63_tfidf_top_terms",
+    # round-4 additions: the two iterative algorithms (checkpointed power
+    # iteration / Lloyd rounds) — the likeliest wall-time cliffs at scale,
+    # so regressions there must be visible round-over-round
+    "q69_pagerank",
+    "q96_kmeans_clusters",
 ]
 
 
@@ -79,24 +85,24 @@ def main() -> None:
     if extra:
         names = [n for n in extra.split(",") if n in specs]
 
-    # best-of-2: single-shot numbers on a shared box carry seconds of
-    # scheduler noise; the min of two runs is the stable, comparable figure.
-    # BOTH samples are published under "runs" so a cross-round regression
-    # call can see per-query variance instead of judging on a single min
-    # (VERDICT r2 item 9: the r02 q11 '2x regression' was environmental —
-    # the NTZ scan path — and variance data would have shown it).
+    # median-of-3: single-shot numbers on a shared box carry seconds of
+    # scheduler noise, and best-of-N chases the lucky tail (r03 runs showed
+    # up to 2x run-to-run spread, e.g. q60 4.47 vs 2.09).  The median of
+    # three runs is robust to one outlier in either direction; ALL samples
+    # are published under "runs" so a cross-round regression call can see
+    # per-query variance instead of judging a single number.
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for name in names:
         fn = specs[name].fn
         samples = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 3))
         runs[name] = samples
-        timings[name] = min(samples)
+        timings[name] = sorted(samples)[1]
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

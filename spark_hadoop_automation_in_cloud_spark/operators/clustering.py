@@ -1,12 +1,15 @@
 """Distributed Lloyd's k-means over an embedding column.
 
 The iterative-broadcast pattern: model state (k × dim centroids — a few KB)
-lives on the driver; per iteration the centroids broadcast out, every
-vector computes its nearest centroid JVM-side (``F.aggregate`` dot
-products — no Python in the per-row path), and the new centroids come back
-as ONE aggregation (dimension-exploded partial means).  The corpus is
-scanned k_iter times but never shuffled at full width, and nothing
-per-row ever reaches the driver — the only ``collect()`` is k·dim
+lives on the driver; per iteration the centroids ship out (as literal
+arrays inlined in the argmin expression for bounded k·dim, as a broadcast
+dim table beyond that), every vector computes its nearest centroid
+JVM-side (``F.aggregate`` dot products — no Python in the per-row path),
+and the new centroids come back as ONE aggregation (dimension-exploded
+partial means).  On the inline path the assignment is row-local — one
+corpus scan per iteration, ZERO shuffle; the broadcast-join path adds a
+k×-blowup + regroup and exists only for models too large to inline.
+Nothing per-row ever reaches the driver — the only ``collect()`` is k·dim
 centroid means per round, which is model state, not data.
 
 Determinism: seeds are the k lowest-id vectors (no RNG), ties in the
@@ -68,9 +71,41 @@ def kmeans_assign(
     }
 
     def assign(df: DataFrame) -> DataFrame:
+        # Small models (k·dim bounded): inline the centroids as literal
+        # arrays and take the argmin ROW-LOCALLY — one corpus scan, zero
+        # shuffle, nothing leaves the row.  The previous broadcast-join
+        # form blew the corpus up k× and shuffled full embedding vectors
+        # through a groupBy(id) just to undo the blow-up; that shape is
+        # kept only for models too large to inline as an expression.
+        # Identical arithmetic and tie-break on both paths: squared L2 by
+        # the same left-fold, argmin by lexicographic (sq_dist,
+        # cluster_id) struct ordering (array_min ≡ min_by struct order).
+        if k * dim <= 16384:
+            entries = []
+            for cid, cvec in sorted(centroids.items()):
+                cent = F.array(*[F.lit(float(x)) for x in cvec])
+                sq = F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col), cent, lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                entries.append(
+                    F.struct(
+                        sq.alias("sq_dist"), F.lit(cid).cast("int").alias("cluster_id")
+                    )
+                )
+            best = F.array_min(F.array(*entries))
+            return df.select(
+                id_col,
+                best["cluster_id"].alias("cluster_id"),
+                best["sq_dist"].alias("sq_dist"),
+                vec_col,
+            )
         cent = spark.createDataFrame(
             [(cid, vec) for cid, vec in sorted(centroids.items())],
-            f"cluster_id int, centroid array<double>",
+            "cluster_id int, centroid array<double>",
         )
         # squared L2 via one fused zip_with/aggregate — JVM expression only
         sq = F.aggregate(

@@ -132,6 +132,7 @@ def pagerank(
     n_iter: int = 10,
     damping: float = 0.85,
     per_iter_round_dp: int | None = None,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list.
 
@@ -140,8 +141,14 @@ def pagerank(
     out-degree), the driver only counts rounds.  Dangling nodes (no
     out-edges) donate their mass uniformly each round via a 1-row
     aggregate broadcast-crossed back in — no collect, no driver math.
-    Lineage is cut per round with ``localCheckpoint`` so the plan stays
-    flat across iterations.
+    Lineage is cut with ``localCheckpoint`` every ``checkpoint_every``
+    rounds so the plan stays flat across iterations; 2 is the measured
+    sweet spot on this workload (each checkpoint materializes a |nodes|-row
+    frame and schedules a job — every round pays that fixed cost twice as
+    often for no lineage benefit, while 5+ lets the chained-round plan grow
+    enough that analysis/AQE overhead dominates).  The final round always
+    checkpoints.  Results are invariant to the cadence: the per-round
+    rounding (below) happens inside the plan either way.
 
     Fixed ``n_iter`` (not convergence-tested): PageRank mass moves <1%
     after ~10 damped rounds on social-shaped graphs, and a deterministic
@@ -166,7 +173,7 @@ def pagerank(
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint()  # edge construction may be expensive; it feeds 3 setup frames
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -176,34 +183,43 @@ def pagerank(
     )
     n = nodes.count()  # one scalar the driver legitimately needs
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # hoist the per-round rank⋈degree join out of the loop: a weighted edge
+    # table carries each edge's out-degree, so one join per round (ranks⋈w
+    # on src) replaces the two-join chain; arithmetic stays rank/deg, so
+    # results are bit-identical to the unhoisted form
+    w = e.join(out_deg, "src").select("src", "dst", "deg").localCheckpoint()
+    dangling_nodes = nodes.join(
+        out_deg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint()
+    # one-time scalar: a graph with no dangling nodes (e.g. any symmetric
+    # graph) skips the per-round dangling-mass job entirely; adding the
+    # exact-zero dm/n term was a no-op in IEEE arithmetic anyway
+    has_dangling = bool(dangling_nodes.head(1))
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
 
-    for _ in range(n_iter):
-        with_deg = ranks.join(out_deg, ranks.node == out_deg.src, "left").select(
-            "node", "rank", "deg"
-        )
-        # mass each node sends per out-edge; dangling nodes send nothing here
+    for i in range(n_iter):
         contribs = (
-            with_deg.join(e, with_deg.node == e.src)
+            ranks.join(w, ranks.node == w.src)
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        dangling = (
-            with_deg.where(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-        )
-        new_rank = (
-            F.lit((1.0 - damping) / n)
-            + damping
-            * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dm") / n)
-        )
+        inflow = F.coalesce(F.col("inflow"), F.lit(0.0))
+        nxt = nodes.join(contribs, "node", "left")
+        if has_dangling:
+            dangling = (
+                ranks.join(dangling_nodes, "node")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+            )
+            nxt = nxt.crossJoin(F.broadcast(dangling))
+            new_rank = F.lit((1.0 - damping) / n) + damping * (
+                inflow + F.col("dm") / n
+            )
+        else:
+            new_rank = F.lit((1.0 - damping) / n) + damping * inflow
         if per_iter_round_dp is not None:
             new_rank = F.round(new_rank, per_iter_round_dp)
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select("node", new_rank.alias("rank"))
-            .localCheckpoint()
-        )
+        ranks = nxt.select("node", new_rank.alias("rank"))
+        if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", F.round("rank", 6).alias("rank"))

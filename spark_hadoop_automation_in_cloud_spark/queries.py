@@ -2575,9 +2575,14 @@ SELECT node, round(rank, 6) AS rank FROM {prev}
 def q69_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events", parallelize=True)
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
-    purchases = e.where(F.col("event_type") == "purchase").select(
-        k.alias("k"), "user_id"
-    ).distinct()
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .select(k.alias("k"), "user_id")
+        .distinct()
+        # both sides of the self-join consume this frame — checkpoint so
+        # the events scan + JSON parse runs once, not twice
+        .localCheckpoint()
+    )
     edges = (
         purchases.alias("a")
         .join(purchases.alias("b"), "k")
