@@ -52,78 +52,73 @@ def register(name: str, sql: str | None, doc: str = ""):
 
 
 # The driver's CORRECTNESS run verifies a bounded window (50 entries) taken
-# in registration order, so queries() exposes the registry ROTATED.  Round-3
-# allocation (VERDICT r2 item 2 — no query whose implementation or shared
-# reader changed since its last green row may stay unverified): the 9
-# broken/stale rows, then everything whose code or shared infrastructure
-# (io.read_table ts normalization, stream_events rewrite, epoch_us sites)
-# changed since its last green driver row, then a refresh rotation of the
-# oldest r01 greens.  Local pytest parity (tests/test_oracle_parity.py)
-# still covers every registered query regardless of position.
+# in registration order, so queries() exposes the registry ROTATED.  Round-4
+# allocation (VERDICT r3 items 1+2): first the five kernels that changed in
+# round 3 AFTER the rotation was frozen (their driver rows are r01/r02-era
+# code), then every kernel changed in round 4 itself (merge seam, rank
+# primitives/q88, pagerank/kmeans loop shapes, codec seam, salted join,
+# nanos-scope streaming), then ALL remaining r01-era greens, then the
+# oldest r02 greens up to the 50-slot window.  The six r02 rows left out
+# (q52/q66/q77/q83/q94/q99 — pure single-pass projections/aggregations,
+# untouched since r02) stay exactly 2 rounds old, the verdict's staleness
+# bound.  Local pytest parity (tests/test_oracle_parity.py) still covers
+# every registered query regardless of position.
 _ROTATE_FIRST: tuple[str, ...] = (
-    # --- r02 driver failures (timestamp-encoding break, fixed this round)
-    "q53_time_range_average",
-    "q65_stream_stream_join",
-    "q72_conversion_funnel",
-    "q80_next_event_features",
-    "q89_session_intervals",
-    # --- stale r01 streaming greens broken by the same root cause
-    "q32_streaming_weekly_rollup",
-    "q33_stateful_sessions",
-    "q41_streaming_sliding_window",
-    "q44_streaming_geo_rollup",
-    # --- changed since their last driver row, never re-verified
-    "q09_user_sessions",
-    "q19_embedding_neardup",
-    "q22_ngram_jaccard_dups",
-    # --- r02 greens that consume the rewritten stream_events source
-    "q57_streaming_dedup",
-    "q59_upsert_merge",
-    "q67_stream_static_join",
-    # --- no_oracle rows upgraded to deterministic oracles this round
-    "q69_pagerank",
-    "q96_kmeans_clusters",
-    "q25_ann_lsh_topk",
-    "q30_ann_ivf_topk",
-    # --- re-implemented on the distributed rank/cumsum primitives
-    "q78_pareto_abc",
-    "q88_rfm_segments",
-    # --- kernels changed by the review fixes (passjoin zero-length
-    #     segments; shared prefix pipeline)
-    "q50_fuzzy_name_pairs",
-    "q95_containment_dups",
-    # --- r01 greens reading events: read_table now yields TIMESTAMP (was
-    #     NTZ at their r02-era reads / long at r01) — re-pin under the new reader
-    "q06_event_rollup",
-    "q07_event_dedup",
-    "q08_conditional_enrichment",
-    "q10_first_last_value",
-    "q16_friend_recommendations",
-    "q29_fingerprint",
-    "q34_raw_event_flatten",
-    "q35_asof_join",
-    "q36_interval_join",
-    "q38_moving_average",
-    "q43_session_windows",
-    "q45_distinct_aggregates",
-    # --- infra-touched r01 greens named by the r2 verdict (shared plans)
-    "q05_nearest_city",
-    "q11_travel_history",
-    "q14_local_time",
-    "q17_user_demographics",
-    # --- r02 greens whose OUTPUT carries event timestamps (type drift risk)
-    "q51_data_quality_profile",
-    "q70_resample_forward_fill",
-    "q71_map_explode",
-    "q73_retention_cohorts",
-    "q74_scd2_intervals",
-    "q79_growth_accounting",
-    "q97_point_in_time_state",
-    # --- refresh rotation: oldest unre-verified r01 greens (non-events)
-    "q01_pricing_summary",
-    "q02_regional_revenue",
-    "q03_top_order_per_customer",
-    "q04_customers_without_orders",
+    # --- VERDICT r3 item 1: kernels changed in r3 after the rotation froze
+    "q21_minhash_lsh_pairs",
+    "q31_multimodal_features",
+    "q60_decontamination",
+    "q87_salted_priority_revenue",
+    "q92_sequence_packing",
+    # --- kernels changed in round 4 (this round)
+    "q59_upsert_merge",          # upsert_batch merge_fn seam
+    "q69_pagerank",              # hoisted edge weights, ck_every=2
+    "q96_kmeans_clusters",       # row-local inline-centroid argmin
+    "q78_pareto_abc",            # ranks._range_tagged partition resolution
+    "q88_rfm_segments",          # global_ntile rewrite
+    "q32_streaming_weekly_rollup",  # rollup_stream nanos-scope change
+    # --- VERDICT r3 item 2: ALL remaining r01-era greens
+    "q12_active_user_segments",
+    "q13_order_priority_sets",
+    "q15_top_parts_global",
+    "q18_zone_activity",
+    "q20_exact_dedup",
+    "q23_simhash",
+    "q24_cosine_topk",
+    "q26_language_id",
+    "q27_quality_score",
+    "q28_token_stats",
+    "q37_value_quantiles",
+    "q39_neardup_clusters",
+    "q40_corpus_curation",
+    "q42_hash_split",
+    "q46_pivot",
+    "q47_unpivot",
+    "q48_ranking_functions",
+    "q49_cube",
+    # --- oldest r02 greens (window fill; the six left out are pure
+    #     single-pass projections, pinned by local pytest, age exactly 2)
+    "q54_repetition_ratio",
+    "q55_stratified_sample",
+    "q56_full_outer_reconciliation",
+    "q58_training_sequences",
+    "q61_pii_scrub",
+    "q62_embedding_quantize",
+    "q63_tfidf_top_terms",
+    "q64_document_chunking",
+    "q68_trimmed_mean",
+    "q75_weighted_sample",
+    "q76_mad_outliers",
+    "q81_transition_matrix",
+    "q82_linear_regression",
+    "q84_event_entropy",
+    "q85_basket_pairs",
+    "q86_price_skyline",
+    "q90_weighted_median",
+    "q91_mixture_sampling",
+    "q93_countmin_heavy_hitters",
+    "q98_mom_revenue_growth",
+    "q100_waiting_suppliers",
 )
 
 
