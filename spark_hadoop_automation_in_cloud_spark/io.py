@@ -222,8 +222,13 @@ def read_table(
         # directory of few/unsplittable (single-row-group) files both plan
         # as fewer tasks than cores, and everything codegen fuses into the
         # scan stage inherits that ceiling
-        target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
+        try:
+            target = spark.sparkContext.defaultParallelism
+            skip = df.rdd.getNumPartitions() >= target
+        except Exception:  # noqa: BLE001 — Spark Connect: no SparkContext/rdd
+            target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            skip = False  # can't inspect scan parallelism; caller asked to fan out
+        if not skip:
             df = df.repartition(target)
     return df
 

@@ -128,7 +128,10 @@ def get_session(config: SessionConfig | None = None) -> SparkSession:
     for k, v in cfg.extra_conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel(cfg.log_level)
+    try:
+        spark.sparkContext.setLogLevel(cfg.log_level)
+    except Exception:  # noqa: BLE001 — Spark Connect session: no SparkContext;
+        pass  # log level is then the server's concern, not a session failure
     return spark
 
 

@@ -277,3 +277,38 @@ def test_events_ts_normalization_keeps_pushdown(spark, sf_dir):
     assert "PushedFilters" in plan
     assert "event_type" in plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
     assert "props" not in plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+
+
+def test_salted_outer_join_no_cartesian_and_skew_safe_distinct(spark):
+    """The right/full-outer salted path must stay all-equi-join (no
+    cartesian anywhere) and its matchedness distinct must carry a partial
+    aggregate below the exchange — the property that makes it safe on a
+    hot key."""
+    from spark_hadoop_automation_in_cloud_spark.operators.skew import salted_join
+
+    fact = spark.range(1000).select(
+        (F.col("id") % 5).cast("int").alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(20).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 2).alias("label")
+    )
+    plan = explain_simple(
+        salted_join(fact, dim, ["k"], fact_salt=F.col("v"), n_salts=4, how="full")
+    )
+    assert "CartesianProduct" not in plan
+    assert "__salt" in plan  # the fact-preserving part is actually salted
+    # the distinct runs as a two-phase hash aggregate (map-side collapse
+    # below the exchange, final above) — >=2 HashAggregate nodes
+    assert plan.lower().count("hashaggregate") >= 2
+
+
+def test_global_ntile_no_single_partition_window(spark):
+    """global_ntile must never serialize through one task: no
+    SinglePartition exchange, and the window runs partitioned."""
+    from spark_hadoop_automation_in_cloud_spark.operators.ranks import global_ntile
+
+    df = spark.range(5000).select("id", (F.col("id") % 13).alias("v"))
+    plan = explain_simple(
+        global_ntile(df, [F.col("v").asc(), F.col("id").asc()], 4, num_partitions=8)
+    )
+    assert "SinglePartition" not in plan

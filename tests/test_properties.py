@@ -328,3 +328,41 @@ def test_containment_prefix_filter_equals_naive(spark, docs, t):
         for r in containment_pairs(sh, t).collect()
     }
     assert pref == naive
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    tuples=st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),
+            st.integers(min_value=-5, max_value=5),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=2,
+        max_size=2,
+    ),
+    width=st.integers(min_value=1, max_value=3),
+)
+def test_newer_than_condition_equals_python_tuple_order(tuples, width):
+    """The MERGE update guard must agree with Python's lexicographic tuple
+    comparison for every pair of order tuples at every width — evaluated
+    through DuckDB so the SQL string itself is what's checked."""
+    import duckdb
+
+    from spark_hadoop_automation_in_cloud_spark.streaming.incremental import (
+        newer_than_condition,
+    )
+
+    cols = [f"c{i}" for i in range(width)]
+    (a, b) = tuples
+    src_t, tgt_t = a[:width], b[:width]
+    con = duckdb.connect()
+    sel = ", ".join(
+        [f"{v} AS {c}" for v, c in zip(src_t, cols)]
+    )
+    sel_t = ", ".join([f"{v} AS {c}" for v, c in zip(tgt_t, cols)])
+    cond = newer_than_condition(cols, "src", "tgt")
+    got = con.execute(
+        f"SELECT ({cond}) FROM (SELECT {sel}) src, (SELECT {sel_t}) tgt"
+    ).fetchone()[0]
+    assert bool(got) == (src_t > tgt_t)

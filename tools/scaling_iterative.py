@@ -1,0 +1,129 @@
+"""Measure wall-clock scaling of the ITERATIVE operators (PageRank,
+k-means) on 10x-replicated inputs, writing SCALING_ITER.json at the repo
+root.
+
+Replication shapes are chosen so the WORK grows linearly — the shape a
+real scale-up has for these operators — isolating how the iteration
+loops scale rather than re-measuring input construction:
+
+- PageRank: 10 DISJOINT copies of the co-purchase graph (node ids shifted
+  per replica).  Nodes and edges both grow 10x; rank mass never flows
+  between replicas, so a linear-in-edges loop should show ~linear wall.
+  (Replicating raw events instead would multiply pair DENSITY — replicas
+  share purchase keys — a quadratic input-construction artifact that
+  tools/scaling_check.py already documents for q16.)
+- k-means: 10x corpus with shifted vec_ids, same k.  Per-iteration
+  assign+means work is linear in corpus size; model state is constant.
+
+Run: ``python tools/scaling_iterative.py`` (env ``SPARK_GRAFT_SF_DIR``,
+``SPARK_GRAFT_SCALE``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from spark_hadoop_automation_in_cloud_spark.io import read_table
+from spark_hadoop_automation_in_cloud_spark.operators.clustering import kmeans_assign
+from spark_hadoop_automation_in_cloud_spark.operators.components import pagerank
+from spark_hadoop_automation_in_cloud_spark.session import get_test_session
+
+
+def timed(df_fn, n: int = 2) -> float:
+    df_fn().write.format("noop").mode("overwrite").save()  # warm
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        df_fn().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    scale = int(os.environ.get("SPARK_GRAFT_SCALE", "10"))
+    spark = get_test_session("scaling-iterative")
+    out: dict[str, dict] = {}
+
+    # --- PageRank over disjoint graph replicas --------------------------
+    e = read_table(spark, sf_dir, "events", parallelize=True)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .select(k.alias("k"), "user_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = (
+        purchases.alias("a")
+        .join(purchases.alias("b"), "k")
+        .where(F.col("a.user_id") != F.col("b.user_id"))
+        .select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = (
+        edges.select(F.col("src").alias("n"))
+        .unionByName(edges.select(F.col("dst").alias("n")))
+        .distinct()
+        .count()
+    )
+    shift = edges.agg(F.max(F.greatest("src", "dst"))).first()[0] + 1
+    edges_rep = (
+        edges.crossJoin(spark.range(scale).withColumnRenamed("id", "__rep"))
+        .select(
+            (F.col("src") + F.col("__rep") * shift).alias("src"),
+            (F.col("dst") + F.col("__rep") * shift).alias("dst"),
+        )
+        .localCheckpoint()
+    )
+    n_edges, n_edges_rep = edges.count(), edges_rep.count()
+    t1 = timed(lambda: pagerank(edges, n_iter=10, per_iter_round_dp=9))
+    t10 = timed(lambda: pagerank(edges_rep, n_iter=10, per_iter_round_dp=9))
+    out["pagerank_10_rounds"] = {
+        "n_edges_base": n_edges,
+        "n_nodes_base": n_nodes,
+        f"n_edges_{scale}x": n_edges_rep,
+        "base_sec": t1,
+        f"{scale}x_sec": t10,
+        "wall_ratio": round(t10 / t1, 2),
+        "sublinear": t10 / t1 < scale,
+    }
+
+    # --- k-means over a replicated corpus -------------------------------
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
+    n_vecs = emb.count()
+    emb_rep = (
+        emb.crossJoin(spark.range(scale).withColumnRenamed("id", "__rep"))
+        .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * (n_vecs * scale))
+        .drop("__rep")
+        .localCheckpoint()
+    )
+    t1 = timed(lambda: kmeans_assign(emb, k=8, max_iter=5))
+    t10 = timed(lambda: kmeans_assign(emb_rep, k=8, max_iter=5))
+    out["kmeans_k8_5_iter"] = {
+        "n_vecs_base": n_vecs,
+        f"n_vecs_{scale}x": n_vecs * scale,
+        "base_sec": t1,
+        f"{scale}x_sec": t10,
+        "wall_ratio": round(t10 / t1, 2),
+        "sublinear": t10 / t1 < scale,
+    }
+
+    result = {"sf_dir": sf_dir, "scale": scale, "operators": out}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SCALING_ITER.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
