@@ -21,8 +21,10 @@ order.  Same input → same clustering, every run, any parallelism.
 Scale: per iteration one broadcast (k·dim doubles), one map-side-combined
 aggregation of k·dim partial sums.  At 100 TB with k=1024, dim=1024 the
 broadcast is 8 MB and the aggregate state is bounded by k·dim — both
-constant in corpus size.  Cache the input before calling when it is a
-recomputed intermediate; the iterations rescan it.
+constant in corpus size.  The widened corpus is persisted
+(MEMORY_AND_DISK) for the duration of the centroid loop and unpersisted
+after — iterations read the cache, not the source, and no pin outlives
+the call.
 """
 
 from __future__ import annotations
@@ -55,6 +57,15 @@ def kmeans_assign(
     # DuckDB oracle (q96) reproduce the trajectory bit-for-bit — mixed
     # float/double subtraction would round differently per engine.
     emb = emb.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+    # Persist the widened corpus for the iteration rescans — the standard
+    # iterative-ML shape (MLlib does the same): every pass re-reads the
+    # input otherwise.  MEMORY_AND_DISK spills instead of OOMing when the
+    # corpus exceeds executor memory; unpersisted after the centroid loop
+    # so the operator leaves no cache pinned (the returned assignment plan
+    # re-derives from the source — one final scan, same as before).
+    from pyspark import StorageLevel
+
+    emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
 
     # k lowest-id seeds via orderBy+limit → TakeOrderedAndProject: a
     # distributed per-partition top-k merged on the driver.  (A global
@@ -164,6 +175,7 @@ def kmeans_assign(
             new_centroids.setdefault(cid, vec)
         centroids = new_centroids
 
+    emb.unpersist()  # no cache outlives the operator (see persist note)
     return assign(emb).select(
         id_col, "cluster_id", F.round("sq_dist", 6).alias("sq_dist")
     )
