@@ -117,8 +117,11 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q90_weighted_median",
     "q91_mixture_sampling",
     "q93_countmin_heavy_hitters",
-    "q98_mom_revenue_growth",
     "q100_waiting_suppliers",
+    # r03-stamped but its join rewritten to alias-qualified resolution in
+    # r4 (changed ⇒ re-verify); displaces q98 (single-pass month rollup,
+    # pytest-pinned, age 2) from the window
+    "q97_point_in_time_state",
 )
 
 
@@ -4038,12 +4041,23 @@ def q97_point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = e.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    return p.join(
-        iv,
-        (p["user_id"] == iv["user_id"])
-        & (p["ts"] >= iv["valid_from"])
-        & (iv["valid_to"].isNull() | (p["ts"] < iv["valid_to"])),
-    ).select("event_id", p["user_id"], "ts", "state_type")
+    # explicit aliases: p and iv share lineage (both derive from e), so
+    # column-object equality would lean on Spark's ambiguous-self-join
+    # special-casing (it warned 'trivially true equals predicate');
+    # alias-qualified names resolve unambiguously on any Spark line
+    return (
+        p.alias("p")
+        .join(
+            iv.alias("iv"),
+            (F.col("p.user_id") == F.col("iv.user_id"))
+            & (F.col("p.ts") >= F.col("iv.valid_from"))
+            & (
+                F.col("iv.valid_to").isNull()
+                | (F.col("p.ts") < F.col("iv.valid_to"))
+            ),
+        )
+        .select("event_id", F.col("p.user_id").alias("user_id"), "ts", "state_type")
+    )
 
 
 @register(
