@@ -55,7 +55,9 @@ def legacy_nanos_stream_scope(spark: SparkSession):
             spark.conf.unset(_NANOS_CONF)
 
 
-def stream_events(spark: SparkSession, path: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession, path: str, reader_options: dict[str, str] | None = None
+) -> DataFrame:
     """File-stream source over the event table, with ``ts`` normalized to
     ``TIMESTAMP`` whatever the files' parquet encoding is.
 
@@ -113,6 +115,11 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
         # legacy nanos files: the conf must outlive this call (see docstring)
         spark.conf.set(_NANOS_CONF, "true")
     reader = spark.readStream.schema(raw_schema)
+    for key, val in (reader_options or {}).items():
+        # e.g. maxFilesPerTrigger — applied here so batch-sizing callers
+        # keep the encoding probe/normalization instead of rebuilding a
+        # raw reader around it
+        reader = reader.option(key, val)
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)

@@ -113,3 +113,41 @@ spark:
         job_args(cfg, "nope")
     sc = session_config(cfg)
     assert sc.app_name == "MY-APP" and sc.log_level == "INFO"
+
+
+def test_incremental_upsert_job_cli_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    """The streaming upsert CLI: files landing between runs are merged
+    incrementally (checkpoint resume), and the final snapshot equals the
+    batch last-writer-wins over everything that ever landed."""
+    from spark_hadoop_automation_in_cloud_spark.functions.timeutils import epoch_us
+    from spark_hadoop_automation_in_cloud_spark.io import read_table
+    from spark_hadoop_automation_in_cloud_spark.streaming.incremental import (
+        latest_per_key,
+    )
+
+    job = _load("incremental_upsert_job")
+    assert job.main([]) == 2  # usage error, not a crash
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", epoch_us("ts").alias("ts_us"), "value"
+    )
+    cut = ev.agg(F.expr("percentile(ts_us, 0.5)")).first()[0]
+    src = tmp_path / "landing"
+    tgt, ckpt = str(tmp_path / "snap"), str(tmp_path / "ckpt")
+    read_table(spark, sf_dir, "events").where(
+        epoch_us(F.col("ts")) <= cut
+    ).coalesce(1).write.parquet(str(src / "batch=1"))
+
+    assert job.main([str(src), tgt, ckpt]) == 0
+    first = spark.read.parquet(tgt).count()
+    assert first > 0
+
+    read_table(spark, sf_dir, "events").where(
+        epoch_us(F.col("ts")) > cut
+    ).coalesce(1).write.parquet(str(src / "batch=2"))
+    assert job.main([str(src), tgt, ckpt, "1"]) == 0
+
+    got = spark.read.parquet(tgt)
+    want = latest_per_key(ev, ["user_id", "event_type"], ["ts_us", "event_id"])
+    assert got.count() == want.count()
+    assert got.unionByName(want).distinct().count() == want.count()
