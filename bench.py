@@ -70,7 +70,7 @@ def main() -> None:
         # the timed sf runs below measure the query, not one-time JVM state
         for wq in HEADLINE:
             q.__dict__[wq](spark, warm_sf).write.format("noop").mode("overwrite").save()
-        # settle the JVM before timing: the 16 warmup plans leave a heap of
+        # settle the JVM before timing: the warmup plans leave a heap of
         # short-lived garbage whose collection otherwise lands as a multi-
         # second pause inside the FIRST timed query (q01 measured 3.4s vs
         # its 1.0s steady state exactly when it ran straight after warmup)

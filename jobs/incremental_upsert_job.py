@@ -48,9 +48,20 @@ def main(argv: list[str]) -> int:
         print(USAGE, file=sys.stderr)
         return 2
     src, tgt, ckpt = argv[:3]
-    max_files = int(argv[3]) if len(argv) == 4 else None
+    max_files = None
+    if len(argv) == 4:
+        try:
+            max_files = int(argv[3])
+        except ValueError:
+            print(USAGE, file=sys.stderr)
+            return 2
+        if max_files < 1:  # 0 would silently mean "unbounded" — reject
+            print(USAGE, file=sys.stderr)
+            return 2
     with session_scope() as spark:
-        opts = {"maxFilesPerTrigger": str(max_files)} if max_files else None
+        opts = (
+            {"maxFilesPerTrigger": str(max_files)} if max_files is not None else None
+        )
         stream = stream_events(spark, src, reader_options=opts)
         snapshot = stream.select(
             "event_id",

@@ -226,8 +226,11 @@ def read_table(
             target = spark.sparkContext.defaultParallelism
             skip = df.rdd.getNumPartitions() >= target
         except Exception:  # noqa: BLE001 — Spark Connect: no SparkContext/rdd
-            target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-            skip = False  # can't inspect scan parallelism; caller asked to fan out
+            # scan parallelism is uninspectable: skip the widen rather than
+            # pay an unconditional full-table exchange on every read (the
+            # single-file-scan case this guards is a local-testing artifact;
+            # a Connect deployment's table is many files and already wide)
+            skip = True
         if not skip:
             df = df.repartition(target)
     return df

@@ -66,116 +66,120 @@ def kmeans_assign(
     from pyspark import StorageLevel
 
     emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
 
-    # k lowest-id seeds via orderBy+limit → TakeOrderedAndProject: a
-    # distributed per-partition top-k merged on the driver.  (A global
-    # row_number() window would move the WHOLE corpus to one partition —
-    # the exact anti-pattern this operator otherwise avoids.)  The seed
-    # rows also carry dim — no separate first() job for it.
-    seed_rows = emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
-    if not seed_rows:
-        raise ValueError("kmeans_assign: empty input")
-    dim = len(seed_rows[0][vec_col])
-    centroids = {
-        i: list(r[vec_col])
-        for i, r in enumerate(sorted(seed_rows, key=lambda r: r[id_col]))
-    }
+        # k lowest-id seeds via orderBy+limit → TakeOrderedAndProject: a
+        # distributed per-partition top-k merged on the driver.  (A global
+        # row_number() window would move the WHOLE corpus to one partition —
+        # the exact anti-pattern this operator otherwise avoids.)  The seed
+        # rows also carry dim — no separate first() job for it.
+        seed_rows = emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+        if not seed_rows:
+            raise ValueError("kmeans_assign: empty input")
+        dim = len(seed_rows[0][vec_col])
+        centroids = {
+            i: list(r[vec_col])
+            for i, r in enumerate(sorted(seed_rows, key=lambda r: r[id_col]))
+        }
 
-    def assign(df: DataFrame) -> DataFrame:
-        # Small models (k·dim bounded): inline the centroids as literal
-        # arrays and take the argmin ROW-LOCALLY — one corpus scan, zero
-        # shuffle, nothing leaves the row.  The previous broadcast-join
-        # form blew the corpus up k× and shuffled full embedding vectors
-        # through a groupBy(id) just to undo the blow-up; that shape is
-        # kept only for models too large to inline as an expression.
-        # Identical arithmetic and tie-break on both paths: squared L2 by
-        # the same left-fold, argmin by lexicographic (sq_dist,
-        # cluster_id) struct ordering (array_min ≡ min_by struct order).
-        if k * dim <= 16384:
-            entries = []
-            for cid, cvec in sorted(centroids.items()):
-                cent = F.array(*[F.lit(float(x)) for x in cvec])
-                sq = F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col), cent, lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                entries.append(
-                    F.struct(
-                        sq.alias("sq_dist"), F.lit(cid).cast("int").alias("cluster_id")
+        def assign(df: DataFrame) -> DataFrame:
+            # Small models (k·dim bounded): inline the centroids as literal
+            # arrays and take the argmin ROW-LOCALLY — one corpus scan, zero
+            # shuffle, nothing leaves the row.  The previous broadcast-join
+            # form blew the corpus up k× and shuffled full embedding vectors
+            # through a groupBy(id) just to undo the blow-up; that shape is
+            # kept only for models too large to inline as an expression.
+            # Identical arithmetic and tie-break on both paths: squared L2 by
+            # the same left-fold, argmin by lexicographic (sq_dist,
+            # cluster_id) struct ordering (array_min ≡ min_by struct order).
+            if k * dim <= 16384:
+                entries = []
+                for cid, cvec in sorted(centroids.items()):
+                    cent = F.array(*[F.lit(float(x)) for x in cvec])
+                    sq = F.aggregate(
+                        F.zip_with(
+                            F.col(vec_col), cent, lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
                     )
+                    entries.append(
+                        F.struct(
+                            sq.alias("sq_dist"), F.lit(cid).cast("int").alias("cluster_id")
+                        )
+                    )
+                best = F.array_min(F.array(*entries))
+                return df.select(
+                    id_col,
+                    best["cluster_id"].alias("cluster_id"),
+                    best["sq_dist"].alias("sq_dist"),
+                    vec_col,
                 )
-            best = F.array_min(F.array(*entries))
-            return df.select(
+            cent = spark.createDataFrame(
+                [(cid, vec) for cid, vec in sorted(centroids.items())],
+                "cluster_id int, centroid array<double>",
+            )
+            # squared L2 via one fused zip_with/aggregate — JVM expression only
+            sq = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.col("centroid"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            scored = df.crossJoin(F.broadcast(cent)).select(
                 id_col,
-                best["cluster_id"].alias("cluster_id"),
-                best["sq_dist"].alias("sq_dist"),
                 vec_col,
+                "cluster_id",
+                sq.alias("sq_dist"),
             )
-        cent = spark.createDataFrame(
-            [(cid, vec) for cid, vec in sorted(centroids.items())],
-            "cluster_id int, centroid array<double>",
-        )
-        # squared L2 via one fused zip_with/aggregate — JVM expression only
-        sq = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.col("centroid"),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        scored = df.crossJoin(F.broadcast(cent)).select(
-            id_col,
-            vec_col,
-            "cluster_id",
-            sq.alias("sq_dist"),
-        )
-        # min_by struct: (distance, cluster_id) — deterministic tie-break
-        return scored.groupBy(id_col).agg(
-            F.min_by(
-                F.struct("cluster_id", "sq_dist", vec_col),
-                F.struct("sq_dist", "cluster_id"),
-            ).alias("best")
-        ).select(
-            id_col,
-            F.col("best.cluster_id").alias("cluster_id"),
-            F.col("best.sq_dist").alias("sq_dist"),
-            F.col(f"best.{vec_col}").alias(vec_col),
-        )
+            # min_by struct: (distance, cluster_id) — deterministic tie-break
+            return scored.groupBy(id_col).agg(
+                F.min_by(
+                    F.struct("cluster_id", "sq_dist", vec_col),
+                    F.struct("sq_dist", "cluster_id"),
+                ).alias("best")
+            ).select(
+                id_col,
+                F.col("best.cluster_id").alias("cluster_id"),
+                F.col("best.sq_dist").alias("sq_dist"),
+                F.col(f"best.{vec_col}").alias(vec_col),
+            )
 
-    for _ in range(max_iter):
-        assigned = assign(emb)
-        # new centroids: explode dims, exact integer-quantized mean
-        means = (
-            assigned.select(
-                "cluster_id", F.posexplode(vec_col).alias("pos", "v")
+        for _ in range(max_iter):
+            assigned = assign(emb)
+            # new centroids: explode dims, exact integer-quantized mean
+            means = (
+                assigned.select(
+                    "cluster_id", F.posexplode(vec_col).alias("pos", "v")
+                )
+                .groupBy("cluster_id", "pos")
+                .agg(
+                    (
+                        F.sum(F.round(F.col("v") * _Q).cast("decimal(38,0)")).cast(
+                            "double"
+                        )
+                        / (F.count(F.lit(1)) * _Q)
+                    ).alias("m")
+                )
+                .collect()
             )
-            .groupBy("cluster_id", "pos")
-            .agg(
-                (
-                    F.sum(F.round(F.col("v") * _Q).cast("decimal(38,0)")).cast(
-                        "double"
-                    )
-                    / (F.count(F.lit(1)) * _Q)
-                ).alias("m")
-            )
-            .collect()
-        )
-        new_centroids: dict[int, list[float]] = {}
-        for r in means:
-            new_centroids.setdefault(int(r["cluster_id"]), [0.0] * dim)[
-                int(r["pos"])
-            ] = float(r["m"])
-        # empty clusters keep their previous centroid
-        for cid, vec in centroids.items():
-            new_centroids.setdefault(cid, vec)
-        centroids = new_centroids
+            new_centroids: dict[int, list[float]] = {}
+            for r in means:
+                new_centroids.setdefault(int(r["cluster_id"]), [0.0] * dim)[
+                    int(r["pos"])
+                ] = float(r["m"])
+            # empty clusters keep their previous centroid
+            for cid, vec in centroids.items():
+                new_centroids.setdefault(cid, vec)
+            centroids = new_centroids
 
-    emb.unpersist()  # no cache outlives the operator (see persist note)
+    finally:
+        # unpersist even when a mid-loop job fails — the pin must
+        # not outlive the call (retries would stack cached copies)
+        emb.unpersist()
     return assign(emb).select(
         id_col, "cluster_id", F.round("sq_dist", 6).alias("sq_dist")
     )

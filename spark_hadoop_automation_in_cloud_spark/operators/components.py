@@ -170,6 +170,11 @@ def pagerank(
     Correctness is additionally pinned by a pytest fixture vs an
     independent dense power iteration (tests/test_operators.py).
     """
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every} "
+            "(pass n_iter to checkpoint only the final round)"
+        )
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()

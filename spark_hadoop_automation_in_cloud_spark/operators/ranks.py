@@ -84,6 +84,27 @@ def _offset_map(pairs: list[tuple[int, object]], cast_to: str | None) -> Column:
     return F.create_map(*offs)
 
 
+def _tagged_counts(
+    df: DataFrame, order_cols: list[Column], num_partitions: int | None
+) -> tuple[DataFrame, list[tuple[int, int]]]:
+    """Shared first pass of every global-rank primitive: range-tag the
+    frame and collect one (pid, row_count) pair per partition — the counts
+    are both the rank offsets and (summed) the total row count."""
+    tagged = _range_tagged(df, order_cols, num_partitions)
+    counts = [
+        (r[_PID], r["c"])
+        for r in tagged.groupBy(_PID).agg(F.count(F.lit(1)).alias("c")).collect()
+    ]
+    return tagged, counts
+
+
+def _global_rank_col(counts: list[tuple[int, int]], order_cols: list[Column]) -> Column:
+    """Exact 1-based global rank from a tagged frame's counts: local
+    row_number + the broadcast prefix offset of the row's partition."""
+    local = F.row_number().over(Window.partitionBy(_PID).orderBy(*order_cols))
+    return (local + _offset_map(counts, None)[F.col(_PID)]).cast("bigint")
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[Column],
@@ -93,17 +114,10 @@ def global_row_number(
     """Exact 1-based global row number by ``order_cols`` (which must include
     a unique tiebreaker), computed with range partitioning + local windows +
     broadcast prefix offsets — never a single-partition sort."""
-    tagged = _range_tagged(df, order_cols, num_partitions)
-    counts = [
-        (r[_PID], r["c"])
-        for r in tagged.groupBy(_PID).agg(F.count(F.lit(1)).alias("c")).collect()
-    ]
+    tagged, counts = _tagged_counts(df, order_cols, num_partitions)
     if not counts:  # empty frame: create_map() of zero pairs can't resolve
         return tagged.withColumn(out_col, F.lit(None).cast("bigint")).drop(_PID)
-    local = F.row_number().over(Window.partitionBy(_PID).orderBy(*order_cols))
-    return tagged.withColumn(
-        out_col, (local + _offset_map(counts, None)[F.col(_PID)]).cast("bigint")
-    ).drop(_PID)
+    return tagged.withColumn(out_col, _global_rank_col(counts, order_cols)).drop(_PID)
 
 
 def ntile_from_rank(rank: Column, total: int, k: int) -> Column:
@@ -136,16 +150,11 @@ def global_ntile(
     count, so no separate ``count()`` action or second materialization is
     needed — one pass per ordering, vs two for
     ``global_row_number`` + a caller-side count."""
-    tagged = _range_tagged(df, order_cols, num_partitions)
-    counts = [
-        (r[_PID], r["c"])
-        for r in tagged.groupBy(_PID).agg(F.count(F.lit(1)).alias("c")).collect()
-    ]
+    tagged, counts = _tagged_counts(df, order_cols, num_partitions)
     if not counts:
         return tagged.withColumn(out_col, F.lit(None).cast("int")).drop(_PID)
     total = sum(c for _, c in counts)
-    local = F.row_number().over(Window.partitionBy(_PID).orderBy(*order_cols))
-    rank = (local + _offset_map(counts, None)[F.col(_PID)]).cast("bigint")
+    rank = _global_rank_col(counts, order_cols)
     return tagged.withColumn(out_col, ntile_from_rank(rank, total, k)).drop(_PID)
 
 

@@ -62,7 +62,7 @@ def latest_per_key(df: DataFrame, key_cols: list[str], order_cols: list[str]) ->
 
 
 def newer_than_condition(
-    order_cols: list[str], src: str = "src", tgt: str = "tgt"
+    order_cols: list[str], src: str = "src", tgt: str = "tgt", quote: str = "`"
 ) -> str:
     """SQL predicate: source's order tuple is lexicographically strictly
     greater than the target's — the "only overwrite with newer" guard of a
@@ -70,15 +70,22 @@ def newer_than_condition(
     as the rename path, whose descending sort would otherwise rank NULLs
     arbitrarily per engine).
 
-    Pure string builder so the condition is unit-testable without any
-    table-format library installed.
+    Column names are identifier-quoted so reserved words ("order") and
+    special characters survive; ``quote`` defaults to the backtick Spark
+    and Delta parse — pass ``'"'`` for ANSI engines (DuckDB rejects
+    backticks).  Pure string builder so the condition is unit-testable
+    without any table-format library installed.
     """
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
+
+    def qd(c: str) -> str:
+        return f"{quote}{c}{quote}"
+
     clauses = []
     for i, c in enumerate(order_cols):
-        ties = " AND ".join(f"{src}.{p} = {tgt}.{p}" for p in order_cols[:i])
-        gt = f"{src}.{c} > {tgt}.{c}"
+        ties = " AND ".join(f"{src}.{qd(p)} = {tgt}.{qd(p)}" for p in order_cols[:i])
+        gt = f"{src}.{qd(c)} > {tgt}.{qd(c)}"
         clauses.append(f"({ties} AND {gt})" if ties else f"({gt})")
     return " OR ".join(clauses)
 
@@ -102,7 +109,7 @@ def delta_merge_fn() -> MergeFn:
             deduped.write.format("delta").mode("errorifexists").save(path)
             return
         tgt = DeltaTable.forPath(spark, path)
-        on = " AND ".join(f"tgt.{k} = src.{k}" for k in key_cols)
+        on = " AND ".join(f"tgt.`{k}` = src.`{k}`" for k in key_cols)
         (
             tgt.alias("tgt")
             .merge(deduped.alias("src"), on)

@@ -361,7 +361,7 @@ def test_newer_than_condition_equals_python_tuple_order(tuples, width):
         [f"{v} AS {c}" for v, c in zip(src_t, cols)]
     )
     sel_t = ", ".join([f"{v} AS {c}" for v, c in zip(tgt_t, cols)])
-    cond = newer_than_condition(cols, "src", "tgt")
+    cond = newer_than_condition(cols, "src", "tgt", quote='"')  # ANSI for DuckDB
     got = con.execute(
         f"SELECT ({cond}) FROM (SELECT {sel}) src, (SELECT {sel_t}) tgt"
     ).fetchone()[0]

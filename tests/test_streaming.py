@@ -228,10 +228,13 @@ def test_newer_than_condition_lexicographic():
         newer_than_condition,
     )
 
-    assert newer_than_condition(["ts"]) == "(src.ts > tgt.ts)"
+    assert newer_than_condition(["ts"]) == "(src.`ts` > tgt.`ts`)"
     assert newer_than_condition(["ts", "id"], "s", "t") == (
-        "(s.ts > t.ts) OR (s.ts = t.ts AND s.id > t.id)"
+        "(s.`ts` > t.`ts`) OR (s.`ts` = t.`ts` AND s.`id` > t.`id`)"
     )
+    # reserved words survive via the identifier quoting; ANSI engines take
+    # a double-quote variant (DuckDB rejects backticks)
+    assert newer_than_condition(["order"], quote='"') == ('(src."order" > tgt."order")')
     with pytest.raises(ValueError):
         newer_than_condition([])
 

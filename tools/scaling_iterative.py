@@ -36,14 +36,17 @@ from spark_hadoop_automation_in_cloud_spark.operators.components import pagerank
 from spark_hadoop_automation_in_cloud_spark.session import get_test_session
 
 
-def timed(df_fn, n: int = 2) -> float:
+def timed(df_fn, n: int = 3) -> float:
+    """Median of n runs after a warmup — same protocol as bench.py (min-of-N
+    chases the lucky tail; a ratio of two minima can flip the sublinear
+    verdict on one outlier run)."""
     df_fn().write.format("noop").mode("overwrite").save()  # warm
-    best = float("inf")
+    samples = []
     for _ in range(n):
         t0 = time.perf_counter()
         df_fn().write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3)
+        samples.append(time.perf_counter() - t0)
+    return round(sorted(samples)[n // 2], 3)
 
 
 def main() -> None:
@@ -75,7 +78,10 @@ def main() -> None:
         .distinct()
         .count()
     )
-    shift = edges.agg(F.max(F.greatest("src", "dst"))).first()[0] + 1
+    max_id = edges.agg(F.max(F.greatest("src", "dst"))).first()[0]
+    if max_id is None:
+        raise SystemExit(f"no co-purchase edges found under {sf_dir} — wrong sf dir?")
+    shift = max_id + 1
     edges_rep = (
         edges.crossJoin(spark.range(scale).withColumnRenamed("id", "__rep"))
         .select(
