@@ -473,3 +473,107 @@ SELECT doc_id,
          AS chunk_text
 FROM s
 """
+
+
+def unigram_lm_scores(
+    docs: DataFrame,
+    train: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Language-model quality scoring: per-document average negative
+    log-probability under an add-``alpha``-smoothed unigram model fit on
+    ``train`` — the CCNet/Gopher-style perplexity filter (fluent prose
+    scores low, boilerplate/garbage scores high), here with the cheapest
+    model that gives the signal shape.
+
+    Distributed shape: the model is TWO aggregates (per-token counts =
+    the vocabulary; one row of [total tokens, vocab size]) — never
+    driver-side; scoring is one equi-join of the corpus tokens against
+    the vocabulary (per-token single match — no fanout) plus a per-doc
+    aggregation.  At 100 TB the corpus-sized frames shuffle only on
+    token and doc id.
+
+    Determinism: per-token log-probs are snapped to an integer 1e-6 grid
+    and summed exactly (order-independent), so the DuckDB oracle
+    reproduces the scores despite float summation order — the same idiom
+    as the engine's money sums; ``ln`` agreement at 6dp follows the
+    TF-IDF precedent.
+
+    Output: doc_id, n_tokens, n_oov, avg_neg_logprob (rounded 6dp;
+    higher = less like the training corpus).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    vocab = (
+        train.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = vocab.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("v_size")
+    )
+    # add-alpha smoothing with one shared OOV bucket: denominator counts
+    # the vocabulary plus the OOV pseudo-type
+    denom = F.col("total").cast("double") + F.lit(alpha) * (
+        F.col("v_size").cast("double") + 1.0
+    )
+    logp = F.log((F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + F.lit(alpha)) / denom)
+    q = F.round(logp * 1_000_000).cast("bigint")  # exact, order-independent sum
+    scored = (
+        toks.join(vocab, "token", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            q.alias("__q"),
+            F.when(F.col("cnt").isNull(), 1).otherwise(0).alias("__oov"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("__oov").cast("bigint").alias("n_oov"),
+        F.round(
+            -F.sum("__q").cast("double") / (F.count(F.lit(1)) * 1_000_000.0), 6
+        ).alias("avg_neg_logprob"),
+    )
+
+
+def sql_unigram_lm_scores(
+    docs_src: str,
+    train_pred: str,
+    id_col: str,
+    text_col: str,
+    alpha: float = 1.0,
+) -> str:
+    """DuckDB oracle for :func:`unigram_lm_scores` — the same quantized
+    log-prob arithmetic; ``train_pred`` selects the training split of
+    ``docs_src``."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, unnest(string_split({text_col}, ' ')) AS token
+  FROM {docs_src}
+),
+vocab AS (
+  SELECT token, COUNT(*) AS cnt FROM (
+    SELECT unnest(string_split({text_col}, ' ')) AS token
+    FROM {docs_src} WHERE {train_pred}
+  ) GROUP BY token
+),
+stats AS (SELECT SUM(cnt) AS total, COUNT(*) AS v_size FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         CAST(round(ln((CAST(COALESCE(v.cnt, 0) AS DOUBLE) + {alpha})
+                       / (CAST(s.total AS DOUBLE) + {alpha} * (CAST(s.v_size AS DOUBLE) + 1.0)))
+                    * 1000000) AS BIGINT) AS q,
+         CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN vocab v USING (token) CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       round(-CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS avg_neg_logprob
+FROM scored GROUP BY doc_id
+"""

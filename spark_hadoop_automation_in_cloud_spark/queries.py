@@ -117,11 +117,13 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q90_weighted_median",
     "q91_mixture_sampling",
     "q93_countmin_heavy_hitters",
-    "q100_waiting_suppliers",
     # r03-stamped but its join rewritten to alias-qualified resolution in
     # r4 (changed ⇒ re-verify); displaces q98 (single-pass month rollup,
     # pytest-pinned, age 2) from the window
     "q97_point_in_time_state",
+    # NEW in r4 (never driver-stamped — priority over an age-2 refresh);
+    # displaces q100 (stable TPC-H-style multi-join, pytest-pinned, age 2)
+    "q101_unigram_lm_quality",
 )
 
 
@@ -4208,3 +4210,38 @@ def q100_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "l_suppkey")
         .limit(100)
     )
+
+
+_SQL_TRAIN_PRED = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT)"
+    " % 100 < 80"
+)
+
+
+@register(
+    "q101_unigram_lm_quality",
+    tx.sql_unigram_lm_scores("documents", _SQL_TRAIN_PRED, "doc_id", "text"),
+    doc="Language-model quality scoring (CCNet/Gopher-style perplexity "
+    "filter): every document's average negative log-probability under "
+    "an add-one-smoothed unigram model fit on the q42 train split — "
+    "the model is two aggregates (vocabulary counts + one stats row), "
+    "scoring one token equi-join + per-doc aggregation; nothing "
+    "driver-side, nothing quadratic (operators/textops.py "
+    "unigram_lm_scores). Per-token log-probs snap to an integer 1e-6 "
+    "grid and sum exactly, so the score is partition-order-independent "
+    "and the DuckDB oracle reproduces it bit-for-bit.",
+)
+def q101_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    train = d.where(bucket < 80)
+    return tx.unigram_lm_scores(d, train, "doc_id", "text", alpha=1.0)

@@ -92,3 +92,35 @@ def test_pack_sequences_duplicate_ids_and_null_text(spark):
     # three 1024-token docs at capacity 1024: bins 0,1,2 — each full slice
     assert bins == [(1, 0, 0, 1024), (1, 1, 0, 1024), (3, 2, 0, 1024)], bins
     assert all(ts < te for _, _, ts, te in bins)
+
+
+def test_unigram_lm_scores_semantics(spark):
+    """Fluent-vs-garbage ordering, OOV counting, and the smoothing
+    arithmetic checked against a hand-computed model."""
+    import math
+
+    from spark_hadoop_automation_in_cloud_spark.operators.textops import (
+        unigram_lm_scores,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog sat")], ["doc_id", "text"]
+    )
+    docs = train.union(
+        spark.createDataFrame([(3, "the the"), (4, "zyx qwv")], ["doc_id", "text"])
+    )
+    got = {
+        r["doc_id"]: r
+        for r in unigram_lm_scores(docs, train, "doc_id", "text").collect()
+    }
+    # model: tokens {the:2, cat:1, sat:2, dog:1}, total=6, V=4, alpha=1
+    denom = 6 + 1 * (4 + 1)
+    lp = lambda c: round(math.log((c + 1) / denom) * 1e6)
+    the2 = round(-(2 * lp(2)) / (2 * 1e6), 6)
+    assert got[3]["avg_neg_logprob"] == the2
+    assert got[3]["n_oov"] == 0 and got[3]["n_tokens"] == 2
+    # all-OOV doc scores strictly worse than the all-common-token doc
+    assert got[4]["n_oov"] == 2
+    assert got[4]["avg_neg_logprob"] > got[3]["avg_neg_logprob"]
+    # training docs score better than the OOV doc
+    assert got[1]["avg_neg_logprob"] < got[4]["avg_neg_logprob"]
