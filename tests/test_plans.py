@@ -312,3 +312,15 @@ def test_global_ntile_no_single_partition_window(spark):
         global_ntile(df, [F.col("v").asc(), F.col("id").asc()], 4, num_partitions=8)
     )
     assert "SinglePartition" not in plan
+
+
+def test_q101_lm_scoring_no_cartesian_or_driver_vocab(spark, sf_dir):
+    """The LM scorer must stay a token equi-join + aggregates: no
+    cartesian blowup (the stats row rides a 1-row broadcast), and the
+    vocabulary must never be collected driver-side."""
+    plan = explain_simple(q.q101_unigram_lm_quality(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is the broadcast of the 1-row stats
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # vocabulary join is a real join, aggregates two-phase
+    assert plan.lower().count("hashaggregate") >= 2
