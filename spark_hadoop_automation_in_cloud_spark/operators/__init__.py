@@ -6,5 +6,5 @@ step 9): ``dedup``, ``similarity``, ``textops``, ``packing``,
 ``clustering``, ``components``, ``asof``, ``pandas_aggs``, ``skew``,
 ``checks``.  Scale primitives: ``ranks`` (distributed exact global
 row numbers / ntiles / cumsums), ``sketches`` (mergeable HLL cardinality
-rollups).
+rollups + mergeable log-bucket quantile sketches).
 """

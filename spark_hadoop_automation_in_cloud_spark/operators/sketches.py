@@ -63,3 +63,145 @@ def merge_sketches(
 def estimate(sketch: Column) -> Column:
     """Point estimate from a stored sketch column."""
     return F.hll_sketch_estimate(sketch).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketches (log-bucket histograms)
+# ---------------------------------------------------------------------------
+#
+# Same persist-then-reaggregate pattern as the HLL sketches, for the third
+# classic sketch question (cardinality → HLL above, frequency → q93's
+# count-min, quantiles → here): each partition stores a fixed-resolution
+# log-bucket histogram of a value column; any coarser rollup merges the
+# stored bucket counts — associative integer addition, so unlike HLL the
+# merge is EXACTLY the sketch of the union, bit-for-bit.  A quantile
+# estimate reads the cumulative bucket counts and returns the bucket's
+# geometric midpoint: relative error bounded by the bucket growth factor
+# (value within ×(1+eps) of a true q-quantile element's bucket).
+
+#: default bucket growth: 1% relative resolution, ~2.3k buckets per decade
+#: of dynamic range — a few KB of state per group.
+DEFAULT_EPS = 0.01
+
+
+def _bucket(v: Column, eps: float) -> Column:
+    """Sign-aware log-scale bucket index (0 reserved for exact zero)."""
+    import math
+
+    lg = math.log1p(eps)
+    pos = (F.floor(F.log(F.abs(v)) / F.lit(lg)) + 1).cast("int")
+    return (
+        F.when(v == 0.0, F.lit(0))
+        .when(v > 0.0, pos)
+        .otherwise(-pos)
+        .cast("int")
+    )
+
+
+def _representative(bucket: Column, eps: float) -> Column:
+    """Geometric midpoint of a bucket — the estimate returned for any
+    quantile that lands in it."""
+    mid = F.pow(F.lit(1.0 + eps), F.abs(bucket).cast("double") - 0.5)
+    return (
+        F.when(bucket == 0, F.lit(0.0))
+        .when(bucket > 0, mid)
+        .otherwise(-mid)
+    )
+
+
+def quantile_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    eps: float = DEFAULT_EPS,
+    sketch_col: str = "qsketch",
+) -> DataFrame:
+    """One mergeable quantile sketch per group: a sorted array of
+    (bucket, cnt) structs.  One map-side-combined aggregation; state is
+    bounded by the value range's bucket count, not group volume."""
+    b = _bucket(F.col(value_col).cast("double"), eps)
+    counts = df.groupBy(*group_cols, b.alias("__b")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return counts.groupBy(*group_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__b").alias("bucket"), F.col("__c").alias("cnt")))
+        ).alias(sketch_col)
+    )
+
+
+def merge_quantile_sketches(
+    sketches: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "qsketch",
+) -> DataFrame:
+    """Re-aggregate stored sketches to a coarser grain: explode the bucket
+    arrays, sum counts per bucket, re-collect.  Touches one row per stored
+    bucket — never the raw facts — and the result is IDENTICAL to
+    sketching the union directly (integer addition; pinned by test)."""
+    ex = sketches.select(
+        *group_cols, F.explode(sketch_col).alias("__e")
+    ).select(*group_cols, F.col("__e.bucket").alias("__b"), F.col("__e.cnt").alias("__c"))
+    summed = ex.groupBy(*group_cols, "__b").agg(F.sum("__c").alias("__c"))
+    return summed.groupBy(*group_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__b").alias("bucket"), F.col("__c").alias("cnt")))
+        ).alias(sketch_col)
+    )
+
+
+def quantile_estimates(
+    sketches: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    eps: float = DEFAULT_EPS,
+    sketch_col: str = "qsketch",
+) -> DataFrame:
+    """Per-group quantile estimates from stored sketches.
+
+    Output: group_cols..., q (double), est (double).  Rank rule: the
+    smallest bucket whose cumulative count reaches ``ceil(q * total)``
+    (q=0 → the first non-empty bucket), evaluated with array expressions
+    — no explode, no shuffle beyond the grouping the sketches already
+    carry.
+    """
+    total = F.aggregate(
+        F.col(sketch_col), F.lit(0).cast("bigint"), lambda acc, s: acc + s["cnt"]
+    )
+    out = sketches.select(*group_cols, sketch_col, total.alias("__total"))
+    rows = []
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile out of range: {q}")
+        rank = F.greatest(F.ceil(F.lit(float(q)) * F.col("__total")), F.lit(1)).cast(
+            "bigint"
+        )
+        # running cumulative fold: keep (remaining_rank, found_bucket)
+        folded = F.aggregate(
+            F.col(sketch_col),
+            F.struct(
+                rank.alias("rem"), F.lit(None).cast("int").alias("bucket")
+            ),
+            lambda acc, s: F.when(
+                acc["bucket"].isNotNull(), acc
+            ).otherwise(
+                F.when(
+                    s["cnt"] >= acc["rem"],
+                    F.struct(acc["rem"].alias("rem"), s["bucket"].alias("bucket")),
+                ).otherwise(
+                    F.struct((acc["rem"] - s["cnt"]).alias("rem"),
+                             F.lit(None).cast("int").alias("bucket"))
+                )
+            ),
+        )
+        rows.append(
+            out.select(
+                *group_cols,
+                F.lit(float(q)).alias("q"),
+                F.round(_representative(folded["bucket"], eps), 9).alias("est"),
+            )
+        )
+    res = rows[0]
+    for r in rows[1:]:
+        res = res.unionByName(r)
+    return res

@@ -729,3 +729,46 @@ def test_hll_sketch_rollup_is_lossless_reaggregation(spark, sf_dir):
         total_via_merge,
         exact,
     )
+
+
+def test_quantile_sketch_merge_exact_and_error_bound(spark):
+    """The quantile trio properties: (1) merging per-part sketches equals
+    sketching the whole EXACTLY (integer bucket counts); (2) estimates are
+    within the (1+eps) relative bound of the true quantile; (3) zero and
+    negative values round-trip through the sign-aware buckets."""
+    from spark_hadoop_automation_in_cloud_spark.operators.sketches import (
+        merge_quantile_sketches,
+        quantile_estimates,
+        quantile_sketches,
+    )
+
+    eps = 0.01
+    # deterministic skewed positives + explicit zero/negatives
+    vals = [((i * 37) % 1000) / 7.0 + 0.5 for i in range(3000)]
+    vals += [0.0, -12.5, -1000.0]
+    df = spark.createDataFrame(
+        [(i % 3, v) for i, v in enumerate(vals)], ["part", "v"]
+    )
+
+    whole = quantile_sketches(df.select(F.lit(1).alias("g"), "v"), ["g"], "v", eps)
+    parts = quantile_sketches(df.select(F.lit(1).alias("g"), "part", "v"), ["g", "part"], "v", eps)
+    merged = merge_quantile_sketches(parts, ["g"])
+    assert merged.collect() == whole.collect()  # bit-exact state equality
+
+    import statistics
+
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = {
+        round(r["q"], 2): r["est"]
+        for r in quantile_estimates(merged, ["g"], qs, eps).collect()
+    }
+    svals = sorted(vals)
+    for q in qs:
+        true = svals[min(len(svals) - 1, max(0, -1 + max(1, int(-(-q * len(svals) // 1)))))]
+        est = got[round(q, 2)]
+        if true == 0.0:
+            assert est == 0.0
+        else:
+            assert abs(est - true) <= abs(true) * (eps + 1e-9) + 1e-9, (q, true, est)
+    # negative tail: q=0 must land at the most-negative bucket
+    assert got[0.0] < -900
