@@ -205,3 +205,82 @@ def quantile_estimates(
     for r in rows[1:]:
         res = res.unionByName(r)
     return res
+
+
+# ---------------------------------------------------------------------------
+# Mergeable count-min sketches (frequency)
+# ---------------------------------------------------------------------------
+#
+# q93 demonstrates the estimate; these helpers are the persist/merge shape
+# (same contract as the HLL and quantile families): the sketch is stored
+# as (row_i, bucket, n) cell rows per group, merged by summing cells —
+# exact, associative — and point estimates take the min over rows.
+
+from spark_hadoop_automation_in_cloud_spark.functions.hashing import (
+    md5_int60,
+    minhash_coeffs,
+    perm_hash,
+)
+
+#: default geometry: 4 rows x 256 buckets — overestimate bound e*N/w with
+#: failure probability exp(-depth) per the standard CM analysis.
+CM_DEPTH = 4
+CM_WIDTH = 256
+_CM_SEED = 11
+
+
+def countmin_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Count-min cell rows per group: (group..., row_i, bucket, n).  One
+    map-side-combined aggregation; state is depth x width cells per group
+    regardless of volume."""
+    coeffs = minhash_coeffs(depth, seed=_CM_SEED)
+    h = md5_int60(F.col(value_col).cast("string"))
+    buckets = F.array(
+        *[(perm_hash(h, a, b) % width).cast("int") for a, b in coeffs]
+    )
+    ex = df.select(*group_cols, F.posexplode(buckets).alias("row_i", "bucket"))
+    return ex.groupBy(*group_cols, "row_i", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def merge_countmin_sketches(
+    sketches: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Re-aggregate stored cell rows to a coarser grain: sum per cell —
+    exactly the sketch of the union (same geometry/seed required)."""
+    return sketches.groupBy(*group_cols, "row_i", "bucket").agg(
+        F.sum("n").alias("n")
+    )
+
+
+def countmin_estimate(
+    sketches: DataFrame,
+    group_cols: list[str],
+    items: DataFrame,
+    value_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Estimated frequency of each item per group: min over the item's
+    depth cells.  ``items`` carries group_cols + value_col; the sketch
+    side is depth x width rows per group — broadcast-sized."""
+    coeffs = minhash_coeffs(depth, seed=_CM_SEED)
+    h = md5_int60(F.col(value_col).cast("string"))
+    buckets = F.array(
+        *[(perm_hash(h, a, b) % width).cast("int") for a, b in coeffs]
+    )
+    ex = items.select(
+        *group_cols, value_col, F.posexplode(buckets).alias("row_i", "bucket")
+    )
+    return (
+        ex.join(F.broadcast(sketches), [*group_cols, "row_i", "bucket"])
+        .groupBy(*group_cols, value_col)
+        .agg(F.min("n").cast("bigint").alias("est_n"))
+    )

@@ -772,3 +772,31 @@ def test_quantile_sketch_merge_exact_and_error_bound(spark):
             assert abs(est - true) <= abs(true) * (eps + 1e-9) + 1e-9, (q, true, est)
     # negative tail: q=0 must land at the most-negative bucket
     assert got[0.0] < -900
+
+
+def test_countmin_sketch_merge_exact_and_overestimate_only(spark):
+    """CM properties: merged per-part sketches equal the whole-corpus
+    sketch exactly; estimates never underestimate; exact for items whose
+    cells collide with nothing heavy."""
+    from spark_hadoop_automation_in_cloud_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketches,
+        merge_countmin_sketches,
+    )
+
+    rows = [(i % 4, f"u{i % 50}") for i in range(2000)]  # 50 users x 40 each
+    df = spark.createDataFrame(rows, ["part", "uid"]).select(
+        F.lit(1).alias("g"), "part", "uid"
+    )
+    whole = countmin_sketches(df, ["g"], "uid")
+    parts = countmin_sketches(df, ["g", "part"], "uid")
+    merged = merge_countmin_sketches(parts, ["g"])
+    key = lambda r: (r["g"], r["row_i"], r["bucket"], r["n"])
+    assert sorted(map(key, merged.collect())) == sorted(map(key, whole.collect()))
+
+    items = df.select("g", "uid").distinct()
+    est = countmin_estimate(merged, ["g"], items, "uid")
+    true = {r["uid"]: r["n"] for r in df.groupBy("uid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for r in est.collect():
+        assert r["est_n"] >= true[r["uid"]]  # one-sided error, always
+        assert r["est_n"] <= true[r["uid"]] + 2000 // 256 + 40  # loose e*N/w-ish cap
