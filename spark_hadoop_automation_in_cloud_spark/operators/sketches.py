@@ -79,29 +79,45 @@ def estimate(sketch: Column) -> Column:
 # geometric midpoint: relative error bounded by the bucket growth factor
 # (value within ×(1+eps) of a true q-quantile element's bucket).
 
-#: default bucket growth: 1% relative resolution, ~2.3k buckets per decade
-#: of dynamic range — a few KB of state per group.
+#: default bucket growth: 1% relative resolution, ln(10)/ln(1.01) ≈ 231
+#: buckets per decade of dynamic range — a few KB of state per group.
 DEFAULT_EPS = 0.01
+
+#: encoding offset: the raw log index floor(ln|v|/ln(1+eps)) spans about
+#: ±74.8k at eps=0.01 over the full double range (subnormals included);
+#: adding this offset keeps every positive-value code > 0 and every
+#: negative-value code < 0, with 0 reserved for exact zero — one int whose
+#: numeric order equals value order across the whole real line.
+_B_OFFSET = 100_000
 
 
 def _bucket(v: Column, eps: float) -> Column:
-    """Sign-aware log-scale bucket index (0 reserved for exact zero)."""
+    """Sign-aware, ORDER-PRESERVING log-scale bucket code.
+
+    v > 0 → +(floor(ln v / ln(1+eps)) + offset); v < 0 mirrors with the
+    magnitude's code negated; v = 0 → 0.  The offset (see ``_B_OFFSET``)
+    keeps the three ranges disjoint — without it, positives in (0, 1) have
+    negative raw indices and would collide with the zero and negative
+    encodings (sign-flipped estimates)."""
     import math
 
     lg = math.log1p(eps)
-    pos = (F.floor(F.log(F.abs(v)) / F.lit(lg)) + 1).cast("int")
+    code = (F.floor(F.log(F.abs(v)) / F.lit(lg)) + F.lit(_B_OFFSET)).cast("int")
     return (
         F.when(v == 0.0, F.lit(0))
-        .when(v > 0.0, pos)
-        .otherwise(-pos)
+        .when(v > 0.0, code)
+        .otherwise(-code)
         .cast("int")
     )
 
 
 def _representative(bucket: Column, eps: float) -> Column:
     """Geometric midpoint of a bucket — the estimate returned for any
-    quantile that lands in it."""
-    mid = F.pow(F.lit(1.0 + eps), F.abs(bucket).cast("double") - 0.5)
+    quantile that lands in it.  A value in bucket b lies in
+    [(1+eps)^b, (1+eps)^(b+1)), so the midpoint is within a factor
+    sqrt(1+eps) of every member — the (1+eps) relative bound."""
+    raw = F.abs(bucket).cast("double") - F.lit(float(_B_OFFSET))
+    mid = F.pow(F.lit(1.0 + eps), raw + 0.5)
     return (
         F.when(bucket == 0, F.lit(0.0))
         .when(bucket > 0, mid)
@@ -118,10 +134,14 @@ def quantile_sketches(
 ) -> DataFrame:
     """One mergeable quantile sketch per group: a sorted array of
     (bucket, cnt) structs.  One map-side-combined aggregation; state is
-    bounded by the value range's bucket count, not group volume."""
+    bounded by the value range's bucket count, not group volume.  NULL
+    values are ignored (same semantics as the HLL family / SQL
+    aggregates) — they carry no rank."""
     b = _bucket(F.col(value_col).cast("double"), eps)
-    counts = df.groupBy(*group_cols, b.alias("__b")).agg(
-        F.count(F.lit(1)).alias("__c")
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
     )
     return counts.groupBy(*group_cols).agg(
         F.array_sort(
@@ -161,50 +181,45 @@ def quantile_estimates(
 
     Output: group_cols..., q (double), est (double).  Rank rule: the
     smallest bucket whose cumulative count reaches ``ceil(q * total)``
-    (q=0 → the first non-empty bucket), evaluated with array expressions
-    — no explode, no shuffle beyond the grouping the sketches already
-    carry.
+    (q=0 → the first non-empty bucket).  Single pass: the quantile list
+    explodes from a literal array, so the sketch plan executes ONCE
+    however many quantiles are asked for — the per-q cumulative fold is
+    an array expression over the (already tiny) stored buckets.
     """
-    total = F.aggregate(
-        F.col(sketch_col), F.lit(0).cast("bigint"), lambda acc, s: acc + s["cnt"]
-    )
-    out = sketches.select(*group_cols, sketch_col, total.alias("__total"))
-    rows = []
     for q in qs:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile out of range: {q}")
-        rank = F.greatest(F.ceil(F.lit(float(q)) * F.col("__total")), F.lit(1)).cast(
-            "bigint"
-        )
-        # running cumulative fold: keep (remaining_rank, found_bucket)
-        folded = F.aggregate(
-            F.col(sketch_col),
-            F.struct(
-                rank.alias("rem"), F.lit(None).cast("int").alias("bucket")
-            ),
-            lambda acc, s: F.when(
-                acc["bucket"].isNotNull(), acc
+    total = F.aggregate(
+        F.col(sketch_col), F.lit(0).cast("bigint"), lambda acc, s: acc + s["cnt"]
+    )
+    out = sketches.select(*group_cols, sketch_col, total.alias("__total")).select(
+        *group_cols,
+        sketch_col,
+        "__total",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    )
+    rank = F.greatest(F.ceil(F.col("q") * F.col("__total")), F.lit(1)).cast("bigint")
+    # running cumulative fold: keep (remaining_rank, found_bucket)
+    folded = F.aggregate(
+        F.col(sketch_col),
+        F.struct(rank.alias("rem"), F.lit(None).cast("int").alias("bucket")),
+        lambda acc, s: F.when(acc["bucket"].isNotNull(), acc).otherwise(
+            F.when(
+                s["cnt"] >= acc["rem"],
+                F.struct(acc["rem"].alias("rem"), s["bucket"].alias("bucket")),
             ).otherwise(
-                F.when(
-                    s["cnt"] >= acc["rem"],
-                    F.struct(acc["rem"].alias("rem"), s["bucket"].alias("bucket")),
-                ).otherwise(
-                    F.struct((acc["rem"] - s["cnt"]).alias("rem"),
-                             F.lit(None).cast("int").alias("bucket"))
+                F.struct(
+                    (acc["rem"] - s["cnt"]).alias("rem"),
+                    F.lit(None).cast("int").alias("bucket"),
                 )
-            ),
-        )
-        rows.append(
-            out.select(
-                *group_cols,
-                F.lit(float(q)).alias("q"),
-                F.round(_representative(folded["bucket"], eps), 9).alias("est"),
             )
-        )
-    res = rows[0]
-    for r in rows[1:]:
-        res = res.unionByName(r)
-    return res
+        ),
+    )
+    return out.select(
+        *group_cols,
+        "q",
+        F.round(_representative(folded["bucket"], eps), 9).alias("est"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -229,6 +244,15 @@ CM_WIDTH = 256
 _CM_SEED = 11
 
 
+def _cm_buckets(value_col: str, depth: int, width: int) -> Column:
+    """The CM hash geometry, in ONE place: the array of per-row bucket
+    indices for a value.  Sketch build and estimate must share this (same
+    coefficients/fold/modulus) or estimates silently match nothing."""
+    coeffs = minhash_coeffs(depth, seed=_CM_SEED)
+    h = md5_int60(F.col(value_col).cast("string"))
+    return F.array(*[(perm_hash(h, a, b) % width).cast("int") for a, b in coeffs])
+
+
 def countmin_sketches(
     df: DataFrame,
     group_cols: list[str],
@@ -238,13 +262,12 @@ def countmin_sketches(
 ) -> DataFrame:
     """Count-min cell rows per group: (group..., row_i, bucket, n).  One
     map-side-combined aggregation; state is depth x width cells per group
-    regardless of volume."""
-    coeffs = minhash_coeffs(depth, seed=_CM_SEED)
-    h = md5_int60(F.col(value_col).cast("string"))
-    buckets = F.array(
-        *[(perm_hash(h, a, b) % width).cast("int") for a, b in coeffs]
+    regardless of volume.  Only touched cells are materialized — absent
+    cells mean zero (the estimate side restores them)."""
+    ex = df.select(
+        *group_cols,
+        F.posexplode(_cm_buckets(value_col, depth, width)).alias("row_i", "bucket"),
     )
-    ex = df.select(*group_cols, F.posexplode(buckets).alias("row_i", "bucket"))
     return ex.groupBy(*group_cols, "row_i", "bucket").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -270,17 +293,19 @@ def countmin_estimate(
 ) -> DataFrame:
     """Estimated frequency of each item per group: min over the item's
     depth cells.  ``items`` carries group_cols + value_col; the sketch
-    side is depth x width rows per group — broadcast-sized."""
-    coeffs = minhash_coeffs(depth, seed=_CM_SEED)
-    h = md5_int60(F.col(value_col).cast("string"))
-    buckets = F.array(
-        *[(perm_hash(h, a, b) % width).cast("int") for a, b in coeffs]
-    )
+    side is depth x width rows per group — broadcast-sized.
+
+    LEFT join + zero-fill: a cell the sketch never materialized counts as
+    0 (canonical CM), so an item absent from the sketched data estimates
+    0 instead of vanishing from the output — or worse, taking its min
+    over only the cells that happen to collide with heavy keys."""
     ex = items.select(
-        *group_cols, value_col, F.posexplode(buckets).alias("row_i", "bucket")
+        *group_cols,
+        value_col,
+        F.posexplode(_cm_buckets(value_col, depth, width)).alias("row_i", "bucket"),
     )
     return (
-        ex.join(F.broadcast(sketches), [*group_cols, "row_i", "bucket"])
+        ex.join(F.broadcast(sketches), [*group_cols, "row_i", "bucket"], "left")
         .groupBy(*group_cols, value_col)
-        .agg(F.min("n").cast("bigint").alias("est_n"))
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("bigint").alias("est_n"))
     )

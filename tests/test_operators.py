@@ -755,8 +755,6 @@ def test_quantile_sketch_merge_exact_and_error_bound(spark):
     merged = merge_quantile_sketches(parts, ["g"])
     assert merged.collect() == whole.collect()  # bit-exact state equality
 
-    import statistics
-
     qs = [0.0, 0.25, 0.5, 0.9, 1.0]
     got = {
         round(r["q"], 2): r["est"]
@@ -772,6 +770,56 @@ def test_quantile_sketch_merge_exact_and_error_bound(spark):
             assert abs(est - true) <= abs(true) * (eps + 1e-9) + 1e-9, (q, true, est)
     # negative tail: q=0 must land at the most-negative bucket
     assert got[0.0] < -900
+
+
+def test_quantile_sketch_subunit_values_and_nulls(spark):
+    """The cases that break a naive sign/log encoding: positive values in
+    (0,1) must NOT collide with zero or with negatives (sign-flipped
+    estimates), bucket codes must sort in value order across the whole
+    real line, and NULLs must carry no rank."""
+    from spark_hadoop_automation_in_cloud_spark.operators.sketches import (
+        quantile_estimates,
+        quantile_sketches,
+    )
+
+    eps = 0.01
+    # probabilities/rates: all in (0, 1)
+    probs = [(1, (i + 1) / 100.0) for i in range(99)]
+    df = spark.createDataFrame(probs, ["g", "v"])
+    sk = quantile_sketches(df, ["g"], "v", eps)
+    got = {
+        round(r["q"], 2): r["est"]
+        for r in quantile_estimates(sk, ["g"], [0.1, 0.5, 0.9], eps).collect()
+    }
+    import math
+
+    for q in (0.1, 0.5, 0.9):
+        # operator rank rule: smallest bucket reaching ceil(q * total)
+        true = sorted(v for _, v in probs)[max(1, math.ceil(q * 99)) - 1]
+        assert got[q] > 0, f"sign flip at q={q}: {got[q]}"
+        assert abs(got[q] - true) <= true * (eps + 1e-9), (q, true, got[q])
+
+    # mixed signs including magnitudes < 1: order must hold
+    mixed = [(1, v) for v in (-2.0, -0.5, 0.0, 0.25, 0.75, 3.0)]
+    dfm = spark.createDataFrame(mixed, ["g", "v"])
+    skm = quantile_sketches(dfm, ["g"], "v", eps)
+    ests = [
+        r["est"]
+        for r in quantile_estimates(
+            skm, ["g"], [1 / 6, 2 / 6, 3 / 6, 4 / 6, 5 / 6, 1.0], eps
+        ).orderBy("q").collect()
+    ]
+    assert ests == sorted(ests)
+    assert ests[0] < -1.9 and abs(ests[1] + 0.5) < 0.51 * eps + 1e-9
+    assert ests[2] == 0.0 and 0 < ests[3] < 0.26 and ests[5] > 2.9
+
+    # NULLs: ignored entirely (no rank shift, no null bucket)
+    withnull = spark.createDataFrame(
+        [(1, 1.0), (1, None), (1, None), (1, 3.0)], "g int, v double"
+    )
+    skn = quantile_sketches(withnull, ["g"], "v", eps)
+    est_med = quantile_estimates(skn, ["g"], [0.5], eps).first()["est"]
+    assert abs(est_med - 1.0) <= 1.0 * (eps + 1e-9)  # median of {1,3}, not {null,null,1,3}
 
 
 def test_countmin_sketch_merge_exact_and_overestimate_only(spark):
@@ -800,3 +848,13 @@ def test_countmin_sketch_merge_exact_and_overestimate_only(spark):
     for r in est.collect():
         assert r["est_n"] >= true[r["uid"]]  # one-sided error, always
         assert r["est_n"] <= true[r["uid"]] + 2000 // 256 + 40  # loose e*N/w-ish cap
+
+    # items never seen by the sketch must yield a row with est_n bounded by
+    # collision noise — and 0 when a cell was never touched (canonical CM),
+    # not vanish from the output
+    probes = spark.createDataFrame(
+        [(1, f"ghost{i}") for i in range(20)], ["g", "uid"]
+    )
+    ghost = countmin_estimate(merged, ["g"], probes, "uid")
+    assert ghost.count() == 20
+    assert ghost.agg(F.min("est_n")).first()[0] >= 0
