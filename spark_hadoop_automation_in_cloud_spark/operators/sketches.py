@@ -83,32 +83,60 @@ def estimate(sketch: Column) -> Column:
 #: buckets per decade of dynamic range — a few KB of state per group.
 DEFAULT_EPS = 0.01
 
-#: encoding offset: the raw log index floor(ln|v|/ln(1+eps)) spans about
-#: ±74.8k at eps=0.01 over the full double range (subnormals included);
-#: adding this offset keeps every positive-value code > 0 and every
-#: negative-value code < 0, with 0 reserved for exact zero — one int whose
-#: numeric order equals value order across the whole real line.
-_B_OFFSET = 100_000
+#: largest finite double — used both to reject non-finite values (NaN/±inf
+#: compare false against it) and as the bound the offset is derived from.
+_DBL_MAX = 1.7976931348623157e308
+
+
+def _check_eps(eps: float) -> None:
+    if not 0.0 < eps < 1.0:
+        raise ValueError(f"eps must be in (0, 1), got {eps}")
+
+
+def _offset(eps: float) -> int:
+    """Encoding offset, DERIVED FROM eps: the raw log index
+    floor(ln|v|/ln(1+eps)) spans ±ln(DBL_MAX·margin)/ln(1+eps) over all
+    finite doubles (subnormals reach ~e^-745), so offset = that span + 2
+    keeps every positive-value code > 0 and every negative-value code < 0
+    at ANY resolution — a fixed constant sized for one eps would let the
+    sign ranges collide again at finer resolutions.
+
+    eps is therefore PART OF THE PERSISTED FORMAT: sketches written with
+    one eps cannot be merged with or estimated under another (codes and
+    offsets differ) — rebuild, don't mix.
+    """
+    import math
+
+    return int(math.ceil(746.0 / math.log1p(eps))) + 2
 
 
 def _bucket(v: Column, eps: float) -> Column:
-    """Sign-aware, ORDER-PRESERVING log-scale bucket code.
+    """Sign-aware, ORDER-PRESERVING log-scale bucket code (bigint).
 
     v > 0 → +(floor(ln v / ln(1+eps)) + offset); v < 0 mirrors with the
-    magnitude's code negated; v = 0 → 0.  The offset (see ``_B_OFFSET``)
+    magnitude's code negated; v = 0 → 0.  The offset (see ``_offset``)
     keeps the three ranges disjoint — without it, positives in (0, 1) have
     negative raw indices and would collide with the zero and negative
-    encodings (sign-flipped estimates)."""
+    encodings (sign-flipped estimates).  Codes are bigint: at fine eps the
+    offset exceeds int32."""
     import math
 
     lg = math.log1p(eps)
-    code = (F.floor(F.log(F.abs(v)) / F.lit(lg)) + F.lit(_B_OFFSET)).cast("int")
+    code = (F.floor(F.log(F.abs(v)) / F.lit(lg)) + F.lit(_offset(eps))).cast("bigint")
     return (
         F.when(v == 0.0, F.lit(0))
         .when(v > 0.0, code)
         .otherwise(-code)
-        .cast("int")
+        .cast("bigint")
     )
+
+
+def _finite(v: Column) -> Column:
+    """Keep only finite values: NULL, NaN and ±inf all fail
+    ``abs(v) <= DBL_MAX`` (NaN comparisons are false), so non-finite
+    inputs carry no rank — the same skip semantics SQL aggregates apply
+    to NULL, extended to the values ln/floor cannot encode."""
+    return F.abs(v) <= F.lit(_DBL_MAX)
 
 
 def _representative(bucket: Column, eps: float) -> Column:
@@ -116,7 +144,7 @@ def _representative(bucket: Column, eps: float) -> Column:
     quantile that lands in it.  A value in bucket b lies in
     [(1+eps)^b, (1+eps)^(b+1)), so the midpoint is within a factor
     sqrt(1+eps) of every member — the (1+eps) relative bound."""
-    raw = F.abs(bucket).cast("double") - F.lit(float(_B_OFFSET))
+    raw = F.abs(bucket).cast("double") - F.lit(float(_offset(eps)))
     mid = F.pow(F.lit(1.0 + eps), raw + 0.5)
     return (
         F.when(bucket == 0, F.lit(0.0))
@@ -134,12 +162,18 @@ def quantile_sketches(
 ) -> DataFrame:
     """One mergeable quantile sketch per group: a sorted array of
     (bucket, cnt) structs.  One map-side-combined aggregation; state is
-    bounded by the value range's bucket count, not group volume.  NULL
-    values are ignored (same semantics as the HLL family / SQL
-    aggregates) — they carry no rank."""
-    b = _bucket(F.col(value_col).cast("double"), eps)
+    bounded by the value range's bucket count, not group volume.
+    Non-finite values — NULL, a failed numeric cast, NaN, ±inf — are
+    ignored (the HLL-family / SQL-aggregate skip semantics): they carry
+    no rank.  ``eps`` is part of the persisted format (see ``_offset``)."""
+    _check_eps(eps)
+    # try_cast: under ANSI mode a plain cast THROWS on malformed input;
+    # here an uncastable value should behave like NULL (skipped), not
+    # fail the whole sketch build
+    v = F.col(value_col).try_cast("double")
+    b = _bucket(v, eps)
     counts = (
-        df.where(F.col(value_col).isNotNull())
+        df.where(_finite(v))  # post-cast: uncastable strings are nulls too
         .groupBy(*group_cols, b.alias("__b"))
         .agg(F.count(F.lit(1)).alias("__c"))
     )
@@ -186,23 +220,30 @@ def quantile_estimates(
     however many quantiles are asked for — the per-q cumulative fold is
     an array expression over the (already tiny) stored buckets.
     """
+    _check_eps(eps)
+    if not qs:
+        raise ValueError("qs must be non-empty")
     for q in qs:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile out of range: {q}")
+    if {"q", "est", "__q", "__total"} & set(group_cols):
+        raise ValueError("group_cols may not use the reserved names q/est/__q/__total")
     total = F.aggregate(
         F.col(sketch_col), F.lit(0).cast("bigint"), lambda acc, s: acc + s["cnt"]
     )
+    # internal __q alias so the fold's reference can't collide with data
+    # columns; renamed to the public `q` on output
     out = sketches.select(*group_cols, sketch_col, total.alias("__total")).select(
         *group_cols,
         sketch_col,
         "__total",
-        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("__q"),
     )
-    rank = F.greatest(F.ceil(F.col("q") * F.col("__total")), F.lit(1)).cast("bigint")
+    rank = F.greatest(F.ceil(F.col("__q") * F.col("__total")), F.lit(1)).cast("bigint")
     # running cumulative fold: keep (remaining_rank, found_bucket)
     folded = F.aggregate(
         F.col(sketch_col),
-        F.struct(rank.alias("rem"), F.lit(None).cast("int").alias("bucket")),
+        F.struct(rank.alias("rem"), F.lit(None).cast("bigint").alias("bucket")),
         lambda acc, s: F.when(acc["bucket"].isNotNull(), acc).otherwise(
             F.when(
                 s["cnt"] >= acc["rem"],
@@ -210,15 +251,18 @@ def quantile_estimates(
             ).otherwise(
                 F.struct(
                     (acc["rem"] - s["cnt"]).alias("rem"),
-                    F.lit(None).cast("int").alias("bucket"),
+                    F.lit(None).cast("bigint").alias("bucket"),
                 )
             )
         ),
     )
     return out.select(
         *group_cols,
-        "q",
-        F.round(_representative(folded["bucket"], eps), 9).alias("est"),
+        F.col("__q").alias("q"),
+        # no decimal rounding: the estimate is a deterministic pow() of
+        # literals, and absolute 9dp rounding would flatten sub-1e-9
+        # magnitudes to zero — destroying the sketch's RELATIVE guarantee
+        _representative(folded["bucket"], eps).alias("est"),
     )
 
 

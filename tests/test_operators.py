@@ -822,6 +822,52 @@ def test_quantile_sketch_subunit_values_and_nulls(spark):
     assert abs(est_med - 1.0) <= 1.0 * (eps + 1e-9)  # median of {1,3}, not {null,null,1,3}
 
 
+def test_quantile_sketch_nonfinite_fine_eps_and_guards(spark):
+    """NaN/±inf must carry no rank (they cannot be log-encoded); the
+    sign-disjoint encoding must hold at much finer eps than the default
+    (a fixed offset breaks there); uncastable strings count as null; and
+    the API fails fast on empty qs / reserved group names / bad eps."""
+    import pytest as _pytest
+
+    from spark_hadoop_automation_in_cloud_spark.operators.sketches import (
+        quantile_estimates,
+        quantile_sketches,
+    )
+
+    rows = [(1, v) for v in (1.0, 2.0, float("nan"), float("inf"), float("-inf"))]
+    df = spark.createDataFrame(rows, "g int, v double")
+    sk = quantile_sketches(df, ["g"], "v")
+    got = {r["q"]: r["est"] for r in quantile_estimates(sk, ["g"], [0.0, 1.0]).collect()}
+    assert abs(got[0.0] - 1.0) <= 1.0 * 0.011  # not -inf, not NaN-as-most-negative
+    assert abs(got[1.0] - 2.0) <= 2.0 * 0.011  # inf did not wrap into (0,1) codes
+
+    # fine resolution: sub-unit positives must stay positive at eps=1e-3
+    eps = 1e-3
+    dfp = spark.createDataFrame([(1, 1e-50), (1, 0.5), (1, 2.0)], "g int, v double")
+    skp = quantile_sketches(dfp, ["g"], "v", eps)
+    ests = [
+        r["est"]
+        for r in quantile_estimates(skp, ["g"], [1 / 3, 2 / 3, 1.0], eps)
+        .orderBy("q")
+        .collect()
+    ]
+    assert all(e > 0 for e in ests) and ests == sorted(ests)
+    assert abs(ests[0] - 1e-50) <= 1e-50 * (eps + 1e-9)  # tiny magnitudes survive
+    assert abs(ests[1] - 0.5) <= 0.5 * (eps + 1e-9)
+
+    # uncastable strings behave like NULL
+    dfs = spark.createDataFrame([(1, "1.0"), (1, "abc"), (1, "3.0")], "g int, v string")
+    est = quantile_estimates(quantile_sketches(dfs, ["g"], "v"), ["g"], [1.0]).first()
+    assert est["est"] is not None and abs(est["est"] - 3.0) <= 3.0 * 0.011
+
+    with _pytest.raises(ValueError):
+        quantile_estimates(sk, ["g"], [])
+    with _pytest.raises(ValueError):
+        quantile_estimates(sk.withColumnRenamed("g", "q"), ["q"], [0.5])
+    with _pytest.raises(ValueError):
+        quantile_sketches(df, ["g"], "v", eps=0.0)
+
+
 def test_countmin_sketch_merge_exact_and_overestimate_only(spark):
     """CM properties: merged per-part sketches equal the whole-corpus
     sketch exactly; estimates never underestimate; exact for items whose
@@ -849,12 +895,21 @@ def test_countmin_sketch_merge_exact_and_overestimate_only(spark):
         assert r["est_n"] >= true[r["uid"]]  # one-sided error, always
         assert r["est_n"] <= true[r["uid"]] + 2000 // 256 + 40  # loose e*N/w-ish cap
 
-    # items never seen by the sketch must yield a row with est_n bounded by
-    # collision noise — and 0 when a cell was never touched (canonical CM),
-    # not vanish from the output
+    # items never seen by the sketch must yield a row, not vanish
     probes = spark.createDataFrame(
         [(1, f"ghost{i}") for i in range(20)], ["g", "uid"]
     )
     ghost = countmin_estimate(merged, ["g"], probes, "uid")
     assert ghost.count() == 20
     assert ghost.agg(F.min("est_n")).first()[0] >= 0
+
+    # canonical-CM zero: with a SPARSE sketch (2 items over 4x256 cells),
+    # a ghost whose cells are all untouched must estimate exactly 0 — this
+    # is the assertion that fails if the left join + zero-fill regresses
+    # to an inner join or a min over only-present cells
+    tiny = spark.createDataFrame([(1, "a"), (1, "b")], ["g", "uid"])
+    tsk = countmin_sketches(tiny, ["g"], "uid")
+    tprobe = spark.createDataFrame([(1, f"zz{i}") for i in range(200)], ["g", "uid"])
+    test = countmin_estimate(tsk, ["g"], tprobe, "uid")
+    assert test.count() == 200
+    assert test.where(F.col("est_n") == 0).count() > 150  # vast majority miss all cells
