@@ -324,3 +324,44 @@ def test_q101_lm_scoring_no_cartesian_or_driver_vocab(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     # vocabulary join is a real join, aggregates two-phase
     assert plan.lower().count("hashaggregate") >= 2
+
+
+def test_headline_queries_no_scale_killers(spark, sf_dir):
+    """Blanket audit of every bench headline plan: no cartesian products,
+    no unpartitioned (SinglePartition) window sorts, and nested-loop
+    broadcasts only where they ARE the intended plan (the broadcast 1-NN
+    and the broadcast-query-side cosine top-k).  This is the 100 TB
+    criterion as a permanent regression test rather than a per-round
+    manual sweep."""
+    import bench
+
+    bnlj_intended = {
+        # broadcast-NLJ 1-NN consumers: the fact side never shuffles
+        "q05_nearest_city",
+        "q11_travel_history",
+        "q17_user_demographics",
+        "q18_zone_activity",
+        "q16_friend_recommendations",  # broadcast city coords enrichment
+        "q24_cosine_topk",         # broadcast query side over the corpus
+        "q96_kmeans_clusters",     # 1-row/centroid broadcast joins
+        "q63_tfidf_top_terms",     # 1-row n_docs broadcast cross join
+    }
+    def single_partition_window(plan: str) -> bool:
+        # a 1-row global aggregate legitimately finishes on SinglePartition;
+        # the scale-killer is a WINDOW sort fed by one: in simple-mode
+        # output the Window node prints a few lines above its exchange
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" in line and any(
+                "Window" in prev for prev in lines[max(0, i - 5) : i]
+            ):
+                return True
+        return False
+
+    for name in bench.HEADLINE:
+        fn = getattr(q, name)
+        plan = explain_simple(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert not single_partition_window(plan), name
+        if name not in bnlj_intended:
+            assert "BroadcastNestedLoopJoin" not in plan, name
