@@ -4245,3 +4245,75 @@ def q101_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = d.where(bucket < 80)
     return tx.unigram_lm_scores(d, train, "doc_id", "text", alpha=1.0)
+
+
+def _q102_sql() -> str:
+    import math
+
+    from spark_hadoop_automation_in_cloud_spark.operators.sketches import _offset
+
+    eps = 0.01
+    off = _offset(eps)
+    # the EXACT double constants the Spark kernel uses, inlined via float
+    # repr (round-trips bit-exactly through DuckDB's literal parser):
+    # ln(1+eps) computed with log1p — the SQL ln(1.01) would differ in the
+    # last ulps and could flip a floor at a bucket boundary
+    lg = repr(math.log1p(eps))
+    base = repr(1.0 + eps)
+    return f"""
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(floor(ln(l_extendedprice) / {lg}) AS BIGINT) + {off} AS bucket
+  FROM lineitem
+),
+c AS (SELECT l_returnflag, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+t AS (SELECT l_returnflag, SUM(cnt) AS total FROM c GROUP BY 1),
+qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.95)),
+r AS (
+  SELECT l_returnflag, q,
+         GREATEST(CAST(ceil(q * total) AS BIGINT), 1) AS rnk
+  FROM t CROSS JOIN qs
+),
+cum AS (
+  SELECT l_returnflag, bucket,
+         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum
+  FROM c
+),
+pick AS (
+  SELECT r.l_returnflag, r.q, MIN(cum.bucket) AS bucket
+  FROM r JOIN cum ON cum.l_returnflag = r.l_returnflag AND cum.cum >= r.rnk
+  GROUP BY 1, 2
+)
+SELECT l_returnflag, q,
+       round(power({base}, bucket - {off} + 0.5), 6) AS est
+FROM pick
+"""
+
+
+@register(
+    "q102_price_quantile_sketch",
+    _q102_sql(),
+    doc="Mergeable-quantile-sketch rollup (operators/sketches.py): build "
+    "per-(returnflag, linestatus) log-bucket sketches of the line price, "
+    "merge the stored sketches up to returnflag — touching only bucket "
+    "rows, never re-scanning facts — and estimate the quartiles + p95 "
+    "per flag. The oracle replays the integer bucket math directly "
+    "(identical double constants inlined via float repr; the nearest "
+    "price sits ~1.7e-6 buckets from a boundary, so the floors are "
+    "engine-stable), proving the whole sketch→merge→estimate pipeline "
+    "end-to-end, not just the pytest properties.",
+)
+def q102_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_hadoop_automation_in_cloud_spark.operators.sketches import (
+        merge_quantile_sketches,
+        quantile_estimates,
+        quantile_sketches,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    parts = quantile_sketches(
+        li, ["l_returnflag", "l_linestatus"], "l_extendedprice", eps=0.01
+    )
+    merged = merge_quantile_sketches(parts, ["l_returnflag"])
+    est = quantile_estimates(merged, ["l_returnflag"], [0.25, 0.5, 0.75, 0.95], eps=0.01)
+    return est.select("l_returnflag", "q", F.round("est", 6).alias("est"))
