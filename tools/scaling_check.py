@@ -35,6 +35,10 @@ QUERIES = [
     "q54_repetition_ratio",
     "q92_sequence_packing",
     "q99_text_normalize",
+    # LM quality scoring: replication multiplies corpus tokens 10x while
+    # the vocabulary stays constant (replicas add no new types) — the
+    # worst case for the token->vocab join's build side reuse
+    "q101_unigram_lm_quality",
 ]
 
 #: events-table operators: replication shifts user_id/event_id per copy, so
