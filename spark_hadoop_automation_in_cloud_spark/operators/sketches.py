@@ -89,8 +89,33 @@ _DBL_MAX = 1.7976931348623157e308
 
 
 def _check_eps(eps: float) -> None:
-    if not 0.0 < eps < 1.0:
-        raise ValueError(f"eps must be in (0, 1), got {eps}")
+    # lower bound: below ~1e-9 the offset (~7.5e11) times the dynamic
+    # range pushes bucket codes toward bigint overflow, and the state size
+    # stops being a "sketch" in any meaningful sense
+    if not 1e-9 <= eps < 1.0:
+        raise ValueError(f"eps must be in [1e-9, 1), got {eps}")
+
+
+def _eps_nano(eps: float) -> int:
+    """eps as an exact integer format tag stored inside every sketch."""
+    return round(eps * 1e9)
+
+
+def _guarded_buckets(sketch_col: str, eps: float) -> Column:
+    """The stored bucket array, AFTER verifying the stored format tag
+    matches the caller's eps — bucket codes and offsets from different
+    resolutions are incompatible, and without this check mixing them
+    would corrupt merges/estimates silently."""
+    ok = F.col(f"{sketch_col}.eps_nano") == F.lit(_eps_nano(eps))
+    return F.when(ok, F.col(f"{sketch_col}.buckets")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("quantile sketch format mismatch: stored eps_nano="),
+                F.col(f"{sketch_col}.eps_nano").cast("string"),
+                F.lit(f", caller eps_nano={_eps_nano(eps)} — rebuild, don't mix"),
+            )
+        )
+    )
 
 
 def _offset(eps: float) -> int:
@@ -160,12 +185,17 @@ def quantile_sketches(
     eps: float = DEFAULT_EPS,
     sketch_col: str = "qsketch",
 ) -> DataFrame:
-    """One mergeable quantile sketch per group: a sorted array of
-    (bucket, cnt) structs.  One map-side-combined aggregation; state is
-    bounded by the value range's bucket count, not group volume.
-    Non-finite values — NULL, a failed numeric cast, NaN, ±inf — are
-    ignored (the HLL-family / SQL-aggregate skip semantics): they carry
-    no rank.  ``eps`` is part of the persisted format (see ``_offset``)."""
+    """One mergeable quantile sketch per group:
+    ``struct(eps_nano, buckets: sorted array<(bucket, cnt)>)``.  One
+    map-side-combined aggregation; state is bounded by the value range's
+    bucket count, not group volume.  Non-finite values — NULL, a failed
+    numeric cast, NaN, ±inf — are ignored (the HLL-family / SQL-aggregate
+    skip semantics): they carry no rank.
+
+    ``eps`` is part of the persisted FORMAT (codes and offsets differ per
+    resolution), so it is stored inside the sketch as an integer tag;
+    merge/estimate verify it against their own eps and raise on mismatch
+    instead of silently combining incompatible codes."""
     _check_eps(eps)
     # try_cast: under ANSI mode a plain cast THROWS on malformed input;
     # here an uncastable value should behave like NULL (skipped), not
@@ -177,9 +207,13 @@ def quantile_sketches(
         .groupBy(*group_cols, b.alias("__b"))
         .agg(F.count(F.lit(1)).alias("__c"))
     )
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("__b").alias("bucket"), F.col("__c").alias("cnt")))
+    )
     return counts.groupBy(*group_cols).agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("__b").alias("bucket"), F.col("__c").alias("cnt")))
+        F.struct(
+            F.lit(_eps_nano(eps)).cast("bigint").alias("eps_nano"),
+            arr.alias("buckets"),
         ).alias(sketch_col)
     )
 
@@ -187,19 +221,26 @@ def quantile_sketches(
 def merge_quantile_sketches(
     sketches: DataFrame,
     group_cols: list[str],
+    eps: float = DEFAULT_EPS,
     sketch_col: str = "qsketch",
 ) -> DataFrame:
     """Re-aggregate stored sketches to a coarser grain: explode the bucket
     arrays, sum counts per bucket, re-collect.  Touches one row per stored
     bucket — never the raw facts — and the result is IDENTICAL to
-    sketching the union directly (integer addition; pinned by test)."""
+    sketching the union directly (integer addition; pinned by test).
+    Every input sketch's stored eps tag is verified against ``eps``."""
+    _check_eps(eps)
     ex = sketches.select(
-        *group_cols, F.explode(sketch_col).alias("__e")
+        *group_cols, F.explode(_guarded_buckets(sketch_col, eps)).alias("__e")
     ).select(*group_cols, F.col("__e.bucket").alias("__b"), F.col("__e.cnt").alias("__c"))
     summed = ex.groupBy(*group_cols, "__b").agg(F.sum("__c").alias("__c"))
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("__b").alias("bucket"), F.col("__c").alias("cnt")))
+    )
     return summed.groupBy(*group_cols).agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("__b").alias("bucket"), F.col("__c").alias("cnt")))
+        F.struct(
+            F.lit(_eps_nano(eps)).cast("bigint").alias("eps_nano"),
+            arr.alias("buckets"),
         ).alias(sketch_col)
     )
 
@@ -226,23 +267,28 @@ def quantile_estimates(
     for q in qs:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile out of range: {q}")
-    if {"q", "est", "__q", "__total"} & set(group_cols):
-        raise ValueError("group_cols may not use the reserved names q/est/__q/__total")
+    if {"q", "est", "__q", "__total", "__buckets"} & set(group_cols):
+        raise ValueError(
+            "group_cols may not use the reserved names q/est/__q/__total/__buckets"
+        )
+    buckets = _guarded_buckets(sketch_col, eps)  # verifies the stored eps tag
     total = F.aggregate(
-        F.col(sketch_col), F.lit(0).cast("bigint"), lambda acc, s: acc + s["cnt"]
+        buckets, F.lit(0).cast("bigint"), lambda acc, s: acc + s["cnt"]
     )
     # internal __q alias so the fold's reference can't collide with data
     # columns; renamed to the public `q` on output
-    out = sketches.select(*group_cols, sketch_col, total.alias("__total")).select(
+    out = sketches.select(
+        *group_cols, buckets.alias("__buckets"), total.alias("__total")
+    ).select(
         *group_cols,
-        sketch_col,
+        "__buckets",
         "__total",
         F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("__q"),
     )
     rank = F.greatest(F.ceil(F.col("__q") * F.col("__total")), F.lit(1)).cast("bigint")
     # running cumulative fold: keep (remaining_rank, found_bucket)
     folded = F.aggregate(
-        F.col(sketch_col),
+        F.col("__buckets"),
         F.struct(rank.alias("rem"), F.lit(None).cast("bigint").alias("bucket")),
         lambda acc, s: F.when(acc["bucket"].isNotNull(), acc).otherwise(
             F.when(

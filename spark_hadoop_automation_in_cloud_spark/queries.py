@@ -116,14 +116,16 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q86_price_skyline",
     "q90_weighted_median",
     "q91_mixture_sampling",
-    "q93_countmin_heavy_hitters",
     # r03-stamped but its join rewritten to alias-qualified resolution in
     # r4 (changed ⇒ re-verify); displaces q98 (single-pass month rollup,
     # pytest-pinned, age 2) from the window
     "q97_point_in_time_state",
     # NEW in r4 (never driver-stamped — priority over an age-2 refresh);
-    # displaces q100 (stable TPC-H-style multi-join, pytest-pinned, age 2)
+    # q101 displaces q100 (stable TPC-H multi-join), q102 displaces q93
+    # (CM estimate, kernel unchanged since r02) — both displaced rows stay
+    # pytest-pinned at age exactly 2, the verdict's staleness bound
     "q101_unigram_lm_quality",
+    "q102_price_quantile_sketch",
 )
 
 
@@ -4284,7 +4286,8 @@ pick AS (
   FROM r JOIN cum ON cum.l_returnflag = r.l_returnflag AND cum.cum >= r.rnk
   GROUP BY 1, 2
 )
-SELECT l_returnflag, q,
+SELECT l_returnflag,
+       CAST(q AS DOUBLE) AS q,
        round(power({base}, bucket - {off} + 0.5), 6) AS est
 FROM pick
 """
@@ -4314,6 +4317,6 @@ def q102_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = quantile_sketches(
         li, ["l_returnflag", "l_linestatus"], "l_extendedprice", eps=0.01
     )
-    merged = merge_quantile_sketches(parts, ["l_returnflag"])
+    merged = merge_quantile_sketches(parts, ["l_returnflag"], eps=0.01)
     est = quantile_estimates(merged, ["l_returnflag"], [0.25, 0.5, 0.75, 0.95], eps=0.01)
     return est.select("l_returnflag", "q", F.round("est", 6).alias("est"))

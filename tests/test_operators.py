@@ -913,3 +913,26 @@ def test_countmin_sketch_merge_exact_and_overestimate_only(spark):
     test = countmin_estimate(tsk, ["g"], tprobe, "uid")
     assert test.count() == 200
     assert test.where(F.col("est_n") == 0).count() > 150  # vast majority miss all cells
+
+
+def test_quantile_sketch_eps_format_tag_guard(spark):
+    """Sketches carry their eps as a stored format tag; merging or
+    estimating with a different eps must raise loudly instead of silently
+    combining incompatible bucket codes."""
+    from spark_hadoop_automation_in_cloud_spark.operators.sketches import (
+        merge_quantile_sketches,
+        quantile_estimates,
+        quantile_sketches,
+    )
+
+    df = spark.createDataFrame([(1, 10.0), (1, 20.0)], "g int, v double")
+    sk = quantile_sketches(df, ["g"], "v", eps=0.01)
+    with pytest.raises(Exception, match="format mismatch"):
+        merge_quantile_sketches(sk, ["g"], eps=0.02).collect()
+    with pytest.raises(Exception, match="format mismatch"):
+        quantile_estimates(sk, ["g"], [0.5], eps=0.02).collect()
+    # matching eps: round-trips fine
+    ok = quantile_estimates(
+        merge_quantile_sketches(sk, ["g"], eps=0.01), ["g"], [1.0], eps=0.01
+    ).first()
+    assert abs(ok["est"] - 20.0) <= 20.0 * 0.011

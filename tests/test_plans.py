@@ -348,14 +348,20 @@ def test_headline_queries_no_scale_killers(spark, sf_dir):
     }
     def single_partition_window(plan: str) -> bool:
         # a 1-row global aggregate legitimately finishes on SinglePartition;
-        # the scale-killer is a WINDOW sort fed by one: in simple-mode
-        # output the Window node prints a few lines above its exchange
+        # the scale-killer is a WINDOW sort fed by one.  In simple-mode
+        # output the Window ancestor prints above its exchange: walk up to
+        # 12 lines but stop at any other Exchange (a sibling-branch
+        # boundary), so a Window elsewhere in the tree can't false-positive
+        # and deep Sort/Project chains can't hide a real hit
         lines = plan.splitlines()
         for i, line in enumerate(lines):
-            if "Exchange SinglePartition" in line and any(
-                "Window" in prev for prev in lines[max(0, i - 5) : i]
-            ):
-                return True
+            if "Exchange SinglePartition" not in line:
+                continue
+            for prev in reversed(lines[max(0, i - 12) : i]):
+                if "Exchange" in prev:  # different subtree above this point
+                    break
+                if "Window" in prev:
+                    return True
         return False
 
     for name in bench.HEADLINE:
