@@ -20,6 +20,7 @@ Execution model (the part that matters at 100 TB):
 from __future__ import annotations
 
 import hashlib
+import warnings
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -44,6 +45,20 @@ FEATURES_SCHEMA = (
 )
 
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_hash string"
+
+
+def _warn_fake(op: str, kind: str) -> None:
+    """One construction-time warning when the built-in deterministic fake
+    codec is about to be used (strict=False, nothing injected): its output
+    is stable garbage — fine for plumbing tests, silently wrong as real
+    features — so the substitution must never be invisible in production."""
+    warnings.warn(
+        f"{op}: no {kind} injected and strict=False — using the built-in "
+        f"deterministic FAKE {kind}; its output is not derived from real "
+        f"media content. Pass {kind}= or set strict=True for production.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
@@ -80,7 +95,9 @@ def extract_features(
             "libraries are not present in this environment, so the "
             "built-in default is a deterministic fake)"
         )
-    decode = decode or _fake_decode
+    if decode is None:
+        _warn_fake("extract_features", "decode")
+        decode = _fake_decode
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -180,7 +197,9 @@ def resize_media(
             "library is present in this environment, so the built-in "
             "default is byte tiling)"
         )
-    resize = resize or _fake_resize
+    if resize is None:
+        _warn_fake("resize_media", "resize")
+        resize = _fake_resize
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

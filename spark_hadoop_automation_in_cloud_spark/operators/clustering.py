@@ -92,7 +92,10 @@ def kmeans_assign(
             # Identical arithmetic and tie-break on both paths: squared L2 by
             # the same left-fold, argmin by lexicographic (sq_dist,
             # cluster_id) struct ordering (array_min ≡ min_by struct order).
-            if k * dim <= 16384:
+            # threshold on the ACTUAL model size: the corpus may yield
+            # fewer than k seeds, and it is len(centroids) literal arrays
+            # that get inlined into the expression, not k
+            if len(centroids) * dim <= 16384:
                 entries = []
                 for cid, cvec in sorted(centroids.items()):
                     cent = F.array(*[F.lit(float(x)) for x in cvec])

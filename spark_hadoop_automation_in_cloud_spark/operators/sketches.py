@@ -256,7 +256,11 @@ def quantile_estimates(
 
     Output: group_cols..., q (double), est (double).  Rank rule: the
     smallest bucket whose cumulative count reaches ``ceil(q * total)``
-    (q=0 → the first non-empty bucket).  Single pass: the quantile list
+    (q=0 → the first non-empty bucket); the product is snapped to a 1e-9
+    grid before the ceil, because a q not exactly representable in binary
+    (q=0.07, total=100 → 7.0000000000000009) would otherwise ceil one
+    rank too high — any SQL oracle must apply the identical
+    ``ceil(round(q * total, 9))``.  Single pass: the quantile list
     explodes from a literal array, so the sketch plan executes ONCE
     however many quantiles are asked for — the per-q cumulative fold is
     an array expression over the (already tiny) stored buckets.
@@ -285,7 +289,9 @@ def quantile_estimates(
         "__total",
         F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("__q"),
     )
-    rank = F.greatest(F.ceil(F.col("__q") * F.col("__total")), F.lit(1)).cast("bigint")
+    rank = F.greatest(
+        F.ceil(F.round(F.col("__q") * F.col("__total"), 9)), F.lit(1)
+    ).cast("bigint")
     # running cumulative fold: keep (remaining_rank, found_bucket)
     folded = F.aggregate(
         F.col("__buckets"),
@@ -333,6 +339,41 @@ CM_DEPTH = 4
 CM_WIDTH = 256
 _CM_SEED = 11
 
+#: field width of the packed (depth, width, seed) format tag below
+_CM_TAG_FIELD = 1 << 21
+
+
+def _cm_tag(depth: int, width: int, seed: int = _CM_SEED) -> int:
+    """The CM geometry as ONE bigint format tag, stored in every sketch
+    row (constant column — run-length compresses to nothing in parquet).
+    Same role as the quantile sketches' eps_nano: cells built under one
+    (depth, width, seed) are meaningless under another, so merge/estimate
+    verify the stored tag against their caller's geometry and raise
+    instead of silently mixing incompatible hash spaces."""
+    for name, v in (("depth", depth), ("width", width), ("seed", seed)):
+        if not 1 <= v < _CM_TAG_FIELD:
+            raise ValueError(f"cm {name} out of range [1, 2^21): {v}")
+    return (depth * _CM_TAG_FIELD + width) * _CM_TAG_FIELD + seed
+
+
+def _guarded_cm_n(depth: int, width: int, tag_col: str = "cm_tag") -> Column:
+    """The stored cell count, AFTER verifying the row's format tag matches
+    the caller's geometry (see :func:`_cm_tag`)."""
+    expected = _cm_tag(depth, width)
+    ok = F.col(tag_col) == F.lit(expected)
+    return F.when(ok, F.col("n")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("count-min sketch format mismatch: stored tag="),
+                F.col(tag_col).cast("string"),
+                F.lit(
+                    f", caller (depth={depth}, width={width}, seed={_CM_SEED})"
+                    f" tag={expected} — rebuild, don't mix"
+                ),
+            )
+        )
+    )
+
 
 def _cm_buckets(value_col: str, depth: int, width: int) -> Column:
     """The CM hash geometry, in ONE place: the array of per-row bucket
@@ -350,27 +391,37 @@ def countmin_sketches(
     depth: int = CM_DEPTH,
     width: int = CM_WIDTH,
 ) -> DataFrame:
-    """Count-min cell rows per group: (group..., row_i, bucket, n).  One
-    map-side-combined aggregation; state is depth x width cells per group
-    regardless of volume.  Only touched cells are materialized — absent
-    cells mean zero (the estimate side restores them)."""
+    """Count-min cell rows per group: (group..., row_i, bucket, n, cm_tag).
+    One map-side-combined aggregation; state is depth x width cells per
+    group regardless of volume.  Only touched cells are materialized —
+    absent cells mean zero (the estimate side restores them).  ``cm_tag``
+    packs (depth, width, seed): the geometry is part of the persisted
+    FORMAT, verified by merge/estimate (see :func:`_cm_tag`)."""
     ex = df.select(
         *group_cols,
         F.posexplode(_cm_buckets(value_col, depth, width)).alias("row_i", "bucket"),
     )
     return ex.groupBy(*group_cols, "row_i", "bucket").agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).withColumn("cm_tag", F.lit(_cm_tag(depth, width)).cast("bigint"))
 
 
 def merge_countmin_sketches(
-    sketches: DataFrame, group_cols: list[str]
+    sketches: DataFrame,
+    group_cols: list[str],
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
 ) -> DataFrame:
     """Re-aggregate stored cell rows to a coarser grain: sum per cell —
-    exactly the sketch of the union (same geometry/seed required)."""
-    return sketches.groupBy(*group_cols, "row_i", "bucket").agg(
-        F.sum("n").alias("n")
+    exactly the sketch of the union.  Every input row's stored format tag
+    is verified against the caller's (depth, width) before its count is
+    used; a mismatched geometry raises instead of corrupting the merge."""
+    guarded = sketches.select(
+        *group_cols, "row_i", "bucket", _guarded_cm_n(depth, width).alias("n")
     )
+    return guarded.groupBy(*group_cols, "row_i", "bucket").agg(
+        F.sum("n").alias("n")
+    ).withColumn("cm_tag", F.lit(_cm_tag(depth, width)).cast("bigint"))
 
 
 def countmin_estimate(
@@ -388,14 +439,21 @@ def countmin_estimate(
     LEFT join + zero-fill: a cell the sketch never materialized counts as
     0 (canonical CM), so an item absent from the sketched data estimates
     0 instead of vanishing from the output — or worse, taking its min
-    over only the cells that happen to collide with heavy keys."""
+    over only the cells that happen to collide with heavy keys.
+
+    Every stored cell's format tag is verified against the caller's
+    (depth, width) — the guard sits on the sketch side BEFORE the join,
+    so zero-filled (unmatched) cells don't trip it."""
+    guarded = sketches.select(
+        *group_cols, "row_i", "bucket", _guarded_cm_n(depth, width).alias("n")
+    )
     ex = items.select(
         *group_cols,
         value_col,
         F.posexplode(_cm_buckets(value_col, depth, width)).alias("row_i", "bucket"),
     )
     return (
-        ex.join(F.broadcast(sketches), [*group_cols, "row_i", "bucket"], "left")
+        ex.join(F.broadcast(guarded), [*group_cols, "row_i", "bucket"], "left")
         .groupBy(*group_cols, value_col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("bigint").alias("est_n"))
     )

@@ -4273,7 +4273,7 @@ t AS (SELECT l_returnflag, SUM(cnt) AS total FROM c GROUP BY 1),
 qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.95)),
 r AS (
   SELECT l_returnflag, q,
-         GREATEST(CAST(ceil(q * total) AS BIGINT), 1) AS rnk
+         GREATEST(CAST(ceil(round(q * total, 9)) AS BIGINT), 1) AS rnk
   FROM t CROSS JOIN qs
 ),
 cum AS (

@@ -80,7 +80,10 @@ def newer_than_condition(
         raise ValueError("order_cols must be non-empty")
 
     def qd(c: str) -> str:
-        return f"{quote}{c}{quote}"
+        # double any embedded quote char (standard SQL identifier escaping)
+        # so a name containing the quote can't break out of — or inject
+        # into — the MERGE predicate
+        return f"{quote}{c.replace(quote, quote * 2)}{quote}"
 
     clauses = []
     for i, c in enumerate(order_cols):

@@ -133,3 +133,35 @@ def test_resize_media_resizer_injection(media):
     assert all(len(p) == 32 for p in out.values())
     assert out[1] == (b"\x89PNG" + b"x" * 3000)[:32]
     assert out[3] == b"\x00" * 32  # null payload → all padding
+
+
+def test_fake_codec_warns_once_and_output_unchanged(media):
+    """When strict=False and no codec is injected, the built-in fake must
+    announce itself with exactly ONE construction-time RuntimeWarning —
+    silent-garbage features must not be able to reach production unnoticed
+    — and the warning must not change the output."""
+    import warnings as _w
+
+    from spark_hadoop_automation_in_cloud_spark.multimodal.binary_ops import (
+        resize_media,
+    )
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        out = extract_features(media)
+        fake_warns = [w for w in rec if "FAKE decode" in str(w.message)]
+    assert len(fake_warns) == 1
+    assert issubclass(fake_warns[0].category, RuntimeWarning)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 3 and len(rows[1]["features"]) == FEATURE_DIM
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        resize_media(media, 8, 8)
+        assert sum("FAKE resize" in str(w.message) for w in rec) == 1
+
+    # an injected codec is the production path: no warning at all
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        extract_features(media, decode=lambda p: (1, 1, [0.0] * FEATURE_DIM))
+        assert not [w for w in rec if "FAKE" in str(w.message)]

@@ -936,3 +936,28 @@ def test_quantile_sketch_eps_format_tag_guard(spark):
         merge_quantile_sketches(sk, ["g"], eps=0.01), ["g"], [1.0], eps=0.01
     ).first()
     assert abs(ok["est"] - 20.0) <= 20.0 * 0.011
+
+
+def test_countmin_format_tag_guard(spark):
+    """CM sketches carry their (depth, width, seed) geometry as a stored
+    format tag; merging or estimating under a different geometry must
+    raise loudly — cells hashed under one geometry are meaningless under
+    another and would otherwise produce silently wrong counts."""
+    from spark_hadoop_automation_in_cloud_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketches,
+        merge_countmin_sketches,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (1, "a")], ["g", "uid"])
+    sk = countmin_sketches(df, ["g"], "uid")  # default 4 x 256
+    assert "cm_tag" in sk.columns
+    with pytest.raises(Exception, match="format mismatch"):
+        merge_countmin_sketches(sk, ["g"], width=128).collect()
+    items = df.select("g", "uid").distinct()
+    with pytest.raises(Exception, match="format mismatch"):
+        countmin_estimate(sk, ["g"], items, "uid", depth=3).collect()
+    # matching geometry: merge is tagged too and estimates flow through
+    merged = merge_countmin_sketches(sk, ["g"])
+    est = {r["uid"]: r["est_n"] for r in countmin_estimate(merged, ["g"], items, "uid").collect()}
+    assert est["a"] >= 2 and est["b"] >= 1

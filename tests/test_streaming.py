@@ -546,3 +546,15 @@ def test_transform_with_state_v2_equals_v1(spark, sf_dir, events_dir):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_newer_than_condition_escapes_quote_chars():
+    """A quote char embedded in a column name is doubled (standard SQL
+    identifier escaping), so it can't break out of — or inject into — the
+    MERGE predicate string."""
+    from spark_hadoop_automation_in_cloud_spark.streaming.incremental import (
+        newer_than_condition,
+    )
+
+    assert newer_than_condition(["t`s"]) == "(src.`t``s` > tgt.`t``s`)"
+    assert newer_than_condition(['a"b'], quote='"') == ('(src."a""b" > tgt."a""b")')

@@ -106,9 +106,13 @@ def main() -> None:
     # --- k-means over a replicated corpus -------------------------------
     emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
     n_vecs = emb.count()
+    # shift by the actual id span (max+1), not n_vecs: sparse or offset
+    # vec_ids would otherwise collide across replicas, deflating the
+    # replicated corpus (same derivation as the PageRank max_id above)
+    id_span = emb.agg(F.max("vec_id")).first()[0] + 1
     emb_rep = (
         emb.crossJoin(spark.range(scale).withColumnRenamed("id", "__rep"))
-        .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * (n_vecs * scale))
+        .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * id_span)
         .drop("__rep")
         .localCheckpoint()
     )
