@@ -6,7 +6,7 @@ last-writer-wins snapshot as they land):
 
     spark-submit jobs/incremental_upsert_job.py \
         <src_events_dir> <tgt_snapshot_dir> <checkpoint_dir> \
-        [max_files_per_trigger]
+        [max_files_per_trigger] [--duckdb-table=NAME]
 
 - ``src_events_dir``: landing directory of event parquet files (any
   timestamp encoding — the stream source normalizes, see
@@ -21,6 +21,11 @@ last-writer-wins snapshot as they land):
   rebuild: schedule it as often as you like, each run pays only for new
   data.
 - ``max_files_per_trigger`` (optional): bound per-micro-batch file count.
+- ``--duckdb-table=NAME`` (optional): route the merge through the
+  DuckDB warehouse backend (``streaming.incremental.duckdb_merge_fn``):
+  ``tgt_snapshot_dir`` then names a ``.duckdb`` database file and the
+  snapshot is maintained as table NAME via a real SQL
+  ``INSERT .. ON CONFLICT DO UPDATE .. WHERE newer_than`` upsert.
 """
 
 from __future__ import annotations
@@ -39,25 +44,45 @@ from spark_hadoop_automation_in_cloud_spark.streaming.rollup_stream import strea
 
 USAGE = (
     "usage: incremental_upsert_job.py <src_events_dir> <tgt_snapshot_dir> "
-    "<checkpoint_dir> [max_files_per_trigger]"
+    "<checkpoint_dir> [max_files_per_trigger] [--duckdb-table=NAME]"
 )
 
 
 def main(argv: list[str]) -> int:
-    if not 3 <= len(argv) <= 4:
+    duckdb_table = None
+    pos = []
+    for a in argv:
+        if a.startswith("--duckdb-table="):
+            duckdb_table = a.split("=", 1)[1]
+            if not duckdb_table:
+                print(USAGE, file=sys.stderr)
+                return 2
+        elif a.startswith("--"):
+            print(USAGE, file=sys.stderr)
+            return 2
+        else:
+            pos.append(a)
+    if not 3 <= len(pos) <= 4:
         print(USAGE, file=sys.stderr)
         return 2
-    src, tgt, ckpt = argv[:3]
+    src, tgt, ckpt = pos[:3]
     max_files = None
-    if len(argv) == 4:
+    if len(pos) == 4:
         try:
-            max_files = int(argv[3])
+            max_files = int(pos[3])
         except ValueError:
             print(USAGE, file=sys.stderr)
             return 2
         if max_files < 1:  # 0 would silently mean "unbounded" — reject
             print(USAGE, file=sys.stderr)
             return 2
+    merge_fn = None
+    if duckdb_table is not None:
+        from spark_hadoop_automation_in_cloud_spark.streaming.incremental import (
+            duckdb_merge_fn,
+        )
+
+        merge_fn = duckdb_merge_fn(table=duckdb_table)
     with session_scope() as spark:
         opts = (
             {"maxFilesPerTrigger": str(max_files)} if max_files is not None else None
@@ -76,6 +101,7 @@ def main(argv: list[str]) -> int:
             key_cols=["user_id", "event_type"],
             order_cols=["ts_us", "event_id"],
             checkpoint_dir=ckpt,
+            merge_fn=merge_fn,
         )
     return 0
 

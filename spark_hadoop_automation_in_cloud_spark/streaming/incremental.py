@@ -124,6 +124,67 @@ def delta_merge_fn() -> MergeFn:
     return merge
 
 
+def duckdb_merge_fn(table: str = "datamart") -> MergeFn:
+    """Executable warehouse backend for the ``merge_fn`` seam: applies
+    each deduped micro-batch to a DuckDB table with a REAL SQL upsert —
+
+        INSERT ... ON CONFLICT (keys) DO UPDATE SET ...
+        WHERE <newer_than_condition(order_cols, src="excluded")>
+
+    — the same update-if-newer / insert-if-absent contract
+    :func:`delta_merge_fn` issues as ``MERGE INTO``, executed by an actual
+    SQL engine against a persistent database file (the ``path`` argument
+    the seam passes).  This is the JDBC-warehouse shape: the batch crosses
+    the driver (``toPandas``), so it fits micro-batch-sized increments —
+    a cluster-side table format (Delta/Iceberg) is the scale path; this
+    backend exists so the seam's semantics (replay idempotency,
+    stale-row no-op, condition-string parsing) run under a second real
+    engine in any environment.
+
+    First batch bootstraps the table from the batch's own schema with a
+    UNIQUE index on the key columns — the conflict target ON CONFLICT
+    resolves against.  The :data:`MergeFn` contract guarantees the
+    incoming batch is already unique per key (ON CONFLICT would reject a
+    double-update within one statement otherwise).
+    """
+    import duckdb  # noqa: PLC0415 — backend-local dependency
+
+    def qd(c: str) -> str:
+        return '"' + c.replace('"', '""') + '"'
+
+    def merge(deduped: DataFrame, path: str, key_cols: list[str], order_cols: list[str]) -> None:
+        pdf = deduped.toPandas()
+        con = duckdb.connect(path)
+        try:
+            tq = qd(table)
+            con.register("__src", pdf)
+            exists = con.execute(
+                "SELECT COUNT(*) FROM information_schema.tables WHERE table_name = ?",
+                [table],
+            ).fetchone()[0]
+            if not exists:
+                con.execute(f"CREATE TABLE {tq} AS SELECT * FROM __src WHERE 1=0")
+                con.execute(
+                    f"CREATE UNIQUE INDEX {qd(table + '_pk')} ON {tq} "
+                    f"({', '.join(qd(k) for k in key_cols)})"
+                )
+            sets = ", ".join(
+                f"{qd(c)} = excluded.{qd(c)}"
+                for c in pdf.columns
+                if c not in key_cols
+            )
+            guard = newer_than_condition(order_cols, src="excluded", tgt=tq, quote='"')
+            con.execute(
+                f"INSERT INTO {tq} SELECT * FROM __src "
+                f"ON CONFLICT ({', '.join(qd(k) for k in key_cols)}) "
+                f"DO UPDATE SET {sets} WHERE {guard}"
+            )
+        finally:
+            con.close()
+
+    return merge
+
+
 def upsert_batch(
     batch_df: DataFrame,
     path: str,

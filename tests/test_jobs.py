@@ -151,3 +151,50 @@ def test_incremental_upsert_job_cli_resumes_from_checkpoint(spark, sf_dir, tmp_p
     want = latest_per_key(ev, ["user_id", "event_type"], ["ts_us", "event_id"])
     assert got.count() == want.count()
     assert got.unionByName(want).distinct().count() == want.count()
+
+
+def test_incremental_upsert_job_cli_duckdb_backend(spark, sf_dir, tmp_path):
+    """--duckdb-table routes the CLI's merge through the DuckDB warehouse
+    backend: the snapshot lives as a table in a .duckdb file, maintained
+    by a real SQL upsert, and re-running after new files land merges
+    incrementally off the same checkpoint."""
+    import duckdb
+
+    from spark_hadoop_automation_in_cloud_spark.functions.timeutils import epoch_us
+    from spark_hadoop_automation_in_cloud_spark.io import read_table
+    from spark_hadoop_automation_in_cloud_spark.streaming.incremental import (
+        latest_per_key,
+    )
+
+    job = _load("incremental_upsert_job")
+    assert job.main(["--duckdb-table=", "a", "b", "c"]) == 2  # empty name
+    assert job.main(["--bogus-flag", "a", "b", "c"]) == 2
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", epoch_us("ts").alias("ts_us"), "value"
+    )
+    cut = ev.agg(F.expr("percentile(ts_us, 0.5)")).first()[0]
+    src = tmp_path / "landing"
+    db, ckpt = str(tmp_path / "mart.duckdb"), str(tmp_path / "ckpt")
+    read_table(spark, sf_dir, "events").where(
+        epoch_us(F.col("ts")) <= cut
+    ).coalesce(1).write.parquet(str(src / "batch=1"))
+    assert job.main([str(src), db, ckpt, "--duckdb-table=snap"]) == 0
+    read_table(spark, sf_dir, "events").where(
+        epoch_us(F.col("ts")) > cut
+    ).coalesce(1).write.parquet(str(src / "batch=2"))
+    assert job.main([str(src), db, ckpt, "1", "--duckdb-table=snap"]) == 0
+
+    want = {
+        tuple(r) for r in latest_per_key(ev, ["user_id", "event_type"], ["ts_us", "event_id"])
+        .select("user_id", "event_type", "ts_us", "event_id")
+        .collect()
+    }
+    con = duckdb.connect(db)
+    try:
+        got = set(map(tuple, con.execute(
+            'SELECT "user_id", "event_type", "ts_us", "event_id" FROM "snap"'
+        ).fetchall()))
+    finally:
+        con.close()
+    assert got == want

@@ -961,3 +961,64 @@ def test_countmin_format_tag_guard(spark):
     merged = merge_countmin_sketches(sk, ["g"])
     est = {r["uid"]: r["est_n"] for r in countmin_estimate(merged, ["g"], items, "uid").collect()}
     assert est["a"] >= 2 and est["b"] >= 1
+
+
+def test_sketch_parquet_roundtrip_merge_estimate(spark, tmp_path):
+    """The PERSIST half of persist-then-merge: write quantile and
+    count-min sketch tables to parquet, read them back through a fresh
+    session state, merge, estimate — estimates must be identical to the
+    never-persisted pipeline, proving the struct/array sketch schemas and
+    the format tags survive a disk round-trip."""
+    from spark_hadoop_automation_in_cloud_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketches,
+        merge_countmin_sketches,
+        merge_quantile_sketches,
+        quantile_estimates,
+        quantile_sketches,
+    )
+
+    rows = [(i % 3, i % 5, float(1 + (i * 37) % 1000), f"u{i % 40}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "g int, part int, v double, uid string")
+    qs = [0.25, 0.5, 0.9]
+
+    # in-memory reference estimates
+    mem_q = {
+        (r["g"], r["q"]): r["est"]
+        for r in quantile_estimates(
+            merge_quantile_sketches(quantile_sketches(df, ["g", "part"], "v"), ["g"]),
+            ["g"], qs,
+        ).collect()
+    }
+    items = df.select("g", "uid").distinct()
+    mem_cm = {
+        (r["g"], r["uid"]): r["est_n"]
+        for r in countmin_estimate(
+            merge_countmin_sketches(countmin_sketches(df, ["g", "part"], "uid"), ["g"]),
+            ["g"], items, "uid",
+        ).collect()
+    }
+
+    # persist the PARTIAL (fine-grain) sketches — the state a datamart
+    # stores — then reload via a fresh session state and finish the job
+    qpath, cmpath = str(tmp_path / "qsk"), str(tmp_path / "cmsk")
+    quantile_sketches(df, ["g", "part"], "v").write.parquet(qpath)
+    countmin_sketches(df, ["g", "part"], "uid").write.parquet(cmpath)
+
+    s2 = spark.newSession()
+    got_q = {
+        (r["g"], r["q"]): r["est"]
+        for r in quantile_estimates(
+            merge_quantile_sketches(s2.read.parquet(qpath), ["g"]), ["g"], qs
+        ).collect()
+    }
+    items2 = s2.createDataFrame(items.collect(), items.schema)
+    got_cm = {
+        (r["g"], r["uid"]): r["est_n"]
+        for r in countmin_estimate(
+            merge_countmin_sketches(s2.read.parquet(cmpath), ["g"]),
+            ["g"], items2, "uid",
+        ).collect()
+    }
+    assert got_q == mem_q
+    assert got_cm == mem_cm

@@ -558,3 +558,80 @@ def test_newer_than_condition_escapes_quote_chars():
 
     assert newer_than_condition(["t`s"]) == "(src.`t``s` > tgt.`t``s`)"
     assert newer_than_condition(['a"b'], quote='"') == ('(src."a""b" > tgt."a""b")')
+
+
+def test_duckdb_merge_fn_executes_real_upsert(spark, sf_dir, tmp_path):
+    """The merge seam on a REAL second SQL engine: the same multi-batch
+    drain as the emulated-merge test, routed through duckdb_merge_fn's
+    INSERT..ON CONFLICT DO UPDATE..WHERE newer_than upsert against a
+    persistent database file, must equal the one-shot batch
+    last-writer-wins — and replaying an already-applied batch must be a
+    no-op (the checkpoint-replay idempotency the MERGE contract needs).
+    This is the executable proof that newer_than_condition's ANSI
+    double-quote form parses and guards correctly in an actual engine."""
+    import duckdb
+
+    from spark_hadoop_automation_in_cloud_spark.streaming.incremental import (
+        duckdb_merge_fn,
+        latest_per_key,
+        run_incremental_upsert,
+        upsert_batch,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    cut = ev.agg(F.expr("percentile(ts_us, 0.5)")).first()[0]
+    src = tmp_path / "src"
+    ev.where(F.col("ts_us") <= cut).coalesce(1).write.parquet(str(src / "a=1"))
+    ev.where(F.col("ts_us") > cut).coalesce(1).write.parquet(str(src / "a=2"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    db = str(tmp_path / "mart.duckdb")
+    keys, order = ["user_id", "event_type"], ["ts_us", "event_id"]
+    run_incremental_upsert(
+        stream, db, keys, order,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        merge_fn=duckdb_merge_fn(table="mart"),
+    )
+
+    want = {
+        tuple(r) for r in latest_per_key(ev, keys, order)
+        .select("user_id", "event_type", "ts_us", "event_id")
+        .collect()
+    }
+
+    def snapshot():
+        con = duckdb.connect(db)
+        try:
+            return set(
+                map(tuple, con.execute(
+                    'SELECT "user_id", "event_type", "ts_us", "event_id" FROM "mart"'
+                ).fetchall())
+            )
+        finally:
+            con.close()
+
+    assert snapshot() == want
+
+    # replay the OLD half (a restarted micro-batch): equal order tuples
+    # must NOT update — table unchanged
+    upsert_batch(ev.where(F.col("ts_us") <= cut), db, keys, order,
+                 merge_fn=duckdb_merge_fn(table="mart"))
+    assert snapshot() == want
+
+    # a strictly newer row for one existing key MUST win, and only it
+    top = max(want, key=lambda t: (t[2], t[3]))
+    newer = spark.createDataFrame(
+        [(999_999_999, top[0], top[1], top[2] + 10, 1.0)],
+        "event_id long, user_id long, event_type string, ts_us long, value double",
+    )
+    upsert_batch(newer, db, keys, order, merge_fn=duckdb_merge_fn(table="mart"))
+    got = snapshot()
+    assert (top[0], top[1], top[2] + 10, 999_999_999) in got
+    assert len(got) == len(want)
