@@ -133,22 +133,56 @@ def pagerank(
     damping: float = 0.85,
     per_iter_round_dp: int | None = None,
     checkpoint_every: int = 2,
+    broadcast_nodes_max: int = 1_000_000,
+    assume_distinct_edges: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list.
 
+    ``assume_distinct_edges``: a duplicated edge would double-count its
+    rank contribution, so the input is distinct-ed defensively — a full
+    shuffle of the edge list.  Callers that construct edges with their own
+    ``.distinct()`` (the common case: any derived co-occurrence graph)
+    pass True to skip that redundant shuffle; the setup then only scans
+    the input once to checkpoint it.  Correctness is entirely the
+    caller's promise — there is no cheap way to verify it.
+
     Same driver-role contract as :func:`connected_components`: every round
     is one distributed join+aggregate (rank mass flows src→dst divided by
-    out-degree), the driver only counts rounds.  Dangling nodes (no
-    out-edges) donate their mass uniformly each round via a 1-row
-    aggregate broadcast-crossed back in — no collect, no driver math.
-    Lineage is cut with ``localCheckpoint`` every ``checkpoint_every``
-    rounds so the plan stays flat across iterations; 2 is the measured
-    sweet spot on this workload (each checkpoint materializes a |nodes|-row
-    frame and schedules a job — every round pays that fixed cost twice as
-    often for no lineage benefit, while 5+ lets the chained-round plan grow
-    enough that analysis/AQE overhead dominates).  The final round always
-    checkpoints.  Results are invariant to the cadence: the per-round
-    rounding (below) happens inside the plan either way.
+    out-degree), the driver only counts rounds.  The rank state carries
+    each node's out-degree (``nd`` below), so the loop joins ranks
+    straight to the RAW edge list — no per-round rank⋈degree chain — and
+    dangling mass (nodes with no out-edges) is a filter-scan of the rank
+    state itself, not a join: one 1-row aggregate broadcast-crossed back
+    in, no collect, no driver math.
+
+    Join strategy is picked ONCE from ``n = |nodes|`` (a scalar the driver
+    already needs for the 1/n terms):
+
+    - ``n <= broadcast_nodes_max`` — the rank frame is broadcast into the
+      edge join.  The big side (edges) is then never exchanged or sorted:
+      each round is one map-side hash join over the checkpointed edge
+      partitions + a map-side-combined aggregate whose exchange carries
+      at most |nodes| rows per task.  Profiled on the q69 co-purchase
+      graph at sf0.1 (1.8M edges) and its 10x replication (17.9M edges):
+      2.0-2.2x faster end-to-end than the sort-merge form at BOTH scales
+      (7.4s→3.4s, 29.8s→17.0s), with per-round cost dropping ~2.5s→
+      ~0.8s at 10x — the remaining 10x wall is the one-time linear setup
+      (edge distinct + degree build), i.e. work proportional to data, not
+      per-round overhead.  Broadcasting re-executes the rank lineage per
+      round, so this path checkpoints EVERY round (the frames are small
+      by construction — that's what made them broadcastable).
+    - larger graphs — sort-merge join with ``checkpoint_every`` lineage
+      cuts; 2 is the measured sweet spot (each checkpoint materializes a
+      |nodes|-row frame and schedules a job — every round pays that fixed
+      cost twice as often for no lineage benefit, while 5+ lets the
+      chained-round plan grow enough that analysis/AQE overhead
+      dominates).  The final round always checkpoints.
+
+    Both paths run the IDENTICAL scalar arithmetic in the identical
+    order (rank/deg contributions, damped sum, optional per-round
+    rounding), so results are bit-equal regardless of which is taken —
+    pinned by tests/test_operators.py running the dense-power-iteration
+    fixture against both.
 
     Fixed ``n_iter`` (not convergence-tested): PageRank mass moves <1%
     after ~10 damped rounds on social-shaped graphs, and a deterministic
@@ -166,54 +200,55 @@ def pagerank(
     unlikely — not a guarantee, but negligible against the oracle's 6dp
     output rounding.  The perturbation itself (<5e-10/round) sits far
     below PageRank's meaningful resolution.  ``None`` keeps raw doubles.
-
-    Correctness is additionally pinned by a pytest fixture vs an
-    independent dense power iteration (tests/test_operators.py).
     """
     if checkpoint_every < 1:
         raise ValueError(
             f"checkpoint_every must be >= 1, got {checkpoint_every} "
             "(pass n_iter to checkpoint only the final round)"
         )
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .localCheckpoint()  # edge construction may be expensive; it feeds 3 setup frames
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
-    n = nodes.count()  # one scalar the driver legitimately needs
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # hoist the per-round rank⋈degree join out of the loop: a weighted edge
-    # table carries each edge's out-degree, so one join per round (ranks⋈w
-    # on src) replaces the two-join chain; arithmetic stays rank/deg, so
-    # results are bit-identical to the unhoisted form
-    w = e.join(out_deg, "src").select("src", "dst", "deg").localCheckpoint()
-    dangling_nodes = nodes.join(
-        out_deg.select(F.col("src").alias("node")), "node", "left_anti"
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not assume_distinct_edges:
+        e = e.distinct()
+    # edge construction may be expensive; it feeds 2 setup frames + the loop
+    e = e.localCheckpoint()
+    nodes = e.select(F.col("src").alias("node")).unionByName(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    # node state: (node, deg) — deg NULL marks a dangling node.  Carrying
+    # deg inside the rank frame removes both per-round joins the old shape
+    # paid (rank⋈degree for contributions, rank⋈dangling for the mass).
+    nd = nodes.join(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed(
+            "src", "node"
+        ),
+        "node",
+        "left",
     ).localCheckpoint()
+    n = nd.count()  # one scalar the driver legitimately needs
     # one-time scalar: a graph with no dangling nodes (e.g. any symmetric
     # graph) skips the per-round dangling-mass job entirely; adding the
     # exact-zero dm/n term was a no-op in IEEE arithmetic anyway
-    has_dangling = bool(dangling_nodes.head(1))
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    has_dangling = bool(nd.where(F.col("deg").isNull()).head(1))
+    small = n <= broadcast_nodes_max
+    ranks = nd.select("node", "deg", F.lit(1.0 / n).alias("rank"))
+    if small:
+        ranks = ranks.localCheckpoint()
 
     for i in range(n_iter):
+        r = F.broadcast(ranks) if small else ranks
         contribs = (
-            ranks.join(w, ranks.node == w.src)
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            r.join(e, r.node == e.src)
+            .select(F.col("dst").alias("node"), (r.rank / r.deg).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
         inflow = F.coalesce(F.col("inflow"), F.lit(0.0))
-        nxt = nodes.join(contribs, "node", "left")
+        # contribs is at most |nodes| rows post-aggregate — on the small
+        # path broadcast it too, so the rank update never exchanges nd
+        nxt = nd.join(F.broadcast(contribs) if small else contribs, "node", "left")
         if has_dangling:
             dangling = (
-                ranks.join(dangling_nodes, "node")
+                ranks.where(F.col("deg").isNull())
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
             )
             nxt = nxt.crossJoin(F.broadcast(dangling))
@@ -224,7 +259,7 @@ def pagerank(
             new_rank = F.lit((1.0 - damping) / n) + damping * inflow
         if per_iter_round_dp is not None:
             new_rank = F.round(new_rank, per_iter_round_dp)
-        ranks = nxt.select("node", new_rank.alias("rank"))
-        if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
+        ranks = nxt.select("node", "deg", new_rank.alias("rank"))
+        if small or (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
             ranks = ranks.localCheckpoint()
     return ranks.select("node", F.round("rank", 6).alias("rank"))

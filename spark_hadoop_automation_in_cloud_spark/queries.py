@@ -2589,7 +2589,9 @@ def q69_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
         .distinct()
     )
-    return pagerank(edges, n_iter=10, per_iter_round_dp=9)
+    # edges are .distinct() two lines up — skip pagerank's defensive
+    # re-distinct (a full edge shuffle)
+    return pagerank(edges, n_iter=10, per_iter_round_dp=9, assume_distinct_edges=True)
 
 
 @register(

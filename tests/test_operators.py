@@ -506,6 +506,15 @@ def test_pagerank_matches_dense_power_iteration(spark):
         assert abs(got[v] - r[v]) < 1e-6, (v, got[v], r[v])
     assert abs(sum(got.values()) - 1.0) < 1e-4
 
+    # both join strategies must produce BIT-equal ranks: the broadcast
+    # fast path (default here — 5 nodes) and the sort-merge path
+    # (forced via broadcast_nodes_max=0) run the same scalar arithmetic
+    big = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, n_iter=10, broadcast_nodes_max=0).collect()
+    }
+    assert big == got
+
 
 def test_approx_count_distinct_within_documented_rsd(spark, sf_dir):
     """HLL++ default rsd is 5%; pin the measured error under 3x that so a

@@ -91,8 +91,8 @@ def main() -> None:
         .localCheckpoint()
     )
     n_edges, n_edges_rep = edges.count(), edges_rep.count()
-    t1 = timed(lambda: pagerank(edges, n_iter=10, per_iter_round_dp=9))
-    t10 = timed(lambda: pagerank(edges_rep, n_iter=10, per_iter_round_dp=9))
+    t1 = timed(lambda: pagerank(edges, n_iter=10, per_iter_round_dp=9, assume_distinct_edges=True))
+    t10 = timed(lambda: pagerank(edges_rep, n_iter=10, per_iter_round_dp=9, assume_distinct_edges=True))
     out["pagerank_10_rounds"] = {
         "n_edges_base": n_edges,
         "n_nodes_base": n_nodes,
