@@ -83,35 +83,45 @@ def kmeans_assign(
         }
 
         def assign(df: DataFrame) -> DataFrame:
-            # Small models (k·dim bounded): inline the centroids as literal
-            # arrays and take the argmin ROW-LOCALLY — one corpus scan, zero
-            # shuffle, nothing leaves the row.  The previous broadcast-join
-            # form blew the corpus up k× and shuffled full embedding vectors
-            # through a groupBy(id) just to undo the blow-up; that shape is
-            # kept only for models too large to inline as an expression.
-            # Identical arithmetic and tie-break on both paths: squared L2 by
-            # the same left-fold, argmin by lexicographic (sq_dist,
-            # cluster_id) struct ordering (array_min ≡ min_by struct order).
+            # Small models (k·dim bounded): inline the centroids as ONE
+            # nested-array literal and take the argmin ROW-LOCALLY via
+            # transform/zip_with — one corpus scan, zero shuffle, nothing
+            # leaves the row.  A single k×dim Literal node keeps the plan
+            # tree constant-size in the model (an earlier unrolled form
+            # carried k·dim individual literal nodes, and its per-iteration
+            # analysis + codegen — fresh every round, the literals change —
+            # dominated the loop: the 10x-corpus wall ratio was 1.05,
+            # i.e. almost pure fixed cost).  The broadcast-join form below
+            # is kept only for models too large to ship inside the plan.
+            # Identical arithmetic and tie-break on both paths: squared L2
+            # by the same zip_with/left-fold per centroid, argmin by
+            # lexicographic (sq_dist, cluster_id) struct ordering
+            # (array_min ≡ min_by struct order).
             # threshold on the ACTUAL model size: the corpus may yield
-            # fewer than k seeds, and it is len(centroids) literal arrays
-            # that get inlined into the expression, not k
-            if len(centroids) * dim <= 16384:
-                entries = []
-                for cid, cvec in sorted(centroids.items()):
-                    cent = F.array(*[F.lit(float(x)) for x in cvec])
-                    sq = F.aggregate(
-                        F.zip_with(
-                            F.col(vec_col), cent, lambda a, b: (a - b) * (a - b)
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    entries.append(
-                        F.struct(
-                            sq.alias("sq_dist"), F.lit(cid).cast("int").alias("cluster_id")
-                        )
-                    )
-                best = F.array_min(F.array(*entries))
+            # fewer than k seeds, and it is len(centroids) centroid rows
+            # that get inlined, not k
+            if len(centroids) * dim <= 262_144:  # 2 MB of doubles in-plan
+                # The whole argmin is ONE F.expr string parsed JVM-side:
+                # building the same tree through the Column API costs
+                # ~0.7s of py4j round-trips PER ITERATION at k·dim=512
+                # (measured — it was most of the loop's fixed cost), vs
+                # ~2ms for the SQL parse.  repr() round-trips every double
+                # exactly through the parser, so results are bit-identical
+                # to the Column form (pinned by the purity/determinism
+                # tests and the q96 oracle).
+                items = sorted(centroids.items())
+                mat = "array(" + ",".join(
+                    "array(" + ",".join(repr(float(x)) + "D" for x in vec) + ")"
+                    for _, vec in items
+                ) + ")"
+                ids = "array(" + ",".join(str(int(cid)) for cid, _ in items) + ")"
+                best = F.expr(
+                    "array_min(zip_with("
+                    f"transform({mat}, c -> aggregate(zip_with(`{vec_col}`, c,"
+                    " (a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)),"
+                    f" {ids},"
+                    " (d, i) -> struct(d AS sq_dist, CAST(i AS INT) AS cluster_id)))"
+                )
                 return df.select(
                     id_col,
                     best["cluster_id"].alias("cluster_id"),
