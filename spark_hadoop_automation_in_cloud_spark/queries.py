@@ -71,6 +71,10 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q103_salted_full_outer_parts",
     "q104_hll_distinct_rollup",
     "q105_countmin_persist_merge",
+    # --- NEW operator this round (bloom semi-join pruning); its window
+    #     slot displaces q95 (r03-stamped containment dedup, pytest-pinned,
+    #     lands at age exactly 2 — the staleness bound)
+    "q106_bloom_pruned_revenue",
     # --- kernels changed in round 5
     "q102_price_quantile_sketch",  # quantile rank 1e-9 snap (both engines)
     "q96_kmeans_clusters",         # inline threshold on len(centroids)
@@ -122,7 +126,6 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q74_scd2_intervals",
     "q79_growth_accounting",
     "q89_session_intervals",
-    "q95_containment_dups",
 )
 
 
@@ -4491,4 +4494,45 @@ def q105_countmin_persist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("true_n").cast("bigint").alias("true_n"),
         F.col("est_n").cast("bigint").alias("est_n"),
+    )
+
+
+@register(
+    "q106_bloom_pruned_revenue",
+    f"""
+SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       round({sql_dsum("l_extendedprice")}, 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY 1
+""",
+    doc="Bloom-filter semi-join pruning (operators/bloom.py): the urgent "
+    "orders' keys are summarized into a 2^20-bit Bloom filter (one "
+    "bit_or aggregation; the word table is bounded model state at any "
+    "dim cardinality), and lineitem is filtered ROW-LOCALLY inside its "
+    "scan before the join — at 100 TB this is what keeps the fact "
+    "shuffle proportional to matching rows when the dim key set is too "
+    "large to broadcast exactly. No false negatives (property-pinned), "
+    "so prune+join is row-identical to the plain join — the oracle IS "
+    "the plain join, proving the prune dropped nothing it shouldn't.",
+)
+def q106_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_hadoop_automation_in_cloud_spark.operators.bloom import bloom_prune
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    pruned = bloom_prune(li, "l_orderkey", o, "o_orderkey")
+    j = pruned.join(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey"
+    )
+    return j.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("ship_month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.round(dsum("l_extendedprice"), 2).alias("revenue"),
     )
