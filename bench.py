@@ -54,6 +54,9 @@ HEADLINE = [
     # so regressions there must be visible round-over-round
     "q69_pagerank",
     "q96_kmeans_clusters",
+    # round-5 addition: bloom semi-join pruning (build + row-local probe
+    # + exact join) — the explicit runtime-filter pattern
+    "q106_bloom_pruned_revenue",
 ]
 
 

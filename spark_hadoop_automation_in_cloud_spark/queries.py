@@ -71,10 +71,12 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q103_salted_full_outer_parts",
     "q104_hll_distinct_rollup",
     "q105_countmin_persist_merge",
-    # --- NEW operator this round (bloom semi-join pruning); its window
-    #     slot displaces q95 (r03-stamped containment dedup, pytest-pinned,
-    #     lands at age exactly 2 — the staleness bound)
+    # --- NEW operators this round (bloom semi-join pruning; SemDeDup
+    #     cluster-bucketed near-dup); their window slots displace q95 and
+    #     q89 (both r03-stamped, pytest-pinned, landing at age exactly 2
+    #     — the staleness bound)
     "q106_bloom_pruned_revenue",
+    "q107_semantic_cluster_dedup",
     # --- kernels changed in round 5
     "q102_price_quantile_sketch",  # quantile rank 1e-9 snap (both engines)
     "q96_kmeans_clusters",         # inline threshold on len(centroids)
@@ -125,7 +127,6 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q73_retention_cohorts",
     "q74_scd2_intervals",
     "q79_growth_accounting",
-    "q89_session_intervals",
 )
 
 
@@ -3894,7 +3895,9 @@ def q95_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_oracle_sql(k: int = 8, n_iter: int = 5) -> str:
-    """Iteration-UNROLLED DuckDB Lloyd's k-means, mirroring
+    """Iteration-UNROLLED DuckDB Lloyd's k-means as a CTE chain (no
+    leading WITH) ending in ``asg(vec_id, cid, d)`` — the final
+    assignment under the converged centroids — mirroring
     operators.clustering.kmeans_assign exactly:
 
     - all arithmetic in DOUBLE (the operator casts the float32 embeddings
@@ -3943,31 +3946,35 @@ c{i} AS (
         )
         prev = f"c{i}"
     unrolled = ",\n".join(iters)
-    return f"""
-WITH emb AS (
+    # exposed as a reusable CTE chain ending in `asg(vec_id, cid, d)` so
+    # compositions (q107's cluster-bucketed dedup) share the EXACT same
+    # trajectory the q96 oracle pins
+    return f"""emb AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
   FROM emb ORDER BY vec_id LIMIT {k}
 ),
-{unrolled}
-SELECT vec_id, cid AS cluster_id, round(d, 6) AS sq_dist FROM (
-  SELECT e.vec_id, c.cid,
-         list_sum(list_transform(generate_series(1, len(e.v)),
-                  i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) AS d,
-         row_number() OVER (
-           PARTITION BY e.vec_id
-           ORDER BY list_sum(list_transform(generate_series(1, len(e.v)),
-                    i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.cid
-         ) AS rn
-  FROM emb e CROSS JOIN {prev} c) WHERE rn = 1
-"""
+{unrolled},
+asg AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT e.vec_id, c.cid,
+           list_sum(list_transform(generate_series(1, len(e.v)),
+                    i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) AS d,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(generate_series(1, len(e.v)),
+                      i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.cid
+           ) AS rn
+    FROM emb e CROSS JOIN {prev} c) WHERE rn = 1
+)"""
 
 
 @register(
     "q96_kmeans_clusters",
-    _kmeans_oracle_sql(k=8, n_iter=5),
+    f"WITH {_kmeans_oracle_sql(k=8, n_iter=5)}\n"
+    "SELECT vec_id, cid AS cluster_id, round(d, 6) AS sq_dist FROM asg",
     doc="Distributed Lloyd's k-means on the embeddings table (k=8, 5 "
     "iterations, deterministic lowest-id seeding, exact integer-"
     "quantized centroid means). Iterative-broadcast pattern: centroids "
@@ -4536,3 +4543,59 @@ def q106_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
         F.round(dsum("l_extendedprice"), 2).alias("revenue"),
     )
+
+
+def _q107_sql(threshold: float = 0.4) -> str:
+    from spark_hadoop_automation_in_cloud_spark.functions.vectors import (
+        SQL_DOT,
+        SQL_NORM,
+    )
+
+    dot = SQL_DOT.format(a="x.v", b="y.v")
+    nx = SQL_NORM.format(a="x.v")
+    ny = SQL_NORM.format(a="y.v")
+    return f"""
+WITH {_kmeans_oracle_sql(k=8, n_iter=5)},
+e2 AS (SELECT a.vec_id, a.cid, e.v FROM asg a JOIN emb e USING (vec_id))
+SELECT x.cid AS cluster_id,
+       x.vec_id AS left_id, y.vec_id AS right_id,
+       round({dot} / ({nx} * {ny}), 6) AS cosine_sim
+FROM e2 x JOIN e2 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+WHERE round({dot} / ({nx} * {ny}), 6) >= {threshold}
+"""
+
+
+@register(
+    "q107_semantic_cluster_dedup",
+    _q107_sql(0.4),
+    doc="SemDeDup-style cluster-bucketed near-duplicate detection: "
+    "k-means the embedding space (the q96 kernel, identical "
+    "deterministic trajectory), then score cosine pairs ONLY within "
+    "each cluster — the quadratic comparison is bounded by the largest "
+    "cluster instead of the corpus, which is what makes semantic dedup "
+    "runnable at 100 TB (the LSH family q19/q21 buckets by hash; this "
+    "buckets by learned geometry, catching paraphrase-level dups that "
+    "share no shingles). Cross-cluster pairs are the documented recall "
+    "trade (measured in the companion pytest vs exact all-pairs). "
+    "Oracle: the unrolled k-means CTE chain (shared verbatim with "
+    "q96's oracle) + the same spelled-out double-fold cosine as q19.",
+)
+def q107_semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_hadoop_automation_in_cloud_spark.functions.vectors import cosine
+
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
+    asg = kmeans_assign(emb, k=8, max_iter=5).select("vec_id", "cluster_id")
+    e = emb.join(asg, "vec_id")
+    a = e.select(
+        "cluster_id", F.col("vec_id").alias("left_id"), F.col("embedding").alias("__va")
+    )
+    b = e.select(
+        "cluster_id", F.col("vec_id").alias("right_id"), F.col("embedding").alias("__vb")
+    )
+    cand = a.join(b, "cluster_id").where(F.col("left_id") < F.col("right_id"))
+    return cand.select(
+        "cluster_id",
+        "left_id",
+        "right_id",
+        F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
+    ).where(F.col("cosine_sim") >= 0.4)

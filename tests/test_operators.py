@@ -1109,3 +1109,29 @@ def test_bloom_prune_no_false_negatives_and_fpp(spark, sf_dir):
     # geometry mismatch raises instead of silently mismatching bits
     with pytest.raises(ValueError, match="geometry mismatch"):
         might_contain(F.col("k"), words, num_bits=1 << 10)
+
+
+def test_semantic_cluster_dedup_subset_and_recall(spark, sf_dir):
+    """Cluster-bucketed (SemDeDup-style) near-dup pairs must be a strict
+    SUBSET of the exact all-pairs result with identical similarities
+    (bucketing can only drop cross-cluster pairs, never invent or
+    mis-score one), and recall must stay above a sanity floor.  The
+    measured recall at this deliberately loose threshold (0.4 — many
+    qualifying pairs span cluster boundaries) is ~0.23-0.46; real
+    semantic-dedup operating points (cos >= 0.85) cluster much tighter."""
+    from spark_hadoop_automation_in_cloud_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+    from spark_hadoop_automation_in_cloud_spark.queries import (
+        q107_semantic_cluster_dedup,
+    )
+
+    got = q107_semantic_cluster_dedup(spark, sf_dir).select(
+        "left_id", "right_id", "cosine_sim"
+    )
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
+    exact = embedding_neardup_pairs(emb, threshold=0.4)
+    assert got.exceptAll(exact).count() == 0  # subset, scores identical
+    n_exact, n_hit = exact.count(), got.intersect(exact).count()
+    assert n_exact > 0 and n_hit == got.count()
+    assert n_hit / n_exact >= 0.15, f"cluster-bucketed recall collapsed: {n_hit}/{n_exact}"
