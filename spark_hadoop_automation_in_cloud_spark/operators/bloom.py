@@ -8,9 +8,9 @@ avoids the fact shuffle; but once the dim side has millions of distinct
 keys, broadcasting the exact key set stops being free — while a Bloom
 filter of those keys stays a few hundred KB at any dim cardinality.
 Spark's own runtime filters (``spark.sql.optimizer.runtime.bloomFilter``)
-apply the same idea opportunistically; this operator makes it explicit,
-deterministic, and portable (the internal ``bloom_filter_agg`` expression
-is not registered for SQL/Python use).
+apply the same idea opportunistically; this operator makes it explicit
+and deterministic (the internal ``bloom_filter_agg`` expression is not
+registered for SQL/Python use).
 
 Shape:
 
@@ -21,50 +21,56 @@ Shape:
   is MODEL STATE (bounded by ``num_bits``, independent of dim
   cardinality), the same driver-role contract as k-means centroids.
 - **Probe** (:func:`might_contain` / :func:`bloom_prune`): a row-local
-  expression over the word array inlined as ONE literal — no join, no
-  shuffle, evaluated inside the fact scan, so predicate pushdown and
-  whole-stage codegen stay intact.
+  expression over the word array — no join, no shuffle, evaluated inside
+  the fact scan, so predicate pushdown and whole-stage codegen stay
+  intact.  The words travel as ONE JSON string literal unwrapped by a
+  foldable ``from_json`` — Catalyst constant-folds it to a single array
+  literal at optimization time.  (The naive ``F.lit(list)`` expands to
+  one py4j literal call PER ELEMENT — measured 7s of driver time at
+  2^20 bits — and the resulting 16k-node CreateArray knocked the filter
+  out of efficient codegen, ~3.5µs/row; the folded form costs ~0.15s to
+  build and probes at hash speed.)
 
-Guarantees: NO false negatives (every key inserted at build time probes
-true — pinned by property test), one-sided false positives at the
-standard ``(1 - e^(-kn/m))^k`` rate.  A pruned-then-joined plan is
-therefore ROW-IDENTICAL to the plain join: the bloom only removes fact
-rows the join would drop anyway, and the join removes the bloom's false
-positives — which is what makes the pattern oracle-checkable (q106's
-oracle is the PLAIN join).
+Hashing is ``xxhash64(key, seed_i)`` — JVM-native, deterministic across
+runs/retries/partitionings (what reproducibility actually requires).
+Nothing here needs the portable md5/affine family the sketches use for
+DuckDB replay, because the bloom's oracle story is STRONGER than hash
+replay: prune+join is row-identical to the plain join whatever the hash
+does (q106's oracle is the plain join), as long as there are no false
+negatives — which the property test pins.  xxhash64 ignores NULL inputs
+(it hashes the remaining arguments) rather than returning NULL, so both
+sides guard NULL keys explicitly: never inserted at build, probe yields
+NULL (filtered by WHERE) — exactly equi-join NULL semantics.
 
-Hashing reuses the engine's portable md5/affine family
-(``functions.hashing``) — the same construction as the count-min sketch
-(a Bloom filter IS a count-min with OR in place of +), so the bit
-positions are deterministic and SQL-replayable if an oracle ever needs
-them.  NULL keys hash to NULL and are never inserted nor probed true,
-matching equi-join NULL semantics exactly.
+Guarantees: NO false negatives; one-sided false positives at the
+standard ``(1 - e^(-kn/m))^k`` rate — the join after the prune removes
+them, so results are exact.
 """
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-from spark_hadoop_automation_in_cloud_spark.functions.hashing import (
-    md5_int60,
-    minhash_coeffs,
-    perm_hash,
-)
 
 #: default geometry: 2^20 bits (128 KB of words) x 4 hashes — fpp ~1e-4
 #: at 30k keys, ~1% at 300k, degrading gracefully (never incorrectly).
 BLOOM_BITS = 1 << 20
 BLOOM_HASHES = 4
-_BLOOM_SEED = 23
 
 
-def _positions(key: Column, num_bits: int, num_hashes: int) -> Column:
-    """Array of the key's bit positions — build and probe must share this
-    (same coefficients/modulus) or membership silently fails."""
-    coeffs = minhash_coeffs(num_hashes, seed=_BLOOM_SEED)
-    h = md5_int60(key.cast("string"))
-    return F.array(*[(perm_hash(h, a, b) % num_bits).cast("long") for a, b in coeffs])
+def _check_geometry(num_bits: int, num_hashes: int) -> None:
+    if num_bits < 64 or num_bits % 64 != 0:
+        raise ValueError(f"num_bits must be a positive multiple of 64, got {num_bits}")
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+
+
+def _position(key: Column, i: int, num_bits: int) -> Column:
+    """Bit position of hash ``i`` for a key — build and probe must share
+    this (same seed scheme and modulus) or membership silently fails."""
+    return F.pmod(F.xxhash64(key.cast("string"), F.lit(i)), F.lit(num_bits))
 
 
 def build_bloom(
@@ -78,15 +84,17 @@ def build_bloom(
     One exploded projection + one ``bit_or`` aggregation (map-side
     combined, ≤ ``num_bits/64`` groups); only the bounded word table is
     collected.  Duplicate dim keys are free (OR is idempotent) — no
-    distinct pass needed.
+    distinct pass needed.  NULL keys are skipped (an equi-join would
+    never match them).
     """
-    if num_bits < 64 or num_bits % 64 != 0:
-        raise ValueError(f"num_bits must be a positive multiple of 64, got {num_bits}")
-    if num_hashes < 1:
-        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
-    pos = F.explode(_positions(F.col(key_col), num_bits, num_hashes)).alias("__pos")
+    _check_geometry(num_bits, num_hashes)
+    key = F.col(key_col)
+    pos = F.explode(
+        F.array(*[_position(key, i, num_bits) for i in range(num_hashes)])
+    ).alias("__pos")
     words = (
-        dim.select(pos)
+        dim.where(key.isNotNull())
+        .select(pos)
         .select(
             (F.col("__pos") / 64).cast("int").alias("__w"),
             # call_function: the PySpark shiftleft wrapper only takes a
@@ -111,34 +119,32 @@ def might_contain(
     num_bits: int = BLOOM_BITS,
     num_hashes: int = BLOOM_HASHES,
 ) -> Column:
-    """Row-local membership test against the inlined word array.
+    """Row-local membership test against the word array.
 
-    The words ship as ONE array literal inside the plan (128 KB at the
-    default geometry) — no join, no broadcast variable, evaluated inside
-    whatever scan the caller filters, so it composes with pushdown.
-    NULL keys yield NULL (filtered by WHERE), matching equi-join
-    semantics.
+    The words ship as one JSON string literal + foldable ``from_json``
+    (see module docstring) — no join, no broadcast variable, evaluated
+    inside whatever scan the caller filters, so it composes with
+    pushdown.  NULL keys yield NULL (filtered by WHERE), matching
+    equi-join semantics — guarded explicitly because xxhash64 would
+    otherwise hash the seed alone and could probe true.
     """
+    _check_geometry(num_bits, num_hashes)
     if len(words) * 64 != num_bits:
         raise ValueError(
             f"word array has {len(words)} words = {len(words) * 64} bits, "
             f"caller says num_bits={num_bits} — build/probe geometry mismatch"
         )
-    w = F.lit([int(x) for x in words])
-    checks = []
-    coeffs = minhash_coeffs(num_hashes, seed=_BLOOM_SEED)
-    h = md5_int60(key.cast("string"))
-    for a, b in coeffs:
-        pos = perm_hash(h, a, b) % num_bits
-        word = F.element_at(w, (pos / 64).cast("int") + 1)
+    warr = F.from_json(F.lit(json.dumps([int(x) for x in words])), "array<bigint>")
+    out = None
+    for i in range(num_hashes):
+        pos = _position(key, i, num_bits)
+        word = F.element_at(warr, (pos / 64).cast("int") + 1)
         mask = F.call_function(
             "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
         )
-        checks.append(word.bitwiseAND(mask) != 0)
-    out = checks[0]
-    for c in checks[1:]:
-        out = out & c
-    return out
+        c = word.bitwiseAND(mask) != 0
+        out = c if out is None else (out & c)
+    return F.when(key.isNull(), F.lit(None).cast("boolean")).otherwise(out)
 
 
 def bloom_prune(
