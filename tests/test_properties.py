@@ -366,3 +366,42 @@ def test_newer_than_condition_equals_python_tuple_order(tuples, width):
         f"SELECT ({cond}) FROM (SELECT {sel}) src, (SELECT {sel_t}) tgt"
     ).fetchone()[0]
     assert bool(got) == (src_t > tgt_t)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(st.floats(min_value=0.001, max_value=1e6, allow_nan=False), min_size=1, max_size=60),
+    qs=st.lists(st.floats(min_value=0.0, max_value=1.0), min_size=1, max_size=4, unique=True),
+)
+def test_quantile_sketch_rank_rule_matches_reference(spark, vals, qs):
+    """The sketch's rank rule — smallest bucket whose cumulative count
+    reaches ceil(round(q*total, 9)), min rank 1 — against an independent
+    Python implementation, including quantiles that are NOT exactly
+    representable in binary (q=0.07 x total=100 rounds to
+    7.0000000000000009; a naive ceil would pick rank 8).  The estimate
+    must be the geometric midpoint of the bucket holding that rank's
+    element, i.e. within a factor (1+eps) of it."""
+    import math as m
+
+    from spark_hadoop_automation_in_cloud_spark.operators.sketches import (
+        quantile_estimates,
+        quantile_sketches,
+    )
+
+    eps = 0.01
+    df = spark.createDataFrame([(1, float(v)) for v in vals], "g int, v double")
+    est = {
+        round(r["q"], 12): r["est"]
+        for r in quantile_estimates(
+            quantile_sketches(df, ["g"], "v", eps), ["g"], qs, eps
+        ).collect()
+    }
+    srt = sorted(vals)
+    for q in qs:
+        rank = max(m.ceil(round(q * len(srt), 9)), 1)
+        target = srt[rank - 1]
+        got = est[round(float(q), 12)]
+        # same-bucket guarantee: representative within x(1+eps) of the
+        # rank element (sqrt(1+eps) midpoint, allow full bucket width)
+        assert got / target <= (1 + eps) * (1 + 1e-12), (q, got, target)
+        assert target / got <= (1 + eps) * (1 + 1e-12), (q, got, target)

@@ -635,3 +635,69 @@ def test_duckdb_merge_fn_executes_real_upsert(spark, sf_dir, tmp_path):
     got = snapshot()
     assert (top[0], top[1], top[2] + 10, 999_999_999) in got
     assert len(got) == len(want)
+
+
+def test_streaming_quantile_sketch_maintenance(spark, sf_dir, tmp_path):
+    """Incremental sketch maintenance from a stream: each micro-batch's
+    per-group quantile sketches are MERGED into a persisted sketch
+    snapshot (read stored -> union partials -> merge -> rewrite), and the
+    final snapshot's estimates must equal the whole-corpus batch sketch
+    EXACTLY — merge-of-sketches ≡ sketch-of-the-union is what makes
+    "keep percentiles fresh without rescanning history" a correct
+    streaming pattern, not an approximation drift."""
+    import os as _os
+
+    from spark_hadoop_automation_in_cloud_spark.operators.sketches import (
+        merge_quantile_sketches,
+        quantile_estimates,
+        quantile_sketches,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    cut = ev.agg(F.expr("percentile(event_id, 0.5)")).first()[0]
+    src = tmp_path / "land"
+    ev.where(F.col("event_id") <= cut).coalesce(1).write.parquet(str(src / "b=1"))
+    ev.where(F.col("event_id") > cut).coalesce(1).write.parquet(str(src / "b=2"))
+
+    snap = str(tmp_path / "sketches")
+
+    def merge_batch(bdf, _bid):
+        parts = quantile_sketches(bdf, ["event_type"], "value")
+        if _os.path.isdir(snap):
+            stored = bdf.sparkSession.read.parquet(snap)
+            parts = merge_quantile_sketches(
+                stored.unionByName(parts), ["event_type"]
+            )
+        parts.write.mode("overwrite").parquet(snap + ".tmp")
+        import shutil
+
+        if _os.path.isdir(snap):
+            shutil.rmtree(snap)
+        _os.rename(snap + ".tmp", snap)
+
+    (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    qs = [0.25, 0.5, 0.9]
+    got = {
+        (r["event_type"], r["q"]): r["est"]
+        for r in quantile_estimates(
+            spark.read.parquet(snap), ["event_type"], qs
+        ).collect()
+    }
+    want = {
+        (r["event_type"], r["q"]): r["est"]
+        for r in quantile_estimates(
+            quantile_sketches(ev, ["event_type"], "value"), ["event_type"], qs
+        ).collect()
+    }
+    assert got == want and len(got) > 0
