@@ -319,6 +319,38 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    num_files: int = 16,
+    compression: str = "zstd",
+) -> str:
+    """Z-order-clustered parquet sink: range-partition the rows by their
+    Morton key over ``zorder_cols`` (``functions.zorder``) and write one
+    file per range, so every interleaved column's parquet min/max stats
+    become selective — a predicate on ANY of the columns skips most
+    files, where a linear ``sortWithinPartitions(a)`` would prune only
+    on ``a``.  The key is layout-only: rows are unchanged, no query
+    result ever depends on it.  One range-exchange (sampled boundaries)
+    is the entire cost — the write-time shuffle that buys scan-time
+    pruning, same trade as ``write_bucketed``.
+    """
+    from spark_hadoop_automation_in_cloud_spark.functions.zorder import zorder_key
+
+    key = zorder_key(df, zorder_cols)
+    (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(num_files, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(path)
+    )
+    return path
+
+
 def compact(
     spark: SparkSession,
     path: str,

@@ -375,3 +375,101 @@ def test_ntz_normalization_is_timezone_independent(spark, tmp_path):
         spark.conf.set(tz_key, before)
     want = int(ts[0].replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
     assert got == want, "NTZ read shifted by the session timezone"
+
+
+def test_write_zordered_multi_column_file_pruning(spark, sf_dir, tmp_path):
+    """Z-order layout: after clustering events by (user_id, value), a
+    narrow predicate on EITHER column should overlap only a fraction of
+    the files' parquet min/max ranges — whereas a linear sort by user_id
+    leaves every file spanning value's full range (no pruning on the
+    second column).  Rows themselves must round-trip unchanged (the key
+    is layout-only)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+
+    from spark_hadoop_automation_in_cloud_spark.io import read_table, write_zordered
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    zpath, lpath = str(tmp_path / "zord"), str(tmp_path / "linear")
+    write_zordered(ev, zpath, ["user_id", "value"], num_files=16)
+    (
+        ev.repartitionByRange(16, F.col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    # layout-only: identical multiset of rows
+    back = spark.read.parquet(zpath)
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).count() == 0 and ev.exceptAll(back).count() == 0
+
+    def file_ranges(path, col):
+        out = []
+        for f in _glob.glob(path + "/*.parquet"):
+            md = _pq.ParquetFile(f).metadata
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
+                        hi = c.statistics.max if hi is None else max(hi, c.statistics.max)
+            if lo is not None:
+                out.append((lo, hi))
+        return out
+
+    bounds = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi"),
+        F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+    ).first()
+
+    def overlap_fraction(path, col, q_lo, q_hi):
+        rs = file_ranges(path, col)
+        assert len(rs) >= 8, f"expected many files, got {len(rs)}"
+        return sum(1 for lo, hi in rs if hi >= q_lo and lo <= q_hi) / len(rs)
+
+    # a 5%-of-span slice of VALUE (the column the linear layout ignores)
+    span = bounds["hi"] - bounds["lo"]
+    q_lo = bounds["lo"] + 0.40 * span
+    q_hi = bounds["lo"] + 0.45 * span
+    frac_linear = overlap_fraction(lpath, "value", q_lo, q_hi)
+    frac_z = overlap_fraction(zpath, "value", q_lo, q_hi)
+    assert frac_linear >= 0.9, frac_linear  # linear layout can't prune value
+    assert frac_z <= 0.6, (frac_z, frac_linear)  # z-order must prune most files
+
+    # and the z-layout still prunes on user_id too (not a value-only sort)
+    uspan = bounds["uhi"] - bounds["ulo"]
+    fu = overlap_fraction(
+        zpath, "user_id", bounds["ulo"] + 0.4 * uspan, bounds["ulo"] + 0.45 * uspan
+    )
+    assert fu <= 0.6, fu
+
+
+def test_z_interleave_matches_python_reference(spark):
+    """The Morton key must be the exact bit interleave (column j's bit i
+    at position i*n+j) — checked against an independent Python
+    implementation over edge and random-ish cells."""
+    from pyspark.sql import functions as F
+
+    from spark_hadoop_automation_in_cloud_spark.functions.zorder import z_interleave
+
+    pts = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (40000, 7)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", z_interleave([F.col("x"), F.col("y")]).alias("z")
+        ).collect()
+    }
+
+    def ref(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for x, y in pts:
+        assert got[(x, y)] == ref(x, y), (x, y, got[(x, y)], ref(x, y))
