@@ -438,10 +438,12 @@ def embedding_neardup_pairs(
     b = emb.select(F.col(id_col).alias("right_id"), F.col(vec_col).alias("__vb"))
     if lsh_dim is not None:
         def banded(vec_name: str):
+            # string path: one cached JVM parse per band instead of
+            # dim x planes py4j literal calls (similarity.lsh_bucket)
             return F.posexplode(
                 F.array(*[
                     lsh_bucket(
-                        F.col(vec_name), lsh_dim, lsh_planes,
+                        f"`{vec_name}`", lsh_dim, lsh_planes,
                         first_plane=band * lsh_planes,
                     )
                     for band in range(lsh_bands)

@@ -93,15 +93,29 @@ FROM ranked WHERE rank <= {k}
 NUM_HYPERPLANES = 6
 
 
-def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
-    """sign(v · h_plane) where h_plane[d] = deterministic pseudo-random ±
-    weight derived from (plane, d) by integer arithmetic (LCG step) — no RNG
-    library, reproducible anywhere."""
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _plane_weights_sql(plane: int, dim: int) -> str:
+    """The plane's weight vector as ONE SQL array literal.  Building it
+    with ``F.array(*map(F.lit, ...))`` costs dim py4j round-trips per
+    plane — q25's multi-table multi-probe construction made ~10⁴ of them
+    (7s of driver time before any job ran); the parsed string is a single
+    JVM call, and repr() round-trips every double exactly, so the
+    projections are bit-identical."""
     weights = [
         ((1103515245 * (plane * 512 + d) + 12345) % 2147483647) / 2147483647.0 - 0.5
         for d in range(dim)
     ]
-    warr = F.array(*[F.lit(w) for w in weights])
+    return "array(" + ",".join(repr(w) + "D" for w in weights) + ")"
+
+
+def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """sign(v · h_plane) where h_plane[d] = deterministic pseudo-random ±
+    weight derived from (plane, d) by integer arithmetic (LCG step) — no RNG
+    library, reproducible anywhere."""
+    warr = F.expr(_plane_weights_sql(plane, dim))
     dot = F.aggregate(
         F.zip_with(vec, warr, lambda x, y: x.cast("double") * y),
         F.lit(0.0),
@@ -110,8 +124,28 @@ def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
     return (dot > 0).cast("int")
 
 
+@lru_cache(maxsize=None)
+def _spark_lsh_bucket_sql(
+    vec_sql: str, dim: int, planes: int, first_plane: int
+) -> str:
+    """The full bucket signature as ONE Spark-SQL string (the engine-side
+    twin of the oracle's ``_sql_lsh_bucket``): identical arithmetic to the
+    Column form — same weight literals via repr round-trip, same
+    zip_with/aggregate fold, same ``> 0`` sign and base-2 packing — but a
+    single JVM parse instead of ~15 py4j round-trips per plane."""
+    expr = "0"
+    for p in range(planes):
+        arr = _plane_weights_sql(first_plane + p, dim)
+        dot = (
+            f"aggregate(zip_with({vec_sql}, {arr},"
+            " (x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+        )
+        expr = f"({expr} * 2 + CAST({dot} > 0.0D AS INT))"
+    return expr
+
+
 def lsh_bucket(
-    vec: Column, dim: int, planes: int = NUM_HYPERPLANES, first_plane: int = 0
+    vec: Column | str, dim: int, planes: int = NUM_HYPERPLANES, first_plane: int = 0
 ) -> Column:
     """Bucket signature: the concatenated sign bits of ``planes`` random
     hyperplane projections (similar vectors collide with high probability).
@@ -119,7 +153,15 @@ def lsh_bucket(
     ``first_plane`` offsets the deterministic plane indices so multiple
     independent hash tables (banded OR-amplification, as in MinHash LSH)
     can be built from disjoint plane sets.
+
+    Pass the vector as a SQL identifier/expression STRING for the fast
+    construction path (one cached JVM parse — see
+    :func:`_spark_lsh_bucket_sql`); a Column keeps the equivalent
+    Column-API tree (pinned identical by test_ann_lsh_string_and_column_
+    paths_agree).
     """
+    if isinstance(vec, str):
+        return F.expr(_spark_lsh_bucket_sql(vec, dim, planes, first_plane))
     bits = [_hyperplane_sign(vec, first_plane + p, dim) for p in range(planes)]
     out = F.lit(0)
     for b in bits:
@@ -159,7 +201,7 @@ def ann_lsh_topk(
     """
     corpus_buckets = F.posexplode(
         F.array(*[
-            lsh_bucket(F.col(vec_col), dim, planes, first_plane=t * planes)
+            lsh_bucket(f"`{vec_col}`", dim, planes, first_plane=t * planes)
             for t in range(tables)
         ])
     )
@@ -168,17 +210,21 @@ def ann_lsh_topk(
         F.col(vec_col).alias("__cvec"),
         corpus_buckets.alias("__table", "__bucket"),
     )
-    # per table: the query's own bucket + all Hamming-1 neighbors
-    probe_structs = [
-        F.struct(
-            F.lit(t).alias("__table"),
-            lsh_bucket(F.col(vec_col), dim, planes, first_plane=t * planes)
-            .bitwiseXOR(F.lit(flip))
-            .alias("__bucket"),
-        )
-        for t in range(tables)
-        for flip in (0, *[1 << p for p in range(planes)])
-    ]
+    # per table: the query's own bucket + all Hamming-1 neighbors.  The
+    # bucket expression is built ONCE per table and reused across flips
+    # (Column objects are immutable trees) — rebuilding it per probe
+    # multiplied the construction's py4j cost ~(planes+1)x for identical
+    # expressions
+    probe_structs = []
+    for t in range(tables):
+        bkt = lsh_bucket(f"`{vec_col}`", dim, planes, first_plane=t * planes)
+        for flip in (0, *[1 << p for p in range(planes)]):
+            probe_structs.append(
+                F.struct(
+                    F.lit(t).alias("__table"),
+                    bkt.bitwiseXOR(F.lit(flip)).alias("__bucket"),
+                )
+            )
     qb = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),

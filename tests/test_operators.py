@@ -1135,3 +1135,21 @@ def test_semantic_cluster_dedup_subset_and_recall(spark, sf_dir):
     n_exact, n_hit = exact.count(), got.intersect(exact).count()
     assert n_exact > 0 and n_hit == got.count()
     assert n_hit / n_exact >= 0.15, f"cluster-bucketed recall collapsed: {n_hit}/{n_exact}"
+
+
+def test_ann_lsh_string_and_column_paths_agree(spark, sf_dir):
+    """lsh_bucket's fast string path (one JVM-parsed SQL expression) must
+    produce bit-identical bucket signatures to the Column-API tree for
+    every (table, plane-offset) in use — they are two constructions of
+    the SAME arithmetic, and a divergence would silently re-bucket the
+    corpus differently from the oracle's replay."""
+    from spark_hadoop_automation_in_cloud_spark.operators.similarity import lsh_bucket
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    for first_plane in (0, 4, 20):
+        both = emb.select(
+            lsh_bucket("`embedding`", 64, 4, first_plane=first_plane).alias("s"),
+            lsh_bucket(F.col("embedding"), 64, 4, first_plane=first_plane).alias("c"),
+        )
+        assert both.where(F.col("s") != F.col("c")).count() == 0
+        assert both.select("s").distinct().count() > 1  # non-degenerate
