@@ -701,3 +701,63 @@ def test_streaming_quantile_sketch_maintenance(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_upsert_batch_repairs_crash_states(spark, tmp_path):
+    """The parquet swap protocol's documented crash recovery, exercised
+    state by state: (1) backup + live both present (crash AFTER the new
+    snapshot landed) -> backup dropped, live kept; (2) backup present,
+    live missing (crash MID-swap) -> backup restored before merging;
+    (3) a stale tmp dir is always discarded.  Each entry state must end
+    with a correct merged snapshot and no leftover tmp/bak directories."""
+    import os as _os
+    import shutil as _sh
+
+    from spark_hadoop_automation_in_cloud_spark.streaming.incremental import (
+        upsert_batch,
+    )
+
+    keys, order = ["k"], ["ts", "k"]
+    snap = str(tmp_path / "mart")
+
+    def write(path, rows):
+        spark.createDataFrame(rows, "k long, ts long, v string").write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    def read(path):
+        return {
+            (r["k"], r["ts"], r["v"]) for r in spark.read.parquet(path).collect()
+        }
+
+    # state 1: crash after swap — bak (old) and live (new) both present
+    write(snap, [(1, 10, "new")])
+    write(snap + ".bak-merge", [(1, 5, "old")])
+    upsert_batch(
+        spark.createDataFrame([(2, 1, "b")], "k long, ts long, v string"),
+        snap, keys, order,
+    )
+    assert read(snap) == {(1, 10, "new"), (2, 1, "b")}  # old backup NOT resurrected
+    assert not _os.path.isdir(snap + ".bak-merge") and not _os.path.isdir(snap + ".tmp-merge")
+
+    # state 2: crash mid-swap — live renamed away, new never landed
+    _sh.rmtree(snap)
+    write(snap + ".bak-merge", [(1, 5, "recovered")])
+    write(snap + ".tmp-merge", [(9, 9, "half-merged junk")])
+    upsert_batch(
+        spark.createDataFrame([(1, 7, "newer")], "k long, ts long, v string"),
+        snap, keys, order,
+    )
+    # backup restored, junk tmp discarded, then the batch merged over it
+    assert read(snap) == {(1, 7, "newer")}
+    assert not _os.path.isdir(snap + ".bak-merge") and not _os.path.isdir(snap + ".tmp-merge")
+
+    # state 3: stale tmp next to a healthy live snapshot
+    write(snap + ".tmp-merge", [(42, 1, "stale")])
+    upsert_batch(
+        spark.createDataFrame([(3, 2, "c")], "k long, ts long, v string"),
+        snap, keys, order,
+    )
+    got = read(snap)
+    assert (3, 2, "c") in got and not any(k == 42 for k, _, _ in got)
+    assert not _os.path.isdir(snap + ".tmp-merge")
