@@ -958,3 +958,141 @@ FROM inter
 JOIN sizes sl ON sl.doc_id = left_doc_id
 WHERE round(CAST(inter AS DOUBLE) / sl.n_sh, 6) >= {min_containment}
 """
+
+
+# --- incremental (cross-batch) exact dedup ----------------------------------
+#
+# The reference processes an incremental window of `depth` days per run
+# (/root/reference/src/keeper/keeper.py:10-56); a training-data pipeline has
+# the same shape: each run sees only the NEW batch of documents and must not
+# re-admit content that any earlier run already admitted.  Re-scanning the
+# full corpus per run is exactly what does not survive 100 TB, so the state
+# carried between runs is a *fingerprint index* — one tiny row per distinct
+# content hash, persisted as a parquet table and unioned/compacted run over
+# run — and each run is:
+#
+#   survivors = within-batch dedup(new batch)  ANTI-JOIN  index
+#
+# Both steps key on the content hash, so the batch side is shuffled ONCE
+# (Catalyst reuses the hash partitioning of the groupBy for the anti-join's
+# probe side), and the index side never rewrites history — append the new
+# survivors and move on.  At 100 TB the index is ~#distinct-docs rows of
+# (60-bit hash, id): petabytes of text collapse to a table that joins like
+# any other fact, bucketable by content_hash for a shuffle-free probe.
+
+
+def content_hash_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Persistable fingerprint index of a corpus batch.
+
+    One row per distinct content hash: (content_hash, canonical_id).  This
+    is the state handed to the NEXT run of :func:`incremental_dedup` —
+    write it out with ``io.write_datamart``/plain parquet and union it with
+    prior batches' indexes (or re-point at a compacted union).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("canonical_id"))
+    )
+
+
+def incremental_dedup(
+    new_batch: DataFrame, index: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Documents of ``new_batch`` that survive exact dedup against both the
+    batch itself and the persisted ``index`` of all earlier batches.
+
+    Output: (``id_col``, content_hash) — one row per NEW distinct content,
+    canonical = min id within the batch.  Exactly the rows to append to the
+    index for the next run (rename canonical → ``canonical_id``).
+
+    Plan shape: ONE shuffle of the batch on content_hash (map-side-combined
+    groupBy), then a LEFT ANTI equi-join on the same key — the batch side's
+    partitioning is reused, so only the index side moves.  No full-corpus
+    rescan, ever.
+    """
+    within = (
+        new_batch.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return within.join(
+        index.select("content_hash"), "content_hash", "left_anti"
+    ).select(id_col, "content_hash")
+
+
+def sql_incremental_dedup(
+    new_src: str, index_src: str, id_col: str, text_col: str
+) -> str:
+    """DuckDB oracle: within-batch min-id per hash, anti-joined vs index."""
+    return f"""
+WITH within AS (
+  SELECT md5({text_col}) AS content_hash, MIN({id_col}) AS {id_col}
+  FROM ({new_src}) GROUP BY 1
+)
+SELECT {id_col}, content_hash
+FROM within
+WHERE content_hash NOT IN (SELECT content_hash FROM ({index_src}))
+"""
+
+
+# --- cross-document repeated n-grams ----------------------------------------
+
+
+def repeated_ngram_doc_stats(shingles: DataFrame, min_doc_freq: int) -> DataFrame:
+    """Per-document cross-corpus passage-duplication stats.
+
+    A shingle is "repeated" when it occurs in >= ``min_doc_freq`` DISTINCT
+    documents (the ``shingles`` input is already distinct per (doc,
+    shingle) — :func:`shingle_rows` guarantees it).  Output per document:
+
+        doc_id, n_grams, n_repeated, rep_ratio (round 6dp)
+
+    This is the corpus-level signal behind "dedup repeated passages, not
+    just whole documents" (Lee et al., *Deduplicating Training Data Makes
+    Language Models Better*): a doc full of boilerplate shared with many
+    other docs scores rep_ratio → 1 even when no WHOLE document matches.
+
+    Scale shape: shingles are md5-compressed to int64 BEFORE any shuffle
+    (strings never travel), document frequency is ONE map-side-combined
+    count per gram hash, and the flag rejoins the gram stream on the same
+    hash key — two shuffles total, both on the gram hash, the second
+    reusing the first's partitioning.  Boilerplate grams are heavy keys on
+    the COUNT side (absorbed by partial aggregation), never a fan-out
+    join: the join multiplicity per gram is its doc frequency, i.e. the
+    inverted index itself.
+    """
+    g = shingles.select("doc_id", md5_int60(F.col("shingle")).alias("gh"))
+    df_counts = g.groupBy("gh").agg(F.count(F.lit(1)).alias("gram_df"))
+    flagged = g.join(df_counts, "gh")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("gram_df") >= min_doc_freq, 1).otherwise(0)
+            ).alias("n_repeated"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_repeated").cast("bigint").alias("n_repeated"),
+            F.round(F.col("n_repeated") / F.col("n_grams"), 6).alias("rep_ratio"),
+        )
+    )
+
+
+def sql_repeated_ngram_doc_stats(shingle_src_sql: str, min_doc_freq: int) -> str:
+    gh = sql_md5_int60("shingle")
+    return f"""
+WITH g AS (SELECT doc_id, {gh} AS gh FROM ({shingle_src_sql})),
+dfc AS (SELECT gh, COUNT(*) AS gram_df FROM g GROUP BY 1)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN gram_df >= {min_doc_freq} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeated,
+       round(CAST(SUM(CASE WHEN gram_df >= {min_doc_freq} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS rep_ratio
+FROM g JOIN dfc USING (gh)
+GROUP BY 1
+"""

@@ -72,11 +72,14 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q104_hll_distinct_rollup",
     "q105_countmin_persist_merge",
     # --- NEW operators this round (bloom semi-join pruning; SemDeDup
-    #     cluster-bucketed near-dup); their window slots displace q95 and
-    #     q89 (both r03-stamped, pytest-pinned, landing at age exactly 2
-    #     — the staleness bound)
+    #     cluster-bucketed near-dup; incremental cross-batch dedup;
+    #     repeated-passage n-gram stats); their window slots displace
+    #     q95/q89 and the tail of the r03 refresh block (all r03-stamped,
+    #     pytest-pinned, landing at age exactly 2 — the staleness bound)
     "q106_bloom_pruned_revenue",
     "q107_semantic_cluster_dedup",
+    "q108_incremental_dedup",
+    "q109_repeated_ngram_flags",
     # --- kernels changed in round 5
     "q102_price_quantile_sketch",  # quantile rank 1e-9 snap (both engines)
     "q96_kmeans_clusters",         # inline threshold on len(centroids)
@@ -4599,3 +4602,74 @@ def q107_semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "right_id",
         F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
     ).where(F.col("cosine_sim") >= 0.4)
+
+
+_INC_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':inc'), 1, 8)) AS BIGINT) % 4"
+)
+
+
+def _inc_bucket() -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":inc"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 4
+    )
+
+
+@register(
+    "q108_incremental_dedup",
+    dd.sql_incremental_dedup(
+        f"SELECT doc_id, text FROM documents WHERE {_INC_BUCKET_SQL} = 0",
+        f"""SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id
+            FROM documents WHERE {_INC_BUCKET_SQL} <> 0 GROUP BY 1""",
+        "doc_id",
+        "text",
+    ),
+    doc="Incremental cross-batch exact dedup (operators/dedup.py "
+    "incremental_dedup): the corpus is hash-split into an already-"
+    "ingested majority and a NEW batch (deterministic md5 bucket, the "
+    "q42 idiom); the prior batches are represented ONLY by their "
+    "persisted fingerprint index (content_hash_index — one tiny row "
+    "per distinct content), and the new batch survives via within-"
+    "batch min-id dedup + LEFT ANTI join against the index. This is "
+    "the run-over-run shape that avoids full-corpus rescans at 100 TB: "
+    "both steps key on content_hash, so the batch shuffles once and "
+    "the groupBy partitioning is reused by the anti-join probe. The "
+    "parquet persist half of the seam is pinned by "
+    "test_operators.py's multi-batch round-trip.",
+)
+def q108_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    bucket = _inc_bucket()
+    new_batch = d.where(bucket == 0).select("doc_id", "text")
+    prior = d.where(bucket != 0).select("doc_id", "text")
+    index = dd.content_hash_index(prior, "doc_id", "text")
+    return dd.incremental_dedup(new_batch, index, "doc_id", "text")
+
+
+@register(
+    "q109_repeated_ngram_flags",
+    dd.sql_repeated_ngram_doc_stats(
+        dd.sql_shingle_rows("documents", "doc_id", "text", n=3), min_doc_freq=3
+    ),
+    doc="Cross-document repeated-passage stats (operators/dedup.py "
+    "repeated_ngram_doc_stats): 3-word shingles, document frequency "
+    "per md5-int60 gram hash, per-doc repeated-gram ratio — the "
+    "passage-level duplication signal of Lee et al. 2022 that whole-"
+    "document dedup (q20/q108) cannot see. Strings are hash-compressed "
+    "before the shuffle; two map-side-combined shuffles on the gram "
+    "hash, the second reusing the first's partitioning; boilerplate "
+    "grams are heavy COUNT keys (absorbed by partial aggregation), and "
+    "the rejoin multiplicity per gram is exactly its document "
+    "frequency — the inverted index, not a quadratic blowup.",
+)
+def q109_repeated_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    sh = dd.shingle_rows(d, "doc_id", "text", n=3)
+    return dd.repeated_ngram_doc_stats(sh, min_doc_freq=3)

@@ -1153,3 +1153,86 @@ def test_ann_lsh_string_and_column_paths_agree(spark, sf_dir):
         )
         assert both.where(F.col("s") != F.col("c")).count() == 0
         assert both.select("s").distinct().count() > 1  # non-degenerate
+
+
+def test_incremental_dedup_multi_batch_roundtrip(spark, tmp_path):
+    """Three-batch incremental dedup with the fingerprint index PERSISTED
+    to parquet between runs (the run-over-run seam of
+    dedup.incremental_dedup): the union of per-batch survivors must cover
+    every distinct content exactly once, each hash admitted by the EARLIEST
+    batch containing it, and never re-admitted later — equivalently, the
+    survivor hash set equals global exact dedup's hash set."""
+    from spark_hadoop_automation_in_cloud_spark.operators.dedup import (
+        content_hash_index,
+        incremental_dedup,
+    )
+
+    texts = ["alpha beta", "gamma", "alpha beta", "delta", "gamma", "epsilon zeta"]
+    batches = [
+        [(0, texts[0]), (1, texts[1])],            # admits alpha-beta, gamma
+        [(2, texts[2]), (3, texts[3])],            # alpha-beta is a dup; delta new
+        [(4, texts[4]), (5, texts[5]), (6, texts[5])],  # gamma dup; epsilon once
+    ]
+    idx_dir = str(tmp_path / "fingerprint_index")
+    survivors = []
+    for i, rows in enumerate(batches):
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        if i == 0:
+            index = content_hash_index(
+                spark.createDataFrame([], "doc_id long, text string"),
+                "doc_id",
+                "text",
+            )
+        else:
+            index = spark.read.parquet(idx_dir)  # fresh scan of persisted state
+        surv = incremental_dedup(batch, index, "doc_id", "text")
+        survivors.extend((r["doc_id"], r["content_hash"]) for r in surv.collect())
+        # append this run's admissions to the persisted index
+        surv.withColumnRenamed("doc_id", "canonical_id").select(
+            "content_hash", "canonical_id"
+        ).write.mode("append").parquet(idx_dir)
+
+    assert sorted(survivors) == [
+        (0, _md5("alpha beta")),
+        (1, _md5("gamma")),
+        (3, _md5("delta")),
+        (5, _md5("epsilon zeta")),
+    ]
+    # the persisted index now equals global exact dedup's hash set
+    idx_hashes = {r["content_hash"] for r in spark.read.parquet(idx_dir).collect()}
+    assert idx_hashes == {_md5(t) for t in set(texts)}
+
+
+def _md5(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_repeated_ngram_doc_stats_hand_check(spark):
+    """Hand-checked doc-frequency semantics: a gram repeated WITHIN one doc
+    counts once (shingle_rows is distinct per doc), and min_doc_freq
+    thresholds on cross-document frequency."""
+    from spark_hadoop_automation_in_cloud_spark.operators.dedup import (
+        repeated_ngram_doc_stats,
+        shingle_rows,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # grams: "a b", "b c", "c d"
+            (2, "a b x a b"),      # grams: "a b", "b x", "x a" (a b counted once)
+            (3, "a b q"),          # grams: "a b", "b q"
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_repeated"], r["rep_ratio"])
+        for r in repeated_ngram_doc_stats(
+            shingle_rows(docs, "doc_id", "text", n=2), min_doc_freq=3
+        ).collect()
+    }
+    # only "a b" reaches df=3
+    assert out[1] == (3, 1, round(1 / 3, 6))
+    assert out[2] == (3, 1, round(1 / 3, 6))
+    assert out[3] == (2, 1, 0.5)
