@@ -115,3 +115,54 @@ SELECT {part_col}, doc_id, n_tok,
        CAST(LEAST(start_off + n_tok, (b + 1) * {capacity}) - start_off AS BIGINT) AS tok_end
 FROM e
 """
+
+
+def shard_assignments(
+    docs: DataFrame, id_col: str, n_shards: int, salt: str = ":shard"
+) -> DataFrame:
+    """Deterministic global-shuffle shard layout for training output.
+
+    Training consumers need the corpus in (a) a pseudo-random order that is
+    (b) exactly reproducible and (c) writable as N independent shard files.
+    Assign each document ``shard = md5(id || salt) mod n_shards`` and an
+    in-shard position by the md5 order (id tiebreak) — together a
+    deterministic permutation of the corpus, with no global sort anywhere:
+    the only shuffle keys on ``shard`` and each shard orders independently.
+
+    At 100 TB ``n_shards`` is sized so a shard fits an output file
+    (corpus_bytes / ~256 MB), keeping every in-shard window bounded; the
+    fixed small value here exists only so the oracle stays readable.
+
+    Output: (id, shard, pos) — ``pos`` is 1-based within the shard.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("shard").orderBy("shard_hash", id_col)
+    return (
+        docs.select(
+            F.col(id_col),
+            (h % n_shards).cast("int").alias("shard"),
+            h.alias("shard_hash"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def sql_shard_assignments(src: str, id_col: str, n_shards: int, salt: str = ":shard") -> str:
+    h = (
+        f"CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR) || '{salt}'), 1, 15))"
+        " AS BIGINT)"
+    )
+    return f"""
+SELECT {id_col},
+       CAST({h} % {n_shards} AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY {h} % {n_shards}
+                               ORDER BY {h}, {id_col}) AS BIGINT) AS pos
+FROM ({src})
+"""

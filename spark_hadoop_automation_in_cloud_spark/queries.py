@@ -80,6 +80,7 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q107_semantic_cluster_dedup",
     "q108_incremental_dedup",
     "q109_repeated_ngram_flags",
+    "q110_training_shards",
     # --- kernels changed in round 5
     "q102_price_quantile_sketch",  # quantile rank 1e-9 snap (both engines)
     "q96_kmeans_clusters",         # inline threshold on len(centroids)
@@ -4673,3 +4674,26 @@ def q109_repeated_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", parallelize=True)
     sh = dd.shingle_rows(d, "doc_id", "text", n=3)
     return dd.repeated_ngram_doc_stats(sh, min_doc_freq=3)
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.packing import (  # noqa: E402
+    shard_assignments,
+    sql_shard_assignments,
+)
+
+
+@register(
+    "q110_training_shards",
+    sql_shard_assignments("SELECT doc_id FROM documents", "doc_id", n_shards=8),
+    doc="Deterministic global-shuffle shard layout (operators/packing.py "
+    "shard_assignments): the write-side of a training pipeline — every "
+    "document gets a shard (md5 mod n_shards) and an exactly-"
+    "reproducible pseudo-random in-shard position, with NO global sort "
+    "anywhere in the plan: the single shuffle keys on shard and each "
+    "shard's row_number window orders independently. At 100 TB "
+    "n_shards tracks corpus_bytes/~256 MB so every window stays "
+    "file-sized; 8 here keeps the oracle readable.",
+)
+def q110_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    return shard_assignments(d.select("doc_id"), "doc_id", n_shards=8)

@@ -371,3 +371,22 @@ def test_headline_queries_no_scale_killers(spark, sf_dir):
         assert not single_partition_window(plan), name
         if name not in bnlj_intended:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q108_incremental_dedup_single_batch_shuffle(spark, sf_dir):
+    """The batch side must shuffle ONCE on content_hash: the within-batch
+    groupBy's partitioning is reused by the left-anti probe, so the plan
+    carries exactly two shuffle exchanges (batch hash + index hash) and
+    the anti join is an equi-join, never a nested loop."""
+    plan = explain_simple(q.q108_incremental_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q110_training_shards_no_global_sort(spark, sf_dir):
+    """The shard layout's only shuffle keys on shard; the in-shard
+    row_number must never serialize through a SinglePartition window."""
+    plan = explain_simple(q.q110_training_shards(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
