@@ -256,19 +256,24 @@ def pagerank(
         e = e.distinct()
     # edge construction may be expensive; it feeds 2 setup frames + the loop
     e = e.localCheckpoint()
-    nodes = e.select(F.col("src").alias("node")).unionByName(
-        e.select(F.col("dst").alias("node"))
-    ).distinct()
     # node state: (node, deg) — deg NULL marks a dangling node.  Carrying
     # deg inside the rank frame removes both per-round joins the old shape
     # paid (rank⋈degree for contributions, rank⋈dangling for the mass).
-    nd = nodes.join(
-        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed(
-            "src", "node"
-        ),
-        "node",
-        "left",
-    ).localCheckpoint()
+    # Built in ONE map-side-combined aggregation over the edge endpoints
+    # (src endpoints count toward degree, dst endpoints only assert node
+    # existence) — the previous distinct-union ⋈ degree-aggregate shape
+    # paid two exchanges and a join for the identical (node, deg) rows.
+    nd = (
+        e.select(F.col("src").alias("node"), F.lit(1).alias("__is_src"))
+        .unionByName(e.select(F.col("dst").alias("node"), F.lit(0).alias("__is_src")))
+        .groupBy("node")
+        .agg(F.sum("__is_src").alias("__deg_raw"))
+        .select(
+            "node",
+            F.when(F.col("__deg_raw") > 0, F.col("__deg_raw")).alias("deg"),
+        )
+        .localCheckpoint()
+    )
     n = nd.count()  # one scalar the driver legitimately needs
     # one-time scalar: a graph with no dangling nodes (e.g. any symmetric
     # graph) skips the per-round dangling-mass job entirely; adding the
