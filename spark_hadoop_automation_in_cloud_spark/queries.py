@@ -84,6 +84,7 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q108_incremental_dedup",
     "q109_repeated_ngram_flags",
     "q110_training_shards",
+    "q111_streaming_incremental_dedup",
     # --- kernels changed in round 5
     "q102_price_quantile_sketch",  # quantile rank 1e-9 snap (both engines)
     "q96_kmeans_clusters",         # inline threshold on len(centroids)
@@ -4700,3 +4701,72 @@ from spark_hadoop_automation_in_cloud_spark.operators.packing import (  # noqa: 
 def q110_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", parallelize=True)
     return shard_assignments(d.select("doc_id"), "doc_id", n_shards=8)
+
+
+@register(
+    "q111_streaming_incremental_dedup",
+    """
+WITH d AS (
+  SELECT doc_id, md5(text) AS content_hash,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sb'), 1, 8)) AS BIGINT)
+           % 3 AS b
+  FROM documents
+),
+fb AS (SELECT content_hash, MIN(b) AS batch_id FROM d GROUP BY 1)
+SELECT MIN(d.doc_id) AS canonical_id,
+       d.content_hash,
+       CAST(fb.batch_id AS BIGINT) AS batch_id
+FROM d JOIN fb ON d.content_hash = fb.content_hash AND d.b = fb.batch_id
+GROUP BY d.content_hash, fb.batch_id
+""",
+    doc="Streaming dedup-on-arrival (streaming/incremental.py "
+    "run_streaming_incremental_dedup): documents arrive as three "
+    "deterministic micro-batches (md5-bucket files, mtime-ordered, "
+    "maxFilesPerTrigger=1 under ONE availableNow drain) and each batch "
+    "is deduped against the partitioned fingerprint index of every "
+    "earlier epoch, its survivors becoming the index's next "
+    "batch_id partition — the index IS the survivor store, replay-"
+    "idempotent because a batch reads only batch_id < epoch (partition-"
+    "pruned) and overwrites its own partition. Oracle: first-seen-"
+    "bucket semantics in plain SQL — survivor = min doc_id within the "
+    "EARLIEST bucket containing the hash. The checkpoint-resume and "
+    "replay halves are pinned by test_streaming.py.",
+)
+def q111_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from spark_hadoop_automation_in_cloud_spark.streaming.incremental import (
+        run_streaming_incremental_dedup,
+    )
+
+    root = tempfile.mkdtemp(prefix="q111_")
+    src, idx, ckpt = f"{root}/src", f"{root}/index", f"{root}/ckpt"
+    d = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sb"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 3
+    )
+    # one file per bucket, mtimes strictly ascending so the file source's
+    # timestamp ordering maps bucket b -> epoch b deterministically
+    t0 = 1_700_000_000
+    for b in range(3):
+        path = f"{src}/b{b}"
+        d.where(bucket == b).select("doc_id", "text").coalesce(1).write.parquet(path)
+        for fname in os.listdir(path):
+            os.utime(os.path.join(path, fname), (t0 + b * 100, t0 + b * 100))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    run_streaming_incremental_dedup(stream, idx, ckpt, "doc_id", "text")
+    return spark.read.parquet(idx).select(
+        "canonical_id", "content_hash", F.col("batch_id").cast("bigint").alias("batch_id")
+    )

@@ -270,3 +270,78 @@ def run_incremental_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+# --- streaming incremental dedup --------------------------------------------
+#
+# Dedup-on-arrival: the streaming twin of ``operators.dedup.
+# incremental_dedup``.  Each micro-batch is deduped against the persisted
+# fingerprint index built from every EARLIER batch, and its survivors
+# become the index's next partition — the index doubles as the survivor
+# store, so there is exactly one growing table of state and it carries
+# set semantics (one row per first-seen content hash).
+#
+# Replay safety WITHOUT a transactional table format: each batch's
+# survivors land in their own ``batch_id=<epoch>`` partition directory via
+# an overwrite, and the index a batch dedups against is the PRUNED read
+# ``batch_id < epoch`` — a replayed micro-batch (same epoch, same rows:
+# the file-source contract) recomputes the identical survivor set and
+# overwrites its own partition, never seeing its failed attempt as
+# "already ingested".  Partition pruning keeps the exclusion free at any
+# index size.
+
+
+def dedup_batch_against_index(
+    batch: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    epoch_id: int,
+) -> None:
+    """foreachBatch body (exposed for direct testing): dedup ``batch``
+    against index partitions with ``batch_id < epoch_id``, then overwrite
+    this epoch's partition with the survivors."""
+    from pyspark.errors import AnalysisException
+
+    from spark_hadoop_automation_in_cloud_spark.operators.dedup import incremental_dedup
+
+    spark = batch.sparkSession
+    try:
+        index = spark.read.parquet(index_path).where(F.col("batch_id") < epoch_id)
+    except AnalysisException:  # first batch: no index yet
+        index = spark.createDataFrame([], "content_hash string")
+    survivors = incremental_dedup(batch, index, id_col, text_col)
+    (
+        survivors.withColumnRenamed(id_col, "canonical_id")
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/batch_id={epoch_id}")
+    )
+
+
+def run_streaming_incremental_dedup(
+    stream_docs: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str,
+    text_col: str,
+) -> None:
+    """Drain ``stream_docs`` (availableNow) through per-batch incremental
+    dedup into the partitioned fingerprint index at ``index_path``.
+
+    Resumable: the checkpoint carries the epoch counter, so successive
+    runs over a growing source directory keep extending the same index —
+    the cron-shaped "dedup whatever arrived since last run" job.  Batch
+    granularity is the source's ``maxFilesPerTrigger`` knob, as with
+    :func:`run_incremental_upsert`.
+    """
+    q = (
+        stream_docs.writeStream.foreachBatch(
+            lambda bdf, bid: dedup_batch_against_index(
+                bdf, index_path, id_col, text_col, bid
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -761,3 +761,59 @@ def test_upsert_batch_repairs_crash_states(spark, tmp_path):
     got = read(snap)
     assert (3, 2, "c") in got and not any(k == 42 for k, _, _ in got)
     assert not _os.path.isdir(snap + ".tmp-merge")
+
+
+def test_streaming_incremental_dedup_multi_run_and_replay(spark, tmp_path):
+    """Three cron-shaped availableNow runs over a growing source dir must
+    build the same fingerprint index as batch-sequential incremental
+    dedup, and a replayed micro-batch (same epoch, same rows) must be a
+    no-op: the epoch's partition is recomputed identically, never seeing
+    its own failed attempt as already-ingested state."""
+    from spark_hadoop_automation_in_cloud_spark.streaming.incremental import (
+        dedup_batch_against_index,
+        run_streaming_incremental_dedup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    batches = [
+        [(0, "alpha beta"), (1, "gamma")],
+        [(2, "alpha beta"), (3, "delta")],               # alpha-beta dup
+        [(4, "gamma"), (5, "epsilon"), (6, "epsilon")],  # gamma dup, in-batch dup
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        run_streaming_incremental_dedup(stream, idx, ckpt, "doc_id", "text")
+
+    got = {
+        (r["canonical_id"], r["content_hash"], r["batch_id"])
+        for r in spark.read.parquet(idx).collect()
+    }
+    import hashlib
+
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got == {
+        (0, h("alpha beta"), 0),
+        (1, h("gamma"), 0),
+        (3, h("delta"), 1),
+        (5, h("epsilon"), 2),
+    }
+
+    # replay epoch 2: identical survivors, partition overwritten not doubled
+    replay = spark.createDataFrame(batches[2], "doc_id long, text string")
+    dedup_batch_against_index(replay, idx, "doc_id", "text", 2)
+    again = {
+        (r["canonical_id"], r["content_hash"], r["batch_id"])
+        for r in spark.read.parquet(idx).collect()
+    }
+    assert again == got
+    assert spark.read.parquet(idx).count() == 4

@@ -39,6 +39,16 @@ QUERIES = [
     # the vocabulary stays constant (replicas add no new types) — the
     # worst case for the token->vocab join's build side reuse
     "q101_unigram_lm_quality",
+    # incremental dedup: replicas are EXACT duplicates under fresh ids, so
+    # each content hash collects scale x the docs — the pile-on-one-key
+    # stress for the within-batch combine + index anti-join
+    "q108_incremental_dedup",
+    # repeated-passage stats: replication multiplies every gram's document
+    # frequency by scale, growing the df-rejoin multiplicity (the op's
+    # only fan-out) by exactly the factor — worst case for that join
+    "q109_repeated_ngram_flags",
+    # shard layout: pure shuffle + per-shard window, should track input
+    "q110_training_shards",
 ]
 
 #: events-table operators: replication shifts user_id/event_id per copy, so
