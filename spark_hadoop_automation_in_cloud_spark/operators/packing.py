@@ -166,3 +166,61 @@ SELECT {id_col},
                                ORDER BY {h}, {id_col}) AS BIGINT) AS pos
 FROM ({src})
 """
+
+
+def token_budget_selection(
+    scored: DataFrame,
+    part_col: str,
+    id_col: str,
+    quality_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy per-source data selection under a token budget.
+
+    The selection step of quality-filtered pretraining mixes: within each
+    ``part_col`` stratum, take documents best-first (``quality_col``
+    descending, ``id_col`` tiebreak) until the budget is spent — a
+    document is kept when the tokens BEFORE it are still under budget, so
+    the boundary document may overshoot (deterministic, and the usual
+    choice: a budget cut mid-document is the packer's job, q92, not the
+    selector's).
+
+    One window per stratum (quality sort + running token sum), parallel
+    across sources — the same no-global-sort shape as :func:`pack_sequences`;
+    a stratum's window is bounded by that source's catalog, not the corpus.
+
+    Output: input columns + ``cum_tokens`` (inclusive running sum over the
+    kept prefix order).
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col(quality_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col).cast("bigint")).over(w)
+    return (
+        scored.withColumn("cum_tokens", cum)
+        .where(F.col("cum_tokens") - F.col(tokens_col) < budget)
+    )
+
+
+def sql_token_budget_selection(
+    scored_sql: str,
+    part_col: str,
+    id_col: str,
+    quality_col: str,
+    tokens_col: str,
+    budget: int,
+) -> str:
+    return f"""
+SELECT * FROM (
+  SELECT s.*,
+         CAST(SUM(CAST({tokens_col} AS BIGINT)) OVER (
+           PARTITION BY {part_col}
+           ORDER BY {quality_col} DESC, {id_col}
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM ({scored_sql}) s
+)
+WHERE cum_tokens - {tokens_col} < {budget}
+"""

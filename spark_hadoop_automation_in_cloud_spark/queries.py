@@ -85,6 +85,7 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q109_repeated_ngram_flags",
     "q110_training_shards",
     "q111_streaming_incremental_dedup",
+    "q112_token_budget_selection",
     # --- kernels changed in round 5
     "q102_price_quantile_sketch",  # quantile rank 1e-9 snap (both engines)
     "q96_kmeans_clusters",         # inline threshold on len(centroids)
@@ -4769,4 +4770,44 @@ def q111_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFr
     run_streaming_incremental_dedup(stream, idx, ckpt, "doc_id", "text")
     return spark.read.parquet(idx).select(
         "canonical_id", "content_hash", F.col("batch_id").cast("bigint").alias("batch_id")
+    )
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.packing import (  # noqa: E402
+    sql_token_budget_selection,
+    token_budget_selection,
+)
+
+_Q112_SCORED_SQL = f"""
+SELECT d.source, q.doc_id, q.quality, q.n_tokens
+FROM ({tx.sql_quality_score("documents", "doc_id", "text")}) q
+JOIN documents d ON d.doc_id = q.doc_id
+"""
+
+
+@register(
+    "q112_token_budget_selection",
+    sql_token_budget_selection(
+        _Q112_SCORED_SQL, "source", "doc_id", "quality", "n_tokens", budget=2000
+    ),
+    doc="Greedy per-source data selection under a token budget "
+    "(operators/packing.py token_budget_selection): documents ranked "
+    "best-first by the q27 quality score within each source, kept while "
+    "the running token sum stays under budget — the selection step of a "
+    "quality-filtered pretraining mix (the boundary doc may overshoot; "
+    "mid-document cuts are the packer's job, q92). One window per "
+    "source stratum (no global sort), so at 100 TB the sort is bounded "
+    "by a source's catalog, not the corpus. Quality is the exact "
+    "integer-arithmetic composite both engines compute bit-identically, "
+    "so the prefix order — and therefore the cut — cannot diverge.",
+)
+def q112_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    scored = (
+        tx.quality_score(d, "doc_id", "text")
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "doc_id", "quality", "n_tokens")
+    )
+    return token_budget_selection(
+        scored, "source", "doc_id", "quality", "n_tokens", budget=2000
     )

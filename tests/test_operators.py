@@ -1236,3 +1236,28 @@ def test_repeated_ngram_doc_stats_hand_check(spark):
     assert out[1] == (3, 1, round(1 / 3, 6))
     assert out[2] == (3, 1, round(1 / 3, 6))
     assert out[3] == (2, 1, 0.5)
+
+
+def test_token_budget_selection_semantics(spark):
+    """Hand-checked greedy budget cut: best-first order, boundary doc may
+    overshoot, next doc excluded, strata independent."""
+    from spark_hadoop_automation_in_cloud_spark.operators.packing import (
+        token_budget_selection,
+    )
+
+    rows = [
+        # source, id, quality, tokens
+        ("s1", 1, 0.9, 60),   # kept (start 0)
+        ("s1", 2, 0.8, 50),   # kept (start 60 < 100, overshoots to 110)
+        ("s1", 3, 0.7, 10),   # dropped (start 110 >= 100)
+        ("s2", 4, 0.1, 99),   # kept (own stratum, start 0)
+        ("s2", 5, 0.05, 1),   # kept (start 99 < 100)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, quality double, n_tokens int")
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in token_budget_selection(
+            df, "source", "doc_id", "quality", "n_tokens", budget=100
+        ).collect()
+    }
+    assert got == {1: 60, 2: 110, 4: 99, 5: 100}
