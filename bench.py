@@ -67,9 +67,12 @@ HEADLINE = [
     # so regressions there must be visible round-over-round
     "q69_pagerank",
     "q96_kmeans_clusters",
-    # round-5 addition: bloom semi-join pruning (build + row-local probe
-    # + exact join) — the explicit runtime-filter pattern
+    # round-5 additions: bloom semi-join pruning (build + row-local probe
+    # + exact join) — the explicit runtime-filter pattern — and the
+    # repeated-passage stats, whose df-rejoin is the round's one new
+    # data-dependent fan-out (SCALING.json pins it sublinear at 10x)
     "q106_bloom_pruned_revenue",
+    "q109_repeated_ngram_flags",
 ]
 
 

@@ -49,6 +49,9 @@ QUERIES = [
     "q109_repeated_ngram_flags",
     # shard layout: pure shuffle + per-shard window, should track input
     "q110_training_shards",
+    # budget selection: per-source windows grow with the factor while the
+    # stratum count stays fixed — the worst case for the quality-sort
+    "q112_token_budget_selection",
 ]
 
 #: events-table operators: replication shifts user_id/event_id per copy, so
