@@ -306,10 +306,16 @@ def dedup_batch_against_index(
     from spark_hadoop_automation_in_cloud_spark.operators.dedup import incremental_dedup
 
     spark = batch.sparkSession
-    try:
-        index = spark.read.parquet(index_path).where(F.col("batch_id") < epoch_id)
-    except AnalysisException:  # first batch: no index yet
+    # cheap existence probe for local paths so the expected first-batch
+    # miss doesn't log a JVM FileNotFound stack trace; remote URIs fall
+    # through to the read and its caught AnalysisException
+    if "://" not in index_path and not os.path.isdir(index_path):
         index = spark.createDataFrame([], "content_hash string")
+    else:
+        try:
+            index = spark.read.parquet(index_path).where(F.col("batch_id") < epoch_id)
+        except AnalysisException:  # first batch: no index yet
+            index = spark.createDataFrame([], "content_hash string")
     survivors = incremental_dedup(batch, index, id_col, text_col)
     (
         survivors.withColumnRenamed(id_col, "canonical_id")
