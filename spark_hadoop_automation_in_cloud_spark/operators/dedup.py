@@ -1096,3 +1096,138 @@ SELECT doc_id,
 FROM g JOIN dfc USING (gh)
 GROUP BY 1
 """
+
+
+# --- incremental (cross-batch) NEAR-dup: persisted band index ---------------
+
+
+def minhash_band_index(signatures: DataFrame) -> DataFrame:
+    """Persistable LSH band index of an admitted corpus.
+
+    One row per (doc, band): band_idx, band_key, doc_id, mh_0..mh_N — the
+    signature columns ride along so a future batch can score est_jaccard
+    against collisions without re-reading the admitted documents' text.
+    Partition/bucket the persisted table by band_key at scale: the probe
+    join below is then co-located.
+    """
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh_{b * ROWS_PER_BAND + r}")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(NUM_BANDS)
+        ]
+    )
+    return signatures.select("*", F.explode(band_structs).alias("__band")).select(
+        F.col("__band.band_idx").alias("band_idx"),
+        F.col("__band.band_key").alias("band_key"),
+        "doc_id",
+        *[f"mh_{i}" for i in range(NUM_PERM)],
+    )
+
+
+def incremental_minhash_dedup(
+    new_signatures: DataFrame,
+    band_index: DataFrame,
+    min_est_jaccard: float,
+) -> DataFrame:
+    """New-batch documents admitted by near-dup screening against (a) the
+    persisted ``band_index`` of all earlier batches and (b) the batch
+    itself.
+
+    A new document is DROPPED when any band collision scores
+    ``est_jaccard >= min_est_jaccard`` against an admitted document, or
+    against a SMALLER-id document of its own batch (one-pass rule: the
+    smaller-id doc's own fate does not rescue the larger — monotone and
+    distributed-friendly where true sequential admission would chain;
+    same canonical-id convention as :func:`exact_dedup_groups`).  Output:
+    the admitted (doc_id, mh_0..mh_N) rows — exactly what
+    :func:`minhash_band_index` turns into the index's next increment.
+
+    Scale shape: both screens are equi-joins on (band_idx, band_key) —
+    the probe side is the new batch's bands (small per run), the index
+    side is partitioned by the same key, and est_jaccard is computed from
+    the signature columns already in the colliding rows (no text access,
+    no extra shuffle).  This is how a crawl pipeline near-dups each new
+    snapshot against petabytes of admitted corpus without rescanning it.
+    """
+    new_bands = minhash_band_index(new_signatures)
+    matches = sum(
+        (F.col(f"l.mh_{i}") == F.col(f"r.mh_{i}")).cast("int")
+        for i in range(NUM_PERM)
+    )
+    est = matches / F.lit(float(NUM_PERM))
+    l = new_bands.alias("l")
+    dropped_vs_index = (
+        l.join(
+            band_index.alias("r"),
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key")),
+        )
+        .where(est >= min_est_jaccard)
+        .select(F.col("l.doc_id").alias("doc_id"))
+    )
+    dropped_within = (
+        new_bands.alias("r")
+        .join(
+            l,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .where(est >= min_est_jaccard)
+        .select(F.col("r.doc_id").alias("doc_id"))
+    )
+    dropped = dropped_vs_index.unionByName(dropped_within).distinct()
+    return new_signatures.join(dropped, "doc_id", "left_anti")
+
+
+def sql_incremental_minhash_dedup(
+    new_sigs_sql: str, index_sigs_sql: str, min_est_jaccard: float
+) -> str:
+    """DuckDB oracle: band both signature sets, apply the same two screens."""
+
+    def banded(src: str) -> str:
+        return "\nUNION ALL\n".join(
+            f"SELECT doc_id, {b} AS band_idx, "
+            + " || '_' || ".join(
+                f"CAST(mh_{b * ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(ROWS_PER_BAND)
+            )
+            + " AS band_key, "
+            + ", ".join(f"mh_{i}" for i in range(NUM_PERM))
+            + f" FROM ({src})"
+            for b in range(NUM_BANDS)
+        )
+
+    matches = " + ".join(
+        f"(CASE WHEN l.mh_{i} = r.mh_{i} THEN 1 ELSE 0 END)" for i in range(NUM_PERM)
+    )
+    est = f"({matches}) / {float(NUM_PERM)}"
+    cols = ", ".join(f"mh_{i}" for i in range(NUM_PERM))
+    return f"""
+WITH new_sigs AS ({new_sigs_sql}),
+index_sigs AS ({index_sigs_sql}),
+nb AS ({banded("SELECT * FROM new_sigs")}),
+ib AS ({banded("SELECT * FROM index_sigs")}),
+dropped AS (
+  SELECT DISTINCT l.doc_id
+  FROM nb l JOIN ib r ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+  WHERE {est} >= {min_est_jaccard}
+  UNION
+  SELECT DISTINCT r.doc_id
+  FROM nb l JOIN nb r ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+       AND l.doc_id < r.doc_id
+  WHERE {est} >= {min_est_jaccard}
+)
+SELECT doc_id, {cols}
+FROM new_sigs
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+"""

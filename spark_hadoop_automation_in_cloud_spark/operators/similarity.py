@@ -539,3 +539,88 @@ SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
     PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
   FROM scored) WHERE rank <= {k}
 """
+
+
+def hard_negative_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-k most-similar corpus vectors whose ``label_col`` DIFFERS —
+    the near-misses that make the best negatives (harder than random,
+    cleaner than same-label false negatives).
+
+    Same plan as :func:`cosine_topk` — broadcast queries × corpus scan,
+    the corpus is never shuffled — with the label-mismatch predicate
+    applied BEFORE ranking so the window ranks only eligible negatives.
+    Output: query_id, neighbor_id, neighbor_label, cosine_sim, rank.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            F.col(label_col).alias("__qlabel"),
+        )
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("__qlabel") != F.col("neighbor_label"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def sql_hard_negative_topk(
+    corpus_src: str,
+    query_pred: str,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> str:
+    dot = (
+        "list_sum(list_transform(list_zip(q.__qvec, c.__cvec), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    nq = "sqrt(list_sum(list_transform(q.__qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    nc = "sqrt(list_sum(list_transform(c.__cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS query_id, {vec_col} AS __qvec, {label_col} AS __qlabel
+  FROM {corpus_src} WHERE {query_pred}
+),
+c AS (
+  SELECT {id_col} AS neighbor_id, {vec_col} AS __cvec, {label_col} AS neighbor_label
+  FROM {corpus_src}
+),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, c.neighbor_label,
+         round({dot} / ({nq} * {nc}), 6) AS cosine_sim
+  FROM q CROSS JOIN c
+  WHERE q.__qlabel <> c.neighbor_label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, neighbor_label, cosine_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

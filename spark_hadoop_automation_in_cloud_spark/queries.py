@@ -87,6 +87,8 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q110_training_shards",
     "q111_streaming_incremental_dedup",
     "q112_token_budget_selection",
+    "q113_incremental_minhash_dedup",
+    "q114_hard_negatives",
     # --- kernels changed in round 5
     "q102_price_quantile_sketch",  # quantile rank 1e-9 snap (both engines)
     "q96_kmeans_clusters",         # inline threshold on len(centroids)
@@ -4812,3 +4814,65 @@ def q112_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_selection(
         scored, "source", "doc_id", "quality", "n_tokens", budget=2000
     )
+
+
+def _q113_sqls() -> str:
+    shingles_new = dd.sql_shingle_rows(
+        f"(SELECT * FROM documents WHERE {_INC_BUCKET_SQL} = 0)", "doc_id", "text", n=2
+    )
+    shingles_idx = dd.sql_shingle_rows(
+        f"(SELECT * FROM documents WHERE {_INC_BUCKET_SQL} <> 0)", "doc_id", "text", n=2
+    )
+    return dd.sql_incremental_minhash_dedup(
+        dd.sql_minhash_signatures(shingles_new),
+        dd.sql_minhash_signatures(shingles_idx),
+        min_est_jaccard=0.5,
+    )
+
+
+@register(
+    "q113_incremental_minhash_dedup",
+    _q113_sqls(),
+    doc="Incremental NEAR-dup screening (operators/dedup.py "
+    "incremental_minhash_dedup): the fuzzy twin of q108 — a new batch's "
+    "MinHash signatures are screened against the persisted LSH band "
+    "index of the admitted corpus (minhash_band_index carries the "
+    "signature columns, so est_jaccard is scored from the colliding "
+    "rows without touching admitted text) plus a one-pass smaller-id "
+    "screen within the batch. Both screens are equi-joins on (band_idx, "
+    "band_key) with the index side bucketable by that key — new-crawl-"
+    "vs-petabyte-corpus near-dup without rescanning the corpus. Output "
+    "= admitted signatures, i.e. exactly the index's next increment.",
+)
+def q113_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    bucket = _inc_bucket()
+    sigs = lambda df: dd.minhash_signatures(  # noqa: E731
+        dd.shingle_rows(df, "doc_id", "text", n=2)
+    )
+    new_sigs = sigs(d.where(bucket == 0))
+    index = dd.minhash_band_index(sigs(d.where(bucket != 0)))
+    return dd.incremental_minhash_dedup(new_sigs, index, min_est_jaccard=0.5)
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.similarity import (  # noqa: E402
+    hard_negative_topk,
+    sql_hard_negative_topk,
+)
+
+
+@register(
+    "q114_hard_negatives",
+    sql_hard_negative_topk("embeddings", "vec_id < 10", k=5),
+    doc="Hard-negative mining for contrastive training "
+    "(operators/similarity.py hard_negative_topk): per query vector, "
+    "the top-5 most-cosine-similar corpus vectors with a DIFFERENT "
+    "label — broadcast query side over an unshuffled corpus scan (the "
+    "q24 plan) with the label-mismatch predicate applied before the "
+    "per-query ranking window. Similarities rounded to 6dp pre-rank, "
+    "neighbor-id tiebreak — the engineered-determinism discipline of "
+    "the ANN family.",
+)
+def q114_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
+    return hard_negative_topk(emb, emb.where(F.col("vec_id") < 10), k=5)

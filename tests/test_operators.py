@@ -1261,3 +1261,40 @@ def test_token_budget_selection_semantics(spark):
         ).collect()
     }
     assert got == {1: 60, 2: 110, 4: 99, 5: 100}
+
+
+def test_incremental_minhash_dedup_screens_and_index_roundtrip(spark, tmp_path):
+    """Near-dup screening semantics + the parquet persist of the band
+    index: an exact duplicate of an ADMITTED doc is dropped via the
+    index screen (after a disk round-trip of the index), a within-batch
+    duplicate keeps only the smaller id, and a novel doc is admitted —
+    whose band rows then extend the index."""
+    from spark_hadoop_automation_in_cloud_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_index,
+        minhash_signatures,
+        shingle_rows,
+    )
+
+    def sigs(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return minhash_signatures(shingle_rows(df, "doc_id", "text", n=2))
+
+    admitted = sigs([(1, "the quick brown fox jumps over the lazy dog")])
+    idx_path = str(tmp_path / "band_index")
+    minhash_band_index(admitted).write.parquet(idx_path)
+
+    new = sigs(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+            (11, "entirely different words appear in this novel document"),
+            (12, "entirely different words appear in this novel document"),  # dup of 11
+        ]
+    )
+    index = spark.read.parquet(idx_path)
+    surv = incremental_minhash_dedup(new, index, min_est_jaccard=0.5)
+    assert sorted(r["doc_id"] for r in surv.collect()) == [11]
+    # admitted survivors extend the persisted index
+    minhash_band_index(surv).write.mode("append").parquet(idx_path)
+    ids = {r["doc_id"] for r in spark.read.parquet(idx_path).select("doc_id").distinct().collect()}
+    assert ids == {1, 11}
