@@ -58,16 +58,16 @@ def register(name: str, sql: str | None, doc: str = ""):
 # oracle-registered: salted full-outer join, HLL rollup, count-min
 # persist/merge chain), then every kernel changed in round 5 itself, then
 # the NINE rows whose last driver stamp is r02 (the oldest on the board —
-# VERDICT r4 item 2 verbatim), then 26 of the 43 r03-stamped rows (the
-# seven new-operator rows q106-q112 displace the r03 tail: q57 closes
-# the 50-row window; q65/q67/q73/q74/q79 overflow it).  The r03 rows
-# left out of the window (q14 local-time cast, q34 struct flatten, q38
-# moving average, q43 session gaps, q51 profile aggregate, q53 range
-# average, q70 forward fill, q71 map explode, q72 funnel, q80 lag
-# features, plus the overflowed q65 stream-stream join / q67
-# stream-static join / q73 retention / q74 scd2 / q79 growth accounting
-# — all kernels untouched since r03, pinned by local pytest) land at
-# age exactly 2, the verdict's staleness bound.
+# VERDICT r4 item 2 verbatim), then 24 of the 43 r03-stamped rows (the
+# nine new-operator rows q106-q114 displace the r03 tail: q45 closes
+# the 50-row window; q50/q57/q65/q67/q73/q74/q79 overflow it).  The r03
+# rows left out of the window (q14 local-time cast, q34 struct flatten,
+# q38 moving average, q43 session gaps, q51 profile aggregate, q53
+# range average, q70 forward fill, q71 map explode, q72 funnel, q80 lag
+# features, plus the overflowed q50 fuzzy pairs / q57 streaming dedup /
+# q65 stream-stream join / q67 stream-static join / q73 retention /
+# q74 scd2 / q79 growth accounting — all kernels untouched since r03,
+# pinned by local pytest) land at age exactly 2, the staleness bound.
 # Local pytest parity (tests/test_oracle_parity.py) still covers every
 # registered query regardless of position.
 _ROTATE_FIRST: tuple[str, ...] = (
