@@ -4771,6 +4771,13 @@ def q111_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFr
         .parquet(f"{src}/*")
     )
     run_streaming_incremental_dedup(stream, idx, ckpt, "doc_id", "text")
+    # the drain is complete: the result below reads only the index, so the
+    # source files and checkpoint are dead weight — drop them now rather
+    # than leaving three dirs per invocation in TMPDIR
+    import shutil
+
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(idx).select(
         "canonical_id", "content_hash", F.col("batch_id").cast("bigint").alias("batch_id")
     )

@@ -390,3 +390,11 @@ def test_q110_training_shards_no_global_sort(spark, sf_dir):
     plan = explain_simple(q.q110_training_shards(spark, sf_dir))
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q113_incremental_neardup_equi_joins_only(spark, sf_dir):
+    """Both near-dup screens must be band-key equi-joins: no cartesian,
+    no nested-loop broadcast anywhere in the plan."""
+    plan = explain_simple(q.q113_incremental_minhash_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -52,6 +52,10 @@ QUERIES = [
     # budget selection: per-source windows grow with the factor while the
     # stratum count stays fixed — the worst case for the quality-sort
     "q112_token_budget_selection",
+    # incremental near-dup: replicas are exact dups, so every band bucket
+    # collects scale x the docs — the pile-on stress for BOTH screens'
+    # band-key joins
+    "q113_incremental_minhash_dedup",
 ]
 
 #: events-table operators: replication shifts user_id/event_id per copy, so
