@@ -65,3 +65,27 @@ def sql_perm_hash(expr: str, a: int, b: int) -> str:
     a32 = (a % 0x7FFFFFFF) | 1
     b32 = b % 0x7FFFFFFF
     return f"((({expr}) % 4294967295) * {a32} + {b32}) % 2147483647"
+
+
+def md5_prefix_int(col: Column, nhex: int, salt: str | None = None) -> Column:
+    """First ``nhex`` hex chars of md5(str(col) [|| salt]) as a BIGINT.
+
+    The ONE definition of the repo's deterministic-bucket idiom (hash
+    splits, stratified buckets, shard keys): nhex <= 15 keeps the value
+    inside a signed 64-bit integer, and the optional salt decorrelates
+    independent uses of the same id column.  The SQL twin below must stay
+    byte-equivalent — every Spark caller has a DuckDB oracle replaying
+    the identical arithmetic.
+    """
+    if not 1 <= nhex <= 15:
+        raise ValueError(f"nhex must be in [1, 15], got {nhex}")
+    s = col.cast("string") if salt is None else F.concat(col.cast("string"), F.lit(salt))
+    return F.conv(F.substring(F.md5(s), 1, nhex), 16, 10).cast("bigint")
+
+
+def sql_md5_prefix_int(expr: str, nhex: int, salt: str | None = None) -> str:
+    """DuckDB equivalent of :func:`md5_prefix_int`."""
+    if not 1 <= nhex <= 15:
+        raise ValueError(f"nhex must be in [1, 15], got {nhex}")
+    s = f"CAST({expr} AS VARCHAR)" if salt is None else f"CAST({expr} AS VARCHAR) || '{salt}'"
+    return f"CAST(('0x' || substr(md5({s}), 1, {nhex})) AS BIGINT)"

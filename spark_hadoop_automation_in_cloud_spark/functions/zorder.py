@@ -31,14 +31,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: bits per interleaved column: 16 bits x up to 4 columns fits a bigint.
+#: default bits per interleaved column; :func:`zorder_key` narrows this
+#: automatically so n columns always fit a signed bigint (16 bits for up
+#: to 3 columns, 15 for 4).
 ZBITS = 16
 
 
 def scale_to_grid(col: Column, cmin: Column, cmax: Column, bits: int = ZBITS) -> Column:
     """Value → integer cell in [0, 2^bits) over [cmin, cmax] (doubles).
-    Degenerate ranges (min == max) map to cell 0; NULLs stay NULL (they
-    sort together at the range-partition edge)."""
+    Degenerate ranges (min == max) map to cell 0.  NULL values also land
+    in cell 0 (``greatest(NULL, 0)`` is 0 — Spark's greatest/least skip
+    NULLs), clustering NULL rows with the column's minimum: acceptable
+    for layout (they still cluster), documented so nobody expects them at
+    the range-partition edge."""
     top = F.lit((1 << bits) - 1)
     span = cmax - cmin
     frac = F.when(span > 0, (col.cast("double") - cmin) / span).otherwise(F.lit(0.0))
@@ -75,20 +80,33 @@ def z_interleave(cells: list[Column], bits: int = ZBITS) -> Column:
     return key
 
 
-def zorder_key(df: DataFrame, cols: list[str], bits: int = ZBITS) -> Column:
+def zorder_key(df: DataFrame, cols: list[str], bits: int | None = None) -> Column:
     """The ready-made z-key for ``cols`` of ``df``: scales each column to
     the grid using its own min/max (computed here — one scalar row) and
     interleaves.  The min/max lookup is a driver-side scalar fetch, model
-    state like a histogram's bounds — never per-row data."""
+    state like a histogram's bounds — never per-row data.
+
+    ``bits=None`` (default) picks the widest grid that fits a signed
+    bigint — ``min(ZBITS, 63 // n)`` — so the advertised 4-column case
+    works out of the box (15 bits/column) instead of tripping the
+    interleave's overflow check.  An empty or all-NULL column has no
+    bounds; every row then lands in cell 0 for that column (degenerate
+    but well-defined — an empty frame writes an empty file)."""
+    if bits is None:
+        bits = min(ZBITS, 63 // max(1, len(cols)))
     bounds = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"__min_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"__max_{c}") for c in cols],
     ).first()
+
+    def _b(v) -> float:  # None bounds (empty / all-NULL column) → cell 0
+        return float(v) if v is not None else 0.0
+
     cells = [
         scale_to_grid(
             F.col(c),
-            F.lit(float(bounds[f"__min_{c}"])),
-            F.lit(float(bounds[f"__max_{c}"])),
+            F.lit(_b(bounds[f"__min_{c}"])),
+            F.lit(_b(bounds[f"__max_{c}"])),
             bits,
         )
         for c in cols

@@ -162,6 +162,23 @@ def bloom_prune(
     is row-identical to ``f.join(d, ...)`` (no false negatives; the join
     removes false positives), but the shuffle — if the join still needs
     one — carries only the pruned rows.
+
+    The two key columns must share a data type: the hash canonicalizes
+    via CAST-to-string, and an equi-join that matches under implicit
+    numeric widening (DOUBLE 1.0 vs BIGINT 1) would hash DIFFERENT
+    strings ("1.0" vs "1") — a silent false negative, the one failure
+    this operator promises never to produce.  Cast one side explicitly
+    before pruning; the check below makes the mismatch loud.
     """
+    ft = fact.schema[fact_key].dataType
+    dt = dim.schema[dim_key].dataType
+    if ft != dt:
+        raise ValueError(
+            f"bloom_prune key type mismatch: fact.{fact_key} is "
+            f"{ft.simpleString()} but dim.{dim_key} is {dt.simpleString()} — "
+            "string-canonicalized hashing would produce false negatives "
+            "where the equi-join's implicit cast still matches; cast one "
+            "side first"
+        )
     words = build_bloom(dim, dim_key, num_bits, num_hashes)
     return fact.where(might_contain(F.col(fact_key), words, num_bits, num_hashes))

@@ -28,9 +28,10 @@ from pyspark.sql import functions as F
 
 
 def _persistent_rdd_ids(spark) -> set[int]:
-    """Ids of currently persisted RDDs (includes localCheckpoint blocks).
-    Best-effort: returns empty under Spark Connect, where the JVM-side
-    context is not reachable — cleanup then simply doesn't happen."""
+    """Ids of ALL currently persisted RDDs in the session — observability
+    only (the leak regression test counts these); per-call cleanup uses
+    the ownership-scoped :func:`_pinned_rdd_ids` instead.  Best-effort:
+    empty under Spark Connect."""
     try:
         return {
             int(i)
@@ -38,6 +39,32 @@ def _persistent_rdd_ids(spark) -> set[int]:
         }
     except Exception:
         return set()
+
+
+def _pinned_rdd_ids(df: DataFrame) -> set[int]:
+    """Ids of the block-pinned RDDs reachable from ``df``'s physical RDD —
+    for a localCheckpoint'd frame, exactly the checkpoint block this frame
+    owns (the physical RDD is a thin wrapper; the storage-levelled
+    ancestor sits 1-2 dependency hops below it).  Walking the frame's OWN
+    dependency graph — instead of diffing the session-global persistent-
+    RDD table — means a concurrent caller's checkpoints can never be
+    attributed to this one and torn down mid-flight.  Best-effort:
+    returns empty under Spark Connect, where the JVM-side RDD graph is
+    not reachable — cleanup then simply doesn't happen."""
+    out: set[int] = set()
+    try:
+        def walk(r) -> None:
+            lvl = r.getStorageLevel()
+            if lvl.useMemory() or lvl.useDisk():
+                out.add(int(r.id()))
+            deps = r.dependencies()
+            for i in range(deps.size()):
+                walk(deps.apply(i).rdd())
+
+        walk(df._jdf.queryExecution().toRdd())
+    except Exception:
+        return set()
+    return out
 
 
 def _unpersist_rdds(spark, ids: set[int]) -> None:
@@ -49,10 +76,11 @@ def _unpersist_rdds(spark, ids: set[int]) -> None:
     checkpoints (the edge frame alone is O(|edges|) memory), and repeated
     calls degrade the whole JVM — measured on the 17.9M-edge PageRank
     input: run-to-run wall oscillated 11s→52s as dead blocks forced
-    eviction and GC.  Callers snapshot ids before/after and release the
-    difference, KEEPING only the frame they return (a localCheckpoint'd
-    RDD must never be unpersisted while still referenced — its lineage is
-    truncated, so lost blocks are unrecoverable)."""
+    eviction and GC.  Callers record each checkpoint's own pinned ids via
+    ``_pinned_rdd_ids`` and release that exact set minus the returned
+    frame's (a localCheckpoint'd RDD must never be unpersisted while
+    still referenced — its lineage is truncated, so lost blocks are
+    unrecoverable)."""
     try:
         m = spark.sparkContext._jsc.getPersistentRDDs()
         for i in ids:
@@ -84,7 +112,7 @@ def connected_components(
     wrong cluster ids.
     """
     spark = pairs.sparkSession
-    ids_before = _persistent_rdd_ids(spark)
+    created: set[int] = set()
     edges = (
         pairs.select(F.col(left_col).alias("a"), F.col(right_col).alias("b"))
         .unionByName(
@@ -93,9 +121,11 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    created |= _pinned_rdd_ids(edges)
     labels = edges.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("component_id")
     ).localCheckpoint()
+    created |= _pinned_rdd_ids(labels)
 
     changed = 1
     for _ in range(max_rounds):
@@ -121,6 +151,7 @@ def connected_components(
             .select("node", F.col("__lbl_comp").alias("component_id"))
             .localCheckpoint()
         )
+        created |= _pinned_rdd_ids(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -138,10 +169,10 @@ def connected_components(
             "generator for unbounded chains"
         )
     # re-checkpoint the result, then release the edge frame and every
-    # per-round label snapshot this call pinned — see _unpersist_rdds
-    ids_mid = _persistent_rdd_ids(spark)
+    # per-round label snapshot THIS call pinned (its own ids, never a
+    # concurrent caller's) — see _unpersist_rdds
     out = labels.localCheckpoint()
-    _unpersist_rdds(spark, ids_mid - ids_before)
+    _unpersist_rdds(spark, created - _pinned_rdd_ids(out))
     return out
 
 
@@ -250,12 +281,13 @@ def pagerank(
             "(pass n_iter to checkpoint only the final round)"
         )
     spark = edges.sparkSession
-    ids_before = _persistent_rdd_ids(spark)
+    created: set[int] = set()
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if not assume_distinct_edges:
         e = e.distinct()
     # edge construction may be expensive; it feeds 2 setup frames + the loop
     e = e.localCheckpoint()
+    created |= _pinned_rdd_ids(e)
     # node state: (node, deg) — deg NULL marks a dangling node.  Carrying
     # deg inside the rank frame removes both per-round joins the old shape
     # paid (rank⋈degree for contributions, rank⋈dangling for the mass).
@@ -274,6 +306,7 @@ def pagerank(
         )
         .localCheckpoint()
     )
+    created |= _pinned_rdd_ids(nd)
     n = nd.count()  # one scalar the driver legitimately needs
     # one-time scalar: a graph with no dangling nodes (e.g. any symmetric
     # graph) skips the per-round dangling-mass job entirely; adding the
@@ -283,6 +316,7 @@ def pagerank(
     ranks = nd.select("node", "deg", F.lit(1.0 / n).alias("rank"))
     if small:
         ranks = ranks.localCheckpoint()
+        created |= _pinned_rdd_ids(ranks)
 
     for i in range(n_iter):
         r = F.broadcast(ranks) if small else ranks
@@ -312,10 +346,11 @@ def pagerank(
         ranks = nxt.select("node", "deg", new_rank.alias("rank"))
         if small or (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
             ranks = ranks.localCheckpoint()
+            created |= _pinned_rdd_ids(ranks)
     # materialize the returned frame into its OWN checkpoint, then release
-    # every intermediate one this call pinned (edge frame, node state, the
-    # per-round rank snapshots) — see _unpersist_rdds
-    ids_mid = _persistent_rdd_ids(spark)
+    # every intermediate one THIS call pinned (edge frame, node state, the
+    # per-round rank snapshots — its own ids, never a concurrent
+    # caller's) — see _unpersist_rdds
     out = ranks.select("node", F.round("rank", 6).alias("rank")).localCheckpoint()
-    _unpersist_rdds(spark, ids_mid - ids_before)
+    _unpersist_rdds(spark, created - _pinned_rdd_ids(out))
     return out

@@ -1024,15 +1024,22 @@ def incremental_dedup(
 def sql_incremental_dedup(
     new_src: str, index_src: str, id_col: str, text_col: str
 ) -> str:
-    """DuckDB oracle: within-batch min-id per hash, anti-joined vs index."""
+    """DuckDB oracle: within-batch min-id per hash, anti-joined vs index.
+
+    NOT EXISTS, not NOT IN: a NULL content hash (md5 of NULL text) makes
+    ``NOT IN`` three-valued — one NULL in the index would drop EVERY
+    batch row — while NOT EXISTS's equi-predicate never matches NULL,
+    exactly the Spark left_anti join's semantics."""
     return f"""
 WITH within AS (
   SELECT md5({text_col}) AS content_hash, MIN({id_col}) AS {id_col}
   FROM ({new_src}) GROUP BY 1
 )
 SELECT {id_col}, content_hash
-FROM within
-WHERE content_hash NOT IN (SELECT content_hash FROM ({index_src}))
+FROM within w
+WHERE NOT EXISTS (
+  SELECT 1 FROM ({index_src}) i WHERE i.content_hash = w.content_hash
+)
 """
 
 
@@ -1228,6 +1235,6 @@ dropped AS (
   WHERE {est} >= {min_est_jaccard}
 )
 SELECT doc_id, {cols}
-FROM new_sigs
-WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+FROM new_sigs s
+WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = s.doc_id)
 """

@@ -28,6 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from spark_hadoop_automation_in_cloud_spark.functions.hashing import (
+    md5_prefix_int,
+    sql_md5_prefix_int,
+)
+
 
 def pack_sequences(
     docs: DataFrame,
@@ -135,13 +140,7 @@ def shard_assignments(
 
     Output: (id, shard, pos) — ``pos`` is 1-based within the shard.
     """
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    h = md5_prefix_int(F.col(id_col), nhex=15, salt=salt)
     w = Window.partitionBy("shard").orderBy("shard_hash", id_col)
     return (
         docs.select(
@@ -155,10 +154,7 @@ def shard_assignments(
 
 
 def sql_shard_assignments(src: str, id_col: str, n_shards: int, salt: str = ":shard") -> str:
-    h = (
-        f"CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR) || '{salt}'), 1, 15))"
-        " AS BIGINT)"
-    )
+    h = sql_md5_prefix_int(id_col, nhex=15, salt=salt)
     return f"""
 SELECT {id_col},
        CAST({h} % {n_shards} AS INT) AS shard,

@@ -58,16 +58,16 @@ def register(name: str, sql: str | None, doc: str = ""):
 # oracle-registered: salted full-outer join, HLL rollup, count-min
 # persist/merge chain), then every kernel changed in round 5 itself, then
 # the NINE rows whose last driver stamp is r02 (the oldest on the board —
-# VERDICT r4 item 2 verbatim), then 24 of the 43 r03-stamped rows (the
-# nine new-operator rows q106-q114 displace the r03 tail: q45 closes
-# the 50-row window; q50/q57/q65/q67/q73/q74/q79 overflow it).  The r03
-# rows left out of the window (q14 local-time cast, q34 struct flatten,
-# q38 moving average, q43 session gaps, q51 profile aggregate, q53
-# range average, q70 forward fill, q71 map explode, q72 funnel, q80 lag
-# features, plus the overflowed q50 fuzzy pairs / q57 streaming dedup /
-# q65 stream-stream join / q67 stream-static join / q73 retention /
-# q74 scd2 / q79 growth accounting — all kernels untouched since r03,
-# pinned by local pytest) land at age exactly 2, the staleness bound.
+# VERDICT r4 item 2 verbatim), then the r03-stamped refreshes.  Of the
+# 43 r03-stamped rows, 31 are listed below and 24 fit the window (the
+# nine new-operator rows q106-q114 displace the tail: q45 closes the
+# 50-row window; the listed q50/q57/q65/q67/q73/q74/q79 overflow it).
+# The 19 r03 rows that get no stamp this round — the 12 never listed
+# (q14 local-time cast, q34 struct flatten, q37 quantiles, q38 moving
+# average, q43 session gaps, q46-q49 pivot/unpivot/ranks/cube, q51
+# profile aggregate, q53 range average, ... single-pass kernels) plus
+# the 7 overflowed — are all untouched since r03 and pinned by local
+# pytest; they land at age exactly 2, the staleness bound.
 # Local pytest parity (tests/test_oracle_parity.py) still covers every
 # registered query regardless of position.
 _ROTATE_FIRST: tuple[str, ...] = (
@@ -4613,22 +4613,11 @@ def q107_semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("cosine_sim") >= 0.4)
 
 
-_INC_BUCKET_SQL = (
-    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':inc'), 1, 8)) AS BIGINT) % 4"
-)
+_INC_BUCKET_SQL = hashing.sql_md5_prefix_int("doc_id", nhex=8, salt=":inc") + " % 4"
 
 
 def _inc_bucket() -> F.Column:
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":inc"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 4
-    )
+    return hashing.md5_prefix_int(F.col("doc_id"), nhex=8, salt=":inc") % 4
 
 
 @register(
@@ -4747,16 +4736,7 @@ def q111_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFr
     root = tempfile.mkdtemp(prefix="q111_")
     src, idx, ckpt = f"{root}/src", f"{root}/index", f"{root}/ckpt"
     d = read_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sb"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 3
-    )
+    bucket = hashing.md5_prefix_int(F.col("doc_id"), nhex=8, salt=":sb") % 3
     # one file per bucket, mtimes strictly ascending so the file source's
     # timestamp ordering maps bucket b -> epoch b deterministically
     t0 = 1_700_000_000

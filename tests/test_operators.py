@@ -1298,3 +1298,21 @@ def test_incremental_minhash_dedup_screens_and_index_roundtrip(spark, tmp_path):
     minhash_band_index(surv).write.mode("append").parquet(idx_path)
     ids = {r["doc_id"] for r in spark.read.parquet(idx_path).select("doc_id").distinct().collect()}
     assert ids == {1, 11}
+
+
+def test_bloom_prune_rejects_mismatched_key_types(spark):
+    """String-canonicalized hashing would produce false negatives where
+    the equi-join's implicit numeric cast still matches (DOUBLE 1.0 hashes
+    "1.0", BIGINT 1 hashes "1") — bloom_prune must refuse the pair."""
+    import pytest as _pytest
+
+    from spark_hadoop_automation_in_cloud_spark.operators.bloom import bloom_prune
+
+    fact = spark.createDataFrame([(1.0,), (2.0,)], "k double")
+    dim = spark.createDataFrame([(1,), (2,)], "k2 bigint")
+    with _pytest.raises(ValueError, match="type mismatch"):
+        bloom_prune(fact, "k", dim, "k2")
+    # same types pass and prune nothing that matches
+    dim_d = spark.createDataFrame([(1.0,)], "k2 double")
+    kept = {r["k"] for r in bloom_prune(fact, "k", dim_d, "k2").collect()}
+    assert 1.0 in kept

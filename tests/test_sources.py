@@ -473,3 +473,26 @@ def test_z_interleave_matches_python_reference(spark):
 
     for x, y in pts:
         assert got[(x, y)] == ref(x, y), (x, y, got[(x, y)], ref(x, y))
+
+
+def test_zorder_key_four_columns_and_degenerate_inputs(spark):
+    """The advertised 4-column case must work out of the box (bits narrow
+    to 15 automatically), NULL values land in cell 0 (documented layout
+    behavior), and an empty frame yields a usable (all-zero) key instead
+    of crashing on missing bounds."""
+    from spark_hadoop_automation_in_cloud_spark.functions.zorder import zorder_key
+
+    df = spark.range(100).selectExpr(
+        "CAST(id AS DOUBLE) a", "CAST(id % 7 AS DOUBLE) b",
+        "CAST(id % 5 AS DOUBLE) c", "CAST(id % 3 AS DOUBLE) d",
+    )
+    keys = df.select(zorder_key(df, ["a", "b", "c", "d"]).alias("z")).collect()
+    assert len({r["z"] for r in keys}) > 1  # real interleave, no overflow error
+
+    with_null = spark.createDataFrame([(None,), (0.0,), (100.0,)], "a double")
+    z = with_null.select(zorder_key(with_null, ["a"]).alias("z")).collect()
+    assert sorted(r["z"] for r in z)[0] == 0  # NULL row in cell 0, no NULL key
+    assert all(r["z"] is not None for r in z)
+
+    empty = spark.createDataFrame([], "a double, b double")
+    assert empty.select(zorder_key(empty, ["a", "b"]).alias("z")).count() == 0

@@ -86,10 +86,12 @@ def main() -> None:
         "n_false_positive_keys": n_fp,
         "build_sec": round(build_s, 3),
         "probe_full_scan_sec": round(probe_s, 3),
+        # reuse the already-built filter and pruned frame — bloom_prune
+        # here would rebuild the words and rescan lineitem for nothing
         "no_false_negatives": bool(
-            bloom_prune(li, "l_orderkey", o, "o_orderkey")
-            .join(o.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey")
-            .count()
+            pruned.join(
+                o.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey"
+            ).count()
             == n_match
         ),
     }
