@@ -405,3 +405,85 @@ def test_quantile_sketch_rank_rule_matches_reference(spark, vals, qs):
         # rank element (sqrt(1+eps) midpoint, allow full bucket width)
         assert got / target <= (1 + eps) * (1 + 1e-12), (q, got, target)
         assert target / got <= (1 + eps) * (1 + 1e-12), (q, got, target)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=24),
+    n_batches=st.integers(min_value=1, max_value=4),
+)
+def test_incremental_dedup_equals_global_for_any_batching(spark, texts, n_batches):
+    """Run-over-run invariant: however the corpus is split into ordered
+    batches, sequential incremental_dedup admits each distinct content
+    EXACTLY once, from the earliest batch containing it with the min id
+    there — and the admitted hash set equals global exact dedup's."""
+    import hashlib
+
+    from spark_hadoop_automation_in_cloud_spark.operators.dedup import (
+        content_hash_index,
+        incremental_dedup,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    batches = [rows[i::n_batches] for i in range(n_batches)]
+    index = content_hash_index(
+        spark.createDataFrame([], "doc_id long, text string"), "doc_id", "text"
+    )
+    admitted: dict[str, int] = {}
+    for rows_b in batches:
+        if not rows_b:
+            continue
+        batch = spark.createDataFrame(rows_b, "doc_id long, text string")
+        for r in incremental_dedup(batch, index, "doc_id", "text").collect():
+            assert r["content_hash"] not in admitted  # never re-admitted
+            admitted[r["content_hash"]] = r["doc_id"]
+        index = index.unionByName(
+            content_hash_index(batch, "doc_id", "text")
+        )
+
+    # expected: per content, min id within its earliest batch
+    expect: dict[str, int] = {}
+    for rows_b in batches:
+        seen_this_round = {}
+        for i, t in rows_b:
+            h = hashlib.md5(t.encode()).hexdigest()
+            if h not in expect:
+                seen_this_round.setdefault(h, []).append(i)
+        for h, ids in seen_this_round.items():
+            expect[h] = min(ids)
+    assert admitted == expect
+    assert set(admitted) == {hashlib.md5(t.encode()).hexdigest() for t in texts}
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60, unique=True),
+    n_shards=st.sampled_from([1, 3, 8]),
+)
+def test_shard_assignments_is_a_permutation(spark, ids, n_shards):
+    """The shard layout is a deterministic permutation: every doc appears
+    exactly once, positions within each shard are 1..count(shard) with no
+    gaps, and re-running yields identical output."""
+    from spark_hadoop_automation_in_cloud_spark.operators.packing import (
+        shard_assignments,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = shard_assignments(df, "doc_id", n_shards).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(ids)
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert 0 <= shard < n_shards
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    again = shard_assignments(df, "doc_id", n_shards).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
