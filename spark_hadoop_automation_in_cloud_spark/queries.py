@@ -59,15 +59,15 @@ def register(name: str, sql: str | None, doc: str = ""):
 # persist/merge chain), then every kernel changed in round 5 itself, then
 # the NINE rows whose last driver stamp is r02 (the oldest on the board —
 # VERDICT r4 item 2 verbatim), then the r03-stamped refreshes.  Of the
-# 43 r03-stamped rows, 31 are listed below and 24 fit the window (the
-# nine new-operator rows q106-q114 displace the tail: q45 closes the
-# 50-row window; the listed q50/q57/q65/q67/q73/q74/q79 overflow it).
-# The 19 r03 rows that get no stamp this round — the 12 never listed
-# (q14 local-time cast, q34 struct flatten, q37 quantiles, q38 moving
-# average, q43 session gaps, q46-q49 pivot/unpivot/ranks/cube, q51
-# profile aggregate, q53 range average, ... single-pass kernels) plus
-# the 7 overflowed — are all untouched since r03 and pinned by local
-# pytest; they land at age exactly 2, the staleness bound.
+# 43 r03-stamped rows, 31 are listed below and 23 fit the window (the
+# ten new-operator rows q106-q115 displace the tail: q44 closes the
+# 50-row window; the listed q45/q50/q57/q65/q67/q73/q74/q79 overflow
+# it).  The 20 r03 rows that get no stamp this round — the 12 never
+# listed (q14 local-time cast, q34 struct flatten, q37 quantiles, q38
+# moving average, q43 session gaps, q46-q49 pivot/unpivot/ranks/cube,
+# q51 profile aggregate, q53 range average, ... single-pass kernels)
+# plus the 8 overflowed — are all untouched since r03 and pinned by
+# local pytest; they land at age exactly 2, the staleness bound.
 # Local pytest parity (tests/test_oracle_parity.py) still covers every
 # registered query regardless of position.
 _ROTATE_FIRST: tuple[str, ...] = (
@@ -89,6 +89,7 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q112_token_budget_selection",
     "q113_incremental_minhash_dedup",
     "q114_hard_negatives",
+    "q115_frame_sampling",
     # --- kernels changed in round 5
     "q102_price_quantile_sketch",  # quantile rank 1e-9 snap (both engines)
     "q96_kmeans_clusters",         # inline threshold on len(centroids)
@@ -4863,3 +4864,44 @@ from spark_hadoop_automation_in_cloud_spark.operators.similarity import (  # noq
 def q114_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
     return hard_negative_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "q115_frame_sampling",
+    """
+WITH d AS (
+  SELECT doc_id AS media_id, text,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+f AS (
+  SELECT media_id, text,
+         unnest(generate_series(0, CAST(greatest(1, n // 64) AS BIGINT) - 1))
+           AS frame_idx
+  FROM d
+)
+SELECT media_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_hash
+FROM f
+""",
+    doc="Multimodal frame sampling (multimodal/binary_ops.py "
+    "sample_frames): the 1→N row fan-out kernel shape — one fingerprint "
+    "row per fixed-size payload chunk through an Arrow mapInPandas "
+    "batch, payloads never leaving the executors (q31's sibling; a real "
+    "video decoder swaps in via the same kernel seam). The synthetic "
+    "payload is the ASCII document text, so DuckDB replays the exact "
+    "chunk boundaries with substr + md5 — a full value-hash proof of "
+    "the fan-out arithmetic, not just a row count.",
+)
+def q115_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_hadoop_automation_in_cloud_spark.multimodal.binary_ops import (
+        sample_frames,
+    )
+
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return sample_frames(media, every_n_bytes=64)
