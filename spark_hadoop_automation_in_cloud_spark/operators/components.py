@@ -258,6 +258,16 @@ def pagerank(
     pinned by tests/test_operators.py running the dense-power-iteration
     fixture against both.
 
+    Local wall floor (measured 2026-08-14, q69 graph, 1.8M edges, 32
+    cores): fully UNROLLING all 10 rounds into one lazy plan (no
+    checkpoints, single action) is bit-identical and saved <20%
+    (3.5-4.4s vs ~4.5s loop) — the dominant per-round cost is the
+    sequential BroadcastExchange (a driver collect+rebuild per round,
+    inherent to power iteration's data dependence), not checkpoint jobs
+    or plan analysis.  On a real cluster the per-round term is the edge
+    scan+join, which both forms already minimize, so the loop (simpler,
+    resumable, bounded plans) stays.
+
     Fixed ``n_iter`` (not convergence-tested): PageRank mass moves <1%
     after ~10 damped rounds on social-shaped graphs, and a deterministic
     round count is what makes two runs comparable.  Output:
