@@ -135,21 +135,7 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
 
     Output: left_doc_id, right_doc_id, est_jaccard.
     """
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat_ws(
-                    "_",
-                    *[F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-                ).alias("band_key"),
-            )
-            for b in range(NUM_BANDS)
-        ]
-    )
-    banded = signatures.select(
-        "*", F.explode(band_structs).alias("__band")
-    ).select("*", F.col("__band.band_idx").alias("band_idx"), F.col("__band.band_key").alias("band_key"))
+    banded = minhash_band_index(signatures)  # the ONE banding definition
     l = banded.alias("l")
     r = banded.alias("r")
     matches = sum(
@@ -171,17 +157,31 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     )
 
 
-def sql_lsh_candidate_pairs(signatures_sql: str) -> str:
-    bands = "\nUNION ALL\n".join(
+def _sql_banded(src: str) -> str:
+    """The ONE SQL definition of the LSH banding (the oracle twin of
+    :func:`minhash_band_index`): one row per (doc, band), signature
+    columns riding along for est_jaccard."""
+    return "\nUNION ALL\n".join(
         f"SELECT doc_id, {b} AS band_idx, "
         + " || '_' || ".join(
             f"CAST(mh_{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
         )
         + " AS band_key, "
         + ", ".join(f"mh_{i}" for i in range(NUM_PERM))
-        + " FROM sigs"
+        + f" FROM ({src})"
         for b in range(NUM_BANDS)
     )
+
+
+def _sql_match_fraction() -> str:
+    matches = " + ".join(
+        f"(CASE WHEN l.mh_{i} = r.mh_{i} THEN 1 ELSE 0 END)" for i in range(NUM_PERM)
+    )
+    return f"({matches}) / {float(NUM_PERM)}"
+
+
+def sql_lsh_candidate_pairs(signatures_sql: str) -> str:
+    bands = _sql_banded("SELECT * FROM sigs")
     matches = " + ".join(
         f"(CASE WHEN l.mh_{i} = r.mh_{i} THEN 1 ELSE 0 END)" for i in range(NUM_PERM)
     )
@@ -1199,25 +1199,10 @@ def incremental_minhash_dedup(
 def sql_incremental_minhash_dedup(
     new_sigs_sql: str, index_sigs_sql: str, min_est_jaccard: float
 ) -> str:
-    """DuckDB oracle: band both signature sets, apply the same two screens."""
-
-    def banded(src: str) -> str:
-        return "\nUNION ALL\n".join(
-            f"SELECT doc_id, {b} AS band_idx, "
-            + " || '_' || ".join(
-                f"CAST(mh_{b * ROWS_PER_BAND + r} AS VARCHAR)"
-                for r in range(ROWS_PER_BAND)
-            )
-            + " AS band_key, "
-            + ", ".join(f"mh_{i}" for i in range(NUM_PERM))
-            + f" FROM ({src})"
-            for b in range(NUM_BANDS)
-        )
-
-    matches = " + ".join(
-        f"(CASE WHEN l.mh_{i} = r.mh_{i} THEN 1 ELSE 0 END)" for i in range(NUM_PERM)
-    )
-    est = f"({matches}) / {float(NUM_PERM)}"
+    """DuckDB oracle: band both signature sets (shared :func:`_sql_banded`
+    definition), apply the same two screens."""
+    banded = _sql_banded
+    est = _sql_match_fraction()
     cols = ", ".join(f"mh_{i}" for i in range(NUM_PERM))
     return f"""
 WITH new_sigs AS ({new_sigs_sql}),

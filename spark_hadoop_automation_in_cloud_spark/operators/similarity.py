@@ -58,13 +58,10 @@ def cosine_topk(
 def sql_cosine_topk(
     corpus_src: str, query_pred: str, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> str:
-    """DuckDB oracle: same fold (sequential double dot/norm) + same ranking."""
-    dot = (
-        "list_sum(list_transform(list_zip(q.__qvec, c.__cvec), "
-        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-    )
-    nq = "sqrt(list_sum(list_transform(q.__qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-    nc = "sqrt(list_sum(list_transform(c.__cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    """DuckDB oracle: same fold (sequential double dot/norm) + same ranking.
+    The cosine itself is the shared ``_SQL_COS`` template — ONE definition
+    of the oracle fold for the whole similarity family."""
+    cos = _SQL_COS.format(a="q.__qvec", b="c.__cvec")
     return f"""
 WITH q AS (
   SELECT {id_col} AS query_id, {vec_col} AS __qvec FROM {corpus_src} WHERE {query_pred}
@@ -74,7 +71,7 @@ c AS (
 ),
 scored AS (
   SELECT q.query_id, c.neighbor_id,
-         round({dot} / ({nq} * {nc}), 6) AS cosine_sim
+         {cos} AS cosine_sim
   FROM q CROSS JOIN c
   WHERE q.query_id <> c.neighbor_id
 ),
@@ -595,12 +592,7 @@ def sql_hard_negative_topk(
     vec_col: str = "embedding",
     label_col: str = "label",
 ) -> str:
-    dot = (
-        "list_sum(list_transform(list_zip(q.__qvec, c.__cvec), "
-        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-    )
-    nq = "sqrt(list_sum(list_transform(q.__qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-    nc = "sqrt(list_sum(list_transform(c.__cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    cos = _SQL_COS.format(a="q.__qvec", b="c.__cvec")
     return f"""
 WITH q AS (
   SELECT {id_col} AS query_id, {vec_col} AS __qvec, {label_col} AS __qlabel
@@ -612,7 +604,7 @@ c AS (
 ),
 scored AS (
   SELECT q.query_id, c.neighbor_id, c.neighbor_label,
-         round({dot} / ({nq} * {nc}), 6) AS cosine_sim
+         {cos} AS cosine_sim
   FROM q CROSS JOIN c
   WHERE q.__qlabel <> c.neighbor_label
 ),

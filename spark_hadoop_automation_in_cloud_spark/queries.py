@@ -1533,10 +1533,10 @@ def q41_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q42_hash_split",
-    """
+    f"""
 WITH b AS (
   SELECT doc_id,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT)
+         {hashing.sql_md5_prefix_int("doc_id", nhex=8, salt=":split")}
            % 100 AS bucket
   FROM documents
 )
@@ -1556,14 +1556,7 @@ GROUP BY 1
 )
 def q42_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
+    bucket = hashing.md5_prefix_int(F.col("doc_id"), nhex=8, salt=":split") % 100
     return (
         d.select("doc_id", bucket.alias("bucket"))
         .select(
@@ -2006,10 +1999,10 @@ def q54_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q55_stratified_sample",
-    """
+    f"""
 WITH s AS (
   SELECT lang, doc_id,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 8)) AS BIGINT)
+         {hashing.sql_md5_prefix_int("doc_id", nhex=8, salt=":strat")}
            % 100 AS bucket
   FROM documents
 )
@@ -2030,14 +2023,7 @@ GROUP BY lang
 )
 def q55_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":strat"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
+    bucket = hashing.md5_prefix_int(F.col("doc_id"), nhex=8, salt=":strat") % 100
     rate = F.when(F.col("lang") == "en", 20).otherwise(60)
     return (
         d.where(bucket < rate)
@@ -2225,9 +2211,9 @@ def q59_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPLIT_BUCKET_SQL = """
+_SPLIT_BUCKET_SQL = f"""
 SELECT doc_id,
-       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT)
+       {hashing.sql_md5_prefix_int("doc_id", nhex=8, salt=":split")}
          % 100 AS bucket
 FROM documents
 """
@@ -2259,16 +2245,7 @@ FROM documents
 )
 def q60_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", parallelize=True)
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
+    bucket = hashing.md5_prefix_int(F.col("doc_id"), nhex=8, salt=":split") % 100
     d = d.withColumn("__bucket", bucket)
     train = d.where(F.col("__bucket") < 80)
     test = d.where(F.col("__bucket") >= 90)
@@ -2942,11 +2919,11 @@ def q74_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q75_weighted_sample",
-    """
+    f"""
 WITH mx AS (SELECT MAX(n_chars) AS max_chars FROM documents),
 s AS (
   SELECT source, n_chars,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pps'), 1, 8)) AS BIGINT)
+         {hashing.sql_md5_prefix_int("doc_id", nhex=8, salt=":pps")}
            / 4294967296.0 AS u,
          CAST(n_chars AS DOUBLE) / max_chars AS w
   FROM documents CROSS JOIN mx
@@ -2969,16 +2946,7 @@ FROM s GROUP BY source
 def q75_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     mx = d.agg(F.max("n_chars").alias("max_chars"))
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":pps"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        / F.lit(4294967296.0)
-    )
+    u = hashing.md5_prefix_int(F.col("doc_id"), nhex=8, salt=":pps") / F.lit(4294967296.0)
     s = d.crossJoin(F.broadcast(mx)).select(
         "source",
         u.alias("u"),
@@ -4236,10 +4204,7 @@ def q100_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_TRAIN_PRED = (
-    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT)"
-    " % 100 < 80"
-)
+_SQL_TRAIN_PRED = hashing.sql_md5_prefix_int("doc_id", nhex=8, salt=":split") + " % 100 < 80"
 
 
 @register(
@@ -4257,16 +4222,7 @@ _SQL_TRAIN_PRED = (
 )
 def q101_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", parallelize=True)
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
+    bucket = hashing.md5_prefix_int(F.col("doc_id"), nhex=8, salt=":split") % 100
     train = d.where(bucket < 80)
     return tx.unigram_lm_scores(d, train, "doc_id", "text", alpha=1.0)
 
@@ -4699,10 +4655,10 @@ def q110_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q111_streaming_incremental_dedup",
-    """
+    f"""
 WITH d AS (
   SELECT doc_id, md5(text) AS content_hash,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sb'), 1, 8)) AS BIGINT)
+         {hashing.sql_md5_prefix_int("doc_id", nhex=8, salt=":sb")}
            % 3 AS b
   FROM documents
 ),
@@ -4870,8 +4826,10 @@ def q114_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q115_frame_sampling",
     """
 WITH d AS (
-  SELECT doc_id AS media_id, text,
-         octet_length(encode(text)) AS n
+  -- COALESCE mirrors the kernel's None -> b'' handling (a NULL payload
+  -- still yields one frame hashing the empty chunk)
+  SELECT doc_id AS media_id, COALESCE(text, '') AS text,
+         octet_length(encode(COALESCE(text, ''))) AS n
   FROM documents
 ),
 f AS (

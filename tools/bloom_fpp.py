@@ -27,7 +27,6 @@ from spark_hadoop_automation_in_cloud_spark.io import read_table
 from spark_hadoop_automation_in_cloud_spark.operators.bloom import (
     BLOOM_BITS,
     BLOOM_HASHES,
-    bloom_prune,
     build_bloom,
     might_contain,
 )
