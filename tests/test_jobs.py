@@ -198,3 +198,30 @@ def test_incremental_upsert_job_cli_duckdb_backend(spark, sf_dir, tmp_path):
     finally:
         con.close()
     assert got == want
+
+
+def test_incremental_dedup_job_cli_resumes_and_dedups_across_runs(spark, tmp_path):
+    """Two CLI runs over a growing landing dir: the second run admits only
+    content unseen by the first (checkpoint-driven — no corpus rescan),
+    and bad argv exits 2 without touching state."""
+    job = _load("incremental_dedup_job")
+    src = tmp_path / "landing"
+    src.mkdir()
+    idx, ckpt = str(tmp_path / "index"), str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "alpha")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "drop1"))
+    assert job.main([f"{src}/*", idx, ckpt]) == 0
+    first = {r["canonical_id"] for r in spark.read.parquet(idx).collect()}
+    assert first == {0, 1}
+
+    spark.createDataFrame(
+        [(3, "beta"), (4, "gamma")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "drop2"))
+    assert job.main([f"{src}/*", idx, ckpt]) == 0
+    rows = {(r["canonical_id"], r["batch_id"]) for r in spark.read.parquet(idx).collect()}
+    assert rows == {(0, 0), (1, 0), (4, 1)}  # beta not re-admitted
+
+    assert job.main([]) == 2
+    assert job.main([f"{src}/*", idx, ckpt, "0"]) == 2
