@@ -59,15 +59,15 @@ def register(name: str, sql: str | None, doc: str = ""):
 # persist/merge chain), then every kernel changed in round 5 itself, then
 # the NINE rows whose last driver stamp is r02 (the oldest on the board —
 # VERDICT r4 item 2 verbatim), then the r03-stamped refreshes.  Of the
-# 43 r03-stamped rows, 31 are listed below and 23 fit the window (the
-# ten new-operator rows q106-q115 displace the tail: q44 closes the
-# 50-row window; the listed q45/q50/q57/q65/q67/q73/q74/q79 overflow
-# it).  The 20 r03 rows that get no stamp this round — the 12 never
-# listed (q14 local-time cast, q34 struct flatten, q37 quantiles, q38
-# moving average, q43 session gaps, q46-q49 pivot/unpivot/ranks/cube,
-# q51 profile aggregate, q53 range average, ... single-pass kernels)
-# plus the 8 overflowed — are all untouched since r03 and pinned by
-# local pytest; they land at age exactly 2, the staleness bound.
+# 43 r03-stamped rows, 31 are listed below and 22 fit the window (the
+# eleven new-operator rows q106-q116 displace the tail: q41 closes the
+# 50-row window; the listed q44/q45/q50/q57/q65/q67/q73/q74/q79
+# overflow it).  The 21 r03 rows that get no stamp this round — the 12
+# never listed (q14 local-time cast, q34 struct flatten, q37 quantiles,
+# q38 moving average, q43 session gaps, q46-q49 pivot/unpivot/ranks/
+# cube, q51 profile aggregate, q53 range average, ... single-pass
+# kernels) plus the 9 overflowed — are all untouched since r03 and
+# pinned by local pytest; they land at age exactly 2, the bound.
 # Local pytest parity (tests/test_oracle_parity.py) still covers every
 # registered query regardless of position.
 _ROTATE_FIRST: tuple[str, ...] = (
@@ -90,6 +90,7 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q113_incremental_minhash_dedup",
     "q114_hard_negatives",
     "q115_frame_sampling",
+    "q116_cluster_canonicals_by_quality",
     # --- kernels changed in round 5
     "q102_price_quantile_sketch",  # quantile rank 1e-9 snap (both engines)
     "q96_kmeans_clusters",         # inline threshold on len(centroids)
@@ -1431,10 +1432,10 @@ _SQL_KEPT_SHINGLES = dd.sql_shingle_rows("kept", "doc_id", "text", n=2)
 _SQL_KEPT_PAIRS = dd.sql_jaccard_pairs(_SQL_KEPT_SHINGLES, min_jaccard=0.35)
 
 
-@register(
-    "q40_corpus_curation",
-    f"""
-WITH RECURSIVE q AS ({tx.sql_quality_score("documents", "doc_id", "text")}),
+#: shared recursive-closure CTE chain (quality filter → Jaccard pairs →
+#: transitive closure → min-id cluster labels) — q40's pipeline prefix,
+#: reused verbatim by q116's quality-canonical variant.
+_SQL_CLUSTER_CTES = f"""q AS ({tx.sql_quality_score("documents", "doc_id", "text")}),
 kept AS (
   SELECT d.doc_id, d.text, q.quality
   FROM documents d JOIN q ON d.doc_id = q.doc_id
@@ -1453,7 +1454,13 @@ reach(a, b) AS (
   UNION
   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
 ),
-clus AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+clus AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)"""
+
+
+@register(
+    "q40_corpus_curation",
+    f"""
+WITH RECURSIVE {_SQL_CLUSTER_CTES},
 tok AS ({tx.sql_token_stats("kept", "doc_id", "text")})
 SELECT k.doc_id, c.cluster_id,
        CASE WHEN c.cluster_id = k.doc_id THEN 1 ELSE 0 END AS is_canonical,
@@ -4863,3 +4870,47 @@ def q115_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").cast("binary").alias("payload"),
     )
     return sample_frames(media, every_n_bytes=64)
+
+
+@register(
+    "q116_cluster_canonicals_by_quality",
+    f"""
+WITH RECURSIVE {_SQL_CLUSTER_CTES},
+ranked AS (
+  SELECT c.cluster_id, k.doc_id, k.quality,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY k.quality DESC, k.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM kept k JOIN clus c ON k.doc_id = c.doc_id
+)
+SELECT cluster_id,
+       doc_id AS canonical_id,
+       quality AS best_quality,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+""",
+    doc="Quality-first canonical selection per near-dup cluster — the "
+    "SemDeDup keep-rule (keep the BEST member, not the smallest id): "
+    "q40's exact cluster labels (shared CTE chain, verbatim) reduced to "
+    "one max_by aggregation keyed on (quality, -doc_id), so the keep "
+    "decision is a single map-side-combinable pass over cluster labels "
+    "— no window over the corpus. Quality is the bit-identical integer-"
+    "arithmetic composite, so the arg-max cannot diverge cross-engine; "
+    "ties break to the smaller id on both sides.",
+)
+def q116_cluster_canonicals_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    qsc = tx.quality_score(d, "doc_id", "text").where(F.col("quality") >= 0.9)
+    kept = d.select("doc_id", "text").join(qsc.select("doc_id", "quality"), "doc_id")
+    sh = dd.shingle_rows(kept, "doc_id", "text", n=2)
+    pairs = dd.jaccard_pairs(sh, min_jaccard=0.35).select(
+        F.col("left_doc_id").alias("left_id"), F.col("right_doc_id").alias("right_id")
+    )
+    clusters = neardup_clusters(pairs, kept, "doc_id")
+    members = kept.select("doc_id", "quality").join(clusters, "doc_id")
+    key = F.struct(F.col("quality"), (-F.col("doc_id")).alias("__neg_id"))
+    return members.groupBy("cluster_id").agg(
+        F.max_by("doc_id", key).alias("canonical_id"),
+        F.max("quality").alias("best_quality"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    )
