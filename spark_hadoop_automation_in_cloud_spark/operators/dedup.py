@@ -182,14 +182,11 @@ def _sql_match_fraction() -> str:
 
 def sql_lsh_candidate_pairs(signatures_sql: str) -> str:
     bands = _sql_banded("SELECT * FROM sigs")
-    matches = " + ".join(
-        f"(CASE WHEN l.mh_{i} = r.mh_{i} THEN 1 ELSE 0 END)" for i in range(NUM_PERM)
-    )
     return f"""
 WITH sigs AS ({signatures_sql}),
 banded AS ({bands})
 SELECT DISTINCT l.doc_id AS left_doc_id, r.doc_id AS right_doc_id,
-       ({matches}) / {float(NUM_PERM)} AS est_jaccard
+       {_sql_match_fraction()} AS est_jaccard
 FROM banded l JOIN banded r
   ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
 """

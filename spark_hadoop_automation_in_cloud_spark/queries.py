@@ -1479,7 +1479,11 @@ JOIN tok t ON k.doc_id = t.doc_id
     "wiring. Oracle: the same pipeline in SQL with a recursive-CTE "
     "closure for the clustering.",
 )
-def q40_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _curation_clusters(spark: SparkSession, sf_dir: str):
+    """Shared q40/q116 pipeline prefix (the Spark twin of
+    _SQL_CLUSTER_CTES): quality-filtered docs and their near-dup cluster
+    labels.  One definition — a threshold change here moves BOTH the
+    full-curation slice and the quality-canonical keep-rule."""
     d = read_table(spark, sf_dir, "documents", parallelize=True)
     qsc = tx.quality_score(d, "doc_id", "text").where(F.col("quality") >= 0.9)
     kept = d.select("doc_id", "text").join(
@@ -1492,7 +1496,11 @@ def q40_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.jaccard_pairs(sh, min_jaccard=0.35).select(
         F.col("left_doc_id").alias("left_id"), F.col("right_doc_id").alias("right_id")
     )
-    clusters = neardup_clusters(pairs, kept, "doc_id")
+    return kept, neardup_clusters(pairs, kept, "doc_id")
+
+
+def q40_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept, clusters = _curation_clusters(spark, sf_dir)
     tok = tx.token_stats(kept, "doc_id", "text").select(
         "doc_id", "ws_tokens", "bpe_tokens"
     )
@@ -4899,14 +4907,7 @@ FROM ranked WHERE rn = 1
     "ties break to the smaller id on both sides.",
 )
 def q116_cluster_canonicals_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents", parallelize=True)
-    qsc = tx.quality_score(d, "doc_id", "text").where(F.col("quality") >= 0.9)
-    kept = d.select("doc_id", "text").join(qsc.select("doc_id", "quality"), "doc_id")
-    sh = dd.shingle_rows(kept, "doc_id", "text", n=2)
-    pairs = dd.jaccard_pairs(sh, min_jaccard=0.35).select(
-        F.col("left_doc_id").alias("left_id"), F.col("right_doc_id").alias("right_id")
-    )
-    clusters = neardup_clusters(pairs, kept, "doc_id")
+    kept, clusters = _curation_clusters(spark, sf_dir)
     members = kept.select("doc_id", "quality").join(clusters, "doc_id")
     key = F.struct(F.col("quality"), (-F.col("doc_id")).alias("__neg_id"))
     return members.groupBy("cluster_id").agg(

@@ -58,13 +58,16 @@ def main() -> None:
             (F.col("doc_id") + F.lit((b * 2 + 1) * n)).alias("doc_id"),
             F.concat(F.col("text"), F.lit(f" batch{dup_src}")).alias("text"),
         )
-        batch = fresh.unionByName(dups)
+        batch = fresh.unionByName(dups).persist()
         batch.count()  # materialize inputs outside the timed region
         t0 = time.perf_counter()
         dedup_batch_against_index(batch, idx, "doc_id", "text", b)
         walls.append(round(time.perf_counter() - t0, 3))
+        batch.unpersist()
 
     index_rows = spark.read.parquet(idx).count()
+    if n_batches < 4:
+        raise SystemExit("need SPARK_GRAFT_N_BATCHES >= 4 for the early/late comparison")
     early = sum(walls[1:3]) / 2  # batch 0 pays JVM warmup
     late = sum(walls[-2:]) / 2
     out = {
