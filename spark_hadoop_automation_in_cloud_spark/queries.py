@@ -1432,6 +1432,26 @@ _SQL_KEPT_SHINGLES = dd.sql_shingle_rows("kept", "doc_id", "text", n=2)
 _SQL_KEPT_PAIRS = dd.sql_jaccard_pairs(_SQL_KEPT_SHINGLES, min_jaccard=0.35)
 
 
+def _curation_clusters(spark: SparkSession, sf_dir: str):
+    """Shared q40/q116 pipeline prefix (the Spark twin of
+    _SQL_CLUSTER_CTES): quality-filtered docs and their near-dup cluster
+    labels.  One definition — a threshold change here moves BOTH the
+    full-curation slice and the quality-canonical keep-rule."""
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    qsc = tx.quality_score(d, "doc_id", "text").where(F.col("quality") >= 0.9)
+    kept = d.select("doc_id", "text").join(
+        qsc.select("doc_id", "quality"), "doc_id"
+    )
+    sh = dd.shingle_rows(kept, "doc_id", "text", n=2)
+    # naive inverted-index Jaccard: at this LOW threshold (0.35) the prefix
+    # filter keeps ~65% of shingles and loses to the plain index (measured);
+    # jaccard_pairs_prefix wins at high thresholds, MinHash-LSH at scale
+    pairs = dd.jaccard_pairs(sh, min_jaccard=0.35).select(
+        F.col("left_doc_id").alias("left_id"), F.col("right_doc_id").alias("right_id")
+    )
+    return kept, neardup_clusters(pairs, kept, "doc_id")
+
+
 #: shared recursive-closure CTE chain (quality filter → Jaccard pairs →
 #: transitive closure → min-id cluster labels) — q40's pipeline prefix,
 #: reused verbatim by q116's quality-canonical variant.
@@ -1479,26 +1499,6 @@ JOIN tok t ON k.doc_id = t.doc_id
     "wiring. Oracle: the same pipeline in SQL with a recursive-CTE "
     "closure for the clustering.",
 )
-def _curation_clusters(spark: SparkSession, sf_dir: str):
-    """Shared q40/q116 pipeline prefix (the Spark twin of
-    _SQL_CLUSTER_CTES): quality-filtered docs and their near-dup cluster
-    labels.  One definition — a threshold change here moves BOTH the
-    full-curation slice and the quality-canonical keep-rule."""
-    d = read_table(spark, sf_dir, "documents", parallelize=True)
-    qsc = tx.quality_score(d, "doc_id", "text").where(F.col("quality") >= 0.9)
-    kept = d.select("doc_id", "text").join(
-        qsc.select("doc_id", "quality"), "doc_id"
-    )
-    sh = dd.shingle_rows(kept, "doc_id", "text", n=2)
-    # naive inverted-index Jaccard: at this LOW threshold (0.35) the prefix
-    # filter keeps ~65% of shingles and loses to the plain index (measured);
-    # jaccard_pairs_prefix wins at high thresholds, MinHash-LSH at scale
-    pairs = dd.jaccard_pairs(sh, min_jaccard=0.35).select(
-        F.col("left_doc_id").alias("left_id"), F.col("right_doc_id").alias("right_id")
-    )
-    return kept, neardup_clusters(pairs, kept, "doc_id")
-
-
 def q40_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept, clusters = _curation_clusters(spark, sf_dir)
     tok = tx.token_stats(kept, "doc_id", "text").select(
