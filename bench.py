@@ -39,6 +39,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from spark_hadoop_automation_in_cloud_spark import queries as q
 from spark_hadoop_automation_in_cloud_spark.session import get_test_session
 
@@ -73,7 +75,60 @@ HEADLINE = [
     # data-dependent fan-out (SCALING.json pins it sublinear at 10x)
     "q106_bloom_pruned_revenue",
     "q109_repeated_ngram_flags",
+    # round-6 additions (VERDICT r5 item 7): the incremental/semantic
+    # dedup families are the repo's marquee 100 TB claim — bench what we
+    # brag about.  q107 = SemDeDup cluster-bucketed semantic dedup;
+    # q111 = per-epoch dedup-against-index loop (3 epochs incl. the
+    # index parquet round-trips); q113 = incremental MinHash screening.
+    "q107_semantic_cluster_dedup",
+    "q111_streaming_incremental_dedup",
+    "q113_incremental_minhash_dedup",
 ]
+
+#: Pinned machine-factor kernels (VERDICT r5 item 5): code-independent
+#: probes timed every round so cross-round ratios can separate machine
+#: drift from plan regressions without the ad-hoc worktree A/B.  The
+#: constants are FROZEN — changing them breaks round-over-round
+#: comparability, which is their entire purpose.
+#: - codegen_scan: whole-stage-codegen arithmetic over range() — pure
+#:   CPU/JIT clock, no shuffle, no Python.
+#: - shuffle_agg: range() → hash-partitioned groupBy count — exchange +
+#:   map-side combine throughput.
+#: - arrow_roundtrip: mapInPandas identity over range() — Python worker
+#:   fork + Arrow batch transfer tax.
+_MACHINE_KERNELS = {
+    "codegen_scan": lambda spark: spark.range(1_500_000_000)
+    .selectExpr("sum(hash(id) % 1000) AS s"),
+    "shuffle_agg": lambda spark: spark.range(60_000_000)
+    .groupBy((F.col("id") % 100_000).alias("k"))
+    .count(),
+}
+
+
+def _arrow_roundtrip(spark):
+    def ident(it):
+        yield from it
+
+    return spark.range(8_000_000).mapInPandas(ident, "id long")
+
+
+_MACHINE_KERNELS["arrow_roundtrip"] = _arrow_roundtrip
+
+
+def machine_factor(spark) -> dict[str, float]:
+    """Median-of-3 wall seconds per pinned kernel (one untimed warmup
+    each).  Compare the same kernel across BENCH_r{N}.json files to get
+    the machine-drift factor for that round pair."""
+    out: dict[str, float] = {}
+    for name, build in _MACHINE_KERNELS.items():
+        build(spark).write.format("noop").mode("overwrite").save()  # warm
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            build(spark).write.format("noop").mode("overwrite").save()
+            samples.append(round(time.perf_counter() - t0, 3))
+        out[name] = sorted(samples)[1]
+    return out
 
 
 def main() -> None:
@@ -123,6 +178,10 @@ def main() -> None:
         runs[name] = samples
         timings[name] = sorted(samples)[1]
 
+    # pinned machine-drift probes run AFTER the timed queries so they
+    # cannot perturb the numbers they exist to normalize
+    mf = machine_factor(spark)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -133,6 +192,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs": runs,
+                "machine_factor": mf,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

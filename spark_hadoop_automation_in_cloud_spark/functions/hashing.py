@@ -84,8 +84,18 @@ def md5_prefix_int(col: Column, nhex: int, salt: str | None = None) -> Column:
 
 
 def sql_md5_prefix_int(expr: str, nhex: int, salt: str | None = None) -> str:
-    """DuckDB equivalent of :func:`md5_prefix_int`."""
+    """DuckDB equivalent of :func:`md5_prefix_int`.
+
+    The salt lands inside a single-quoted SQL literal, so embedded quotes
+    are doubled (standard SQL escaping) — the Column-API twin needs no
+    escaping, and an unescaped quote here would silently diverge the two
+    engines (or break the oracle outright).  Backslashes are literal in
+    DuckDB's default string syntax, so no further escaping applies.
+    """
     if not 1 <= nhex <= 15:
         raise ValueError(f"nhex must be in [1, 15], got {nhex}")
-    s = f"CAST({expr} AS VARCHAR)" if salt is None else f"CAST({expr} AS VARCHAR) || '{salt}'"
+    if salt is None:
+        s = f"CAST({expr} AS VARCHAR)"
+    else:
+        s = f"CAST({expr} AS VARCHAR) || '{salt.replace(chr(39), chr(39) * 2)}'"
     return f"CAST(('0x' || substr(md5({s}), 1, {nhex})) AS BIGINT)"

@@ -45,13 +45,32 @@ ROWS_PER_BAND = NUM_PERM // NUM_BANDS
 COEFFS = minhash_coeffs(NUM_PERM)
 
 
+def content_hash(text: Column) -> Column:
+    """THE content-hash definition for the exact-dedup family (batch,
+    incremental, streaming): md5 over the NULL-coalesced text, so a NULL
+    document hashes like the empty document and the hash itself is never
+    NULL.  A NULL hash would silently break every anti-join consumer —
+    ``NULL = NULL`` never matches, so a left_anti probe (and the oracle's
+    NOT EXISTS) would re-admit a NULL-text doc on EVERY batch, violating
+    the "admitted exactly once" index contract.  The NULL≡'' collapse is
+    the documented trade; callers that must distinguish them should filter
+    NULLs out before hashing.  :data:`SQL_CONTENT_HASH` is the byte-
+    equivalent DuckDB twin every oracle applies."""
+    return F.md5(F.coalesce(text, F.lit("")))
+
+
+#: DuckDB twin of :func:`content_hash` (format with ``t`` = text expr).
+SQL_CONTENT_HASH = "md5(COALESCE({t}, ''))"
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per content-hash group: size + canonical (min) id.
 
-    Output: content_hash (md5 hex), n_docs, canonical_id.
+    Output: content_hash (md5 hex, never NULL — :func:`content_hash`),
+    n_docs, canonical_id.
     """
     return (
-        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        df.select(content_hash(F.col(text_col)).alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -60,11 +79,11 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-SQL_EXACT_DEDUP = """
-SELECT md5({t}) AS content_hash,
+SQL_EXACT_DEDUP = f"""
+SELECT {SQL_CONTENT_HASH.format(t='{t}')} AS content_hash,
        COUNT(*) AS n_docs,
-       MIN({i}) AS canonical_id
-FROM {src}
+       MIN({{i}}) AS canonical_id
+FROM {{src}}
 GROUP BY 1
 """
 
@@ -984,10 +1003,11 @@ def content_hash_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     One row per distinct content hash: (content_hash, canonical_id).  This
     is the state handed to the NEXT run of :func:`incremental_dedup` —
     write it out with ``io.write_datamart``/plain parquet and union it with
-    prior batches' indexes (or re-point at a compacted union).
+    prior batches' indexes (or re-point at a compacted union).  Hashes via
+    :func:`content_hash`, so the index never carries a NULL key.
     """
     return (
-        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        df.select(content_hash(F.col(text_col)).alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(F.min(id_col).alias("canonical_id"))
     )
@@ -1006,10 +1026,12 @@ def incremental_dedup(
     Plan shape: ONE shuffle of the batch on content_hash (map-side-combined
     groupBy), then a LEFT ANTI equi-join on the same key — the batch side's
     partitioning is reused, so only the index side moves.  No full-corpus
-    rescan, ever.
+    rescan, ever.  :func:`content_hash` keys both sides, so a NULL-text
+    document is admitted exactly once (as the empty-text content) instead
+    of slipping past the NULL-blind anti-join on every batch.
     """
     within = (
-        new_batch.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        new_batch.select(content_hash(F.col(text_col)).alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(F.min(id_col).alias(id_col))
     )
@@ -1023,13 +1045,14 @@ def sql_incremental_dedup(
 ) -> str:
     """DuckDB oracle: within-batch min-id per hash, anti-joined vs index.
 
-    NOT EXISTS, not NOT IN: a NULL content hash (md5 of NULL text) makes
-    ``NOT IN`` three-valued — one NULL in the index would drop EVERY
-    batch row — while NOT EXISTS's equi-predicate never matches NULL,
-    exactly the Spark left_anti join's semantics."""
+    Hashes via :data:`SQL_CONTENT_HASH` (NULL-coalesced), so no NULL key
+    ever reaches the anti-join.  Still NOT EXISTS, not NOT IN, matching
+    the Spark left_anti join's semantics if an externally-built index
+    carries a NULL anyway (``NOT IN`` would go three-valued and drop
+    every batch row)."""
     return f"""
 WITH within AS (
-  SELECT md5({text_col}) AS content_hash, MIN({id_col}) AS {id_col}
+  SELECT {SQL_CONTENT_HASH.format(t=text_col)} AS content_hash, MIN({id_col}) AS {id_col}
   FROM ({new_src}) GROUP BY 1
 )
 SELECT {id_col}, content_hash

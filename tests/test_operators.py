@@ -1316,3 +1316,29 @@ def test_bloom_prune_rejects_mismatched_key_types(spark):
     dim_d = spark.createDataFrame([(1.0,)], "k2 double")
     kept = {r["k"] for r in bloom_prune(fact, "k", dim_d, "k2").collect()}
     assert 1.0 in kept
+
+
+def test_md5_prefix_int_quoted_salt_matches_oracle(spark):
+    """A salt containing a single quote must produce IDENTICAL values from
+    the Column-API twin and the SQL twin (the quote is doubled into the
+    DuckDB literal — an unescaped one would break or silently diverge the
+    oracle while Spark sailed on)."""
+    import duckdb
+
+    from spark_hadoop_automation_in_cloud_spark.functions import hashing
+
+    salt = ":o'brien''s"
+    df = spark.createDataFrame([(i,) for i in range(20)], "id long")
+    got = {
+        r["id"]: r["h"]
+        for r in df.select(
+            "id", hashing.md5_prefix_int(F.col("id"), nhex=8, salt=salt).alias("h")
+        ).collect()
+    }
+    sql = hashing.sql_md5_prefix_int("id", nhex=8, salt=salt)
+    want = dict(
+        duckdb.sql(
+            f"SELECT id, {sql} AS h FROM (SELECT unnest(generate_series(0, 19)) AS id)"
+        ).fetchall()
+    )
+    assert got == want

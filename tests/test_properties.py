@@ -413,14 +413,20 @@ def test_quantile_sketch_rank_rule_matches_reference(spark, vals, qs):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
-    texts=st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=24),
+    # None exercises the NULL-text path: content_hash coalesces NULL to ''
+    # so the hash is never NULL — a NULL hash would slip past the left_anti
+    # probe and be re-admitted on EVERY batch (the bug this pins closed)
+    texts=st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", None]), min_size=1, max_size=24
+    ),
     n_batches=st.integers(min_value=1, max_value=4),
 )
 def test_incremental_dedup_equals_global_for_any_batching(spark, texts, n_batches):
     """Run-over-run invariant: however the corpus is split into ordered
     batches, sequential incremental_dedup admits each distinct content
-    EXACTLY once, from the earliest batch containing it with the min id
-    there — and the admitted hash set equals global exact dedup's."""
+    EXACTLY once — NULL text included (it hashes as the empty document) —
+    from the earliest batch containing it with the min id there, and the
+    admitted hash set equals global exact dedup's."""
     import hashlib
 
     from spark_hadoop_automation_in_cloud_spark.operators.dedup import (
@@ -445,18 +451,20 @@ def test_incremental_dedup_equals_global_for_any_batching(spark, texts, n_batche
             content_hash_index(batch, "doc_id", "text")
         )
 
-    # expected: per content, min id within its earliest batch
+    # expected: per content, min id within its earliest batch (NULL text
+    # hashes like the empty document — the content_hash contract)
+    hx = lambda t: hashlib.md5((t or "").encode()).hexdigest()  # noqa: E731
     expect: dict[str, int] = {}
     for rows_b in batches:
         seen_this_round = {}
         for i, t in rows_b:
-            h = hashlib.md5(t.encode()).hexdigest()
+            h = hx(t)
             if h not in expect:
                 seen_this_round.setdefault(h, []).append(i)
         for h, ids in seen_this_round.items():
             expect[h] = min(ids)
     assert admitted == expect
-    assert set(admitted) == {hashlib.md5(t.encode()).hexdigest() for t in texts}
+    assert set(admitted) == {hx(t) for t in texts}
 
 
 @settings(
