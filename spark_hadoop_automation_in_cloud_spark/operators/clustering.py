@@ -43,11 +43,17 @@ def kmeans_assign(
     max_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Assign each vector to one of ``k`` Lloyd's clusters.
 
     Output: ``id_col``, ``cluster_id`` (int), ``sq_dist`` (squared L2 to
-    the final centroid, rounded 6dp).
+    the final centroid, rounded 6dp), plus the double-widened ``vec_col``
+    when ``keep_vec`` — the assignment scan already carries the vector,
+    so consumers that need (cluster_id, vector) rows (SemDeDup's
+    within-cluster pair scoring, q107) take them from THIS plan instead
+    of re-joining the corpus on ``id_col`` — one scan, zero extra
+    shuffle.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -193,6 +199,7 @@ def kmeans_assign(
         # unpersist even when a mid-loop job fails — the pin must
         # not outlive the call (retries would stack cached copies)
         emb.unpersist()
-    return assign(emb).select(
-        id_col, "cluster_id", F.round("sq_dist", 6).alias("sq_dist")
-    )
+    cols = [id_col, "cluster_id", F.round("sq_dist", 6).alias("sq_dist")]
+    if keep_vec:
+        cols.append(vec_col)
+    return assign(emb).select(*cols)

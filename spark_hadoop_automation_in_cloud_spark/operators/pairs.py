@@ -209,3 +209,62 @@ def geo_bucket_join(
     )
     d = haversine_km(F.col(lat1), F.col(lon1), F.col(lat2), F.col(lon2))
     return joined.withColumn(distance_col, d).where(F.col(distance_col) <= max_km)
+
+
+def blocked_pairs_within_groups(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """All unordered within-group pairs, block-salted for parallelism.
+
+    A plain self-equi-join on the group key puts EVERY pair of a group
+    through one shuffle partition — fatal when there are few, large
+    groups (k-means clusters: k=8 means 8 tasks total, whatever the
+    corpus size).  This is the classic triangle split: each row gets a
+    deterministic block ``b = md5(id) % n_blocks`` and is replicated to
+    the block-pair keys it participates in — the left side to ``(b, j)``
+    for ``j ≥ b``, the right side to ``(i, b)`` for ``i ≤ b`` — so the
+    join key becomes (group, i, j) and each of the n_blocks·(n_blocks+1)/2
+    block-pairs of every group is an independent shuffle key.  Replication
+    is ~(n_blocks+1)/2 rows per side per input row (linear in n_blocks)
+    in exchange for quadratic parallelism — the standard trade; size
+    n_blocks so a block-pair's work fits one task at the target scale.
+
+    Every unordered pair appears EXACTLY once: cross-block pairs meet
+    only at key (min_b, max_b); same-block pairs are halved by the id
+    order filter; cross-block output is canonicalized so ``left.id_col <
+    right.id_col`` always holds.
+
+    Output: ``group_cols…, left struct<payload…>, right struct<payload…>``
+    where payload = every non-group column of ``df`` (id included).
+    ``n_blocks=1`` degenerates to the plain self-join.
+    """
+    from spark_hadoop_automation_in_cloud_spark.functions.hashing import md5_prefix_int
+
+    if n_blocks < 1:
+        raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
+    group_cols = list(group_cols)
+    payload = [c for c in df.columns if c not in group_cols]
+    if id_col not in payload:
+        raise ValueError(f"id_col {id_col!r} must be a non-group column of df")
+    row = F.struct(*[F.col(c) for c in payload])
+    b = (md5_prefix_int(F.col(id_col), nhex=8, salt=":pairblk") % n_blocks).cast("int")
+    base = df.select(*group_cols, row.alias("__row"), b.alias("__b"))
+    left = base.withColumn(
+        "__j", F.explode(F.sequence(F.col("__b"), F.lit(n_blocks - 1)))
+    ).select(
+        *group_cols, F.col("__b").alias("__i"), "__j", F.col("__row").alias("left")
+    )
+    right = base.withColumn(
+        "__i", F.explode(F.sequence(F.lit(0), F.col("__b")))
+    ).select(
+        *group_cols, "__i", F.col("__b").alias("__j"), F.col("__row").alias("right")
+    )
+    j = left.join(right, [*group_cols, "__i", "__j"])
+    lt = F.col(f"left.{id_col}") < F.col(f"right.{id_col}")
+    j = j.where((F.col("__i") != F.col("__j")) | lt)
+    lo = F.when(lt, F.col("left")).otherwise(F.col("right"))
+    hi = F.when(lt, F.col("right")).otherwise(F.col("left"))
+    return j.select(*group_cols, lo.alias("left"), hi.alias("right"))

@@ -60,16 +60,19 @@ def register(name: str, sql: str | None, doc: str = ""):
 # coalesced via dedup.content_hash; q111 additionally reworked to drive
 # dedup_batch_against_index directly, VERDICT r5 item 4), q115 (explicit
 # byte==char ASCII guard on both engines), q20 (same content_hash
-# definition change), and q113 (kernel untouched but it lives in the
-# changed dedup module, so it re-stamps with its family) — then ALL 21
-# rows whose last driver stamp is r03
+# definition change), q113 (kernel untouched but it lives in the
+# changed dedup module, so it re-stamps with its family), q107 (pair
+# stage rebuilt: keep_vec assignment scan, block-salted pair join,
+# norm precompute), and q96 (kmeans_assign grew the keep_vec flag) —
+# then ALL 21 rows whose last driver stamp is r03
 # (the age-2 backlog the verdict lists), then 23 of the 45 r04-stamped
 # rows, multi-stage / shared-infra kernels first.  That fills the window
-# exactly: 6 + 21 + 23 = 50.  The 21 r04 rows left out (q12, q13, q15,
-# q18, q37, q46, q47, q48, q49, q55, q56, q75, q76, q78, q81, q82, q84,
-# q85, q86, q90, q91) are single-pass kernels untouched since r04; they
-# land at age exactly 2 — the bound — and lead round 7's window ahead of
-# the then-age-2 r05 block.  Local pytest parity
+# exactly: 8 + 21 + 21 = 50.  The 23 r04 rows left out (q12, q13, q15,
+# q18, q37, q46, q47, q48, q49, q55, q56, q58, q75, q76, q78, q81, q82,
+# q84, q85, q86, q90, q91, q97 — q58/q97 displaced by the q107/q96
+# changed-kernel slots) are kernels untouched since r04; they land at
+# age exactly 2 — the bound — and lead round 7's window ahead of the
+# then-age-2 r05 block.  Local pytest parity
 # (tests/test_oracle_parity.py) still covers every registered query
 # regardless of position.
 _ROTATE_FIRST: tuple[str, ...] = (
@@ -80,6 +83,8 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q115_frame_sampling",
     "q20_exact_dedup",
     "q113_incremental_minhash_dedup",
+    "q107_semantic_cluster_dedup",
+    "q96_kmeans_clusters",
     # --- VERDICT r5 item 1: the 21 age-2 rows (last stamped r03)
     "q14_local_time",
     "q34_raw_event_flatten",
@@ -116,7 +121,6 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q40_corpus_curation",
     "q42_hash_split",
     "q54_repetition_ratio",
-    "q58_training_sequences",
     "q60_decontamination",
     "q61_pii_scrub",
     "q62_embedding_quantize",
@@ -126,7 +130,6 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q87_salted_priority_revenue",
     "q88_rfm_segments",
     "q92_sequence_packing",
-    "q97_point_in_time_state",
     "q101_unigram_lm_quality",
 )
 
@@ -4548,27 +4551,41 @@ WHERE round({dot} / ({nx} * {ny}), 6) >= {threshold}
     "buckets by learned geometry, catching paraphrase-level dups that "
     "share no shingles). Cross-cluster pairs are the documented recall "
     "trade (measured in the companion pytest vs exact all-pairs). "
-    "Oracle: the unrolled k-means CTE chain (shared verbatim with "
-    "q96's oracle) + the same spelled-out double-fold cosine as q19.",
+    "Plan shape (r6): the assignment scan carries the vector "
+    "(keep_vec), so there is NO corpus re-join; pair generation is "
+    "block-salted (operators/pairs.py blocked_pairs_within_groups) — "
+    "a plain join on cluster_id would run k=8 tasks TOTAL at any "
+    "corpus size, the salted form runs k·36 independent block-pairs — "
+    "and each side carries its precomputed norm, so scoring a pair is "
+    "one dot fold instead of dot + two norm folds. Oracle: the "
+    "unrolled k-means CTE chain (shared verbatim with q96's oracle) + "
+    "the same spelled-out double-fold cosine as q19 — bit-identical "
+    "because norm-then-divide is the same double arithmetic either "
+    "way.",
 )
 def q107_semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spark_hadoop_automation_in_cloud_spark.functions.vectors import cosine
+    from spark_hadoop_automation_in_cloud_spark.functions.vectors import dot, norm
+    from spark_hadoop_automation_in_cloud_spark.operators.pairs import (
+        blocked_pairs_within_groups,
+    )
 
     emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
-    asg = kmeans_assign(emb, k=8, max_iter=5).select("vec_id", "cluster_id")
-    e = emb.join(asg, "vec_id")
-    a = e.select(
-        "cluster_id", F.col("vec_id").alias("left_id"), F.col("embedding").alias("__va")
-    )
-    b = e.select(
-        "cluster_id", F.col("vec_id").alias("right_id"), F.col("embedding").alias("__vb")
-    )
-    cand = a.join(b, "cluster_id").where(F.col("left_id") < F.col("right_id"))
-    return cand.select(
+    e = kmeans_assign(emb, k=8, max_iter=5, keep_vec=True).select(
         "cluster_id",
-        "left_id",
-        "right_id",
-        F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
+        "vec_id",
+        F.col("embedding").alias("__v"),
+        norm(F.col("embedding")).alias("__n"),
+    )
+    pairs = blocked_pairs_within_groups(e, ["cluster_id"], "vec_id", n_blocks=8)
+    return pairs.select(
+        "cluster_id",
+        F.col("left.vec_id").alias("left_id"),
+        F.col("right.vec_id").alias("right_id"),
+        F.round(
+            dot(F.col("left.__v"), F.col("right.__v"))
+            / (F.col("left.__n") * F.col("right.__n")),
+            6,
+        ).alias("cosine_sim"),
     ).where(F.col("cosine_sim") >= 0.4)
 
 

@@ -1342,3 +1342,32 @@ def test_md5_prefix_int_quoted_salt_matches_oracle(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_blocked_pairs_within_groups_equals_naive(spark):
+    """Block-salted within-group pairing must emit EXACTLY the naive
+    group self-join's unordered pair set — every pair once, canonical
+    left.id < right.id — for several block counts including the n=1
+    degenerate and blocks > group size."""
+    from spark_hadoop_automation_in_cloud_spark.operators.pairs import (
+        blocked_pairs_within_groups,
+    )
+
+    rows = [(i % 4, i, float(i) * 0.5) for i in range(57)]
+    df = spark.createDataFrame(rows, "g int, id long, x double")
+    naive = {
+        (g, a, b)
+        for g in range(4)
+        for a in [i for (gg, i, _) in rows if gg == g]
+        for b in [i for (gg, i, _) in rows if gg == g]
+        if a < b
+    }
+    for n_blocks in (1, 3, 8, 100):
+        got = blocked_pairs_within_groups(df, ["g"], "id", n_blocks=n_blocks).collect()
+        pairs = {(r["g"], r["left"]["id"], r["right"]["id"]) for r in got}
+        assert len(got) == len(pairs), n_blocks  # no duplicate emissions
+        assert pairs == naive, n_blocks
+        # payload rides along with its id
+        for r in got:
+            assert r["left"]["x"] == r["left"]["id"] * 0.5
+            assert r["right"]["x"] == r["right"]["id"] * 0.5
