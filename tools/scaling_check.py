@@ -69,6 +69,12 @@ EVENTS_QUERIES = [
     "q97_point_in_time_state", # SCD2 build + temporal join
     "q81_transition_matrix",   # lag window + matrix aggregate
     "q11_travel_history",      # broadcast 1-NN + change detection + collect_list
+    # upsert replay via the duckdb merge backend: key space grows with the
+    # factor so the ON CONFLICT table and every batch's toPandas crossing
+    # scale together — this one SHOULD be ~linear (it is the documented
+    # driver-crossing micro-batch shape; the sublinear flag just confirms
+    # nothing superlinear crept into the per-batch dedup windows)
+    "q117_upsert_replay",
 ]
 # NOT replicated here: q16 (co-purchase pairing) — replicas share contact
 # keys, so pair density grows QUADRATICALLY with the factor; that stress
