@@ -28,6 +28,12 @@ ratios only with that machine factor in mind; within-round ratios remain
 meaningful.  q96 (3.8s vs 4.7s recorded in the FASTER r4 environment) and
 the SCALING_ITER pagerank wall (4.1s base) show the r5 loop optimizations
 are real wins despite the slower clock.
+
+Round 6 makes that A/B standing: the output JSON now carries a
+``machine_factor`` block — three pinned code-independent kernels (see
+_MACHINE_KERNELS) timed after the queries.  To separate machine drift
+from plan regressions across rounds, ratio the same kernel between
+BENCH_r{N}.json files; no worktree archaeology needed.
 """
 
 from __future__ import annotations

@@ -1125,6 +1125,125 @@ GROUP BY 1
 """
 
 
+def repeated_span_coverage(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, min_doc_freq: int = 2
+) -> DataFrame:
+    """Per-document POSITION-level passage-duplication coverage.
+
+    :func:`repeated_ngram_doc_stats` counts repeated grams; this measures
+    how much of each document's TEXT lies inside a repeated passage — the
+    interval-union of every length-``n`` gram occurring in >=
+    ``min_doc_freq`` distinct documents (position form of Lee et al.'s
+    ExactSubstr signal: overlapping grams of one long shared passage
+    count its tokens ONCE, where the gram-count ratio double-counts
+    every overlap).  Output per document:
+
+        doc_id, n_tokens, n_covered, span_coverage (round 6dp)
+
+    Interval union without materializing intervals: repeated-gram starts
+    are fixed-length-``n`` spans, so per document, sorted by start, each
+    start covers ``min(n, next_start - start)`` new tokens (the last one
+    ``n``; a start never overruns the document because starts stop at
+    ``n_tokens - n + 1``).  One lead() window per doc — no self-join.
+
+    Scale shape: grams are md5-compressed to int64 in the scan; the
+    distinct + doc-frequency pass shuffles on the gram hash with map-side
+    combines, the repeated-flag equi-join reuses that key, and the
+    coverage window + final left join ride one doc-id shuffle.  Join
+    multiplicity per gram is its occurrence count (the inverted index),
+    never a cross product.  NULL text coalesces to '' (the
+    :func:`content_hash` convention): 1 token, zero grams, coverage 0.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    k = F.size(toks) - (n - 1)
+    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.struct(
+                i.alias("pos"),
+                md5_int60(F.concat_ws(" ", *parts(i))).alias("gh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gh:bigint>>"))
+    g = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    dfreq = (
+        g.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("gram_df"))
+        .where(F.col("gram_df") >= min_doc_freq)
+        .select("gh")
+    )
+    rep = g.join(dfreq, "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    contrib = F.when(F.lead("pos").over(w).isNull(), F.lit(n)).otherwise(
+        F.least(F.lit(n), F.lead("pos").over(w) - F.col("pos"))
+    )
+    cov = (
+        rep.select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_covered"))
+    )
+    docs = df.select(F.col(id_col).alias("doc_id"), F.size(toks).alias("n_tokens"))
+    return docs.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("n_covered"), F.lit(0)).cast("bigint").alias("n_covered"),
+        F.round(
+            F.coalesce(F.col("n_covered"), F.lit(0))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("span_coverage"),
+    )
+
+
+def sql_repeated_span_coverage(
+    src: str, id_col: str, text_col: str, n: int = 3, min_doc_freq: int = 2
+) -> str:
+    """DuckDB oracle twin of :func:`repeated_span_coverage` — identical
+    gram hashing, identical lead()-window interval union."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    gh = sql_md5_int60(f"({gram})")
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, string_split(COALESCE({text_col}, ''), ' ') AS t
+  FROM {src}
+),
+g AS (
+  SELECT doc_id, i AS pos, {gh} AS gh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {n - 1})) AS i
+        FROM toks)
+),
+dfq AS (
+  SELECT gh FROM (SELECT gh, COUNT(DISTINCT doc_id) AS c FROM g GROUP BY 1)
+  WHERE c >= {min_doc_freq}
+),
+iv AS (
+  SELECT doc_id, pos, lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM (SELECT g.doc_id, g.pos FROM g JOIN dfq USING (gh))
+),
+cov AS (
+  SELECT doc_id,
+         SUM(CASE WHEN nxt IS NULL THEN {n} ELSE LEAST({n}, nxt - pos) END)
+           AS n_covered
+  FROM iv GROUP BY 1
+),
+d AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+SELECT d.doc_id,
+       CAST(d.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(cov.n_covered, 0) AS BIGINT) AS n_covered,
+       round(CAST(COALESCE(cov.n_covered, 0) AS DOUBLE)
+             / GREATEST(d.n_tokens, 1), 6) AS span_coverage
+FROM d LEFT JOIN cov USING (doc_id)
+"""
+
+
 # --- incremental (cross-batch) NEAR-dup: persisted band index ---------------
 
 

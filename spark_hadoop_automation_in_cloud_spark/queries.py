@@ -63,14 +63,15 @@ def register(name: str, sql: str | None, doc: str = ""):
 # definition change), q113 (kernel untouched but it lives in the
 # changed dedup module, so it re-stamps with its family), q107 (pair
 # stage rebuilt: keep_vec assignment scan, block-salted pair join,
-# norm precompute), and q96 (kmeans_assign grew the keep_vec flag) —
-# then ALL 21 rows whose last driver stamp is r03
+# norm precompute), q96 (kmeans_assign grew the keep_vec flag), and
+# q118 (NEW: position-level repeated-span coverage) — then ALL 21 rows
+# whose last driver stamp is r03
 # (the age-2 backlog the verdict lists), then 23 of the 45 r04-stamped
 # rows, multi-stage / shared-infra kernels first.  That fills the window
-# exactly: 8 + 21 + 21 = 50.  The 23 r04 rows left out (q12, q13, q15,
-# q18, q37, q46, q47, q48, q49, q55, q56, q58, q75, q76, q78, q81, q82,
-# q84, q85, q86, q90, q91, q97 — q58/q97 displaced by the q107/q96
-# changed-kernel slots) are kernels untouched since r04; they land at
+# exactly: 9 + 21 + 20 = 50.  The 24 r04 rows left out (q12, q13, q15,
+# q18, q37, q46, q47, q48, q49, q55, q56, q58, q62, q75, q76, q78, q81,
+# q82, q84, q85, q86, q90, q91, q97 — q58/q97/q62 displaced by the
+# q107/q96/q118 slots) are kernels untouched since r04; they land at
 # age exactly 2 — the bound — and lead round 7's window ahead of the
 # then-age-2 r05 block.  Local pytest parity
 # (tests/test_oracle_parity.py) still covers every registered query
@@ -78,6 +79,7 @@ def register(name: str, sql: str | None, doc: str = ""):
 _ROTATE_FIRST: tuple[str, ...] = (
     # --- kernels/oracles changed in round 6 (+ the one NEW row)
     "q117_upsert_replay",
+    "q118_repeated_span_coverage",
     "q108_incremental_dedup",
     "q111_streaming_incremental_dedup",
     "q115_frame_sampling",
@@ -123,7 +125,6 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q54_repetition_ratio",
     "q60_decontamination",
     "q61_pii_scrub",
-    "q62_embedding_quantize",
     "q63_tfidf_top_terms",
     "q64_document_chunking",
     "q68_trimmed_mean",
@@ -4996,3 +4997,24 @@ def q117_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the snapshot is fully materialized in pdf; reclaim the tempdir
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(pdf)
+
+
+@register(
+    "q118_repeated_span_coverage",
+    dd.sql_repeated_span_coverage("documents", "doc_id", "text", n=3, min_doc_freq=2),
+    doc="Position-level repeated-passage coverage (operators/dedup.py "
+    "repeated_span_coverage): the interval-union refinement of q109 — "
+    "per document, the fraction of TOKENS lying inside any 3-gram "
+    "shared with another document (Lee et al. ExactSubstr, position "
+    "form: overlapping grams of one long shared passage count its "
+    "tokens once, where q109's gram-count ratio double-counts every "
+    "overlap). Union without materializing intervals: repeated-gram "
+    "starts are fixed-length spans, so sorted-by-start each covers "
+    "min(n, next_start - start) new tokens — one lead() window per "
+    "doc, no self-join. Grams md5-int60-compressed before any "
+    "shuffle; df pass + repeated-flag join share the gram-hash key; "
+    "coverage rides one doc_id shuffle.",
+)
+def q118_repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    return dd.repeated_span_coverage(d, "doc_id", "text", n=3, min_doc_freq=2)

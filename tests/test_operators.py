@@ -1371,3 +1371,52 @@ def test_blocked_pairs_within_groups_equals_naive(spark):
         for r in got:
             assert r["left"]["x"] == r["left"]["id"] * 0.5
             assert r["right"]["x"] == r["right"]["id"] * 0.5
+
+
+def test_repeated_span_coverage_interval_union(spark):
+    """Coverage must equal the exact interval union of repeated-gram spans
+    computed by a naive Python reference — overlapping grams of one shared
+    passage count each token once (the property that distinguishes this
+    from q109's gram-count ratio), disjoint spans add, unique docs score
+    0, and a whole-corpus duplicate scores 1."""
+    from spark_hadoop_automation_in_cloud_spark.operators.dedup import (
+        repeated_span_coverage,
+    )
+
+    docs = [
+        # 0/1: share "a b c d e" (3 overlapping 3-grams -> 5 covered, not 9)
+        (0, "a b c d e x1 y1 z1"),
+        (1, "q1 a b c d e q2 q3"),
+        # 2: shares nothing
+        (2, "u1 u2 u3 u4 u5 u6"),
+        # 3/4: exact duplicates -> full coverage
+        (3, "p p q q r r"),
+        (4, "p p q q r r"),
+        # 5: two disjoint shared passages with doc 0 and doc 3
+        (5, "a b c k1 k2 p p q q"),
+        # 6: too short for any 3-gram
+        (6, "s1 s2"),
+    ]
+    n = 3
+    grams: dict[tuple, set] = {}
+    for i, t in docs:
+        toks = t.split(" ")
+        for s in range(len(toks) - n + 1):
+            grams.setdefault(tuple(toks[s : s + n]), set()).add(i)
+    expect = {}
+    for i, t in docs:
+        toks = t.split(" ")
+        covered = set()
+        for s in range(len(toks) - n + 1):
+            if len(grams[tuple(toks[s : s + n])]) >= 2:
+                covered.update(range(s, s + n))
+        expect[i] = (len(toks), len(covered), round(len(covered) / len(toks), 6))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_covered"], r["span_coverage"])
+        for r in repeated_span_coverage(df, "doc_id", "text", n=n).collect()
+    }
+    assert got == expect
+    assert got[2][1] == 0 and got[6][1] == 0      # unique / too-short
+    assert got[3][2] == 1.0 and got[4][2] == 1.0  # exact dup
+    assert got[0] == (8, 5, 0.625)                # overlap counted once

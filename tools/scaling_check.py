@@ -47,6 +47,10 @@ QUERIES = [
     # frequency by scale, growing the df-rejoin multiplicity (the op's
     # only fan-out) by exactly the factor — worst case for that join
     "q109_repeated_ngram_flags",
+    # span coverage: replication makes EVERY gram repeated, so the
+    # interval-union window sees the maximal repeated-start stream —
+    # worst case for the per-doc lead() pass on top of q109's join shape
+    "q118_repeated_span_coverage",
     # shard layout: pure shuffle + per-shard window, should track input
     "q110_training_shards",
     # budget selection: per-source windows grow with the factor while the
