@@ -5,7 +5,8 @@ philosophy as ``src/keeper/keeper.py:10-56``, carried by a Structured
 Streaming checkpoint instead of date arithmetic):
 
     spark-submit jobs/incremental_dedup_job.py \
-        <src_docs_dir> <index_dir> <checkpoint_dir> [max_files_per_trigger]
+        <src_docs_dir> <index_dir> <checkpoint_dir> [max_files_per_trigger] \
+        [--compact]
 
 - ``src_docs_dir``: landing directory of document parquet files with
   (doc_id BIGINT, text STRING) columns.
@@ -19,6 +20,12 @@ Streaming checkpoint instead of date arithmetic):
   rescanning the corpus (the 100 TB run-over-run contract of
   ``operators.dedup.incremental_dedup``).
 - ``max_files_per_trigger`` (optional): bound per-micro-batch file count.
+- ``--compact`` (optional): after the drain, collapse all committed epoch
+  partitions into one (``streaming.incremental.compact_dedup_index``) —
+  the cron-cadence maintenance that keeps a years-old index from
+  accumulating thousands of tiny ``batch_id=`` directories.  Safe here by
+  construction: the drain has fully committed every epoch below the next
+  one when the query terminates.
 
 Replay-safe on plain parquet: a crashed micro-batch recomputes its own
 ``batch_id`` partition from ``batch_id < epoch`` state and overwrites it
@@ -34,18 +41,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from spark_hadoop_automation_in_cloud_spark.session import session_scope
 from spark_hadoop_automation_in_cloud_spark.streaming.incremental import (
+    compact_dedup_index,
     run_streaming_incremental_dedup,
 )
 
 USAGE = (
     "usage: incremental_dedup_job.py <src_docs_dir> <index_dir> "
-    "<checkpoint_dir> [max_files_per_trigger]"
+    "<checkpoint_dir> [max_files_per_trigger] [--compact]"
 )
 
 DOC_SCHEMA = "doc_id long, text string"
 
 
 def main(argv: list[str]) -> int:
+    compact = "--compact" in argv
+    argv = [a for a in argv if a != "--compact"]
     if not 3 <= len(argv) <= 4:
         print(USAGE, file=sys.stderr)
         return 2
@@ -66,6 +76,16 @@ def main(argv: list[str]) -> int:
             reader = reader.option("maxFilesPerTrigger", str(max_files))
         stream = reader.parquet(src)
         run_streaming_incremental_dedup(stream, index_dir, ckpt, "doc_id", "text")
+        if compact and os.path.isdir(index_dir):
+            epochs = [
+                int(d.split("=", 1)[1])
+                for d in os.listdir(index_dir)
+                if d.startswith("batch_id=")
+            ]
+            if epochs:
+                # every epoch on disk is committed once the availableNow
+                # drain has terminated, so the whole index may collapse
+                compact_dedup_index(spark, index_dir, upto_epoch=max(epochs) + 1)
     return 0
 
 

@@ -351,3 +351,81 @@ def run_streaming_incremental_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def compact_dedup_index(spark, index_path: str, upto_epoch: int) -> None:
+    """Collapse fingerprint-index partitions ``batch_id < upto_epoch`` into
+    the single partition ``batch_id = upto_epoch - 1``.
+
+    Run-over-run maintenance: dedup-on-arrival adds one ``batch_id=N``
+    directory per micro-batch, and at cron cadence that is thousands of
+    tiny partitions within a year — the listing/open cost starts to rival
+    the probe itself.  Compaction preserves the dedup CONTRACT exactly —
+    the (content_hash, canonical_id) row set is untouched, and every
+    future batch ``e >= upto_epoch`` still reads the compacted rows via
+    its ``batch_id < e`` pruned scan — while the first-seen epoch is
+    deliberately coarsened to ``upto_epoch - 1`` (batch_id is the
+    operational pruning watermark; keep the index uncompacted for as long
+    as per-epoch provenance matters).
+
+    Safety: only compact epochs the stream's checkpoint has COMMITTED
+    (``upto_epoch`` <= the next epoch to be processed).  Committed epochs
+    never replay under the availableNow/checkpoint contract, so no future
+    writer overwrites ``batch_id < upto_epoch`` partitions; an in-flight
+    epoch >= upto_epoch replays onto its OWN partition, which compaction
+    never touches.
+
+    Crash safety (local paths, mirroring ``upsert_batch``'s rename
+    protocol): the compacted rows are fully written to a sibling tmp dir
+    first, old partitions are renamed aside into a sibling bak dir, the
+    tmp renames into place, then the bak drops.  On entry any previous
+    crash is repaired: a leftover bak with no compacted target restores
+    itself (the tmp, if any, is discarded and compaction redone); a
+    leftover bak WITH the target means the old run finished its renames —
+    the bak is dropped.
+    """
+    if "://" in index_path:
+        raise ValueError(
+            "compact_dedup_index swaps directories with local-filesystem "
+            f"renames; got URI path {index_path!r} — on an object store, "
+            "compact via the table format's own rewrite (Delta OPTIMIZE / "
+            "Iceberg rewrite_data_files)"
+        )
+    if upto_epoch < 1:
+        raise ValueError(f"upto_epoch must be >= 1, got {upto_epoch}")
+    tmp, bak = f"{index_path}.compact-tmp", f"{index_path}.compact-bak"
+    target = os.path.join(index_path, f"batch_id={upto_epoch - 1}")
+
+    # entry repair (see docstring): bak present means a previous compact
+    # crashed mid-rename; the target's existence tells which side of the
+    # final rename it died on (the target was itself renamed INTO bak
+    # before the tmp could rename in, so "target exists" is unambiguous)
+    if os.path.isdir(bak):
+        if os.path.isdir(target):
+            shutil.rmtree(bak)
+        else:
+            for d in os.listdir(bak):
+                os.rename(os.path.join(bak, d), os.path.join(index_path, d))
+            os.rmdir(bak)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+
+    old = [
+        d
+        for d in os.listdir(index_path)
+        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) < upto_epoch
+    ]
+    if len(old) <= 1:
+        return  # nothing to collapse
+    (
+        spark.read.parquet(index_path)
+        .where(F.col("batch_id") < upto_epoch)
+        .select("canonical_id", "content_hash")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    os.makedirs(bak)
+    for d in old:
+        os.rename(os.path.join(index_path, d), os.path.join(bak, d))
+    os.rename(tmp, target)
+    shutil.rmtree(bak)

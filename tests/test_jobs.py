@@ -225,3 +225,35 @@ def test_incremental_dedup_job_cli_resumes_and_dedups_across_runs(spark, tmp_pat
 
     assert job.main([]) == 2
     assert job.main([f"{src}/*", idx, ckpt, "0"]) == 2
+
+
+def test_incremental_dedup_job_cli_compact_flag(spark, tmp_path):
+    """--compact collapses the committed epoch partitions after the drain
+    without changing what the index knows: a later run still refuses to
+    re-admit compacted content, and new content lands in a fresh epoch."""
+    import os
+
+    job = _load("incremental_dedup_job")
+    src = tmp_path / "landing"
+    src.mkdir()
+    idx, ckpt = str(tmp_path / "index"), str(tmp_path / "ckpt")
+
+    for i, rows in enumerate([[(0, "alpha")], [(1, "beta")], [(2, "gamma")]]):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"drop{i}"))
+    # one file per trigger -> three epochs, then compact them
+    assert job.main([f"{src}/*", idx, ckpt, "1", "--compact"]) == 0
+    assert sorted(os.listdir(idx)) == ["batch_id=2"]
+    assert {r["canonical_id"] for r in spark.read.parquet(idx).collect()} == {0, 1, 2}
+
+    # resume against the compacted index: dup refused, new content admitted
+    spark.createDataFrame(
+        [(3, "alpha"), (4, "omega")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "drop3"))
+    assert job.main([f"{src}/*", idx, ckpt]) == 0
+    rows = {
+        (r["canonical_id"], r["batch_id"])
+        for r in spark.read.parquet(idx).collect()
+    }
+    assert rows == {(0, 2), (1, 2), (2, 2), (4, 3)}

@@ -817,3 +817,114 @@ def test_streaming_incremental_dedup_multi_run_and_replay(spark, tmp_path):
     }
     assert again == got
     assert spark.read.parquet(idx).count() == 4
+
+
+def test_compact_dedup_index_preserves_contract(spark, tmp_path):
+    """Compacting committed epochs must not change WHAT the index knows:
+    the (content_hash, canonical_id) row set is identical, future batches
+    dedup to the same survivors as against the uncompacted index, the
+    partition count collapses, and a second compact is a no-op.  batch_id
+    coarsens to upto-1 by design (documented provenance trade)."""
+    import os
+
+    from spark_hadoop_automation_in_cloud_spark.streaming.incremental import (
+        compact_dedup_index,
+        dedup_batch_against_index,
+    )
+
+    batches = [
+        [(0, "alpha"), (1, "beta")],
+        [(2, "alpha"), (3, "gamma")],
+        [(4, "delta")],
+    ]
+    idx_a, idx_b = str(tmp_path / "a"), str(tmp_path / "b")
+    for idx in (idx_a, idx_b):
+        for e, rows in enumerate(batches):
+            dedup_batch_against_index(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                idx, "doc_id", "text", epoch_id=e,
+            )
+    compact_dedup_index(spark, idx_a, upto_epoch=3)
+
+    parts = sorted(d for d in os.listdir(idx_a) if d.startswith("batch_id="))
+    assert parts == ["batch_id=2"]
+    rows_a = {
+        (r["content_hash"], r["canonical_id"])
+        for r in spark.read.parquet(idx_a).collect()
+    }
+    rows_b = {
+        (r["content_hash"], r["canonical_id"])
+        for r in spark.read.parquet(idx_b).collect()
+    }
+    assert rows_a == rows_b  # row set untouched, only partition layout
+
+    # future epoch dedups identically against compacted vs uncompacted
+    nxt = [(5, "alpha"), (6, "epsilon")]
+    for idx in (idx_a, idx_b):
+        dedup_batch_against_index(
+            spark.createDataFrame(nxt, "doc_id long, text string"),
+            idx, "doc_id", "text", epoch_id=3,
+        )
+    surv = lambda idx: {  # noqa: E731
+        (r["content_hash"], r["canonical_id"])
+        for r in spark.read.parquet(f"{idx}/batch_id=3").collect()
+    }
+    assert surv(idx_a) == surv(idx_b)
+    assert {c for _, c in surv(idx_a)} == {6}  # alpha already admitted
+
+    before = sorted(os.listdir(idx_a))
+    compact_dedup_index(spark, idx_a, upto_epoch=3)  # single partition < 3
+    assert sorted(os.listdir(idx_a)) == before  # no-op
+
+
+def test_compact_dedup_index_repairs_crash_states(spark, tmp_path):
+    """Entry repair: a leftover bak dir with NO compacted target restores
+    the original partitions (crash between the rename-aside and the final
+    rename); a bak WITH the target is the post-rename crash and just
+    drops.  Either way a re-run converges to the compacted layout with the
+    full row set."""
+    import os
+    import shutil
+
+    from spark_hadoop_automation_in_cloud_spark.streaming.incremental import (
+        compact_dedup_index,
+        dedup_batch_against_index,
+    )
+
+    batches = [[(0, "alpha")], [(1, "beta")], [(2, "gamma")]]
+    idx = str(tmp_path / "idx")
+    for e, rows in enumerate(batches):
+        dedup_batch_against_index(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            idx, "doc_id", "text", epoch_id=e,
+        )
+    full = {
+        (r["content_hash"], r["canonical_id"])
+        for r in spark.read.parquet(idx).collect()
+    }
+
+    # crash state A: old partitions renamed aside, final rename never ran
+    bak = f"{idx}.compact-bak"
+    os.makedirs(bak)
+    for d in ("batch_id=0", "batch_id=1", "batch_id=2"):
+        os.rename(os.path.join(idx, d), os.path.join(bak, d))
+    compact_dedup_index(spark, idx, upto_epoch=3)
+    assert not os.path.isdir(bak)
+    assert sorted(os.listdir(idx)) == ["batch_id=2"]
+    assert {
+        (r["content_hash"], r["canonical_id"])
+        for r in spark.read.parquet(idx).collect()
+    } == full
+
+    # crash state B: compacted target landed but the bak never dropped
+    os.makedirs(bak)
+    spark.createDataFrame(
+        [("zz", 99)], "content_hash string, canonical_id long"
+    ).write.parquet(os.path.join(bak, "batch_id=0"))
+    compact_dedup_index(spark, idx, upto_epoch=3)
+    assert not os.path.isdir(bak)  # stale bak dropped, not restored
+    assert {
+        (r["content_hash"], r["canonical_id"])
+        for r in spark.read.parquet(idx).collect()
+    } == full
+    shutil.rmtree(idx)
