@@ -398,3 +398,14 @@ def test_q113_incremental_neardup_equi_joins_only(spark, sf_dir):
     plan = explain_simple(q.q113_incremental_minhash_dedup(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q118_span_coverage_equi_joins_only(spark, sf_dir):
+    """Span coverage is inverted-index shaped: the df pass and the
+    repeated-flag join key on the gram hash, the coverage window keys on
+    doc_id — equi-joins and hash-partitioned windows only, no cartesian,
+    no nested-loop broadcast, no SinglePartition window."""
+    plan = explain_simple(q.q118_repeated_span_coverage(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
