@@ -248,53 +248,69 @@ def ann_lsh_topk(
 # --- IVF-bucketed ANN (alternate scale path) ---------------------------------
 
 
-def ann_ivf_topk(
+def ivf_centroids(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int,
     centroid_mod: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse-centroid frame: every ``centroid_mod``-th
+    corpus vector.  Output: ``cent_id, centroid`` — the (tiny) model half
+    of a persisted IVF index; a k-means refinement would swap only this
+    producer, every consumer below is unchanged."""
+    return corpus.where(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centroid")
+    )
+
+
+def ivf_build_lists(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF inverted lists: each corpus vector assigned to its best cell.
+
+    Output: ``neighbor_id, embedding, cell_id`` — the data half of a
+    persisted index; write it ``partitionBy("cell_id")`` so later query
+    batches read ONLY probed cells (see :func:`ivf_probe_cells`).  The
+    assignment pass is a broadcast nested-loop over the tiny centroid set
+    + one reduce per vector, keyed by the vector id.
+    """
+    cent = F.broadcast(
+        centroids.select("cent_id", F.col("centroid").alias("__cent"))
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("__cent")), 6)
+    best = F.max_by(
+        F.col("cent_id"), F.struct(sim.alias("s"), (-F.col("cent_id")).alias("t"))
+    )
+    return (
+        corpus.crossJoin(cent)
+        .groupBy(F.col(id_col).alias("neighbor_id"))
+        .agg(F.any_value(F.col(vec_col)).alias("embedding"), best.alias("cell_id"))
+    )
+
+
+def ivf_probe_cells(
+    centroids: DataFrame,
+    queries: DataFrame,
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: partition the corpus into
-    coarse cells around centroid vectors; each query scans only its
-    ``nprobe`` nearest cells.
+    """Per query: its ``nprobe`` nearest cells (centroids broadcast).
 
-    Centroid selection is deterministic (every ``centroid_mod``-th corpus
-    vector) rather than k-means — the *plumbing* is the point: at 100 TB the
-    assignment pass is a broadcast nested-loop over the (tiny) centroid set
-    + one reduce per vector, the inverted lists are the corpus re-keyed by
-    ``cell_id`` (ideally written bucketed-by-cell so repeated query batches
-    prune to probed cells), and the search is an equi-join on ``cell_id`` —
-    never a full cross product.  A k-means refinement only changes how the
-    centroid frame is produced, not this plan.  Recall < 1 by construction
-    (cross-cell neighbors are missed); raise ``nprobe`` to trade cost for
-    recall.  Ties everywhere break on id for determinism.
-    """
-    cent = F.broadcast(
-        corpus.where(F.col(id_col) % centroid_mod == 0).select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cent")
-        )
-    )
-    sim = F.round(cosine(F.col(vec_col), F.col("__cent")), 6)
-
-    # assignment pass: best centroid per corpus vector (one reduce, keyed by
-    # the vector id — the same key the inverted lists are stored under)
-    best = F.max_by(
-        F.col("cent_id"), F.struct(sim.alias("s"), (-F.col("cent_id")).alias("t"))
-    )
-    lists = (
-        corpus.crossJoin(cent)
-        .groupBy(F.col(id_col).alias("neighbor_id"))
-        .agg(best.alias("cell_id"), F.any_value(F.col(vec_col)).alias("__cvec"))
-    )
-
-    # probe pass: nprobe nearest cells per query (centroids broadcast again)
+    Output: ``query_id, __qvec, cell_id``.  The distinct cell_id set of
+    this frame is bounded by min(n_queries · nprobe, n_cells) — small
+    enough to collect and turn into a partition-pruning predicate on the
+    persisted lists (the read-only-probed-cells path of q119)."""
     wq = Window.partitionBy("query_id").orderBy(
         F.col("__csim").desc(), F.col("cent_id").asc()
     )
-    probes = (
+    cent = F.broadcast(
+        centroids.select("cent_id", F.col("centroid").alias("__cent"))
+    )
+    return (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
         .crossJoin(cent)
         .select(
@@ -308,9 +324,18 @@ def ann_ivf_topk(
         .select("query_id", "__qvec", F.col("cent_id").alias("cell_id"))
     )
 
+
+def ivf_score(probes: DataFrame, lists: DataFrame, k: int) -> DataFrame:
+    """Search: equi-join probes with inverted lists on ``cell_id``, exact
+    cosine on the survivors, top-``k`` per query (id tiebreak)."""
     scored = (
         F.broadcast(probes)
-        .join(lists, "cell_id")
+        .join(
+            lists.select(
+                "neighbor_id", "cell_id", F.col("embedding").alias("__cvec")
+            ),
+            "cell_id",
+        )
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -322,6 +347,37 @@ def ann_ivf_topk(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroid_mod: int = 37,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    coarse cells around centroid vectors; each query scans only its
+    ``nprobe`` nearest cells.
+
+    Composition of the persistable stages: :func:`ivf_centroids` (model)
+    → :func:`ivf_build_lists` (data, one row per corpus vector) →
+    :func:`ivf_probe_cells` + :func:`ivf_score` (search).  Centroid
+    selection is deterministic (every ``centroid_mod``-th corpus vector)
+    rather than k-means — the *plumbing* is the point: at 100 TB the
+    build runs ONCE and the two index tables persist (lists partitioned
+    by cell_id); each query batch is then a broadcast probe + an
+    equi-join that reads only probed cells — never a full cross product.
+    Recall < 1 by construction (cross-cell neighbors are missed); raise
+    ``nprobe`` to trade cost for recall.  Ties everywhere break on id
+    for determinism.
+    """
+    cent = ivf_centroids(corpus, centroid_mod, id_col, vec_col)
+    lists = ivf_build_lists(corpus, cent, id_col, vec_col)
+    probes = ivf_probe_cells(cent, queries, nprobe, id_col, vec_col)
+    return ivf_score(probes, lists, k)
 
 
 def quantize_embeddings(

@@ -63,15 +63,18 @@ def register(name: str, sql: str | None, doc: str = ""):
 # definition change), q113 (kernel untouched but it lives in the
 # changed dedup module, so it re-stamps with its family), q107 (pair
 # stage rebuilt: keep_vec assignment scan, block-salted pair join,
-# norm precompute), q96 (kmeans_assign grew the keep_vec flag), and
-# q118 (NEW: position-level repeated-span coverage) — then ALL 21 rows
-# whose last driver stamp is r03
+# norm precompute), q96 (kmeans_assign grew the keep_vec flag), q118
+# (NEW: position-level repeated-span coverage), q119 (NEW: persisted
+# partition-pruned IVF probe), and q30 (ann_ivf_topk refactored into
+# the persistable build/probe stages q119 round-trips) — then ALL 21
+# rows whose last driver stamp is r03
 # (the age-2 backlog the verdict lists), then 23 of the 45 r04-stamped
 # rows, multi-stage / shared-infra kernels first.  That fills the window
-# exactly: 9 + 21 + 20 = 50.  The 24 r04 rows left out (q12, q13, q15,
-# q18, q37, q46, q47, q48, q49, q55, q56, q58, q62, q75, q76, q78, q81,
-# q82, q84, q85, q86, q90, q91, q97 — q58/q97/q62 displaced by the
-# q107/q96/q118 slots) are kernels untouched since r04; they land at
+# exactly: 11 + 21 + 18 = 50.  The 26 r04 rows left out (q12, q13,
+# q15, q18, q26, q28, q37, q46, q47, q48, q49, q55, q56, q58, q62, q75,
+# q76, q78, q81, q82, q84, q85, q86, q90, q91, q97 — six of them
+# displaced by the changed-kernel/new slots q107/q96/q118/q119/q30)
+# are kernels untouched since r04; they land at
 # age exactly 2 — the bound — and lead round 7's window ahead of the
 # then-age-2 r05 block.  Local pytest parity
 # (tests/test_oracle_parity.py) still covers every registered query
@@ -87,6 +90,8 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q113_incremental_minhash_dedup",
     "q107_semantic_cluster_dedup",
     "q96_kmeans_clusters",
+    "q119_ann_ivf_persisted",
+    "q30_ann_ivf_topk",
     # --- VERDICT r5 item 1: the 21 age-2 rows (last stamped r03)
     "q14_local_time",
     "q34_raw_event_flatten",
@@ -115,9 +120,7 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q21_minhash_lsh_pairs",
     "q23_simhash",
     "q24_cosine_topk",
-    "q26_language_id",
     "q27_quality_score",
-    "q28_token_stats",
     "q32_streaming_weekly_rollup",
     "q39_neardup_clusters",
     "q40_corpus_curation",
@@ -5018,3 +5021,50 @@ def q117_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q118_repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", parallelize=True)
     return dd.repeated_span_coverage(d, "doc_id", "text", n=3, min_doc_freq=2)
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.similarity import (  # noqa: E402
+    ivf_build_lists,
+    ivf_centroids,
+    ivf_probe_cells,
+    ivf_score,
+    sql_ann_ivf_topk,
+)
+
+
+@register(
+    "q119_ann_ivf_persisted",
+    sql_ann_ivf_topk("embeddings", "vec_id < 10", k=5, centroid_mod=37, nprobe=2),
+    doc="ANN search against a PERSISTED IVF index (operators/similarity.py "
+    "ivf_centroids/ivf_build_lists/ivf_probe_cells/ivf_score): the "
+    "build-once/probe-many shape q30 composes in memory — centroids and "
+    "cell_id-partitioned inverted lists round-trip through parquet, the "
+    "query batch's probed cells (a bounded set: <= n_queries x nprobe) "
+    "are collected into an isin predicate, and the lists scan is "
+    "PARTITION-PRUNED to exactly those cells (plan-tested). At 100 TB "
+    "this is the difference between re-deriving the index per query "
+    "batch and reading a few cells of a standing table. Oracle: the "
+    "q30 CTE chain at nprobe=2 — the persisted round-trip must be "
+    "value-identical to the in-memory composition.",
+)
+def q119_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
+    root = tempfile.mkdtemp(prefix="q119_")
+    try:
+        cent = ivf_centroids(emb, centroid_mod=37)
+        ivf_build_lists(emb, cent).write.partitionBy("cell_id").parquet(f"{root}/lists")
+        cent.write.parquet(f"{root}/centroids")
+        cent2 = spark.read.parquet(f"{root}/centroids")
+        probes = ivf_probe_cells(cent2, emb.where(F.col("vec_id") < 10), nprobe=2)
+        cells = sorted(
+            r["cell_id"] for r in probes.select("cell_id").distinct().collect()
+        )
+        lists = spark.read.parquet(f"{root}/lists").where(F.col("cell_id").isin(cells))
+        out = ivf_score(probes, lists, k=5)
+        # materialize before the index dirs go away (q111's discipline)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

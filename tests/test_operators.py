@@ -1420,3 +1420,50 @@ def test_repeated_span_coverage_interval_union(spark):
     assert got[2][1] == 0 and got[6][1] == 0      # unique / too-short
     assert got[3][2] == 1.0 and got[4][2] == 1.0  # exact dup
     assert got[0] == (8, 5, 0.625)                # overlap counted once
+
+
+def test_ivf_persisted_index_probe_matches_in_memory(spark, sf_dir, tmp_path):
+    """The build-once/probe-many decomposition must be value-identical to
+    the in-memory composition after the parquet round-trip, and the lists
+    scan of the probe must be PARTITION-PRUNED to exactly the probed
+    cells — the property that makes a standing IVF index cheaper than
+    re-deriving it per query batch."""
+    from spark_hadoop_automation_in_cloud_spark.io import read_table
+    from spark_hadoop_automation_in_cloud_spark.operators.similarity import (
+        ann_ivf_topk,
+        ivf_build_lists,
+        ivf_centroids,
+        ivf_probe_cells,
+        ivf_score,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
+    queries = emb.where(F.col("vec_id") < 10)
+    cent = ivf_centroids(emb, centroid_mod=37)
+    ivf_build_lists(emb, cent).write.partitionBy("cell_id").parquet(
+        str(tmp_path / "lists")
+    )
+    cent.write.parquet(str(tmp_path / "centroids"))
+
+    cent2 = spark.read.parquet(str(tmp_path / "centroids"))
+    probes = ivf_probe_cells(cent2, queries, nprobe=2)
+    cells = sorted(r["cell_id"] for r in probes.select("cell_id").distinct().collect())
+    lists = spark.read.parquet(str(tmp_path / "lists")).where(
+        F.col("cell_id").isin(cells)
+    )
+    got = ivf_score(probes, lists, k=5)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan and any("cell_id" in l for l in scan)  # pruned scan, not full read
+
+    key = lambda df: {  # noqa: E731
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in df.collect()
+    }
+    assert key(got) == key(ann_ivf_topk(emb, queries, k=5, nprobe=2))
+    # the probed-cell set really is a strict subset of the index
+    n_cells = spark.read.parquet(str(tmp_path / "lists")).select(
+        "cell_id"
+    ).distinct().count()
+    assert 0 < len(cells) <= n_cells
