@@ -65,16 +65,18 @@ def register(name: str, sql: str | None, doc: str = ""):
 # stage rebuilt: keep_vec assignment scan, block-salted pair join,
 # norm precompute), q96 (kmeans_assign grew the keep_vec flag), q118
 # (NEW: position-level repeated-span coverage), q119 (NEW: persisted
-# partition-pruned IVF probe), and q30 (ann_ivf_topk refactored into
-# the persistable build/probe stages q119 round-trips) — then ALL 21
-# rows whose last driver stamp is r03
+# partition-pruned IVF probe), q30 (ann_ivf_topk refactored into the
+# persistable build/probe stages q119 round-trips), q120 (NEW: budget
+# -> quality-threshold calibration over global_cumsum), and q121 (NEW:
+# integer-exact event-mix TV drift) — then ALL 21 rows whose last
+# driver stamp is r03
 # (the age-2 backlog the verdict lists), then 23 of the 45 r04-stamped
 # rows, multi-stage / shared-infra kernels first.  That fills the window
-# exactly: 11 + 21 + 18 = 50.  The 26 r04 rows left out (q12, q13,
-# q15, q18, q26, q28, q37, q46, q47, q48, q49, q55, q56, q58, q62, q75,
-# q76, q78, q81, q82, q84, q85, q86, q90, q91, q97 — six of them
-# displaced by the changed-kernel/new slots q107/q96/q118/q119/q30)
-# are kernels untouched since r04; they land at
+# exactly: 13 + 21 + 16 = 50.  The 28 r04 rows left out (q12, q13,
+# q15, q18, q23, q26, q27, q28, q37, q46, q47, q48, q49, q55, q56, q58,
+# q62, q75, q76, q78, q81, q82, q84, q85, q86, q90, q91, q97 — eight
+# displaced by the changed-kernel/new slots q107/q96/q118/q119/q30/
+# q117/q120/q121) are kernels untouched since r04; they land at
 # age exactly 2 — the bound — and lead round 7's window ahead of the
 # then-age-2 r05 block.  Local pytest parity
 # (tests/test_oracle_parity.py) still covers every registered query
@@ -92,6 +94,8 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q96_kmeans_clusters",
     "q119_ann_ivf_persisted",
     "q30_ann_ivf_topk",
+    "q120_quality_threshold_for_budget",
+    "q121_event_mix_drift",
     # --- VERDICT r5 item 1: the 21 age-2 rows (last stamped r03)
     "q14_local_time",
     "q34_raw_event_flatten",
@@ -118,9 +122,7 @@ _ROTATE_FIRST: tuple[str, ...] = (
     #     kernels first — the single-pass rows left at age 2 are listed
     #     in the allocation note above)
     "q21_minhash_lsh_pairs",
-    "q23_simhash",
     "q24_cosine_topk",
-    "q27_quality_score",
     "q32_streaming_weekly_rollup",
     "q39_neardup_clusters",
     "q40_corpus_curation",
@@ -5068,3 +5070,83 @@ def q119_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q120_quality_threshold_for_budget",
+    f"""
+WITH q AS ({tx.sql_quality_score("documents", "doc_id", "text")}),
+c AS (SELECT doc_id, quality, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM q),
+b AS (SELECT CAST(unnest([2000, 8000, 32000]) AS BIGINT) AS budget)
+SELECT b.budget,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+       MIN(quality) AS threshold_quality
+FROM b JOIN c ON c.cum_tokens - c.n_tokens < b.budget
+GROUP BY 1
+""",
+    doc="Budget -> quality-threshold calibration, the INVERSE of q112: "
+    "for each candidate token budget, how deep into the quality-ranked "
+    "corpus the selection reaches (docs kept, tokens kept, and the "
+    "quality of the marginal document — the cutoff you would publish "
+    "as 'this mix keeps quality >= X'). The global quality order runs "
+    "through operators/ranks.py global_cumsum — range partition + "
+    "local window + broadcast prefix offsets, NO SinglePartition "
+    "window — and the keep rule (running sum before the doc < budget) "
+    "is q112's overshoot convention. Budgets are a 3-row broadcast; "
+    "the integer token sums make every engine agree exactly.",
+)
+def q120_quality_threshold_for_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_hadoop_automation_in_cloud_spark.operators.ranks import global_cumsum
+
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    scored = tx.quality_score(d, "doc_id", "text").select(
+        "doc_id", "quality", "n_tokens"
+    )
+    cum = global_cumsum(
+        scored,
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        "n_tokens",
+        "cum_tokens",
+    )
+    budgets = spark.createDataFrame([(2000,), (8000,), (32000,)], "budget long")
+    kept = cum.crossJoin(F.broadcast(budgets)).where(
+        F.col("cum_tokens") - F.col("n_tokens") < F.col("budget")
+    )
+    return kept.groupBy("budget").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+        F.min("quality").alias("threshold_quality"),
+    )
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.checks import (  # noqa: E402
+    distribution_drift_tv,
+    sql_distribution_drift_tv,
+)
+
+
+@register(
+    "q121_event_mix_drift",
+    sql_distribution_drift_tv(
+        "events", "CAST(date_trunc('week', ts) AS TIMESTAMP)", "event_type", "week"
+    ),
+    doc="Week-over-week event-mix drift vs the earliest week "
+    "(operators/checks.py distribution_drift_tv): total-variation "
+    "distance of the event_type distribution, computed entirely in "
+    "integer arithmetic — TV = sum|c*M - d*N| / (2*N*M) — so unlike a "
+    "PSI/KL monitor there is no per-category log whose libm rounding "
+    "could diverge cross-engine. The input shuffles once into (week, "
+    "type) counts; the baseline slice, category grid, and drift "
+    "aggregation all run on aggregate-sized frames. The pipeline-"
+    "health check that catches a collector change or upstream schema "
+    "drift shifting the event mix.",
+)
+def q121_event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("week", F.col("ts")).alias("week"), "event_type"
+    )
+    return distribution_drift_tv(e, "week", "event_type")

@@ -1467,3 +1467,26 @@ def test_ivf_persisted_index_probe_matches_in_memory(spark, sf_dir, tmp_path):
         "cell_id"
     ).distinct().count()
     assert 0 < len(cells) <= n_cells
+
+
+def test_distribution_drift_tv_hand_check(spark):
+    """TV drift against the earliest bucket: 0 for the baseline itself and
+    for an identical mix, 1 for a disjoint category set, and the exact
+    hand value for a known shift — including a category absent from the
+    baseline (enters with count 0, no NULL poisoning)."""
+    from spark_hadoop_automation_in_cloud_spark.operators.checks import (
+        distribution_drift_tv,
+    )
+
+    rows = (
+        [(1, "a")] * 6 + [(1, "b")] * 2                     # baseline: .75/.25
+        + [(2, "a")] * 3 + [(2, "b")] * 1                   # same mix -> 0
+        + [(3, "c")] * 4                                    # disjoint -> 1
+        + [(4, "a")] * 2 + [(4, "b")] * 2                   # .5/.5 -> TV .25
+    )
+    df = spark.createDataFrame(rows, "bucket int, cat string")
+    got = {
+        r["bucket"]: (r["n_rows"], r["tv_drift"])
+        for r in distribution_drift_tv(df, "bucket", "cat").collect()
+    }
+    assert got == {1: (8, 0.0), 2: (4, 0.0), 3: (4, 1.0), 4: (4, 0.25)}
