@@ -67,6 +67,12 @@ def distribution_drift_tv(
     grid and its joins — operates on aggregate-sized frames (|buckets| ·
     |categories| rows).  Output: ``bucket_col``, n_rows (bucket size),
     tv_drift (round 6dp; the baseline bucket itself scores 0).
+
+    ``cat_col`` must be non-null: a NULL category counts toward n_rows
+    but its mass cannot re-enter through the equi-joined grid (NULL never
+    equi-matches — identically on both engines, so parity would hide the
+    silent drop).  Coalesce NULLs to a sentinel category, or filter them,
+    before calling.
     """
     counts = df.groupBy(bucket_col, cat_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("c")

@@ -393,6 +393,8 @@ def compact_dedup_index(spark, index_path: str, upto_epoch: int) -> None:
         )
     if upto_epoch < 1:
         raise ValueError(f"upto_epoch must be >= 1, got {upto_epoch}")
+    if not os.path.isdir(index_path):
+        return  # no index yet (first run never wrote one): nothing to compact
     tmp, bak = f"{index_path}.compact-tmp", f"{index_path}.compact-bak"
     target = os.path.join(index_path, f"batch_id={upto_epoch - 1}")
 

@@ -1396,16 +1396,20 @@ def test_repeated_span_coverage_interval_union(spark):
         (5, "a b c k1 k2 p p q q"),
         # 6: too short for any 3-gram
         (6, "s1 s2"),
+        # 7/8: NULL and empty text — both hash/tokenize as the 1-token
+        # empty doc (coverage 0, the content_hash NULL convention)
+        (7, None),
+        (8, ""),
     ]
     n = 3
     grams: dict[tuple, set] = {}
     for i, t in docs:
-        toks = t.split(" ")
+        toks = (t or "").split(" ")
         for s in range(len(toks) - n + 1):
             grams.setdefault(tuple(toks[s : s + n]), set()).add(i)
     expect = {}
     for i, t in docs:
-        toks = t.split(" ")
+        toks = (t or "").split(" ")
         covered = set()
         for s in range(len(toks) - n + 1):
             if len(grams[tuple(toks[s : s + n])]) >= 2:
@@ -1418,6 +1422,7 @@ def test_repeated_span_coverage_interval_union(spark):
     }
     assert got == expect
     assert got[2][1] == 0 and got[6][1] == 0      # unique / too-short
+    assert got[7] == (1, 0, 0.0) and got[8] == (1, 0, 0.0)  # NULL / empty
     assert got[3][2] == 1.0 and got[4][2] == 1.0  # exact dup
     assert got[0] == (8, 5, 0.625)                # overlap counted once
 

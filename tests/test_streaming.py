@@ -838,6 +838,7 @@ def test_compact_dedup_index_preserves_contract(spark, tmp_path):
         [(4, "delta")],
     ]
     idx_a, idx_b = str(tmp_path / "a"), str(tmp_path / "b")
+    compact_dedup_index(spark, idx_a, upto_epoch=3)  # no index yet: no-op
     for idx in (idx_a, idx_b):
         for e, rows in enumerate(batches):
             dedup_batch_against_index(
