@@ -57,8 +57,11 @@ def distribution_drift_tv(
         TV = Σ |c·M − d·N| / (2·N·M)
 
     so unlike a PSI/KL score there is no per-category log whose libm
-    rounding could diverge across engines, and the Σ is over exact
-    BIGINTs — order-independent, bit-identical in the DuckDB oracle.
+    rounding could diverge across engines, and the Σ runs in exact
+    DECIMAL(38,0) — the products reach count·total, which overflows a
+    silent-wrapping int64 once both pass ~3e9 rows (a real bucket size at
+    the 100 TB target), while decimal stays exact to 1e38 on both
+    engines.  Order-independent, bit-identical in the DuckDB oracle.
     Categories missing from either side enter with count 0 (the grid is
     buckets × all categories).
 
@@ -90,9 +93,10 @@ def distribution_drift_tv(
         .join(F.broadcast(base), F.col(cat_col) == F.col("__cat"), "left")
         .crossJoin(F.broadcast(base_total))
     )
+    dec = "decimal(38,0)"
     term = F.abs(
-        F.coalesce(F.col("c"), F.lit(0)) * F.col("m_rows")
-        - F.coalesce(F.col("d"), F.lit(0)) * F.col("n_rows")
+        F.coalesce(F.col("c"), F.lit(0)).cast(dec) * F.col("m_rows")
+        - F.coalesce(F.col("d"), F.lit(0)).cast(dec) * F.col("n_rows")
     )
     return (
         g.groupBy(bucket_col, "n_rows", "m_rows")
@@ -101,7 +105,9 @@ def distribution_drift_tv(
             bucket_col,
             F.col("n_rows"),
             F.round(
-                F.col("__num") / (F.lit(2.0) * F.col("n_rows") * F.col("m_rows")), 6
+                F.col("__num").cast("double")
+                / (F.lit(2.0) * F.col("n_rows") * F.col("m_rows")),
+                6,
             ).alias("tv_drift"),
         )
     )
@@ -121,7 +127,8 @@ grid AS (SELECT t.b, t.n_rows, cats.cat
          FROM totals t CROSS JOIN (SELECT DISTINCT cat FROM counts) cats),
 g AS (
   SELECT grid.b, grid.n_rows, m.m_rows,
-         ABS(COALESCE(c.c, 0) * m.m_rows - COALESCE(ba.d, 0) * grid.n_rows)
+         ABS(CAST(COALESCE(c.c, 0) AS DECIMAL(38,0)) * m.m_rows
+             - CAST(COALESCE(ba.d, 0) AS DECIMAL(38,0)) * grid.n_rows)
            AS term
   FROM grid
   LEFT JOIN counts c ON c.b = grid.b AND c.cat = grid.cat

@@ -70,15 +70,17 @@ def register(name: str, sql: str | None, doc: str = ""):
 # -> quality-threshold calibration over global_cumsum), and q121 (NEW:
 # integer-exact event-mix TV drift) — then ALL 21 rows whose last
 # driver stamp is r03
-# (the age-2 backlog the verdict lists), then 23 of the 45 r04-stamped
-# rows, multi-stage / shared-infra kernels first.  That fills the window
-# exactly: 13 + 21 + 16 = 50.  The 28 r04 rows left out (q12, q13,
-# q15, q18, q23, q26, q27, q28, q37, q46, q47, q48, q49, q55, q56, q58,
-# q62, q75, q76, q78, q81, q82, q84, q85, q86, q90, q91, q97 — eight
-# displaced by the changed-kernel/new slots q107/q96/q118/q119/q30/
-# q117/q120/q121) are kernels untouched since r04; they land at
-# age exactly 2 — the bound — and lead round 7's window ahead of the
-# then-age-2 r05 block.  Local pytest parity
+# (the age-2 backlog the verdict lists), then 16 of the 45 r04-stamped
+# rows as refreshes, multi-stage / shared-infra kernels first (a 17th
+# r04 row, q20, rides in the changed block — its content-hash kernel
+# changed).  That fills the window exactly: 13 + 21 + 16 = 50.  The 28
+# r04 rows left out (q12, q13, q15, q18, q23, q26, q27, q28, q37, q46,
+# q47, q48, q49, q55, q56, q58, q62, q75, q76, q78, q81, q82, q84, q85,
+# q86, q90, q91, q97 — displaced one-for-one by the changed/new slots)
+# land at age exactly 2 — the bound — and MUST lead round 7's window;
+# the 44 r05-stamped rows skipped this round reach age 2 during round 7
+# and must lead round 8 (that round has ~6 slots of slack, so rounds
+# 7-8 should prefer perf/evidence work over new registry rows).  Local pytest parity
 # (tests/test_oracle_parity.py) still covers every registered query
 # regardless of position.
 _ROTATE_FIRST: tuple[str, ...] = (

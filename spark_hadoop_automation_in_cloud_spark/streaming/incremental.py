@@ -375,6 +375,16 @@ def compact_dedup_index(spark, index_path: str, upto_epoch: int) -> None:
     epoch >= upto_epoch replays onto its OWN partition, which compaction
     never touches.
 
+    EXCLUSIVITY: the directory swap is crash-safe but not reader-atomic —
+    between the rename-aside loop and the final rename the index is
+    missing its old partitions, so a dedup probe running CONCURRENTLY
+    would under-match and re-admit duplicates.  Run compaction only while
+    no drain is active (the CLI's ``--compact`` runs after its own drain
+    terminates, which guarantees this for a single cron job; multiple
+    overlapping jobs need external mutual exclusion).  A table format
+    (Delta OPTIMIZE / Iceberg rewrite) is the concurrent-reader-safe
+    path, as with the merge seam.
+
     Crash safety (local paths, mirroring ``upsert_batch``'s rename
     protocol): the compacted rows are fully written to a sibling tmp dir
     first, old partitions are renamed aside into a sibling bak dir, the
@@ -427,6 +437,14 @@ def compact_dedup_index(spark, index_path: str, upto_epoch: int) -> None:
         .parquet(tmp)
     )
     os.makedirs(bak)
+    # the TARGET partition must be the FIRST rename: the entry repair
+    # reads "bak present AND target present" as proof the final
+    # tmp->target rename completed — that inference is only sound if the
+    # target's OLD directory can never still be sitting in the index
+    # mid-loop (a crash after moving some other partition but before
+    # moving the target would otherwise masquerade as the finished state
+    # and the repair would drop bak, destroying the moved partitions)
+    old.sort(key=lambda d: (d != f"batch_id={upto_epoch - 1}", d))
     for d in old:
         os.rename(os.path.join(index_path, d), os.path.join(bak, d))
     os.rename(tmp, target)

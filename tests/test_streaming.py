@@ -917,6 +917,28 @@ def test_compact_dedup_index_repairs_crash_states(spark, tmp_path):
         for r in spark.read.parquet(idx).collect()
     } == full
 
+    # crash state A2: the rename-aside loop died MID-LOOP — the target
+    # partition moved first (the ordering the repair's disambiguation
+    # depends on), one more partition moved, one still in the index.
+    # Fresh 3-partition index: the one above is already compacted.
+    idx2 = str(tmp_path / "idx2")
+    for e, rows in enumerate(batches):
+        dedup_batch_against_index(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            idx2, "doc_id", "text", epoch_id=e,
+        )
+    bak2 = f"{idx2}.compact-bak"
+    os.makedirs(bak2)
+    for d in ("batch_id=2", "batch_id=0"):  # target first, then 0; 1 left
+        os.rename(os.path.join(idx2, d), os.path.join(bak2, d))
+    compact_dedup_index(spark, idx2, upto_epoch=3)
+    assert not os.path.isdir(bak2)
+    assert sorted(os.listdir(idx2)) == ["batch_id=2"]
+    assert {
+        (r["content_hash"], r["canonical_id"])
+        for r in spark.read.parquet(idx2).collect()
+    } == full
+
     # crash state B: compacted target landed but the bak never dropped
     os.makedirs(bak)
     spark.createDataFrame(
