@@ -89,6 +89,10 @@ HEADLINE = [
     "q107_semantic_cluster_dedup",
     "q111_streaming_incremental_dedup",
     "q113_incremental_minhash_dedup",
+    # q118: the position-level repeated-span metric — q109's sibling with
+    # an extra distinct + per-doc window on top of the same inverted-index
+    # join, so its wall is the family's regression canary
+    "q118_repeated_span_coverage",
 ]
 
 #: Pinned machine-factor kernels (VERDICT r5 item 5): code-independent
