@@ -495,3 +495,41 @@ def test_shard_assignments_is_a_permutation(spark, ids, n_shards):
         assert sorted(poss) == list(range(1, len(poss) + 1))
     again = shard_assignments(df, "doc_id", n_shards).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(
+        st.integers(min_value=-10_000, max_value=10_000),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    ),
+    n_groups=st.integers(min_value=1, max_value=5),
+    n_blocks=st.sampled_from([1, 2, 7, 64]),
+)
+def test_blocked_pairs_equals_naive_on_random_ids(spark, ids, n_groups, n_blocks):
+    """Triangle-split pairing ≡ naive group self-join for ARBITRARY ids
+    (negative, sparse — the md5 block hash must not care), group counts,
+    and block counts: every unordered within-group pair exactly once,
+    canonical left.id < right.id."""
+    from spark_hadoop_automation_in_cloud_spark.operators.pairs import (
+        blocked_pairs_within_groups,
+    )
+
+    rows = [(i % n_groups, i) for i in ids]
+    df = spark.createDataFrame(rows, "g int, id long")
+    naive = {
+        (g, a, b)
+        for (g, a) in rows
+        for (g2, b) in rows
+        if g == g2 and a < b
+    }
+    got = blocked_pairs_within_groups(df, ["g"], "id", n_blocks=n_blocks).collect()
+    pairs = {(r["g"], r["left"]["id"], r["right"]["id"]) for r in got}
+    assert len(got) == len(pairs)
+    assert pairs == naive
