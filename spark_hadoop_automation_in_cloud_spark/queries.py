@@ -120,7 +120,7 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q80_next_event_features",
     "q89_session_intervals",
     "q95_containment_dups",
-    # --- r04-stamped refreshes (23 of 45; multi-stage and shared-infra
+    # --- r04-stamped refreshes (16 of 45; multi-stage and shared-infra
     #     kernels first — the single-pass rows left at age 2 are listed
     #     in the allocation note above)
     "q21_minhash_lsh_pairs",
