@@ -261,12 +261,21 @@ def pagerank(
     Local wall floor (measured 2026-08-14, q69 graph, 1.8M edges, 32
     cores): fully UNROLLING all 10 rounds into one lazy plan (no
     checkpoints, single action) is bit-identical and saved <20%
-    (3.5-4.4s vs ~4.5s loop) — the dominant per-round cost is the
-    sequential BroadcastExchange (a driver collect+rebuild per round,
-    inherent to power iteration's data dependence), not checkpoint jobs
-    or plan analysis.  On a real cluster the per-round term is the edge
-    scan+join, which both forms already minimize, so the loop (simpler,
-    resumable, bounded plans) stays.
+    (3.5-4.4s vs ~4.5s loop); a join-free prototype that inlined the
+    rank state as a foldable ``from_json`` array literal (the bloom
+    idiom — no broadcast exchange, no checkpoint, one aggregate job +
+    a ≤|nodes|-row collect per round) still cost 0.28-0.33s/round vs
+    the broadcast form's ~0.35s.  So the per-round floor is the JOB
+    itself — task scheduling plus the full edge-partition scan feeding
+    the aggregate — with the BroadcastExchange contributing only
+    ~0.06s; power iteration's data dependence makes those rounds
+    inherently sequential.  The literal-map form was rejected on that
+    measurement: ~0.7s total saving, a 2.3s one-time node-index pass,
+    driver-resident rank state (unbounded in |nodes|, unlike k-means'
+    k·dim model), and a measured 1-ulp 6dp divergence on one node.  On
+    a real cluster the per-round term is the edge scan+join, which the
+    shipped forms already minimize, so the loop (simpler, resumable,
+    bounded plans) stays.
 
     Fixed ``n_iter`` (not convergence-tested): PageRank mass moves <1%
     after ~10 damped rounds on social-shaped graphs, and a deterministic
