@@ -143,7 +143,11 @@ def main() -> None:
 
     result = {"sf_dir": sf_dir, "scale": scale, "n_docs_base": n, "queries": out}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "SCALING.json"), "w") as f:
+    # the 10x sweep is the standing artifact the verdict reads as
+    # SCALING.json; other factors (30x, 100x) get their own files so a
+    # deeper sweep never clobbers the baseline one
+    name = "SCALING.json" if scale == 10 else f"SCALING_{scale}x.json"
+    with open(os.path.join(root, name), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
     shutil.rmtree(scaled, ignore_errors=True)
