@@ -335,42 +335,90 @@ def test_headline_queries_no_scale_killers(spark, sf_dir):
     manual sweep."""
     import bench
 
-    bnlj_intended = {
-        # broadcast-NLJ 1-NN consumers: the fact side never shuffles
-        "q05_nearest_city",
-        "q11_travel_history",
-        "q17_user_demographics",
-        "q18_zone_activity",
-        "q16_friend_recommendations",  # broadcast city coords enrichment
-        "q24_cosine_topk",         # broadcast query side over the corpus
-        "q96_kmeans_clusters",     # 1-row/centroid broadcast joins
-        "q63_tfidf_top_terms",     # 1-row n_docs broadcast cross join
-    }
-    def single_partition_window(plan: str) -> bool:
-        # a 1-row global aggregate legitimately finishes on SinglePartition;
-        # the scale-killer is a WINDOW sort fed by one.  In simple-mode
-        # output the Window ancestor prints above its exchange: walk up to
-        # 12 lines but stop at any other Exchange (a sibling-branch
-        # boundary), so a Window elsewhere in the tree can't false-positive
-        # and deep Sort/Project chains can't hide a real hit
-        lines = plan.splitlines()
-        for i, line in enumerate(lines):
-            if "Exchange SinglePartition" not in line:
-                continue
-            for prev in reversed(lines[max(0, i - 12) : i]):
-                if "Exchange" in prev:  # different subtree above this point
-                    break
-                if "Window" in prev:
-                    return True
-        return False
-
     for name in bench.HEADLINE:
         fn = getattr(q, name)
         plan = explain_simple(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert not single_partition_window(plan), name
-        if name not in bnlj_intended:
+        if name not in BNLJ_INTENDED:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+#: queries whose BroadcastNestedLoopJoin IS the intended plan: a bounded
+#: side (1-row global aggregate, k centroids, a calendar/dim table, the
+#:  query set of a top-k search) broadcast-crossed into the fact scan so
+#: the fact side never shuffles.  Anything NOT listed here that grows a
+#: BNLJ is a regression — likely a join that lost its equi-key.
+BNLJ_INTENDED = {
+    # broadcast-NLJ 1-NN consumers: the fact side never shuffles
+    "q05_nearest_city",
+    "q11_travel_history",
+    "q17_user_demographics",
+    "q18_zone_activity",
+    "q16_friend_recommendations",  # broadcast city coords enrichment
+    "q24_cosine_topk",         # broadcast query side over the corpus
+    "q96_kmeans_clusters",     # 1-row/centroid broadcast joins
+    "q63_tfidf_top_terms",     # 1-row n_docs broadcast cross join
+    "q14_local_time",          # broadcast tz offset dim
+    "q30_ann_ivf_topk",        # broadcast centroid table (assign + probe)
+    "q75_weighted_sample",     # 1-row total-weight broadcast
+    "q77_value_histogram",     # 1-row global min/max broadcast
+    "q94_benford_first_digit", # 1-row total broadcast
+    "q101_unigram_lm_quality", # 1-row corpus-stats broadcast
+    "q114_hard_negatives",     # broadcast query side, corpus unshuffled
+    "q120_quality_threshold_for_budget",  # 1-row budget cut broadcast
+    "q121_event_mix_drift",    # 1-row per-side totals broadcast
+}
+
+#: queries whose SinglePartition window sort is fed by a CALENDAR-bounded
+#: aggregate (per-day / per-month rollups: tens to low thousands of rows
+#: regardless of corpus size) — the aggregate-first discipline documented
+#: on each query.  A SP window over anything data-proportional stays a
+#: failure.
+SP_WINDOW_BOUNDED = {
+    "q79_growth_accounting",   # month-level MAU frame
+    "q86_price_skyline",       # day-level max staircase
+    "q98_mom_revenue_growth",  # month-level revenue lag
+}
+
+
+def test_every_registered_query_plan_is_scale_safe(spark, sf_dir):
+    """The headline audit, widened to the WHOLE registry: every one of the
+    121 registered queries' executed plans must be free of cartesian
+    products, nested-loop broadcasts outside the intended list, and
+    SinglePartition window sorts outside the calendar-bounded list.  This
+    is the 100 TB criterion applied to every query a user can reach, not
+    just the benched ones; a new query that ships a quadratic or
+    serializing plan fails here before it ever reaches a driver round."""
+    offenders = []
+    for s in q.specs():
+        plan = explain_simple(s.fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append((s.name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and s.name not in BNLJ_INTENDED:
+            offenders.append((s.name, "BroadcastNestedLoopJoin"))
+        if single_partition_window(plan) and s.name not in SP_WINDOW_BOUNDED:
+            offenders.append((s.name, "SinglePartition window"))
+    assert not offenders, offenders
+
+
+def single_partition_window(plan: str) -> bool:
+    # a 1-row global aggregate legitimately finishes on SinglePartition;
+    # the scale-killer is a WINDOW sort fed by one.  In simple-mode
+    # output the Window ancestor prints above its exchange: walk up to
+    # 12 lines but stop at any other Exchange (a sibling-branch
+    # boundary), so a Window elsewhere in the tree can't false-positive
+    # and deep Sort/Project chains can't hide a real hit
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        for prev in reversed(lines[max(0, i - 12) : i]):
+            if "Exchange" in prev:  # different subtree above this point
+                break
+            if "Window" in prev:
+                return True
+    return False
 
 
 def test_q108_incremental_dedup_single_batch_shuffle(spark, sf_dir):
