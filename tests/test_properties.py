@@ -533,3 +533,48 @@ def test_blocked_pairs_equals_naive_on_random_ids(spark, ids, n_groups, n_blocks
     pairs = {(r["g"], r["left"]["id"], r["right"]["id"]) for r in got}
     assert len(got) == len(pairs)
     assert pairs == naive
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=12,
+    ),
+    n=st.sampled_from([2, 3]),
+)
+def test_repeated_span_coverage_equals_naive_union(spark, docs, n):
+    """Position-level repeated-span coverage ≡ a naive Python interval
+    union for ARBITRARY corpora: a tiny alphabet forces heavy cross-doc
+    gram sharing (including within-doc repeats and whole-doc dups), so
+    the lead()-window union is exercised on overlapping, nested, and
+    back-to-back spans — not just the fixture's hand-laid shapes."""
+    from spark_hadoop_automation_in_cloud_spark.operators.dedup import (
+        repeated_span_coverage,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    grams: dict[tuple, set] = {}
+    for i, toks in enumerate(docs):
+        toks = toks or [""]  # empty text tokenizes as the 1-token empty doc
+        for s in range(len(toks) - n + 1):
+            grams.setdefault(tuple(toks[s : s + n]), set()).add(i)
+    expect = {}
+    for i, toks in enumerate(docs):
+        toks = toks or [""]
+        covered: set[int] = set()
+        for s in range(len(toks) - n + 1):
+            if len(grams[tuple(toks[s : s + n])]) >= 2:
+                covered.update(range(s, s + n))
+        expect[i] = (len(toks), len(covered), round(len(covered) / len(toks), 6))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_covered"], r["span_coverage"])
+        for r in repeated_span_coverage(df, "doc_id", "text", n=n).collect()
+    }
+    assert got == expect

@@ -129,7 +129,10 @@ def main() -> None:
 
     result = {"sf_dir": sf_dir, "scale": scale, "operators": out}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "SCALING_ITER.json"), "w") as f:
+    # SCALING_ITER.json is the standing 10x artifact; deeper sweeps get
+    # scale-suffixed files (same convention as tools/scaling_check.py)
+    name = "SCALING_ITER.json" if scale == 10 else f"SCALING_ITER_{scale}x.json"
+    with open(os.path.join(root, name), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
     spark.stop()
