@@ -82,7 +82,15 @@ def main() -> None:
         "flat": late / early < 2.0,
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "STREAM_DEDUP.json"), "w") as f:
+    # the 8-batch run is the standing artifact; deeper horizons get their
+    # own files (same convention as the scaling_check/scaling_iterative
+    # scale suffixes)
+    name = (
+        "STREAM_DEDUP.json"
+        if n_batches == 8
+        else f"STREAM_DEDUP_{n_batches}b.json"
+    )
+    with open(os.path.join(root, name), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
     shutil.rmtree(idx, ignore_errors=True)
