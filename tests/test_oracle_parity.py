@@ -1,7 +1,11 @@
 """The main correctness gate, run locally at sf0.001 (driver runs sf0.01).
 
-Every registered query with an oracle must hash-match DuckDB; queries
-without an oracle must at least run and return a stable schema.
+Every registered query must hash-match its DuckDB oracle.  The driver
+contract permits oracle-less (rows-only) specs for non-SQL-expressible
+ops, and the smoke branch below keeps that path working — but the repo's
+standing claim is stronger: test_registry_contract asserts ZERO such
+specs exist today, so adding one means consciously relaxing that
+assertion, not silently downgrading a query's check.
 """
 
 from __future__ import annotations

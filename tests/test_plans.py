@@ -326,48 +326,48 @@ def test_q101_lm_scoring_no_cartesian_or_driver_vocab(spark, sf_dir):
     assert plan.lower().count("hashaggregate") >= 2
 
 
-def test_headline_queries_no_scale_killers(spark, sf_dir):
-    """Blanket audit of every bench headline plan: no cartesian products,
-    no unpartitioned (SinglePartition) window sorts, and nested-loop
-    broadcasts only where they ARE the intended plan (the broadcast 1-NN
-    and the broadcast-query-side cosine top-k).  This is the 100 TB
-    criterion as a permanent regression test rather than a per-round
-    manual sweep."""
+def test_headline_names_are_registered():
+    """Every bench.HEADLINE name must be a registered spec: bench.py
+    silently FILTERS unknown names (``[n for n in HEADLINE if n in
+    specs]``), so a typo would drop a query from the benchmark without
+    any error — this assertion is what turns that into a failure.  The
+    headline plans themselves are audited by the registry-wide sweep
+    below (HEADLINE ⊆ registry, identical assertions), so no separate
+    per-headline explain pass is needed."""
     import bench
 
-    for name in bench.HEADLINE:
-        fn = getattr(q, name)
-        plan = explain_simple(fn(spark, sf_dir))
-        assert "CartesianProduct" not in plan, name
-        assert not single_partition_window(plan), name
-        if name not in BNLJ_INTENDED:
-            assert "BroadcastNestedLoopJoin" not in plan, name
+    names = {s.name for s in q.specs()}
+    missing = [n for n in bench.HEADLINE if n not in names]
+    assert not missing, missing
 
 
-#: queries whose BroadcastNestedLoopJoin IS the intended plan: a bounded
-#: side (1-row global aggregate, k centroids, a calendar/dim table, the
-#:  query set of a top-k search) broadcast-crossed into the fact scan so
-#: the fact side never shuffles.  Anything NOT listed here that grows a
-#: BNLJ is a regression — likely a join that lost its equi-key.
+#: queries whose BroadcastNestedLoopJoin IS the intended plan, mapped to
+#: the exact number of BNLJ nodes that plan carries: a bounded side
+#: (1-row global aggregate, k centroids, a calendar/dim table, the query
+#: set of a top-k search) broadcast-crossed into the fact scan so the
+#: fact side never shuffles.  The COUNT is asserted too — an exempted
+#: query that grows a second, unintended nested loop (a join losing its
+#: equi-key in a refactor) fails instead of hiding behind its name.
+#: Anything not listed here that grows any BNLJ is a regression.
 BNLJ_INTENDED = {
     # broadcast-NLJ 1-NN consumers: the fact side never shuffles
-    "q05_nearest_city",
-    "q11_travel_history",
-    "q17_user_demographics",
-    "q18_zone_activity",
-    "q16_friend_recommendations",  # broadcast city coords enrichment
-    "q24_cosine_topk",         # broadcast query side over the corpus
-    "q96_kmeans_clusters",     # 1-row/centroid broadcast joins
-    "q63_tfidf_top_terms",     # 1-row n_docs broadcast cross join
-    "q14_local_time",          # broadcast tz offset dim
-    "q30_ann_ivf_topk",        # broadcast centroid table (assign + probe)
-    "q75_weighted_sample",     # 1-row total-weight broadcast
-    "q77_value_histogram",     # 1-row global min/max broadcast
-    "q94_benford_first_digit", # 1-row total broadcast
-    "q101_unigram_lm_quality", # 1-row corpus-stats broadcast
-    "q114_hard_negatives",     # broadcast query side, corpus unshuffled
-    "q120_quality_threshold_for_budget",  # 1-row budget cut broadcast
-    "q121_event_mix_drift",    # 1-row per-side totals broadcast
+    "q05_nearest_city": 1,
+    "q11_travel_history": 1,
+    "q17_user_demographics": 1,
+    "q18_zone_activity": 1,
+    "q16_friend_recommendations": 1,  # broadcast city coords enrichment
+    "q24_cosine_topk": 1,          # broadcast query side over the corpus
+    "q96_kmeans_clusters": 1,      # 1-row/centroid broadcast joins
+    "q63_tfidf_top_terms": 1,      # 1-row n_docs broadcast cross join
+    "q14_local_time": 1,           # broadcast tz offset dim
+    "q30_ann_ivf_topk": 2,         # broadcast centroids: assign + probe
+    "q75_weighted_sample": 1,      # 1-row total-weight broadcast
+    "q77_value_histogram": 1,      # 1-row global min/max broadcast
+    "q94_benford_first_digit": 1,  # 1-row total broadcast
+    "q101_unigram_lm_quality": 1,  # 1-row corpus-stats broadcast
+    "q114_hard_negatives": 1,      # broadcast query side, corpus unshuffled
+    "q120_quality_threshold_for_budget": 1,  # 1-row budget cut broadcast
+    "q121_event_mix_drift": 2,     # 1-row totals broadcast, one per side
 }
 
 #: queries whose SinglePartition window sort is fed by a CALENDAR-bounded
@@ -395,8 +395,9 @@ def test_every_registered_query_plan_is_scale_safe(spark, sf_dir):
         plan = explain_simple(s.fn(spark, sf_dir))
         if "CartesianProduct" in plan:
             offenders.append((s.name, "CartesianProduct"))
-        if "BroadcastNestedLoopJoin" in plan and s.name not in BNLJ_INTENDED:
-            offenders.append((s.name, "BroadcastNestedLoopJoin"))
+        n_bnlj = plan.count("BroadcastNestedLoopJoin")
+        if n_bnlj > BNLJ_INTENDED.get(s.name, 0):
+            offenders.append((s.name, f"BNLJ x{n_bnlj}"))
         if single_partition_window(plan) and s.name not in SP_WINDOW_BOUNDED:
             offenders.append((s.name, "SinglePartition window"))
     assert not offenders, offenders

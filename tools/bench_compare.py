@@ -62,13 +62,17 @@ def main() -> None:
         kernel = "arrow_roundtrip" if name in ARROW_BOUND else "shuffle_agg"
         norm = raw / drift[kernel] if drift.get(kernel) else None
         rows.append((name, ra, rb, raw, kernel, norm))
-    rows.sort(key=lambda r: -(r[5] if r[5] is not None else r[3]))
+    # normalized rows sort together, worst first; rows whose kernel is
+    # missing from one payload's probe block sort AFTER them by raw ratio
+    # (a raw machine-drift artifact must never outrank a genuine
+    # normalized regression in the worst-first read)
+    rows.sort(key=lambda r: (r[5] is None, -(r[5] if r[5] is not None else r[3])))
 
-    hdr = f"{'query':<36}{'A':>8}{'B':>8}{'raw':>7}  {'normalized':>10}"
+    hdr = f"{'query':<36}{'A':>8}{'B':>8}{'raw':>7}  {'normalized (kernel)':>22}"
     print(hdr)
     for name, ra, rb, raw, kernel, norm in rows:
-        ns = f"{norm:.2f}x" if norm is not None else "-"
-        print(f"{name:<36}{ra:>8.3f}{rb:>8.3f}{raw:>6.2f}x  {ns:>10}")
+        ns = f"{norm:.2f}x ({kernel.split('_')[0]})" if norm is not None else "-"
+        print(f"{name:<36}{ra:>8.3f}{rb:>8.3f}{raw:>6.2f}x  {ns:>22}")
 
     ta = sum(a["queries"][k] for k in shared)
     tb = sum(b["queries"][k] for k in shared)
