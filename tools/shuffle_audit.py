@@ -1,0 +1,94 @@
+"""Shuffle-byte accounting for every bench headline query, writing
+SHUFFLE.json at the repo root.
+
+Wall-clock numbers drift with the machine (BENCH machine_factor exists
+precisely to correct for that); BYTES do not.  The 100 TB cost driver is
+shuffle volume, so this harness records, per headline query at the bench
+sf, the exchange bytes/records actually moved — machine-independent
+evidence for the repo's shuffle-shape claims (e.g. "the fact side never
+shuffles" for the broadcast 1-NN family, "one batch shuffle reused by
+the probe" for incremental dedup, "sketch rollups touch sketch rows,
+never facts").  A plan regression that re-introduces a fact-side
+exchange shows up here as a bytes jump even on a faster machine, where
+a wall-time gate would read it as an improvement.
+
+Method: run each query once with the Spark UI's REST API enabled and
+diff the cumulative COMPLETE-stage totals around it (skipped stages —
+reused exchanges — never enter the totals).  Bytes are deterministic
+for a fixed plan + data, so one run suffices; `spark.ui.retainedStages`
+is raised so cumulative sums never lose evicted stages mid-run.
+
+Run: ``python tools/shuffle_audit.py`` (env ``SPARK_GRAFT_SF_DIR``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spark_hadoop_automation_in_cloud_spark import queries as q
+from spark_hadoop_automation_in_cloud_spark.session import (
+    SessionConfig,
+    get_session,
+    local_master,
+)
+
+FIELDS = {
+    "shuffle_write_bytes": "shuffleWriteBytes",
+    "shuffle_write_records": "shuffleWriteRecords",
+    "shuffle_read_bytes": "shuffleReadBytes",
+    "input_bytes": "inputBytes",
+}
+
+
+def stage_totals(ui: str, app_id: str) -> dict[str, int]:
+    url = f"{ui}/api/v1/applications/{app_id}/stages?status=COMPLETE"
+    with urllib.request.urlopen(url) as r:
+        stages = json.load(r)
+    return {k: sum(s.get(v, 0) for s in stages) for k, v in FIELDS.items()}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import bench
+
+    spark = get_session(
+        SessionConfig(
+            app_name="shuffle-audit",
+            master=local_master(),
+            shuffle_partitions=32,
+            extra_conf={
+                "spark.driver.memory": os.environ.get(
+                    "SPARK_GRAFT_DRIVER_MEM", "8g"
+                ),
+                "spark.ui.enabled": "true",
+                "spark.ui.retainedStages": "20000",
+                "spark.sql.shuffle.partitions": "32",
+            },
+        )
+    )
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    fns = {s.name: s.fn for s in q.specs()}
+
+    out: dict[str, dict[str, int]] = {}
+    for name in bench.HEADLINE:
+        before = stage_totals(ui, app_id)
+        fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        after = stage_totals(ui, app_id)
+        out[name] = {k: after[k] - before[k] for k in FIELDS}
+
+    result = {"sf_dir": sf_dir, "queries": out}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SHUFFLE.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
