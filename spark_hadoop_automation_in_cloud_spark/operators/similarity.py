@@ -672,3 +672,221 @@ ranked AS (
 SELECT query_id, neighbor_id, neighbor_label, cosine_sim, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+
+# --- Johnson-Lindenstrauss random projection (dim reduction) -----------------
+
+
+@lru_cache(maxsize=None)
+def jl_weights(plane: int, dim: int) -> tuple[float, ...]:
+    """Deterministic uniform(-0.5, 0.5) projection weights for one plane:
+    the first 60 bits of md5("jl:{plane}:{d}") scaled to the unit
+    interval.  md5 (not the LSH LCG) on purpose: a SINGLE LCG step is
+    linear in its seed, so ``_plane_weights_sql``'s rows are the same
+    sawtooth sequence at different phase offsets — measurably
+    ill-conditioned as a projection matrix (singular values 5.49..0.64
+    for 16x64 vs 3.21..1.37 for this md5 family).  Sign-bucketing
+    tolerates that (the LSH recall artifact proves it); keeping the raw
+    coordinates does not.  Like ``minhash_coeffs``, the derivation is
+    pure deterministic arithmetic and the VALUES are inlined as literals
+    on both engines, so cross-engine equality is by construction."""
+    import hashlib
+
+    return tuple(
+        int(hashlib.md5(f"jl:{plane}:{d}".encode()).hexdigest()[:15], 16)
+        / float(1 << 60)
+        - 0.5
+        for d in range(dim)
+    )
+
+
+def _jl_weights_sql(plane: int, dim: int) -> str:
+    """One plane's weights as an array literal (Spark and DuckDB parse
+    repr'd doubles to the identical IEEE values — the
+    ``_plane_weights_sql`` round-trip argument)."""
+    return "[" + ",".join(repr(w) for w in jl_weights(plane, dim)) + "]"
+
+
+def random_project_expr(
+    vec_sql: str, dim: int, out_dim: int, first_plane: int = 0
+) -> str:
+    """Spark-SQL expression projecting ``vec_sql`` (length ``dim``) onto
+    ``out_dim`` md5-derived hyperplanes (:func:`jl_weights`) — the raw
+    dot products, one left-fold per plane, same fold as the LSH bucket
+    signs.  One JVM parse, row-local, zero shuffle; ``first_plane``
+    picks a disjoint weight family per independent use."""
+    dots = []
+    for j in range(out_dim):
+        arr = "array(" + ",".join(
+            repr(w) + "D" for w in jl_weights(first_plane + j, dim)
+        ) + ")"
+        dots.append(
+            f"aggregate(zip_with({vec_sql}, {arr},"
+            " (x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+        )
+    return "array(" + ",".join(dots) + ")"
+
+
+def random_project(
+    df: DataFrame,
+    dim: int,
+    out_dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    first_plane: int = 0,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: append ``out_col``
+    = the ``out_dim`` md5-hyperplane dot products of ``vec_col``.
+
+    The 100 TB payoff: every downstream similarity pass (brute top-k,
+    IVF, LSH) does ``out_dim``-width arithmetic and ships
+    ``out_dim``-width vectors — 64 -> 16 is a 4x cut in the similarity
+    stage's compute and broadcast/shuffle bytes.  The HONEST contract,
+    measured on both corpus shapes: JL preserves COARSE geometry
+    (cluster structure), not noise-level rankings — on the clustered
+    test fixture a 25-candidate projected shortlist re-ranked by exact
+    full-space cosine recovers the exact top-5 perfectly (recall 1.0,
+    pinned by pytest), while on an isotropic corpus (every neighbor a
+    noise-level distinction) NO 16-dim projection can rank — so the
+    operator is shipped as the shortlist stage of a
+    project -> shortlist -> exact-rerank pipeline (q122), never as a
+    standalone ranker.
+
+    Deterministic: weights derive from md5(plane, d) — no RNG state —
+    and are inlined as identical literals on both engines.  Purely
+    row-local (one scan, zero shuffle); composes with
+    :func:`cosine_topk` / the ANN operators via ``vec_col=out_col``.
+    """
+    return df.withColumn(
+        out_col, F.expr(random_project_expr(f"`{vec_col}`", dim, out_dim, first_plane))
+    )
+
+
+def sql_random_project(
+    vec: str, dim: int, out_dim: int, first_plane: int = 0
+) -> str:
+    """DuckDB twin of :func:`random_project_expr`: the SAME weight
+    literals (``jl_weights`` repr round-trip) and the same left-to-right
+    double fold, so every projected coordinate matches bit-for-bit."""
+
+    def dot_plane(p: int) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({vec}, {_jl_weights_sql(p, dim)}), "
+            f"pr -> CAST(pr[1] AS DOUBLE) * pr[2]))"
+        )
+
+    return (
+        "[" + ",".join(dot_plane(first_plane + j) for j in range(out_dim)) + "]"
+    )
+
+
+def projected_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    out_dim: int = 16,
+    shortlist: int = 25,
+    first_plane: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """project -> shortlist -> exact-rerank similarity search.
+
+    Stage 1 ranks the corpus per query by cosine IN PROJECTED SPACE
+    (``out_dim`` dims, :func:`random_project`) and keeps ``shortlist``
+    candidates; stage 2 re-ranks ONLY those candidates by exact
+    full-space cosine and keeps ``k``.  The expensive all-pairs stage
+    thus runs at ``out_dim``/``dim`` of the arithmetic and broadcast
+    width, and the full-width vectors are touched for
+    |queries| x shortlist rows only — the faiss-style shape for
+    similarity at 100 TB.  Both stages round to 6dp and tie-break on
+    the id before any cut, so the candidate sets and the final ranking
+    are deterministic and engine-independent (the oracle replays both
+    stages exactly).
+
+    Output: query_id, neighbor_id, cosine_sim (FULL-space, 6dp), rank.
+    """
+    p = random_project(
+        corpus.select(id_col, vec_col), dim, out_dim, vec_col=vec_col,
+        first_plane=first_plane,
+    )
+    pq = random_project(
+        queries.select(id_col, vec_col), dim, out_dim, vec_col=vec_col,
+        first_plane=first_plane,
+    )
+    cand = cosine_topk(
+        p.select(id_col, "proj"), pq.select(id_col, "proj"),
+        k=shortlist, id_col=id_col, vec_col="proj",
+    ).select("query_id", "neighbor_id")
+    # rerank: candidates are |queries| x shortlist rows — broadcast them
+    # into the corpus scan, then broadcast the query vectors; the only
+    # full-width work left is one row per candidate
+    full = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    qv = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    )
+    scored = (
+        full.join(F.broadcast(cand), "neighbor_id")
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def sql_projected_rerank_topk(
+    src: str,
+    query_pred: str,
+    k: int,
+    dim: int,
+    out_dim: int = 16,
+    shortlist: int = 25,
+    first_plane: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for :func:`projected_rerank_topk`: identical weight
+    literals, identical left-fold projection, the shared ``_SQL_COS``
+    cosine for BOTH stages, 6dp rounds and id tie-breaks before each
+    cut — the exact two-stage ranking, replayed."""
+    proj = sql_random_project(vec_col, dim, out_dim, first_plane)
+    pcos = _SQL_COS.format(a="q.pvec", b="c.pvec")
+    fcos = _SQL_COS.format(a="qf.vec", b="cf.vec")
+    return f"""
+WITH p AS (
+  SELECT {id_col} AS vid, {vec_col} AS vec, {proj} AS pvec FROM {src}
+),
+q AS (SELECT * FROM p WHERE vid IN (SELECT {id_col} FROM {src} WHERE {query_pred})),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vid AS query_id, c.vid AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vid
+             ORDER BY {pcos} DESC, c.vid ASC) AS prank
+    FROM q CROSS JOIN p c WHERE q.vid <> c.vid
+  ) WHERE prank <= {shortlist}
+),
+rescored AS (
+  SELECT cand.query_id, cand.neighbor_id, {fcos} AS cosine_sim
+  FROM cand
+  JOIN p qf ON qf.vid = cand.query_id
+  JOIN p cf ON cf.vid = cand.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM rescored
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -80,7 +80,10 @@ def register(name: str, sql: str | None, doc: str = ""):
 # land at age exactly 2 — the bound — and MUST lead round 7's window;
 # the 44 r05-stamped rows skipped this round reach age 2 during round 7
 # and must lead round 8 (that round has ~6 slots of slack, so rounds
-# 7-8 should prefer perf/evidence work over new registry rows).  Local pytest parity
+# 7-8 should prefer perf/evidence work over new registry rows).  q122
+# (projected rerank top-k) registered AFTER the r6 window froze: it is
+# unstamped and must ride at the HEAD of round 7's window as its "new"
+# block, alongside the 28 obligated r04 rows (29 <= 50, fits).  Local pytest parity
 # (tests/test_oracle_parity.py) still covers every registered query
 # regardless of position.
 _ROTATE_FIRST: tuple[str, ...] = (
@@ -5152,3 +5155,42 @@ def q121_event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", F.col("ts")).alias("week"), "event_type"
     )
     return distribution_drift_tv(e, "week", "event_type")
+
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.similarity import (  # noqa: E402
+    projected_rerank_topk,
+    sql_projected_rerank_topk,
+)
+
+
+@register(
+    "q122_projected_rerank_topk",
+    sql_projected_rerank_topk(
+        "embeddings", "vec_id < 10", k=5, dim=64, out_dim=16, shortlist=25
+    ),
+    doc="Johnson-Lindenstrauss project -> shortlist -> exact-rerank "
+    "similarity search (operators/similarity.py projected_rerank_topk): "
+    "embeddings are projected 64 -> 16 dims through deterministic "
+    "md5-derived hyperplanes (row-local, zero shuffle), the all-pairs "
+    "ranking runs in the 16-dim space to shortlist 25 candidates per "
+    "query, and exact full-width cosine re-ranks only those 250 rows — "
+    "the faiss-style shape that cuts the expensive stage's arithmetic "
+    "and broadcast bytes 4x at 100 TB. The contract is measured on "
+    "both corpus shapes: recall@5 = 1.0 vs exact full search on the "
+    "clustered fixture (pytest-pinned), and the docstring records why "
+    "an isotropic corpus defeats ANY low-dim ranker (noise-level "
+    "neighbor gaps). md5 weights, not the LSH LCG: a single LCG step "
+    "is linear in its seed, so those rows are phase-shifted copies of "
+    "one sawtooth — fine for sign buckets, ill-conditioned as a "
+    "projection matrix. Oracle: identical weight literals, identical "
+    "left-fold projection, shared _SQL_COS for both stages, 6dp round "
+    "+ id tie-break before each cut.",
+)
+def q122_projected_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", "embedding"
+    )
+    return projected_rerank_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, dim=64, out_dim=16, shortlist=25
+    )

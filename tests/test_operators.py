@@ -1495,3 +1495,34 @@ def test_distribution_drift_tv_hand_check(spark):
         for r in distribution_drift_tv(df, "bucket", "cat").collect()
     }
     assert got == {1: (8, 0.0), 2: (4, 0.0), 3: (4, 1.0), 4: (4, 0.25)}
+
+
+def test_projected_rerank_recall_on_clustered_corpus(spark):
+    """The project -> shortlist -> exact-rerank pipeline must recover the
+    exact full-space top-5 on the clustered fixture (recall 1.0 measured
+    at 64 -> 16 dims, shortlist 25; pinned at >= 0.9 for slack against a
+    fixture tweak).  This is the operator's usefulness claim — the q122
+    oracle proves both engines compute the same thing, THIS proves the
+    thing is worth computing.  On an isotropic corpus the same pipeline
+    measures ~0.1 recall (neighbor gaps are noise-level — no 16-dim map
+    can rank them), which is why the operator ships as a shortlist
+    stage, never a standalone ranker."""
+    from spark_hadoop_automation_in_cloud_spark.operators.similarity import (
+        cosine_topk,
+        projected_rerank_topk,
+    )
+    from tests.clustered import DIM, clustered_corpus
+
+    emb = clustered_corpus(spark, range(500))
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in projected_rerank_topk(
+            emb, queries, k=5, dim=DIM, out_dim=16, shortlist=25
+        ).collect()
+    }
+    assert len(exact) == 50 and len(got) == 50
+    assert len(exact & got) / len(exact) >= 0.9

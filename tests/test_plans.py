@@ -368,6 +368,7 @@ BNLJ_INTENDED = {
     "q114_hard_negatives": 1,      # broadcast query side, corpus unshuffled
     "q120_quality_threshold_for_budget": 1,  # 1-row budget cut broadcast
     "q121_event_mix_drift": 2,     # 1-row totals broadcast, one per side
+    "q122_projected_rerank_topk": 1,  # broadcast query side, 16-dim stage
 }
 
 #: queries whose SinglePartition window sort is fed by a CALENDAR-bounded
