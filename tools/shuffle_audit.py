@@ -42,6 +42,11 @@ FIELDS = {
     "shuffle_write_records": "shuffleWriteRecords",
     "shuffle_read_bytes": "shuffleReadBytes",
     "input_bytes": "inputBytes",
+    # spill accounting: non-zero means a partition outgrew execution
+    # memory and hit the sort-spill path — the per-executor sizing claim
+    # ("partitions fit in memory at the bench sf") made measurable.
+    "memory_spill_bytes": "memoryBytesSpilled",
+    "disk_spill_bytes": "diskBytesSpilled",
 }
 
 
@@ -84,7 +89,13 @@ def main() -> None:
 
     result = {"sf_dir": sf_dir, "queries": out}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "SHUFFLE.json"), "w") as f:
+    # The standing artifact stays SHUFFLE.json for the bench sf (0.1);
+    # other scales get a suffixed file (same convention as the scaling
+    # tools: never clobber the standing artifact with an off-scale run)
+    # so sf-pair slope analysis (tools/shuffle_slope.py) can read both.
+    base = os.path.basename(os.path.normpath(sf_dir))
+    fname = "SHUFFLE.json" if base == "sf0.1" else f"SHUFFLE_{base}.json"
+    with open(os.path.join(root, fname), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
     spark.stop()
