@@ -81,9 +81,10 @@ def register(name: str, sql: str | None, doc: str = ""):
 # the 44 r05-stamped rows skipped this round reach age 2 during round 7
 # and must lead round 8 (that round has ~6 slots of slack, so rounds
 # 7-8 should prefer perf/evidence work over new registry rows).  q122
-# (projected rerank top-k) registered AFTER the r6 window froze: it is
-# unstamped and must ride at the HEAD of round 7's window as its "new"
-# block, alongside the 28 obligated r04 rows (29 <= 50, fits).  Local pytest parity
+# (projected rerank top-k), q123 (stratified sample) and q124 (leakage-
+# safe split) registered AFTER the r6 window froze: they are unstamped
+# and must ride at the HEAD of round 7's window as its "new" block,
+# alongside the 28 obligated r04 rows (31 <= 50, fits).  Local pytest parity
 # (tests/test_oracle_parity.py) still covers every registered query
 # regardless of position.
 _ROTATE_FIRST: tuple[str, ...] = (
@@ -5193,4 +5194,76 @@ def q122_projected_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return projected_rerank_topk(
         emb, emb.where(F.col("vec_id") < 10), k=5, dim=64, out_dim=16, shortlist=25
+    )
+
+
+from spark_hadoop_automation_in_cloud_spark.operators import sampling  # noqa: E402
+
+
+@register(
+    "q123_stratified_sample",
+    sampling.sql_stratified_sample("documents", ["lang"], "doc_id", k=10, salt=":strat"),
+    doc="Deterministic per-language eval sample (operators/sampling.py "
+    "stratified_sample): exactly 10 docs per lang in md5-key order — "
+    "the balanced-mixture subset every ablation/eval pipeline cuts. "
+    "The plan is oversample-then-trim: a tiny per-stratum count "
+    "broadcast back as a key cutoff filters the corpus ROW-LOCALLY in "
+    "the scan stage (~k_eff=62 survivors per stratum at ANY corpus "
+    "size), and the exact top-k window runs only over those survivors "
+    "— the naive per-stratum window would ship a 100 TB stratum into "
+    "one task. Oracle: the naive full-window form, so the hash match "
+    "proves plan == spec. Survivor boundedness and the undershoot "
+    "guard are pytest-pinned (test_operators.py).",
+)
+def q123_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    return sampling.stratified_sample(d, ["lang"], "doc_id", k=10, salt=":strat")
+
+
+#: 80/10/10 assignment reused by q124's Spark and SQL sides — ONE literal.
+_LEAK_SPLITS: list[tuple[str, int]] = [("train", 80), ("val", 10), ("test", 10)]
+
+
+@register(
+    "q124_leakage_safe_split",
+    f"""
+WITH RECURSIVE pairs AS ({_SQL_NEARDUP_EDGES}),
+edges AS (
+  SELECT left_id AS a, right_id AS b FROM pairs
+  UNION
+  SELECT right_id AS a, left_id AS b FROM pairs
+  UNION
+  SELECT vec_id AS a, vec_id AS b FROM embeddings
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clus AS (SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+SELECT vec_id, cluster_id,
+       {sampling.sql_hash_split("cluster_id", _LEAK_SPLITS, salt=":leak")} AS split
+FROM clus
+""",
+    doc="Leakage-safe train/val/test split: q42's deterministic 80/10/10 "
+    "hash assignment keyed on the NEAR-DUP CLUSTER label (q39's "
+    "connected components over embedding near-dup pairs), not the row "
+    "id — so a document and its near-duplicates always land in the "
+    "SAME split and eval can never score memorized training neighbors "
+    "(the classic contamination bug a row-hash split silently commits). "
+    "Cost on top of clustering: one row-local projection "
+    "(operators/sampling.py hash_split). Co-assignment is pytest-pinned "
+    "(every cluster maps to exactly one split). Oracle: the q39 "
+    "recursive-CTE closure + the identical CASE thresholds.",
+)
+def q124_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
+    pairs = dd.embedding_neardup_pairs(emb, threshold=0.4)
+    clus = neardup_clusters(pairs, emb, "vec_id")
+    return clus.select(
+        "vec_id",
+        "cluster_id",
+        sampling.hash_split(F.col("cluster_id"), _LEAK_SPLITS, salt=":leak").alias(
+            "split"
+        ),
     )

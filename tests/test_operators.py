@@ -1526,3 +1526,128 @@ def test_projected_rerank_recall_on_clustered_corpus(spark):
     }
     assert len(exact) == 50 and len(got) == 50
     assert len(exact & got) / len(exact) >= 0.9
+
+
+# --- deterministic sampling / split assignment (operators/sampling.py) ----
+
+
+def _sampling_fixture(spark):
+    """Strata exercising every branch: a stratum smaller than k, one
+    between k and k_eff (keep-all), and one far above k_eff (trim)."""
+    rows = (
+        [("tiny", i) for i in range(3)]
+        + [("mid", 100 + i) for i in range(30)]
+        + [("big", 1000 + i) for i in range(4000)]
+        + [(None, 9000 + i) for i in range(40)]  # NULL stratum = one group
+    )
+    return spark.createDataFrame(rows, "stratum string, id bigint")
+
+
+def test_stratified_sample_equals_naive_window(spark):
+    """The oversample-trim plan must return EXACTLY the naive full-window
+    top-k — including the under-k stratum (all 3 rows) and the NULL
+    stratum (sampled as its own group, not dropped by the join back)."""
+    from pyspark.sql.window import Window
+
+    from spark_hadoop_automation_in_cloud_spark.operators import sampling
+
+    df = _sampling_fixture(spark)
+    k = 10
+    got = sampling.stratified_sample(
+        df, ["stratum"], "id", k=k, salt=":t", assert_exact=True
+    )
+    w = Window.partitionBy("stratum").orderBy(
+        sampling.sample_key(F.col("id"), ":t").asc(), F.col("id").asc()
+    )
+    want = (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .select("stratum", "id", "sample_rank")
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # exact-k accounting: min(k, n) rows per stratum
+    sizes = {r["stratum"]: r["n"] for r in got.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {"tiny": 3, "mid": 10, "big": 10, None: 10}
+
+
+def test_stratified_survivors_are_bounded(spark):
+    """The scale contract: the window's input stays ~k_eff per stratum no
+    matter the stratum size — the 4000-row stratum must surface far fewer
+    rows than it has (the corpus never reaches the sort), yet at least k."""
+    from spark_hadoop_automation_in_cloud_spark.operators import sampling
+
+    df = _sampling_fixture(spark)
+    surv = sampling.stratified_survivors(df, ["stratum"], "id", k=10, salt=":t")
+    n_big = surv.where(F.col("stratum") == "big").count()
+    k_eff = sampling._k_eff(10, 6.0, 16)
+    # Binomial(4000, k_eff/4000): within [k, 4*k_eff] with overwhelming margin
+    assert 10 <= n_big <= 4 * k_eff, n_big
+    # the under-k_eff strata keep everything (cutoff saturates at MAX_KEY)
+    assert surv.where(F.col("stratum") == "tiny").count() == 3
+    assert surv.where(F.col("stratum") == "mid").count() == 30
+
+
+def test_stratified_sample_undershoot_raises(spark):
+    """Negative slack shrinks the cutoff below the k-th key — the
+    assert_exact accounting must catch the shortfall loudly instead of
+    returning a silently thinner sample."""
+    from spark_hadoop_automation_in_cloud_spark.operators import sampling
+
+    df = _sampling_fixture(spark).where(F.col("stratum") == "big")
+    with pytest.raises(ValueError, match="undershoot"):
+        sampling.stratified_sample(
+            df, ["stratum"], "id", k=50, salt=":t",
+            slack_stddevs=0.0, slack_abs=-45, assert_exact=True,
+        ).collect()
+
+
+def test_hash_split_thresholds_and_validation(spark):
+    """hash_split must reproduce the q42 CASE arithmetic exactly (same
+    md5 bucket, same cumulative thresholds) and reject malformed specs."""
+    from spark_hadoop_automation_in_cloud_spark.functions import hashing
+    from spark_hadoop_automation_in_cloud_spark.operators import sampling
+
+    df = spark.range(500).select(F.col("id").alias("k"))
+    splits = [("train", 80), ("val", 10), ("test", 10)]
+    got = df.select(
+        "k", sampling.hash_split(F.col("k"), splits, salt=":s").alias("split")
+    )
+    bucket = hashing.md5_prefix_int(F.col("k"), nhex=8, salt=":s") % 100
+    want = df.select(
+        "k",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    counts = {r["split"]: r["n"] for r in got.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"} and counts["train"] > counts["val"]
+    for bad in ([("a", 50)], [("a", 60), ("b", 50)], [("a", 100), ("b", 0)]):
+        with pytest.raises(ValueError):
+            sampling.hash_split(F.col("k"), bad, salt=":s")
+
+
+def test_leakage_safe_split_coassigns_clusters(spark, sf_dir):
+    """The q124 contract: every near-dup cluster lands in exactly ONE
+    split (no document can be evaluated against its training-set
+    near-duplicate), and the split labels follow the cluster-id hash."""
+    from spark_hadoop_automation_in_cloud_spark.queries import q124_leakage_safe_split
+
+    out = q124_leakage_safe_split(spark, sf_dir).cache()
+    try:
+        n_rows = out.count()
+        assert n_rows > 0
+        bad = (
+            out.groupBy("cluster_id")
+            .agg(F.countDistinct("split").alias("n_splits"))
+            .where(F.col("n_splits") > 1)
+            .count()
+        )
+        assert bad == 0
+        # at least one multi-member cluster exists, so co-assignment is a
+        # real constraint here, not vacuous
+        multi = (
+            out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1).count()
+        )
+        assert multi > 0
+    finally:
+        out.unpersist()
