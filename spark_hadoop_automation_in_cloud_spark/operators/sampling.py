@@ -11,18 +11,31 @@ Reference parity: the reference engine has no sampling surface at all
 as the dedup/similarity operators.
 
 Scale design (the reason this module exists instead of one window):
-``stratified_sample`` must NOT sort whole strata.  The naive form —
-``row_number() OVER (PARTITION BY stratum ORDER BY hash)`` — ships every
-row of a stratum into one task; at 100 TB a dominant stratum (one
-language, one crawl) is terabytes, and that task is the job.  Because
-the sample key is a uniform hash, the k smallest keys of a stratum lie
-below ``k_eff / n`` of the key range with overwhelming probability, so
-the shipped plan is oversample-then-trim:
+``stratified_sample`` must not sort the corpus.  The naive form —
+``row_number() OVER (PARTITION BY stratum ORDER BY hash) <= k`` — is
+less naive than it looks on Spark >= 3.5: the optimizer inserts a
+WindowGroupLimit pair, so each map task full-sorts ITS partition
+(payloads included) and forwards only k rows per stratum per task, and
+no single task ever holds a whole stratum.  What remains corpus-
+proportional in that plan is the map-side sort itself — every row,
+however wide, goes through an n-log-n comparison sort before the limit
+can drop it — and the exchange still grows with the task count
+(k * strata * tasks rows; 100k map tasks at 100 TB is 10^8+ shuffled
+payloads for k=100).  Because the sample key is a uniform hash, the k
+smallest keys of a stratum lie below ``k_eff / n`` of the key range
+with overwhelming probability, so the shipped plan is
+oversample-then-trim:
 
 1. one tiny aggregate (stratum -> row count) broadcast back,
-2. a row-local filter ``key < cutoff`` in the scan stage — the corpus
-   never shuffles; only ~``k_eff`` rows per stratum survive,
-3. the exact top-k window runs over those few survivors.
+2. a row-local filter ``key < cutoff`` in the scan stage — a branchless
+   compare, no sort; non-survivors are dropped where they are read,
+3. the exact top-k window runs over the ~``k_eff`` survivors per
+   stratum — corpus-size- AND task-count-independent.
+
+Measured against the WindowGroupLimit form on a 90%-skewed synthetic
+(tools/sampling_bench.py, SAMPLING.json): 1.4x wall on narrow rows,
+2.5x on document-shaped rows, with 10-15x fewer exchange bytes —
+identical output.
 
 The result equals the naive form whenever the filter kept at least
 min(k, n) rows per stratum, which the default slack makes a certainty
@@ -126,9 +139,12 @@ def stratified_sample(
     Equivalent to ``row_number() OVER (PARTITION BY strata ORDER BY
     sample_key, id) <= k`` (the spec the DuckDB oracle runs verbatim),
     but the window only ever sees the ~``k_eff`` survivors per stratum
-    from :func:`stratified_survivors` — the full-stratum sort the naive
-    window form pays never happens, so a terabyte stratum costs the same
-    shuffle as a megabyte one.
+    from :func:`stratified_survivors` — the per-partition full sort the
+    window form pays (even with Spark's WindowGroupLimit pushdown; see
+    the module docstring) never happens, and the exchange carries
+    ~k_eff rows per stratum total instead of k per stratum per map
+    task, so a terabyte stratum costs the same shuffle as a megabyte
+    one.
 
     ``assert_exact`` replays the tiny per-stratum accounting and raises
     ``ValueError`` if any stratum sampled fewer than min(k, n) rows —

@@ -5210,10 +5210,12 @@ from spark_hadoop_automation_in_cloud_spark.operators import sampling  # noqa: E
     "broadcast back as a key cutoff filters the corpus ROW-LOCALLY in "
     "the scan stage (~k_eff=62 survivors per stratum at ANY corpus "
     "size), and the exact top-k window runs only over those survivors "
-    "— the naive per-stratum window would ship a 100 TB stratum into "
-    "one task. Oracle: the naive full-window form, so the hash match "
-    "proves plan == spec. Survivor boundedness and the undershoot "
-    "guard are pytest-pinned (test_operators.py).",
+    "— no per-partition corpus sort and no task-count-proportional "
+    "exchange, the two costs Spark's own WindowGroupLimit pushdown "
+    "still pays (measured 1.4-2.5x wall / 10-15x exchange bytes vs "
+    "that form, SAMPLING.json). Oracle: the naive full-window form, "
+    "so the hash match proves plan == spec. Survivor boundedness and "
+    "the undershoot guard are pytest-pinned (test_operators.py).",
 )
 def q123_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").select("lang", "doc_id")
