@@ -1649,5 +1649,25 @@ def test_leakage_safe_split_coassigns_clusters(spark, sf_dir):
             .where(F.col("n") > 1).count()
         )
         assert multi > 0
+        # the quantitative WHY: the same 80/10/10 thresholds keyed on the
+        # ROW id (the q42 shape) must actually strand near-dup members
+        # across splits on this data — i.e. q124 prevents leakage that a
+        # row-hash split really commits, it doesn't solve a non-problem
+        from spark_hadoop_automation_in_cloud_spark.operators import sampling
+        from spark_hadoop_automation_in_cloud_spark.queries import _LEAK_SPLITS
+
+        rowhash = out.select(
+            "cluster_id",
+            sampling.hash_split(F.col("vec_id"), _LEAK_SPLITS, salt=":leak").alias(
+                "split"
+            ),
+        )
+        leaked = (
+            rowhash.groupBy("cluster_id")
+            .agg(F.countDistinct("split").alias("n_splits"))
+            .where(F.col("n_splits") > 1)
+            .count()
+        )
+        assert leaked > 0, "fixture has no cross-split near-dup risk to prevent"
     finally:
         out.unpersist()
