@@ -220,3 +220,101 @@ SELECT * FROM (
 )
 WHERE cum_tokens - {tokens_col} < {budget}
 """
+
+
+def _check_mixture(weights: dict[str, float]) -> None:
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"mixture weights must be positive: {weights}")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"mixture weights must sum to 1, got {total}")
+
+
+def mixture_budgets(total_budget: int, weights: dict[str, float]) -> dict[str, int]:
+    """Per-domain token budgets: floor(total * weight), computed ONCE in
+    Python and inlined as literals on BOTH engines — so float rounding of
+    a weight can never diverge the Spark plan from the SQL oracle."""
+    _check_mixture(weights)
+    return {dom: int(total_budget * w) for dom, w in weights.items()}
+
+
+def mixture_budget_selection(
+    scored: DataFrame,
+    part_col: str,
+    id_col: str,
+    quality_col: str,
+    tokens_col: str,
+    total_budget: int,
+    weights: dict[str, float],
+) -> DataFrame:
+    """:func:`token_budget_selection` with a target DOMAIN MIXTURE: each
+    domain gets ``floor(total_budget * weight)`` tokens and fills it
+    best-first (quality desc, id tiebreak); domains absent from
+    ``weights`` are excluded entirely.  This is the static
+    mixture-reweighting step of pretraining-data curation (Pile-style
+    hand weights, DoReMi-style learned weights): the mixture is enforced
+    at selection time instead of hoping the corpus proportions happen to
+    match.
+
+    The budget table is a handful of (domain, budget) pairs — model
+    state, like k-means centroids — so it is inlined as a literal map
+    and resolved row-locally in the scan: no join, no broadcast, and the
+    unlisted-domain filter prunes rows BEFORE the per-domain window.
+    Same scale shape as q112: one window per domain, no global sort.
+
+    Output: input columns + ``domain_budget`` + ``cum_tokens`` (the
+    boundary document may overshoot its domain budget, exactly as in
+    :func:`token_budget_selection`).
+    """
+    budgets = mixture_budgets(total_budget, weights)
+    pairs: list[F.Column] = []
+    for dom, b in budgets.items():
+        pairs += [F.lit(dom), F.lit(b)]
+    budget_col = F.element_at(F.create_map(*pairs), F.col(part_col))
+    kept = scored.where(budget_col.isNotNull()).withColumn(
+        "domain_budget", budget_col.cast("bigint")
+    )
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col(quality_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col).cast("bigint")).over(w)
+    return kept.withColumn("cum_tokens", cum).where(
+        F.col("cum_tokens") - F.col(tokens_col) < F.col("domain_budget")
+    )
+
+
+def sql_mixture_budget_selection(
+    scored_sql: str,
+    part_col: str,
+    id_col: str,
+    quality_col: str,
+    tokens_col: str,
+    total_budget: int,
+    weights: dict[str, float],
+) -> str:
+    """DuckDB twin of :func:`mixture_budget_selection` (same Python-
+    computed budget literals, same window, same keep rule)."""
+    budgets = mixture_budgets(total_budget, weights)
+    arms = " ".join(
+        f"WHEN '{dom}' THEN {b}" for dom, b in budgets.items()
+    )
+    case = f"CASE {part_col} {arms} END"
+    return f"""
+SELECT * FROM (
+  SELECT t.*,
+         CAST(SUM(CAST({tokens_col} AS BIGINT)) OVER (
+           PARTITION BY {part_col}
+           ORDER BY {quality_col} DESC, {id_col}
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM (
+    SELECT s.*, CAST({case} AS BIGINT) AS domain_budget
+    FROM ({scored_sql}) s
+    WHERE {case} IS NOT NULL
+  ) t
+)
+WHERE cum_tokens - {tokens_col} < domain_budget
+"""

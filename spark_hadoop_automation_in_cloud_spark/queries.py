@@ -81,10 +81,11 @@ def register(name: str, sql: str | None, doc: str = ""):
 # the 44 r05-stamped rows skipped this round reach age 2 during round 7
 # and must lead round 8 (that round has ~6 slots of slack, so rounds
 # 7-8 should prefer perf/evidence work over new registry rows).  q122
-# (projected rerank top-k), q123 (stratified sample) and q124 (leakage-
-# safe split) registered AFTER the r6 window froze: they are unstamped
-# and must ride at the HEAD of round 7's window as its "new" block,
-# alongside the 28 obligated r04 rows (31 <= 50, fits).  Local pytest parity
+# (projected rerank top-k), q123 (stratified sample), q124 (leakage-
+# safe split) and q125 (mixture-budget selection) registered AFTER the
+# r6 window froze: they are unstamped and must ride at the HEAD of
+# round 7's window as its "new" block, alongside the 28 obligated r04
+# rows (32 <= 50, fits).  Local pytest parity
 # (tests/test_oracle_parity.py) still covers every registered query
 # regardless of position.
 _ROTATE_FIRST: tuple[str, ...] = (
@@ -5268,4 +5269,53 @@ def q124_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         sampling.hash_split(F.col("cluster_id"), _LEAK_SPLITS, salt=":leak").alias(
             "split"
         ),
+    )
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.packing import (  # noqa: E402
+    mixture_budget_selection,
+    sql_mixture_budget_selection,
+)
+
+#: target language mixture for q125 — zh deliberately unlisted, so the
+#: query also exercises the exclude-unweighted-domain semantics.  ONE
+#: literal: the Spark plan and the SQL oracle both inline the budgets
+#: packing.mixture_budgets derives from it.
+_Q125_WEIGHTS: dict[str, float] = {"en": 0.5, "fr": 0.2, "de": 0.2, "es": 0.1}
+_Q125_SCORED_SQL = f"""
+SELECT d.lang, q.doc_id, q.quality, q.n_tokens
+FROM ({tx.sql_quality_score("documents", "doc_id", "text")}) q
+JOIN documents d ON d.doc_id = q.doc_id
+"""
+
+
+@register(
+    "q125_mixture_budget_selection",
+    sql_mixture_budget_selection(
+        _Q125_SCORED_SQL, "lang", "doc_id", "quality", "n_tokens",
+        total_budget=4000, weights=_Q125_WEIGHTS,
+    ),
+    doc="Mixture-targeted data selection (operators/packing.py "
+    "mixture_budget_selection): q112's best-first budget cut with a "
+    "TARGET LANGUAGE MIXTURE — each lang gets floor(total * weight) "
+    "tokens (en 50% / fr 20% / de 20% / es 10%; zh unweighted and "
+    "therefore excluded) and fills it by quality rank. The static "
+    "mixture-reweighting step of pretraining curation (Pile-style hand "
+    "weights, DoReMi-style learned weights), enforced at selection "
+    "time. The budget table is model state: a literal map resolved "
+    "row-locally in the scan — no join, no broadcast — and the "
+    "unweighted-domain filter prunes before the per-domain window. "
+    "Budgets are floored ONCE in Python and inlined on both engines, "
+    "so weight-float rounding cannot diverge the oracle.",
+)
+def q125_mixture_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    scored = (
+        tx.quality_score(d, "doc_id", "text")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select("lang", "doc_id", "quality", "n_tokens")
+    )
+    return mixture_budget_selection(
+        scored, "lang", "doc_id", "quality", "n_tokens",
+        total_budget=4000, weights=_Q125_WEIGHTS,
     )

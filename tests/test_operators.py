@@ -1671,3 +1671,50 @@ def test_leakage_safe_split_coassigns_clusters(spark, sf_dir):
         assert leaked > 0, "fixture has no cross-split near-dup risk to prevent"
     finally:
         out.unpersist()
+
+
+def test_mixture_budget_selection_semantics(spark):
+    """Uniform weights over the present domains must reproduce the plain
+    per-domain budget cut; unweighted domains must vanish; malformed
+    mixtures must raise."""
+    from spark_hadoop_automation_in_cloud_spark.operators.packing import (
+        mixture_budget_selection,
+        mixture_budgets,
+        token_budget_selection,
+    )
+
+    rows = [
+        ("a", i, float(100 - i), 40) for i in range(20)
+    ] + [("b", 100 + i, float(50 - i), 25) for i in range(20)] + [
+        ("c", 200 + i, 1.0 * i, 30) for i in range(5)
+    ]
+    scored = spark.createDataFrame(
+        rows, "dom string, doc_id bigint, quality double, n_tokens bigint"
+    )
+    # uniform 50/50 over a,b with total 2*200 == per-domain budget 200
+    mix = mixture_budget_selection(
+        scored.where(F.col("dom") != "c"), "dom", "doc_id", "quality",
+        "n_tokens", total_budget=400, weights={"a": 0.5, "b": 0.5},
+    ).select("dom", "doc_id", "quality", "n_tokens", "cum_tokens")
+    plain = token_budget_selection(
+        scored.where(F.col("dom") != "c"), "dom", "doc_id", "quality",
+        "n_tokens", budget=200,
+    )
+    assert mix.exceptAll(plain).count() == 0 and plain.exceptAll(mix).count() == 0
+    # domain c unweighted -> excluded even though it has rows
+    out = mixture_budget_selection(
+        scored, "dom", "doc_id", "quality", "n_tokens",
+        total_budget=400, weights={"a": 0.5, "b": 0.5},
+    )
+    assert out.where(F.col("dom") == "c").count() == 0
+    # the kept prefix per domain: all but the boundary doc fit the budget
+    over = out.where(
+        (F.col("cum_tokens") > F.col("domain_budget"))
+        & (F.col("cum_tokens") - F.col("n_tokens") >= F.col("domain_budget"))
+    ).count()
+    assert over == 0
+    import pytest as _pytest
+
+    for bad in ({}, {"a": 0.7}, {"a": 0.5, "b": -0.5}, {"a": 0.9, "b": 0.2}):
+        with _pytest.raises(ValueError):
+            mixture_budgets(100, bad)

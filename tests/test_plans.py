@@ -385,7 +385,7 @@ SP_WINDOW_BOUNDED = {
 
 def test_every_registered_query_plan_is_scale_safe(spark, sf_dir):
     """The headline audit, widened to the WHOLE registry: every one of the
-    124 registered queries' executed plans must be free of cartesian
+    125 registered queries' executed plans must be free of cartesian
     products, nested-loop broadcasts outside the intended list, and
     SinglePartition window sorts outside the calendar-bounded list.  This
     is the 100 TB criterion applied to every query a user can reach, not
