@@ -155,6 +155,14 @@ def stratified_sample(
 
     Output: ``strata_cols + [id_col, sample_rank]`` with ``sample_rank``
     in 1..k dense per stratum, INT like ``row_number`` on both engines.
+
+    Contract: ``id_col`` must be a NON-NULL unique key (the same rule as
+    every ranking tiebreaker in this repo) — a NULL id has no sample key,
+    cannot be ranked deterministically, and is dropped by the survivor
+    filter; engines disagree on NULL sort placement (Spark ASC = NULLS
+    FIRST, DuckDB = NULLS LAST), so admitting them would diverge the
+    naive spec itself.  NULL *stratum* values are fine (one group, see
+    :func:`stratified_survivors`).
     """
     surv = stratified_survivors(
         df, strata_cols, id_col, k, salt, slack_stddevs, slack_abs
@@ -225,7 +233,13 @@ def hash_split(key_col: Column, splits: list[tuple[str, int]], salt: str) -> Col
     0..99 walks the cumulative thresholds (the q42 train/val/test idiom,
     generalized).  Pure row-local projection — computable in the scan
     stage of a 100 TB read, and stable across runs and engines because
-    the bucket is content-free md5, not RNG."""
+    the bucket is content-free md5, not RNG.
+
+    A NULL key hashes to a NULL bucket, every ``< threshold`` arm is
+    false, and the row falls through to the LAST split's label — on BOTH
+    engines (Spark ``otherwise`` == SQL ``ELSE``; pytest-pinned).  Key
+    columns are normally non-null ids, but the fallthrough is defined
+    rather than accidental."""
     _check_splits(splits)
     bucket = hashing.md5_prefix_int(key_col, nhex=8, salt=salt) % 100
     expr = None

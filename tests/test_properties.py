@@ -578,3 +578,66 @@ def test_repeated_span_coverage_equals_naive_union(spark, docs, n):
         for r in repeated_span_coverage(df, "doc_id", "text", n=n).collect()
     }
     assert got == expect
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    strata=st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=120),
+    k=st.integers(min_value=1, max_value=12),
+)
+def test_stratified_sample_equals_naive_for_any_strata(spark, strata, k):
+    """Oversample-trim ≡ the naive full-window top-k for ARBITRARY stratum
+    assignments and k — including strata of size 1, size exactly k, and a
+    lopsided majority stratum — with the undershoot check armed so any
+    cutoff shortfall would raise instead of shrinking the sample."""
+    from pyspark.sql.window import Window
+
+    from spark_hadoop_automation_in_cloud_spark.operators import sampling
+
+    rows = [(f"s{s}", i) for i, s in enumerate(strata)]
+    df = spark.createDataFrame(rows, "stratum string, id bigint")
+    got = sampling.stratified_sample(
+        df, ["stratum"], "id", k=k, salt=":p", assert_exact=True
+    )
+    w = Window.partitionBy("stratum").orderBy(
+        sampling.sample_key(F.col("id"), ":p").asc(), F.col("id").asc()
+    )
+    want = (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .select("stratum", "id", "sample_rank")
+    )
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in want.collect()}
+    assert a == b
+
+
+def test_hash_split_null_key_falls_through_on_both_engines(spark):
+    """A NULL key must land in the LAST split on Spark AND DuckDB — the
+    documented fallthrough, pinned so an engine upgrade can't silently
+    reroute NULL keys."""
+    import duckdb
+
+    from spark_hadoop_automation_in_cloud_spark.operators import sampling
+
+    splits = [("train", 80), ("val", 10), ("test", 10)]
+    df = spark.createDataFrame([(None,), (7,)], "k int")
+    got = {
+        (r["k"], r["split"])
+        for r in df.select(
+            "k", sampling.hash_split(F.col("k"), splits, salt=":n").alias("split")
+        ).collect()
+    }
+    con = duckdb.connect()
+    sql_expr = sampling.sql_hash_split("k", splits, salt=":n")
+    want = set(
+        con.execute(
+            f"SELECT k, {sql_expr} AS split FROM (VALUES (NULL), (7)) t(k)"
+        ).fetchall()
+    )
+    assert got == want
+    assert dict(got)[None] == "test"
