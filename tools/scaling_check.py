@@ -60,6 +60,14 @@ QUERIES = [
     # collects scale x the docs — the pile-on stress for BOTH screens'
     # band-key joins
     "q113_incremental_minhash_dedup",
+    # stratified sample: replication grows every lang stratum by the
+    # factor while k stays 10 — the cutoff must shrink proportionally so
+    # the window's input stays ~k_eff per stratum; wall should track the
+    # counting+filter scans, never the stratum size
+    "q123_stratified_sample",
+    # mixture budget: per-lang quality windows grow with the factor while
+    # budgets stay fixed — same stress as q112 plus the literal-map arm
+    "q125_mixture_budget_selection",
 ]
 
 #: events-table operators: replication shifts user_id/event_id per copy, so
