@@ -70,27 +70,33 @@ def register(name: str, sql: str | None, doc: str = ""):
 # -> quality-threshold calibration over global_cumsum), and q121 (NEW:
 # integer-exact event-mix TV drift) — then ALL 21 rows whose last
 # driver stamp is r03
-# (the age-2 backlog the verdict lists), then 16 of the 45 r04-stamped
-# rows as refreshes, multi-stage / shared-infra kernels first (a 17th
+# (the age-2 backlog the verdict lists), then 12 of the 45 r04-stamped
+# rows as refreshes, multi-stage / shared-infra kernels first (a 13th
 # r04 row, q20, rides in the changed block — its content-hash kernel
-# changed).  That fills the window exactly: 13 + 21 + 16 = 50.  The 28
-# r04 rows left out (q12, q13, q15, q18, q23, q26, q27, q28, q37, q46,
-# q47, q48, q49, q55, q56, q58, q62, q75, q76, q78, q81, q82, q84, q85,
-# q86, q90, q91, q97 — displaced one-for-one by the changed/new slots)
-# land at age exactly 2 — the bound — and MUST lead round 7's window;
-# the 44 r05-stamped rows skipped this round reach age 2 during round 7
-# and must lead round 8 (that round has ~6 slots of slack, so rounds
-# 7-8 should prefer perf/evidence work over new registry rows).  q122
-# (projected rerank top-k), q123 (stratified sample), q124 (leakage-
-# safe split) and q125 (mixture-budget selection) registered AFTER the
-# r6 window froze: they are unstamped and must ride at the HEAD of
-# round 7's window as its "new" block, alongside the 28 obligated r04
-# rows (32 <= 50, fits).  Local pytest parity
+# changed).  The late-r6 additions q122 (projected rerank top-k), q123
+# (stratified sample), q124 (leakage-safe split) and q125 (mixture-
+# budget selection) were swapped INTO the window's new block when they
+# registered, displacing the four simplest single-pass r04 refreshes
+# (q42, q61, q64, q68 — all untouched modules, all sf0.001/0.01/0.1
+# parity-green locally): a brand-new operator earns its driver stamp
+# before an age-1 refresh does.  That fills the window exactly:
+# 13 + 4 + 21 + 12 = 50.  The 32 r04 rows left out (q12, q13, q15,
+# q18, q23, q26, q27, q28, q37, q42, q46, q47, q48, q49, q55, q56,
+# q58, q61, q62, q64, q68, q75, q76, q78, q81, q82, q84, q85, q86,
+# q90, q91, q97) land at age exactly 2 — the bound — and MUST lead
+# round 7's window (32 <= 50, fits); the 44 r05-stamped rows skipped
+# this round reach age 2 during round 7 and must lead round 8 (that
+# round has little slack, so rounds 7-8 should prefer perf/evidence
+# work over new registry rows).  Local pytest parity
 # (tests/test_oracle_parity.py) still covers every registered query
 # regardless of position.
 _ROTATE_FIRST: tuple[str, ...] = (
-    # --- kernels/oracles changed in round 6 (+ the one NEW row)
+    # --- kernels/oracles changed in round 6 (+ the NEW rows)
     "q117_upsert_replay",
+    "q122_projected_rerank_topk",
+    "q123_stratified_sample",
+    "q124_leakage_safe_split",
+    "q125_mixture_budget_selection",
     "q118_repeated_span_coverage",
     "q108_incremental_dedup",
     "q111_streaming_incremental_dedup",
@@ -125,7 +131,7 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q80_next_event_features",
     "q89_session_intervals",
     "q95_containment_dups",
-    # --- r04-stamped refreshes (16 of 45; multi-stage and shared-infra
+    # --- r04-stamped refreshes (12 of 45; multi-stage and shared-infra
     #     kernels first — the single-pass rows left at age 2 are listed
     #     in the allocation note above)
     "q21_minhash_lsh_pairs",
@@ -133,13 +139,9 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q32_streaming_weekly_rollup",
     "q39_neardup_clusters",
     "q40_corpus_curation",
-    "q42_hash_split",
     "q54_repetition_ratio",
     "q60_decontamination",
-    "q61_pii_scrub",
     "q63_tfidf_top_terms",
-    "q64_document_chunking",
-    "q68_trimmed_mean",
     "q87_salted_priority_revenue",
     "q88_rfm_segments",
     "q92_sequence_packing",
