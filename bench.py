@@ -93,6 +93,12 @@ HEADLINE = [
     # an extra distinct + per-doc window on top of the same inverted-index
     # join, so its wall is the family's regression canary
     "q118_repeated_span_coverage",
+    # late-r6 addition: the oversample-trim stratified sampler — a new
+    # plan family (broadcast cutoff into the scan + survivor-only window)
+    # whose whole value is the plan shape, so a regression that silently
+    # reverts it to a corpus window must show up here (SAMPLING.json has
+    # the A/B against that form)
+    "q123_stratified_sample",
 ]
 
 #: Pinned machine-factor kernels (VERDICT r5 item 5): code-independent

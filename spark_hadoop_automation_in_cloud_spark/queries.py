@@ -5221,7 +5221,11 @@ from spark_hadoop_automation_in_cloud_spark.operators import sampling  # noqa: E
     "the undershoot guard are pytest-pinned (test_operators.py).",
 )
 def q123_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    # parallelize: the counting and cutoff-filter scans both fan out
+    # (md5 per row), and testdata parquet is single-row-group
+    d = read_table(spark, sf_dir, "documents", parallelize=True).select(
+        "lang", "doc_id"
+    )
     return sampling.stratified_sample(d, ["lang"], "doc_id", k=10, salt=":strat")
 
 

@@ -1718,3 +1718,38 @@ def test_mixture_budget_selection_semantics(spark):
     for bad in ({}, {"a": 0.7}, {"a": 0.5, "b": -0.5}, {"a": 0.9, "b": 0.2}):
         with _pytest.raises(ValueError):
             mixture_budgets(100, bad)
+
+
+def test_stratified_sample_multi_column_strata(spark):
+    """Composite strata (two columns, including a NULL component) must
+    group and join back exactly like a single concatenated key — the
+    null-safe join condition is per-column, so a NULL in either column
+    is one group, not a dropped row."""
+    from pyspark.sql.window import Window
+
+    from spark_hadoop_automation_in_cloud_spark.operators import sampling
+
+    rows = (
+        [("en", "web", i) for i in range(40)]
+        + [("en", None, 100 + i) for i in range(40)]
+        + [(None, "web", 200 + i) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "lang string, src string, id bigint")
+    k = 5
+    got = sampling.stratified_sample(
+        df, ["lang", "src"], "id", k=k, salt=":m", assert_exact=True
+    )
+    w = Window.partitionBy("lang", "src").orderBy(
+        sampling.sample_key(F.col("id"), ":m").asc(), F.col("id").asc()
+    )
+    want = (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .select("lang", "src", "id", "sample_rank")
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    sizes = {
+        (r["lang"], r["src"]): r["n"]
+        for r in got.groupBy("lang", "src").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes == {("en", "web"): 5, ("en", None): 5, (None, "web"): 3}
