@@ -51,6 +51,7 @@ the k-means centroid collect).
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -217,6 +218,9 @@ SELECT {strata}, {id_col}, sample_rank FROM ranked WHERE sample_rank <= {k}
 """
 
 
+_SPLIT_NAME = re.compile(r"^[A-Za-z0-9_.-]+$")
+
+
 def _check_splits(splits: list[tuple[str, int]]) -> None:
     if len(splits) < 2:
         raise ValueError("need at least two splits")
@@ -225,6 +229,15 @@ def _check_splits(splits: list[tuple[str, int]]) -> None:
     total = sum(pct for _, pct in splits)
     if total != 100:
         raise ValueError(f"split percents must sum to 100, got {total}")
+    # names land inside single-quoted SQL literals in the DuckDB twin; a
+    # quote would break (or inject into) the oracle while the Column API
+    # twin sails on — the same cross-engine divergence class the salt
+    # check in functions/hashing.py guards, closed the same way
+    bad = [n for n, _ in splits if not _SPLIT_NAME.match(n)]
+    if bad:
+        raise ValueError(f"split names must match {_SPLIT_NAME.pattern}: {bad}")
+    if len({n for n, _ in splits}) != len(splits):
+        raise ValueError(f"split names must be distinct: {splits}")
 
 
 def hash_split(key_col: Column, splits: list[tuple[str, int]], salt: str) -> Column:

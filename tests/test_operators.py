@@ -1620,9 +1620,17 @@ def test_hash_split_thresholds_and_validation(spark):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
     counts = {r["split"]: r["n"] for r in got.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert set(counts) == {"train", "val", "test"} and counts["train"] > counts["val"]
-    for bad in ([("a", 50)], [("a", 60), ("b", 50)], [("a", 100), ("b", 0)]):
+    for bad in (
+        [("a", 50)],
+        [("a", 60), ("b", 50)],
+        [("a", 100), ("b", 0)],
+        [("a'b", 50), ("c", 50)],  # quote would break the SQL twin's literal
+        [("a", 50), ("a", 50)],  # duplicate label
+    ):
         with pytest.raises(ValueError):
             sampling.hash_split(F.col("k"), bad, salt=":s")
+        with pytest.raises(ValueError):
+            sampling.sql_hash_split("k", bad, salt=":s")
 
 
 def test_leakage_safe_split_coassigns_clusters(spark, sf_dir):
