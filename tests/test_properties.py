@@ -641,3 +641,47 @@ def test_hash_split_null_key_falls_through_on_both_engines(spark):
     )
     assert got == want
     assert dict(got)[None] == "test"
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    doms=st.lists(st.integers(min_value=0, max_value=3), min_size=2, max_size=60),
+    pcts=st.sampled_from([(50, 50), (80, 20), (25, 75), (60, 30, 10)]),
+    total=st.sampled_from([100, 400, 1000]),
+)
+def test_mixture_equals_per_domain_budget_for_any_weights(spark, doms, pcts, total):
+    """For ANY corpus and weight vector, the mixture cut restricted to one
+    domain must equal token_budget_selection run on that domain alone with
+    its floored budget — the mixture operator is per-domain budget cuts
+    glued by a literal map, nothing more."""
+    from spark_hadoop_automation_in_cloud_spark.operators.packing import (
+        mixture_budget_selection,
+        mixture_budgets,
+        token_budget_selection,
+    )
+
+    weights = {f"d{i}": p / 100 for i, p in enumerate(pcts)}
+    rows = [
+        (f"d{s}", i, float((i * 37) % 19), 10 + (i * 13) % 50)
+        for i, s in enumerate(doms)
+    ]
+    df = spark.createDataFrame(
+        rows, "dom string, doc_id bigint, quality double, n_tokens bigint"
+    )
+    mix = mixture_budget_selection(
+        df, "dom", "doc_id", "quality", "n_tokens", total_budget=total,
+        weights=weights,
+    ).select("dom", "doc_id", "quality", "n_tokens", "cum_tokens")
+    budgets = mixture_budgets(total, weights)
+    for dom, b in budgets.items():
+        got = mix.where(F.col("dom") == dom)
+        want = token_budget_selection(
+            df.where(F.col("dom") == dom), "dom", "doc_id", "quality",
+            "n_tokens", budget=b,
+        )
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
