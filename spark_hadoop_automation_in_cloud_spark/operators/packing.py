@@ -25,7 +25,9 @@ every bin except each source's last).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import re
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_hadoop_automation_in_cloud_spark.functions.hashing import (
@@ -170,7 +172,7 @@ def token_budget_selection(
     id_col: str,
     quality_col: str,
     tokens_col: str,
-    budget: int,
+    budget: int | Column,
 ) -> DataFrame:
     """Greedy per-source data selection under a token budget.
 
@@ -181,6 +183,11 @@ def token_budget_selection(
     the boundary document may overshoot (deterministic, and the usual
     choice: a budget cut mid-document is the packer's job, q92, not the
     selector's).
+
+    ``budget`` is a scalar (same budget per stratum, q112) or a Column
+    resolving per row (per-domain budgets, the mixture cut q125) — ONE
+    definition of the ordering and keep rule, so a tiebreak or boundary
+    change can never diverge the two selectors.
 
     One window per stratum (quality sort + running token sum), parallel
     across sources — the same no-global-sort shape as :func:`pack_sequences`;
@@ -195,9 +202,10 @@ def token_budget_selection(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(F.col(tokens_col).cast("bigint")).over(w)
+    b = F.lit(budget) if isinstance(budget, int) else budget
     return (
         scored.withColumn("cum_tokens", cum)
-        .where(F.col("cum_tokens") - F.col(tokens_col) < budget)
+        .where(F.col("cum_tokens") - F.col(tokens_col) < b)
     )
 
 
@@ -207,8 +215,10 @@ def sql_token_budget_selection(
     id_col: str,
     quality_col: str,
     tokens_col: str,
-    budget: int,
+    budget: int | str,
 ) -> str:
+    """``budget`` mirrors the Spark twin: an int literal, or a SQL
+    expression over the scored rows (e.g. a per-domain budget column)."""
     return f"""
 SELECT * FROM (
   SELECT s.*,
@@ -222,6 +232,9 @@ WHERE cum_tokens - {tokens_col} < {budget}
 """
 
 
+_MIXTURE_NAME = re.compile(r"^[A-Za-z0-9_.-]+$")
+
+
 def _check_mixture(weights: dict[str, float]) -> None:
     if not weights:
         raise ValueError("weights must be non-empty")
@@ -230,14 +243,42 @@ def _check_mixture(weights: dict[str, float]) -> None:
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"mixture weights must sum to 1, got {total}")
+    # domain names land inside single-quoted SQL literals in the DuckDB
+    # twin; a quote would break (or inject into) the oracle while the
+    # Column-API twin sails on — same guard class as sampling's split
+    # names and hashing's salt escaping
+    bad = [d for d in weights if not _MIXTURE_NAME.match(d)]
+    if bad:
+        raise ValueError(f"domain names must match {_MIXTURE_NAME.pattern}: {bad}")
 
 
 def mixture_budgets(total_budget: int, weights: dict[str, float]) -> dict[str, int]:
     """Per-domain token budgets: floor(total * weight), computed ONCE in
     Python and inlined as literals on BOTH engines — so float rounding of
-    a weight can never diverge the Spark plan from the SQL oracle."""
+    a weight can never diverge the Spark plan from the SQL oracle.
+
+    A weight small enough to floor to a ZERO budget is rejected: a
+    zero-budget domain would be silently excluded — indistinguishable
+    from an unlisted one — which is a mixture distortion the caller
+    explicitly weighted against, not a selection."""
     _check_mixture(weights)
-    return {dom: int(total_budget * w) for dom, w in weights.items()}
+    budgets = {dom: int(total_budget * w) for dom, w in weights.items()}
+    zeroed = [d for d, b in budgets.items() if b == 0]
+    if zeroed:
+        raise ValueError(
+            f"domains {zeroed} floor to a zero budget at total_budget="
+            f"{total_budget}; raise the total or drop the domain explicitly"
+        )
+    return budgets
+
+
+def _mixture_budget_col(budgets: dict[str, int], part_col: str) -> Column:
+    """The literal (domain -> budget) map resolved row-locally — model
+    state inlined like k-means centroids; NULL for unlisted domains."""
+    pairs: list[Column] = []
+    for dom, b in budgets.items():
+        pairs += [F.lit(dom), F.lit(b)]
+    return F.element_at(F.create_map(*pairs), F.col(part_col))
 
 
 def mixture_budget_selection(
@@ -262,28 +303,21 @@ def mixture_budget_selection(
     state, like k-means centroids — so it is inlined as a literal map
     and resolved row-locally in the scan: no join, no broadcast, and the
     unlisted-domain filter prunes rows BEFORE the per-domain window.
-    Same scale shape as q112: one window per domain, no global sort.
+    The cut itself IS :func:`token_budget_selection` with the per-row
+    budget column — one definition of the ordering and keep rule.
 
     Output: input columns + ``domain_budget`` + ``cum_tokens`` (the
     boundary document may overshoot its domain budget, exactly as in
     :func:`token_budget_selection`).
     """
     budgets = mixture_budgets(total_budget, weights)
-    pairs: list[F.Column] = []
-    for dom, b in budgets.items():
-        pairs += [F.lit(dom), F.lit(b)]
-    budget_col = F.element_at(F.create_map(*pairs), F.col(part_col))
+    budget_col = _mixture_budget_col(budgets, part_col)
     kept = scored.where(budget_col.isNotNull()).withColumn(
         "domain_budget", budget_col.cast("bigint")
     )
-    w = (
-        Window.partitionBy(part_col)
-        .orderBy(F.col(quality_col).desc(), F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = F.sum(F.col(tokens_col).cast("bigint")).over(w)
-    return kept.withColumn("cum_tokens", cum).where(
-        F.col("cum_tokens") - F.col(tokens_col) < F.col("domain_budget")
+    return token_budget_selection(
+        kept, part_col, id_col, quality_col, tokens_col,
+        budget=F.col("domain_budget"),
     )
 
 
@@ -297,24 +331,17 @@ def sql_mixture_budget_selection(
     weights: dict[str, float],
 ) -> str:
     """DuckDB twin of :func:`mixture_budget_selection` (same Python-
-    computed budget literals, same window, same keep rule)."""
+    computed budget literals, and the cut is the shared
+    :func:`sql_token_budget_selection` with the budget column)."""
     budgets = mixture_budgets(total_budget, weights)
-    arms = " ".join(
-        f"WHEN '{dom}' THEN {b}" for dom, b in budgets.items()
-    )
+    arms = " ".join(f"WHEN '{dom}' THEN {b}" for dom, b in budgets.items())
     case = f"CASE {part_col} {arms} END"
-    return f"""
-SELECT * FROM (
-  SELECT t.*,
-         CAST(SUM(CAST({tokens_col} AS BIGINT)) OVER (
-           PARTITION BY {part_col}
-           ORDER BY {quality_col} DESC, {id_col}
-           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-  FROM (
-    SELECT s.*, CAST({case} AS BIGINT) AS domain_budget
-    FROM ({scored_sql}) s
-    WHERE {case} IS NOT NULL
-  ) t
-)
-WHERE cum_tokens - {tokens_col} < domain_budget
+    annotated = f"""
+SELECT s.*, CAST({case} AS BIGINT) AS domain_budget
+FROM ({scored_sql}) s
+WHERE {case} IS NOT NULL
 """
+    return sql_token_budget_selection(
+        annotated, part_col, id_col, quality_col, tokens_col,
+        budget="domain_budget",
+    )

@@ -176,17 +176,28 @@ def stratified_sample(
         .where(F.col("__rank") <= k)
     )
     if assert_exact:
-        got = (
-            ranked.groupBy(*strata_cols)
-            .agg(
-                F.count(F.lit(1)).alias("got"),
-                F.least(F.lit(k), F.first("__n")).alias("want"),
-            )
-            .where(F.col("got") < F.col("want"))
+        # account from the FULL per-stratum counts, not the ranked output:
+        # a stratum whose cutoff admitted zero survivors vanishes from
+        # ranked entirely, and grouping ranked alone would silently pass
+        # exactly the shortfall this flag exists to catch
+        expect = df.groupBy(*strata_cols).agg(
+            F.least(F.lit(k), F.count(F.lit(1))).alias("want")
+        ).alias("__chk_e")
+        got_counts = ranked.groupBy(*strata_cols).agg(
+            F.count(F.lit(1)).alias("got")
+        ).alias("__chk_g")
+        cond = None
+        for c in strata_cols:
+            clause = F.col(f"__chk_e.{c}").eqNullSafe(F.col(f"__chk_g.{c}"))
+            cond = clause if cond is None else cond & clause
+        short_rows = (
+            expect.join(got_counts, cond, "left")
+            .where(F.coalesce(F.col("got"), F.lit(0)) < F.col("want"))
+            .select(*[F.col(f"__chk_e.{c}") for c in strata_cols])
             .collect()  # bounded by the number of strata (model state)
         )
-        if got:
-            short = [tuple(r[c] for c in strata_cols) for r in got]
+        if short_rows:
+            short = [tuple(r) for r in short_rows]
             raise ValueError(
                 f"stratified_sample undershoot in strata {short}: raise "
                 "slack_stddevs/slack_abs (the cutoff admitted fewer than "

@@ -70,8 +70,8 @@ def register(name: str, sql: str | None, doc: str = ""):
 # -> quality-threshold calibration over global_cumsum), and q121 (NEW:
 # integer-exact event-mix TV drift) — then ALL 21 rows whose last
 # driver stamp is r03
-# (the age-2 backlog the verdict lists), then 12 of the 45 r04-stamped
-# rows as refreshes, multi-stage / shared-infra kernels first (a 13th
+# (the age-2 backlog the verdict lists), then 11 of the 45 r04-stamped
+# rows as refreshes, multi-stage / shared-infra kernels first (a 12th
 # r04 row, q20, rides in the changed block — its content-hash kernel
 # changed).  The late-r6 additions q122 (projected rerank top-k), q123
 # (stratified sample), q124 (leakage-safe split) and q125 (mixture-
@@ -79,15 +79,18 @@ def register(name: str, sql: str | None, doc: str = ""):
 # registered, displacing the four simplest single-pass r04 refreshes
 # (q42, q61, q64, q68 — all untouched modules, all sf0.001/0.01/0.1
 # parity-green locally): a brand-new operator earns its driver stamp
-# before an age-1 refresh does.  That fills the window exactly:
-# 13 + 4 + 21 + 12 = 50.  The 32 r04 rows left out (q12, q13, q15,
-# q18, q23, q26, q27, q28, q37, q42, q46, q47, q48, q49, q55, q56,
-# q58, q61, q62, q64, q68, q75, q76, q78, q81, q82, q84, q85, q86,
-# q90, q91, q97) land at age exactly 2 — the bound — and MUST lead
-# round 7's window (32 <= 50, fits); the 44 r05-stamped rows skipped
-# this round reach age 2 during round 7 and must lead round 8 (that
-# round has little slack, so rounds 7-8 should prefer perf/evidence
-# work over new registry rows).  Local pytest parity
+# before an age-1 refresh does.  q112 (r05-stamped) also joins the
+# changed block — generalizing token_budget_selection to per-row
+# budgets for q125's mixture cut touched its kernel (plan unchanged,
+# re-stamped per the changed-kernel rule), displacing q54.  That fills
+# the window exactly: 13 + 4 + 1 + 21 + 11 = 50.  The 33 r04 rows left
+# out (q12, q13, q15, q18, q23, q26, q27, q28, q37, q42, q46, q47,
+# q48, q49, q54, q55, q56, q58, q61, q62, q64, q68, q75, q76, q78,
+# q81, q82, q84, q85, q86, q90, q91, q97) land at age exactly 2 — the
+# bound — and MUST lead round 7's window (33 <= 50, fits); the 44
+# r05-stamped rows skipped this round reach age 2 during round 7 and
+# must lead round 8 (that round has little slack, so rounds 7-8 should
+# prefer perf/evidence work over new registry rows).  Local pytest parity
 # (tests/test_oracle_parity.py) still covers every registered query
 # regardless of position.
 _ROTATE_FIRST: tuple[str, ...] = (
@@ -97,6 +100,7 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q123_stratified_sample",
     "q124_leakage_safe_split",
     "q125_mixture_budget_selection",
+    "q112_token_budget_selection",
     "q118_repeated_span_coverage",
     "q108_incremental_dedup",
     "q111_streaming_incremental_dedup",
@@ -139,7 +143,6 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q32_streaming_weekly_rollup",
     "q39_neardup_clusters",
     "q40_corpus_curation",
-    "q54_repetition_ratio",
     "q60_decontamination",
     "q63_tfidf_top_terms",
     "q87_salted_priority_revenue",
@@ -1399,11 +1402,12 @@ from spark_hadoop_automation_in_cloud_spark.operators.components import (  # noq
 
 _SQL_NEARDUP_EDGES = dd.sql_embedding_neardup_pairs("embeddings", threshold=0.4)
 
-
-@register(
-    "q39_neardup_clusters",
-    f"""
-WITH RECURSIVE pairs AS ({_SQL_NEARDUP_EDGES}),
+#: shared recursive transitive-closure CTE chain over the embedding
+#: near-dup graph (pairs -> symmetric edges + self-loops -> reachability)
+#: — ONE definition of the closure shape, consumed by q39 (cluster
+#: labels) and q124 (leakage-safe split on those labels); a change to the
+#: self-loop rule or the reach recursion moves both oracles together.
+_SQL_NEARDUP_CLOSURE = f"""pairs AS ({{edges}}),
 edges AS (
   SELECT left_id AS a, right_id AS b FROM pairs
   UNION
@@ -1415,7 +1419,13 @@ reach(a, b) AS (
   SELECT a, b FROM edges
   UNION
   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-)
+)""".format(edges=_SQL_NEARDUP_EDGES)
+
+
+@register(
+    "q39_neardup_clusters",
+    f"""
+WITH RECURSIVE {_SQL_NEARDUP_CLOSURE}
 SELECT a AS vec_id, MIN(b) AS cluster_id
 FROM reach
 GROUP BY a
@@ -5211,7 +5221,7 @@ from spark_hadoop_automation_in_cloud_spark.operators import sampling  # noqa: E
     "the balanced-mixture subset every ablation/eval pipeline cuts. "
     "The plan is oversample-then-trim: a tiny per-stratum count "
     "broadcast back as a key cutoff filters the corpus ROW-LOCALLY in "
-    "the scan stage (~k_eff=62 survivors per stratum at ANY corpus "
+    "the scan stage (~k_eff=45 survivors per stratum at ANY corpus "
     "size), and the exact top-k window runs only over those survivors "
     "— no per-partition corpus sort and no task-count-proportional "
     "exchange, the two costs Spark's own WindowGroupLimit pushdown "
@@ -5236,19 +5246,7 @@ _LEAK_SPLITS: list[tuple[str, int]] = [("train", 80), ("val", 10), ("test", 10)]
 @register(
     "q124_leakage_safe_split",
     f"""
-WITH RECURSIVE pairs AS ({_SQL_NEARDUP_EDGES}),
-edges AS (
-  SELECT left_id AS a, right_id AS b FROM pairs
-  UNION
-  SELECT right_id AS a, left_id AS b FROM pairs
-  UNION
-  SELECT vec_id AS a, vec_id AS b FROM embeddings
-),
-reach(a, b) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-),
+WITH RECURSIVE {_SQL_NEARDUP_CLOSURE},
 clus AS (SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
 SELECT vec_id, cluster_id,
        {sampling.sql_hash_split("cluster_id", _LEAK_SPLITS, salt=":leak")} AS split

@@ -1599,6 +1599,15 @@ def test_stratified_sample_undershoot_raises(spark):
             df, ["stratum"], "id", k=50, salt=":t",
             slack_stddevs=0.0, slack_abs=-45, assert_exact=True,
         ).collect()
+    # k_eff <= 0 -> cutoff 0 -> the stratum admits ZERO survivors and
+    # disappears from the ranked output entirely; the accounting must
+    # come from the full per-stratum counts, or this very shortfall
+    # passes silently (caught in review, pinned here)
+    with pytest.raises(ValueError, match="undershoot"):
+        sampling.stratified_sample(
+            df, ["stratum"], "id", k=50, salt=":t",
+            slack_stddevs=0.0, slack_abs=-50, assert_exact=True,
+        ).collect()
 
 
 def test_hash_split_thresholds_and_validation(spark):
