@@ -180,8 +180,11 @@ def stratified_sample(
         # a stratum whose cutoff admitted zero survivors vanishes from
         # ranked entirely, and grouping ranked alone would silently pass
         # exactly the shortfall this flag exists to catch
+        # F.count(col) skips NULLs: a NULL-id row is unrankable and dropped
+        # by design (see the contract above), so it must not inflate the
+        # expected sample size into a spurious undershoot
         expect = df.groupBy(*strata_cols).agg(
-            F.least(F.lit(k), F.count(F.lit(1))).alias("want")
+            F.least(F.lit(k), F.count(F.col(id_col))).alias("want")
         ).alias("__chk_e")
         got_counts = ranked.groupBy(*strata_cols).agg(
             F.count(F.lit(1)).alias("got")

@@ -1608,6 +1608,15 @@ def test_stratified_sample_undershoot_raises(spark):
             df, ["stratum"], "id", k=50, salt=":t",
             slack_stddevs=0.0, slack_abs=-50, assert_exact=True,
         ).collect()
+    # NULL-id rows are unrankable and dropped by documented contract —
+    # they must not inflate the expected count into a spurious undershoot
+    dirty = spark.createDataFrame(
+        [("s", 1), ("s", 2), ("s", None)], "stratum string, id bigint"
+    )
+    got = sampling.stratified_sample(
+        dirty, ["stratum"], "id", k=5, salt=":t", assert_exact=True
+    )
+    assert got.count() == 2  # no raise, the two rankable rows sampled
 
 
 def test_hash_split_thresholds_and_validation(spark):
