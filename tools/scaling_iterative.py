@@ -32,8 +32,33 @@ from pyspark.sql import functions as F
 
 from spark_hadoop_automation_in_cloud_spark.io import read_table
 from spark_hadoop_automation_in_cloud_spark.operators.clustering import kmeans_assign
-from spark_hadoop_automation_in_cloud_spark.operators.components import pagerank
+from spark_hadoop_automation_in_cloud_spark.operators.components import (
+    _pinned_rdd_ids,
+    _unpersist_rdds,
+    pagerank,
+)
 from spark_hadoop_automation_in_cloud_spark.session import get_test_session
+
+
+# At SPARK_GRAFT_SCALE=100 the pagerank block alone pins ~180M
+# checkpointed edge rows; the default 8g test-session JVM hits
+# AGGREGATE_OUT_OF_MEMORY mid-block (observed) — run deep sweeps with
+# SPARK_GRAFT_DRIVER_MEM=32g (the machine has headroom; a real cluster
+# sizes executors to the edge partition, which is the documented rule).
+
+
+def release(spark, *frames) -> None:
+    """Free a block's localCheckpoint storage before the next block runs.
+
+    At 100x the three blocks' pinned inputs (178M replicated edges +
+    replicated embeddings + the closure graph) do not fit executor
+    storage TOGETHER — holding them across blocks starved aggregation
+    memory (AGGREGATE_OUT_OF_MEMORY, observed) even though each block
+    alone fits comfortably."""
+    ids: set[int] = set()
+    for f in frames:
+        ids |= _pinned_rdd_ids(f)
+    _unpersist_rdds(spark, ids)
 
 
 def timed(df_fn, n: int = 3) -> float:
@@ -103,6 +128,8 @@ def main() -> None:
         "sublinear": t10 / t1 < scale,
     }
 
+    release(spark, purchases, edges, edges_rep)
+
     # --- k-means over a replicated corpus -------------------------------
     emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
     n_vecs = emb.count()
@@ -121,6 +148,53 @@ def main() -> None:
     out["kmeans_k8_5_iter"] = {
         "n_vecs_base": n_vecs,
         f"n_vecs_{scale}x": n_vecs * scale,
+        "base_sec": t1,
+        f"{scale}x_sec": t10,
+        "wall_ratio": round(t10 / t1, 2),
+        "sublinear": t10 / t1 < scale,
+    }
+
+    release(spark, emb_rep)
+
+    # --- connected components over disjoint graph replicas --------------
+    # the q39/q124 clustering engine: pointer jumping, rounds = O(log
+    # diameter).  Replicas are disjoint copies of the near-dup graph
+    # (shifted ids), so the diameter — and the ROUND COUNT — stays
+    # constant while per-round join/aggregate work grows with the factor;
+    # sublinear wall here means the iteration scales through data, not
+    # rounds.  Pairs are precomputed + checkpointed so the measurement
+    # isolates the closure, not the pair generation (swept elsewhere).
+    from spark_hadoop_automation_in_cloud_spark.operators import dedup as dd
+    from spark_hadoop_automation_in_cloud_spark.operators.components import (
+        neardup_clusters,
+    )
+
+    pairs = (
+        dd.embedding_neardup_pairs(emb, threshold=0.4)
+        .select("left_id", "right_id")
+        .localCheckpoint()
+    )
+    n_pairs = pairs.count()
+    nodes = emb.select("vec_id").localCheckpoint()
+    pairs_rep = (
+        pairs.crossJoin(spark.range(scale).withColumnRenamed("id", "__rep"))
+        .select(
+            (F.col("left_id") + F.col("__rep") * id_span).alias("left_id"),
+            (F.col("right_id") + F.col("__rep") * id_span).alias("right_id"),
+        )
+        .localCheckpoint()
+    )
+    nodes_rep = (
+        nodes.crossJoin(spark.range(scale).withColumnRenamed("id", "__rep"))
+        .select((F.col("vec_id") + F.col("__rep") * id_span).alias("vec_id"))
+        .localCheckpoint()
+    )
+    t1 = timed(lambda: neardup_clusters(pairs, nodes, "vec_id"))
+    t10 = timed(lambda: neardup_clusters(pairs_rep, nodes_rep, "vec_id"))
+    out["neardup_components"] = {
+        "n_pairs_base": n_pairs,
+        "n_nodes_base": n_vecs,
+        f"n_pairs_{scale}x": n_pairs * scale,
         "base_sec": t1,
         f"{scale}x_sec": t10,
         "wall_ratio": round(t10 / t1, 2),
