@@ -21,6 +21,8 @@ q24 vs q25/q30 for similarity search.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -375,12 +377,13 @@ def _guarded_cm_n(depth: int, width: int, tag_col: str = "cm_tag") -> Column:
     )
 
 
-def _cm_buckets(value_col: str, depth: int, width: int) -> Column:
+def _cm_buckets(value_col: str | Column, depth: int, width: int) -> Column:
     """The CM hash geometry, in ONE place: the array of per-row bucket
     indices for a value.  Sketch build and estimate must share this (same
     coefficients/fold/modulus) or estimates silently match nothing."""
     coeffs = minhash_coeffs(depth, seed=_CM_SEED)
-    h = md5_int60(F.col(value_col).cast("string"))
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    h = md5_int60(col.cast("string"))
     return F.array(*[(perm_hash(h, a, b) % width).cast("int") for a, b in coeffs])
 
 
@@ -456,4 +459,129 @@ def countmin_estimate(
         ex.join(F.broadcast(guarded), [*group_cols, "row_i", "bucket"], "left")
         .groupBy(*group_cols, value_col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("bigint").alias("est_n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters via a count-min screen
+# ---------------------------------------------------------------------------
+#
+# The md5-based count-min geometry above exists for PERSISTED sketches,
+# where every cell must be replayable in oracle SQL (q105's cell-exact
+# chain).  The screen below is transient — built, probed, and discarded
+# inside one query, and the operator's RESULT is exact and therefore
+# geometry-independent — so it uses JVM-native ``xxhash64`` instead
+# (the bloom.py precedent): the md5→conv→perm chain measured ~8s per
+# 600k-row probe pass at sf0.1, xxhash64 ~0.3s, with identical screening
+# guarantees (overestimate-only).
+
+
+def _hh_bucket(key: Column, i: int, width: int) -> Column:
+    """Depth-row ``i``'s cell index for a key — build and probe must share
+    this (same seed scheme and modulus) or the screen silently admits
+    everything (or worse, nothing: false negatives).  String-canonicalized
+    like ``bloom._position`` — callers comparing across columns must cast
+    to a common type first."""
+    return F.pmod(F.xxhash64(key.cast("string"), F.lit(i)), F.lit(width))
+
+
+def _hh_table(df: DataFrame, value_col: str, depth: int, width: int) -> list[list[int]]:
+    """Dense ``depth x width`` count-min table over non-NULL values.
+
+    One map-side-combined aggregation to at most ``depth * width`` cells;
+    only that bounded table crosses the driver — the same bounded-model-
+    state shape as ``bloom.build_bloom`` (never data-sized)."""
+    key = F.col(value_col)
+    cells = (
+        df.select(
+            F.posexplode(
+                F.array(*[_hh_bucket(key, i, width) for i in range(depth)])
+            ).alias("__row", "__bucket")
+        )
+        .groupBy("__row", "__bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    table = [[0] * width for _ in range(depth)]
+    for r in cells:
+        table[int(r["__row"])][int(r["__bucket"])] = int(r["__n"])
+    return table
+
+
+def _hh_estimate(key: Column, table: list[list[int]], width: int) -> Column:
+    """Row-local count-min estimate against a collected table: min over
+    the depth rows of the key's cells.  The table ships as one JSON
+    string literal + foldable ``from_json`` (the q106 bloom idiom — the
+    naive per-element ``lit`` measured ~7s of driver time there); the
+    probe is ``depth`` xxhash64 calls + array lookups, inside whatever
+    scan the caller filters, so it composes with pushdown and codegen."""
+    arr = F.from_json(
+        F.lit(json.dumps(table)),
+        "array<array<bigint>>",
+    )
+    cells = [
+        F.element_at(
+            F.element_at(arr, i + 1),
+            (_hh_bucket(key, i, len(table[i])) + 1).cast("int"),
+        )
+        for i in range(len(table))
+    ]
+    return cells[0] if len(cells) == 1 else F.least(*cells)
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    value_col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 32768,
+) -> DataFrame:
+    """All values whose EXACT total frequency is >= ``threshold`` —
+    without an unbounded-state aggregation over the full distinct-value
+    space.  Output: (value_col, freq), freq exact.
+
+    The naive ``groupBy(value).count().where(count >= T)`` is correct but
+    its hash-aggregate state and shuffle key space grow with the number
+    of DISTINCT values — at 100 TB of n-grams or join keys that is
+    billions of groups, spilling every executor.  This is the classic
+    two-pass screen instead:
+
+    1. count-min build: one map-side-combined aggregation to a bounded
+       ``depth x width`` cell table, collected to the driver (bounded
+       model state, never data-sized).
+    2. row-local screen in a second scan: occurrences whose count-min
+       estimate clears the threshold survive.  Count-min only
+       OVERestimates, so no true heavy hitter is ever dropped — the
+       candidate set is a superset of the answer.
+    3. exact count over candidates only: aggregation state and shuffle
+       are proportional to the (few) heavy candidates, and the exact
+       HAVING removes the screen's false positives.
+
+    The result is EXACTLY the naive answer for ANY geometry — width and
+    depth only tune the candidate fraction (pinned by the equality
+    property test; HEAVY_HITTERS.json measures fraction and wall on real
+    data).  Two uses this repo cares about: heavy-key discovery feeding
+    the salted joins (operators/skew.py — find the keys worth salting
+    without a full key census) and corpus boilerplate/vocabulary mining
+    (grams occurring >= T times — the corpus-aggregate sibling of
+    dedup.repeated_ngram_doc_stats' per-document signal).
+
+    NULL values are excluded up front: a NULL key has no frequency
+    semantics here (GROUP BY would make NULL a group, but every
+    downstream use — salting, vocab pruning — keys an equi-join where
+    NULL never matches).  Documented loudly because the naive form
+    differs.
+    """
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    vals = df.where(F.col(value_col).isNotNull())
+    table = _hh_table(vals, value_col, depth, width)
+    est = _hh_estimate(F.col(value_col), table, width)
+    return (
+        vals.where(est >= threshold)
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .where(F.col("freq") >= threshold)
     )

@@ -5323,3 +5323,35 @@ def q125_mixture_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame
         scored, "lang", "doc_id", "quality", "n_tokens",
         total_budget=4000, weights=_Q125_WEIGHTS,
     )
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.sketches import (  # noqa: E402
+    heavy_hitters_exact,
+)
+
+
+@register(
+    "q126_heavy_hitter_parts",
+    """
+SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS freq
+FROM lineitem
+GROUP BY 1
+HAVING COUNT(*) >= 42
+""",
+    doc="Exact heavy-hitter discovery (operators/sketches.py "
+    "heavy_hitters_exact): every part appearing on >= 42 lineitems, with "
+    "its exact count — via a transient count-min screen (bounded "
+    "depth x width table collected like q106's bloom words, row-local "
+    "xxhash64 probe inside the second scan) so the exact aggregation "
+    "only ever holds CANDIDATE keys in state. Count-min never "
+    "underestimates, so the screen admits a superset and the final "
+    "HAVING restores exactness — the oracle is the naive GROUP BY "
+    "because the result is geometry-independent. At 100 TB this is how "
+    "you find the join keys worth salting (operators/skew.py) or the "
+    "boilerplate grams worth pruning without a billion-group "
+    "hash-aggregate; measured candidate fraction at sf0.1: ~6% of the "
+    "distinct-key space (HEAVY_HITTERS.json).",
+)
+def q126_heavy_hitter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem", parallelize=True)
+    return heavy_hitters_exact(li, "l_partkey", threshold=42)

@@ -1779,3 +1779,77 @@ def test_stratified_sample_multi_column_strata(spark):
         for r in got.groupBy("lang", "src").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert sizes == {("en", "web"): 5, ("en", None): 5, (None, "web"): 3}
+
+
+def test_heavy_hitters_exact_equals_naive_any_geometry(spark):
+    """heavy_hitters_exact is EXACT for any count-min geometry — even a
+    deliberately terrible one (width 2: every key collides with every
+    other, the screen admits nearly everything) — because the screen only
+    prunes and the final HAVING re-verifies exactly.  Also: NULL keys are
+    excluded by contract, threshold 1 degenerates to plain distinct-with-
+    counts, and an unreachable threshold yields an empty frame with the
+    right schema."""
+    from spark_hadoop_automation_in_cloud_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    # zipf-ish skew: key k appears ~ 600/k times, plus NULLs
+    rows = [(f"k{k}",) for k in range(1, 40) for _ in range(600 // k)]
+    rows += [(None,)] * 25
+    df = spark.createDataFrame(rows, ["key"]).repartition(7)
+    naive = {
+        r["key"]: r["n"]
+        for r in df.where(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for depth, width in [(4, 32768), (2, 64), (1, 2)]:
+        got = {
+            r["key"]: r["freq"]
+            for r in heavy_hitters_exact(df, "key", 50, depth, width).collect()
+        }
+        assert got == {k: n for k, n in naive.items() if n >= 50}, (depth, width)
+
+    got1 = {
+        r["key"]: r["freq"] for r in heavy_hitters_exact(df, "key", 1).collect()
+    }
+    assert got1 == naive  # threshold 1 == full exact counts, NULLs excluded
+
+    empty = heavy_hitters_exact(df, "key", 10**9)
+    assert empty.columns == ["key", "freq"] and empty.count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        heavy_hitters_exact(df, "key", 0)
+    with _pytest.raises(ValueError):
+        heavy_hitters_exact(df, "key", 5, depth=0)
+
+
+def test_heavy_hitters_screen_is_superset_and_prunes(spark):
+    """The two claims the operator banks on at scale, pinned separately
+    from end-to-end equality: (a) the candidate set is a SUPERSET of the
+    true heavy hitters (count-min never underestimates — a false negative
+    here is silent data loss downstream), and (b) at a sane geometry the
+    screen actually prunes (candidates << distinct keys), which is the
+    entire point of paying the second scan."""
+    from spark_hadoop_automation_in_cloud_spark.operators.sketches import (
+        _hh_estimate,
+        _hh_table,
+        heavy_hitters_exact,
+    )
+
+    # 3000 singleton keys + 5 heavy keys at 80 each
+    rows = [(f"cold{i}",) for i in range(3000)]
+    rows += [(f"hot{j}",) for j in range(5) for _ in range(80)]
+    df = spark.createDataFrame(rows, ["key"]).repartition(5)
+
+    table = _hh_table(df, "key", 4, 4096)
+    est = _hh_estimate(F.col("key"), table, 4096)
+    cands = {r["key"] for r in df.where(est >= 80).select("key").distinct().collect()}
+    assert {f"hot{j}" for j in range(5)} <= cands  # (a) no false negatives
+    assert len(cands) < 100  # (b) prunes 3005 distinct keys to a handful
+
+    hh = heavy_hitters_exact(df, "key", 80, depth=4, width=4096)
+    assert sorted(r["key"] for r in hh.collect()) == [f"hot{j}" for j in range(5)]
