@@ -29,31 +29,49 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """n-gram-heuristic language ID: count per-language marker-token
-    occurrences, predict the argmax (ties → lexicographic lang order).
+def lang_score_exprs(t: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts for a text column — the shared
+    first stage of :func:`language_id` and :func:`curation_funnel`.
 
     Counting is NON-OVERLAPPING on the space-padded text (the oracle
     replicates this exactly): immediately adjacent repeats share their
     delimiting space, so "the the" counts once — a deliberate cheap-pass
     trade; scores remain a consistent relative signal across languages.
-
-    Output: doc_id, pred_lang, marker_hits.
     """
-    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
-    scores = {
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    return {
         lang: sum(occurrence_count(padded, f" {m} ") for m in markers)
         for lang, markers in LANG_MARKERS.items()
     }
-    out = df.select(
-        F.col(id_col).alias("doc_id"),
-        *[c.alias(f"__s_{lang}") for lang, c in scores.items()],
-    )
+
+
+def lang_pred_exprs() -> tuple[Column, Column]:
+    """(pred_lang, best_score) read from the ``__s_<lang>`` columns a
+    prior select materialized via :func:`lang_score_exprs` — the scores
+    are projected ONCE because inlining them here would rely on Catalyst
+    CSE across the argmax's repeated references (the same reasoning as
+    minhash_signatures' base-hash projection).  Ties → lexicographic
+    lang order, deterministic."""
     best = F.greatest(*[F.col(f"__s_{lang}") for lang in LANG_MARKERS])
     pred = F.lit(None).cast("string")
     # first lang (sorted) reaching the max wins — deterministic tie-break
     for lang in sorted(LANG_MARKERS):
         pred = F.coalesce(pred, F.when(F.col(f"__s_{lang}") == best, F.lit(lang)))
+    return pred, best
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """n-gram-heuristic language ID: count per-language marker-token
+    occurrences (:func:`lang_score_exprs`), predict the argmax.
+
+    Output: doc_id, pred_lang, marker_hits.
+    """
+    scores = lang_score_exprs(F.col(text_col))
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[c.alias(f"__s_{lang}") for lang, c in scores.items()],
+    )
+    pred, best = lang_pred_exprs()
     return out.select(
         "doc_id",
         pred.alias("pred_lang"),
@@ -86,18 +104,18 @@ FROM scored
 """
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Heuristic quality metrics + a composite score in [0, 1].
+def quality_exprs(t: Column) -> dict[str, Column]:
+    """The quality-metric expressions for a text column, in ONE place —
+    :func:`quality_score` projects all of them; :func:`curation_funnel`
+    folds ``quality``/``n_tokens`` into its staged predicates without a
+    join back to a scored frame.  Keys: n_chars, n_tokens, alpha_ratio,
+    mean_token_len, quality.
 
-    Components (all cheap, portable): length band, alpha-char ratio,
-    mean token length band, stopword presence.  Output: doc_id, n_chars,
-    n_tokens, alpha_ratio, mean_token_len, quality.  Ratios are NOT
-    rounded: each is one exact integer-over-integer division done in
-    double, already bit-identical across engines (a rounding step would
-    itself be the portability hazard at half-boundary values like
-    0.9428125).
+    Ratios are NOT rounded: each is one exact integer-over-integer
+    division done in double, already bit-identical across engines (a
+    rounding step would itself be the portability hazard at
+    half-boundary values like 0.9428125).
     """
-    t = F.col(text_col)
     # BIGINT from the start: the composite numerator reaches 10000*n_chars,
     # which overflows 32-bit (silently, in non-ANSI sessions) for documents
     # beyond ~214k chars — and the DuckDB oracle computes in BIGINT.
@@ -127,13 +145,29 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     quality = F.when(n_chars == 0, 0.0).otherwise(
         numer.cast("double") / (n_chars * 10000).cast("double")
     )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": alpha_ratio,
+        "mean_token_len": mean_tok,
+        "quality": quality,
+    }
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality metrics + a composite score in [0, 1]
+    (:func:`quality_exprs`: length band, alpha-char ratio, mean token
+    length band, stopword presence).  Output: doc_id, n_chars, n_tokens,
+    alpha_ratio, mean_token_len, quality.
+    """
+    e = quality_exprs(F.col(text_col))
     return df.select(
         F.col(id_col).alias("doc_id"),
-        n_chars.cast("int").alias("n_chars"),
-        n_tokens.cast("int").alias("n_tokens"),
-        alpha_ratio.alias("alpha_ratio"),
-        mean_tok.alias("mean_token_len"),
-        quality.alias("quality"),
+        e["n_chars"].cast("int").alias("n_chars"),
+        e["n_tokens"].cast("int").alias("n_tokens"),
+        e["alpha_ratio"].alias("alpha_ratio"),
+        e["mean_token_len"].alias("mean_token_len"),
+        e["quality"].alias("quality"),
     )
 
 
@@ -576,4 +610,116 @@ SELECT doc_id,
        CAST(SUM(oov) AS BIGINT) AS n_oov,
        round(-CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS avg_neg_logprob
 FROM scored GROUP BY doc_id
+"""
+
+
+def curation_funnel(
+    df: DataFrame,
+    source_col: str,
+    lang_col: str,
+    text_col: str,
+    quality_threshold: float = 0.9,
+    min_tokens: int = 30,
+    max_tokens: int = 90,
+) -> DataFrame:
+    """Per-source curation-funnel accounting in ONE pass: survivor counts
+    for each cumulative stage of the standard pre-training filter chain,
+    plus the token mass the source would contribute after all filters.
+
+    q40 runs the row-level pipeline (which rows survive); this is the
+    OBSERVABILITY aggregate every curation run reports first — where did
+    each source's data go? — computed without running the pipeline once
+    per stage: every stage predicate is a row-local expression
+    (:func:`lang_score_exprs` / :func:`quality_exprs`, the same ONE
+    definitions the row-level operators use), so the plan is a single
+    scan + conditional aggregation to |sources| groups, map-side
+    combined.  At 100 TB: no joins, no second scan, no per-stage rescans
+    — strictly cheaper than the pipeline it summarizes.
+
+    Stages (each ANDs onto the previous — a funnel, not independent
+    filters):
+
+      1. total       — all rows
+      2. nonempty    — text non-NULL with at least one character
+      3. lang_ok     — predicted language == tagged metadata language
+                       (marker argmax; a metadata-trust gate)
+      4. quality_ok  — composite quality >= ``quality_threshold``
+      5. len_ok      — ws token count in [min_tokens, max_tokens]
+
+    Output: source, n_total, n_nonempty, n_lang_ok, n_quality_ok,
+    n_len_ok, tokens_kept (ws tokens summed over full survivors).
+    """
+    t = F.col(text_col)
+    scored = df.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("__lang"),
+        t.alias("__t"),
+        *[c.alias(f"__s_{lang}") for lang, c in lang_score_exprs(t).items()],
+    )
+    pred, _ = lang_pred_exprs()
+    tt = F.col("__t")
+    q = quality_exprs(tt)
+    s2 = tt.isNotNull() & (F.length(tt) > 0)
+    s3 = s2 & (pred == F.col("__lang"))
+    s4 = s3 & (q["quality"] >= quality_threshold)
+    s5 = s4 & q["n_tokens"].between(min_tokens, max_tokens)
+    flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731 — NULL-safe: NULL → 0
+    staged = scored.select(
+        "source",
+        flag(s2).alias("__c2"),
+        flag(s3).alias("__c3"),
+        flag(s4).alias("__c4"),
+        flag(s5).alias("__c5"),
+        F.when(s5, q["n_tokens"]).otherwise(0).cast("bigint").alias("__tok"),
+    )
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("__c2").cast("bigint").alias("n_nonempty"),
+        F.sum("__c3").cast("bigint").alias("n_lang_ok"),
+        F.sum("__c4").cast("bigint").alias("n_quality_ok"),
+        F.sum("__c5").cast("bigint").alias("n_len_ok"),
+        F.sum("__tok").cast("bigint").alias("tokens_kept"),
+    )
+
+
+def sql_curation_funnel(
+    src: str,
+    source_col: str,
+    lang_col: str,
+    id_col: str,
+    text_col: str,
+    quality_threshold: float = 0.9,
+    min_tokens: int = 30,
+    max_tokens: int = 90,
+) -> str:
+    """DuckDB twin of :func:`curation_funnel`.  The oracle composes the
+    existing per-signal CTEs with joins (value-equality is what it
+    proves); the one-pass shape is the Spark side's claim, pinned by the
+    plan audit instead."""
+    return f"""
+WITH li AS ({sql_language_id(src, id_col, text_col)}),
+q AS ({sql_quality_score(src, id_col, text_col)}),
+j AS (
+  SELECT d.{source_col} AS source,
+         CASE WHEN d.{text_col} IS NOT NULL AND length(d.{text_col}) > 0
+              THEN 1 ELSE 0 END AS c2,
+         CASE WHEN li.pred_lang = d.{lang_col} THEN 1 ELSE 0 END AS lang_ok,
+         CASE WHEN q.quality >= {quality_threshold!r} THEN 1 ELSE 0 END AS q_ok,
+         CASE WHEN q.n_tokens BETWEEN {min_tokens} AND {max_tokens}
+              THEN 1 ELSE 0 END AS len_ok,
+         q.n_tokens
+  FROM {src} d
+  JOIN li ON li.doc_id = d.{id_col}
+  JOIN q ON q.doc_id = d.{id_col}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(c2) AS BIGINT) AS n_nonempty,
+       CAST(SUM(c2 * lang_ok) AS BIGINT) AS n_lang_ok,
+       CAST(SUM(c2 * lang_ok * q_ok) AS BIGINT) AS n_quality_ok,
+       CAST(SUM(c2 * lang_ok * q_ok * len_ok) AS BIGINT) AS n_len_ok,
+       CAST(SUM(c2 * lang_ok * q_ok * len_ok * n_tokens) AS BIGINT)
+         AS tokens_kept
+FROM j
+GROUP BY 1
 """

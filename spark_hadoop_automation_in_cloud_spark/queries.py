@@ -5355,3 +5355,30 @@ HAVING COUNT(*) >= 42
 def q126_heavy_hitter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem", parallelize=True)
     return heavy_hitters_exact(li, "l_partkey", threshold=42)
+
+
+@register(
+    "q127_curation_funnel",
+    tx.sql_curation_funnel(
+        "documents", "source", "lang", "doc_id", "text",
+        quality_threshold=0.9, min_tokens=30, max_tokens=90,
+    ),
+    doc="Per-source curation-funnel accounting (operators/textops.py "
+    "curation_funnel): survivor counts for each cumulative stage of the "
+    "standard pre-training filter chain — nonempty → predicted-language "
+    "agrees with metadata → quality >= 0.9 → length band — plus the "
+    "surviving token mass, in ONE pass. q40 runs the row-level pipeline; "
+    "this is the observability report every curation run produces first "
+    "(where did each source's data go?), computed as a single scan + "
+    "conditional aggregation to |sources| groups (map-side combined, no "
+    "joins, no per-stage rescans — every stage predicate reuses the ONE "
+    "lang_score_exprs/quality_exprs definitions the row-level operators "
+    "use). The oracle composes the existing per-signal CTEs with joins; "
+    "the one-pass plan shape is pinned by the registry plan audit.",
+)
+def q127_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    return tx.curation_funnel(
+        d, "source", "lang", "text",
+        quality_threshold=0.9, min_tokens=30, max_tokens=90,
+    )

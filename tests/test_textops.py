@@ -124,3 +124,45 @@ def test_unigram_lm_scores_semantics(spark):
     assert got[4]["avg_neg_logprob"] > got[3]["avg_neg_logprob"]
     # training docs score better than the OOV doc
     assert got[1]["avg_neg_logprob"] < got[4]["avg_neg_logprob"]
+
+
+def test_curation_funnel_staged_counts_and_one_pass_plan(spark):
+    """Funnel semantics pinned on a hand-built corpus: stages are
+    CUMULATIVE (monotone non-increasing counts), NULL/empty text dies at
+    stage 2 (and so cannot resurface later however its quality scores),
+    token mass sums only over full survivors.  Plus the operator's whole
+    point: the physical plan is ONE scan + one aggregate — no joins, no
+    second Exchange beyond the group-by."""
+    from spark_hadoop_automation_in_cloud_spark.operators.textops import (
+        curation_funnel,
+    )
+
+    good = "the cat and the dog of the house " * 8  # en markers, ~64 tokens
+    rows = [
+        ("s1", "en", good),                      # survives everything
+        ("s1", "en", None),                      # dies at nonempty
+        ("s1", "en", ""),                        # dies at nonempty
+        ("s1", "de", good),                      # dies at lang agreement
+        ("s1", "en", "the and of"),              # lang ok, dies at length band
+        ("s2", "en", good + good + good),        # > 90 tokens: dies at len
+        ("s2", "en", good),                      # survives
+    ]
+    df = spark.createDataFrame(rows, ["source", "lang", "text"])
+    out = {
+        r["source"]: r
+        for r in curation_funnel(
+            df, "source", "lang", "text", 0.0, 30, 90
+        ).collect()
+    }
+    s1, s2 = out["s1"], out["s2"]
+    assert (s1["n_total"], s1["n_nonempty"], s1["n_lang_ok"]) == (5, 3, 2)
+    assert s1["n_len_ok"] == 1 and s1["tokens_kept"] == 65  # 64 + trailing-space empty token
+    assert (s2["n_total"], s2["n_nonempty"], s2["n_len_ok"]) == (2, 2, 1)
+    for r in (s1, s2):  # funnel monotonicity
+        seq = [r["n_total"], r["n_nonempty"], r["n_lang_ok"],
+               r["n_quality_ok"], r["n_len_ok"]]
+        assert seq == sorted(seq, reverse=True)
+
+    plan = curation_funnel(df, "source", "lang", "text")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan and plan.count("Exchange") == 1
