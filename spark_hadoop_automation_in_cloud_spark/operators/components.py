@@ -373,3 +373,98 @@ def pagerank(
     out = ranks.select("node", F.round("rank", 6).alias("rank")).localCheckpoint()
     _unpersist_rdds(spark, created - _pinned_rdd_ids(out))
     return out
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    left_col: str,
+    right_col: str,
+    node_col: str = "node",
+    comp_col: str = "component_id",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Merge a NEW batch of edges into persisted component labels without
+    re-running the iterative loop over the historical graph.
+
+    ``labels`` is a :func:`connected_components`-contract table (one row
+    per historical node, ``comp_col`` = min member id — so every root is
+    itself a labeled node mapping to itself); ``new_pairs`` is the edge
+    batch, touching old nodes, new nodes, or both.  Output: the updated
+    full label table, row-identical to ``connected_components`` over the
+    union graph restricted to (historical ∪ batch) nodes — pinned by the
+    any-split equivalence property test.
+
+    Why this shape at 100 TB: full CC over the history is O(log diameter)
+    shuffles of EVERYTHING per ingest.  Here the iterative work runs on
+    the REDUCED graph only — each batch endpoint replaced by its old
+    root, so its size is O(batch), independent of history — and the
+    history is touched by exactly two non-iterative joins, both keyed on
+    columns a bucketed label store co-locates:
+
+      1. endpoint lookup (batch ⋈ labels on node) — batch-sized output;
+      2. root remap (labels ⋈ broadcast(reduced labels) on comp) — one
+         streaming pass over the label table against a broadcast map,
+         no history shuffle at all.
+
+    Min-id labels make the algebra close: the merged component's minimum
+    is the minimum over its old roots (each already the min of its old
+    members) and its genuinely-new node ids — exactly the node set of
+    the reduced graph, so the reduced CC's min-id labels ARE the final
+    labels.  A non-min representative scheme would break this (the
+    docstring contract above is load-bearing, not convention).
+
+    NULL endpoints are dropped (an equi-join on the node key would never
+    match them; same stance as bloom/dedup).
+    """
+    a, b = F.col(left_col), F.col(right_col)
+    e = new_pairs.where(a.isNotNull() & b.isNotNull()).select(
+        a.alias("__a"), b.alias("__b")
+    )
+    la = labels.select(F.col(node_col).alias("__a"), F.col(comp_col).alias("__ra"))
+    lb = labels.select(F.col(node_col).alias("__b"), F.col(comp_col).alias("__rb"))
+    spark = new_pairs.sparkSession
+    # batch-sized; checkpointed EAGERLY so the endpoint-lookup joins (the
+    # history pass) run exactly once, feeding both the reduced CC and the
+    # new-node pick — then released below once its two consumers have
+    # their own checkpoints (the usual localCheckpoint ownership dance,
+    # see _unpersist_rdds)
+    mapped = (
+        e.join(la, "__a", "left")
+        .join(lb, "__b", "left")
+        .select(
+            F.coalesce("__ra", "__a").alias("ma"),
+            F.col("__ra").isNull().alias("__a_new"),
+            F.coalesce("__rb", "__b").alias("mb"),
+            F.col("__rb").isNull().alias("__b_new"),
+        )
+        .localCheckpoint()
+    )
+    pinned = _pinned_rdd_ids(mapped)
+    reduced = connected_components(mapped, "ma", "mb", max_rounds)
+    new_ids = (
+        mapped.select(F.col("ma").alias("n")).where(F.col("__a_new"))
+        .unionByName(mapped.select(F.col("mb").alias("n")).where(F.col("__b_new")))
+        .distinct()
+        .localCheckpoint()
+    )
+    _unpersist_rdds(
+        spark, pinned - _pinned_rdd_ids(reduced) - _pinned_rdd_ids(new_ids)
+    )
+    remap = reduced.select(
+        F.col("node").alias("__root"), F.col("component_id").alias("__new_comp")
+    )
+    updated = (
+        labels.join(
+            F.broadcast(remap), labels[comp_col] == F.col("__root"), "left"
+        )
+        .select(
+            labels[node_col].alias(node_col),
+            F.coalesce(F.col("__new_comp"), labels[comp_col]).alias(comp_col),
+        )
+    )
+    new_nodes = (
+        reduced.join(F.broadcast(new_ids), reduced.node == new_ids.n, "left_semi")
+        .select(F.col("node").alias(node_col), F.col("component_id").alias(comp_col))
+    )
+    return updated.unionByName(new_nodes)

@@ -5382,3 +5382,56 @@ def q127_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "source", "lang", "text",
         quality_threshold=0.9, min_tokens=30, max_tokens=90,
     )
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.components import (  # noqa: E402
+    connected_components,
+    incremental_components,
+)
+
+
+@register(
+    "q128_incremental_components",
+    f"""
+WITH RECURSIVE pairs AS ({dd.sql_embedding_neardup_pairs("embeddings", threshold=0.4)}),
+edges AS (
+  SELECT left_id AS a, right_id AS b FROM pairs
+  UNION
+  SELECT right_id AS a, left_id AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS vec_id, MIN(b) AS component_id
+FROM reach
+GROUP BY a
+""",
+    doc="Incremental connected components (operators/components.py "
+    "incremental_components): the q39 near-dup edge set is split into an "
+    "already-ingested majority and a NEW batch (deterministic id bucket, "
+    "the q108 idiom); the history is represented ONLY by its persisted "
+    "min-id label table, and the batch merges in via endpoint→root "
+    "mapping + CC over the REDUCED graph (size O(batch), independent of "
+    "history) + one broadcast root-remap pass over the labels. This "
+    "completes the incremental family (q108 exact / q111 streaming / "
+    "q113 near-dup screening) for the GRAPH half of dedup: at 100 TB the "
+    "iterative shuffles touch the batch, never the corpus. Oracle: the "
+    "recursive-CTE closure over the FULL edge set — the equivalence the "
+    "any-split property test also pins.",
+)
+def q128_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
+    pairs = dd.embedding_neardup_pairs(emb, threshold=0.4)
+    # deterministic batch split on the pair's left endpoint (any split
+    # yields the same fixpoint — the oracle is split-blind)
+    new_batch = pairs.where(F.col("left_id") % 5 == 0)
+    hist = pairs.where(F.col("left_id") % 5 != 0)
+    labels = connected_components(hist, "left_id", "right_id").withColumnRenamed(
+        "node", "vec_id"
+    )
+    return incremental_components(
+        labels, new_batch, "left_id", "right_id",
+        node_col="vec_id", comp_col="component_id",
+    ).select("vec_id", "component_id")

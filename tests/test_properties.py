@@ -685,3 +685,50 @@ def test_mixture_equals_per_domain_budget_for_any_weights(spark, doms, pcts, tot
         )
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)), min_size=1, max_size=50
+    ),
+    cut_pct=st.sampled_from([0, 25, 60, 100]),
+)
+def test_incremental_components_equals_full_for_any_split(spark, edges, cut_pct):
+    """incremental_components(labels(hist), batch) must be row-identical
+    to connected_components(hist ∪ batch) for ANY split of the edge list
+    — including all-historical (a no-op merge must not corrupt labels)
+    and all-new (empty history: everything is a new node).  This is the
+    contract that lets a 100 TB ingest loop trust per-batch merges
+    instead of full recomputes.  NULL-endpoint batch rows are dropped by
+    contract."""
+    from spark_hadoop_automation_in_cloud_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    cut = len(edges) * cut_pct // 100
+    hist, new = edges[:cut], edges[cut:]
+
+    def frame(pairs, with_nulls=False):
+        rows = [(int(x), int(y)) for x, y in pairs]
+        if with_nulls:
+            rows = rows + [(None, 5), (7, None)]
+        if not rows:
+            rows = [(None, None)]
+        df = spark.createDataFrame(rows, "l bigint, r bigint")
+        return df if with_nulls else df.where(F.col("l").isNotNull())
+
+    full = connected_components(frame(edges), "l", "r")
+    if hist:
+        labels = connected_components(frame(hist), "l", "r")
+    else:
+        labels = spark.createDataFrame([], "node bigint, component_id bigint")
+    inc = incremental_components(labels, frame(new, with_nulls=True), "l", "r")
+    want = sorted((r["node"], r["component_id"]) for r in full.collect())
+    got = sorted((r["node"], r["component_id"]) for r in inc.collect())
+    assert got == want
