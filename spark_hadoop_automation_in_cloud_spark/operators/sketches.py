@@ -560,7 +560,14 @@ def heavy_hitters_exact(
     The result is EXACTLY the naive answer for ANY geometry — width and
     depth only tune the candidate fraction (pinned by the equality
     property test; HEAVY_HITTERS.json measures fraction and wall on real
-    data).  Two uses this repo cares about: heavy-key discovery feeding
+    data).  Sizing rule: keep ``width >= ~8 * N / threshold`` (N = total
+    occurrences), i.e. size for SUPPORT (threshold = phi*N → width ~
+    8/phi, constant at any corpus size).  A constant absolute threshold
+    while N grows blows the screen — average cell mass N/width exceeds
+    the threshold and every key becomes a candidate; the result stays
+    exact, the pruning dies (measured: HEAVY_HITTERS.json
+    ``blown_geometry`` vs the flat constant-support ladder).  Two uses
+    this repo cares about: heavy-key discovery feeding
     the salted joins (operators/skew.py — find the keys worth salting
     without a full key census) and corpus boilerplate/vocabulary mining
     (grams occurring >= T times — the corpus-aggregate sibling of
