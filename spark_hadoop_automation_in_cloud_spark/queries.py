@@ -51,6 +51,43 @@ def register(name: str, sql: str | None, doc: str = ""):
     return deco
 
 
+# ROUND-7 NOTE FIRST: the round-6 driver verification never ran — no
+# CORRECTNESS_r06.json / BENCH_r06.json / round-6 VERDICT exists — so the
+# round-6 window below was never externally stamped and the stamp ledger
+# (tools/stamps.py) still reads rounds 1..5.  Ages therefore did NOT
+# advance: the 21 r03 rows are still the age-2 backlog, the r6 additions
+# (q117–q125) and every r6-changed kernel are still unstamped/stale, and
+# the 33 r04 rows the r6 note promised to round 7 stay age-1 obligations
+# for round 8 instead.  Round 7's window (kept to the same standing
+# rules: round-changed kernels first, then never-stamped rows, then the
+# oldest backlog) allocates its 50 slots as 3 + 11 + 7 + 8 + 21:
+#   - 3 NEW r7 rows: q126 (count-min-screened exact heavy hitters),
+#     q127 (one-pass curation funnel), q128 (incremental connected
+#     components);
+#   - 11 r7-changed textops-family rows: q26/q27 (language_id /
+#     quality_score now compose the extracted lang_score_exprs /
+#     lang_pred_exprs / quality_exprs builders q127 shares), q28/q54/q63
+#     (same module), and the quality-consumer queries whose oracle SQL
+#     embeds sql_quality_score — q40, q116, q112, q120, q125 — plus q105
+#     (sketches.py changed: _cm_buckets widened to accept a Column for
+#     the heavy-hitter screen);
+#   - 7 r6 additions never driver-stamped: q117, q118, q119, q121,
+#     q122, q123, q124 (q120/q125 already counted above);
+#   - 8 r6-changed kernels never re-stamped: q20, q30, q96, q107, q108,
+#     q111, q113, q115;
+#   - the 21 r03-stamped rows (the standing age-2 backlog: q14, q34,
+#     q38, q43, q44, q45, q50, q51, q53, q57, q65, q67, q70, q71, q72,
+#     q73, q74, q79, q80, q89, q95).
+# Left out: 38 of the 45 r04-stamped rows (the 7 in-window ones are
+# q20, q26, q27, q28, q40, q54, q63): q12, q13, q15, q18, q21, q23,
+# q24, q32, q37, q39, q42, q46, q47, q48, q49, q55, q56, q58, q60, q61,
+# q62, q64, q68, q75, q76, q78, q81, q82, q84, q85, q86, q87, q88, q90,
+# q91, q92, q97, q101 — plus the r05 rows not re-listed above; all are
+# sf0.01-parity-green on HEAD via tests/test_oracle_parity.py, and the
+# r04 set MUST lead round 8's window (38 <= 50, fits).  The original
+# round-6 allocation rationale is preserved in git history (this file,
+# commit aad8580 and earlier).
+#
 # The driver's CORRECTNESS run verifies a bounded window (50 entries) taken
 # in registration order, so queries() exposes the registry ROTATED.  Round-6
 # allocation (VERDICT r5 item 1 verbatim, plus its standing rule that
@@ -94,26 +131,41 @@ def register(name: str, sql: str | None, doc: str = ""):
 # (tests/test_oracle_parity.py) still covers every registered query
 # regardless of position.
 _ROTATE_FIRST: tuple[str, ...] = (
-    # --- kernels/oracles changed in round 6 (+ the NEW rows)
+    # --- NEW in round 7
+    "q126_heavy_hitter_parts",
+    "q127_curation_funnel",
+    "q128_incremental_components",
+    # --- round-7-changed kernels (textops expression-builder refactor +
+    #     its oracle-SQL consumers; q105 for the sketches.py change)
+    "q26_language_id",
+    "q27_quality_score",
+    "q28_token_stats",
+    "q54_repetition_ratio",
+    "q63_tfidf_top_terms",
+    "q40_corpus_curation",
+    "q116_cluster_canonicals_by_quality",
+    "q112_token_budget_selection",
+    "q120_quality_threshold_for_budget",
+    "q125_mixture_budget_selection",
+    "q105_countmin_persist_merge",
+    # --- round-6 additions never driver-stamped (r6 verification never ran)
     "q117_upsert_replay",
+    "q118_repeated_span_coverage",
+    "q119_ann_ivf_persisted",
+    "q121_event_mix_drift",
     "q122_projected_rerank_topk",
     "q123_stratified_sample",
     "q124_leakage_safe_split",
-    "q125_mixture_budget_selection",
-    "q112_token_budget_selection",
-    "q118_repeated_span_coverage",
+    # --- round-6-changed kernels never re-stamped (same reason)
+    "q20_exact_dedup",
+    "q30_ann_ivf_topk",
+    "q96_kmeans_clusters",
+    "q107_semantic_cluster_dedup",
     "q108_incremental_dedup",
     "q111_streaming_incremental_dedup",
-    "q115_frame_sampling",
-    "q20_exact_dedup",
     "q113_incremental_minhash_dedup",
-    "q107_semantic_cluster_dedup",
-    "q96_kmeans_clusters",
-    "q119_ann_ivf_persisted",
-    "q30_ann_ivf_topk",
-    "q120_quality_threshold_for_budget",
-    "q121_event_mix_drift",
-    # --- VERDICT r5 item 1: the 21 age-2 rows (last stamped r03)
+    "q115_frame_sampling",
+    # --- the standing age-2 backlog (last stamped r03)
     "q14_local_time",
     "q34_raw_event_flatten",
     "q38_moving_average",
@@ -135,20 +187,6 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q80_next_event_features",
     "q89_session_intervals",
     "q95_containment_dups",
-    # --- r04-stamped refreshes (12 of 45; multi-stage and shared-infra
-    #     kernels first — the single-pass rows left at age 2 are listed
-    #     in the allocation note above)
-    "q21_minhash_lsh_pairs",
-    "q24_cosine_topk",
-    "q32_streaming_weekly_rollup",
-    "q39_neardup_clusters",
-    "q40_corpus_curation",
-    "q60_decontamination",
-    "q63_tfidf_top_terms",
-    "q87_salted_priority_revenue",
-    "q88_rfm_segments",
-    "q92_sequence_packing",
-    "q101_unigram_lm_quality",
 )
 
 

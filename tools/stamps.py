@@ -80,7 +80,13 @@ def main() -> None:
     obligated = sorted(n for n, s, a in rows if a is not None and a >= 2)
     fresh = sorted(n for n, s, a in rows if a == 1)
 
-    print(f"rounds seen: 1..{max_round}; planning window for round {planning}")
+    print(
+        f"rounds seen: 1..{max_round}; planning window for the NEXT driver "
+        f"run (nominally round {planning} — a build round whose driver "
+        "verification never produced a CORRECTNESS file, like round 6, "
+        "does not advance this ledger: ages are rounds-since-last-STAMP, "
+        "not wall-clock rounds)"
+    )
     print(f"registered queries: {len(names)}")
     print(
         f"\nunstamped (never in any driver window — ride the next window's "
