@@ -99,6 +99,17 @@ HEADLINE = [
     # reverts it to a corpus window must show up here (SAMPLING.json has
     # the A/B against that form)
     "q123_stratified_sample",
+    # round-7 additions: the count-min-screened exact heavy hitters (a
+    # new plan family — bounded sketch build + row-local literal probe +
+    # candidate-only aggregation; HEAVY_HITTERS.json has the ladder) and
+    # the one-pass curation funnel (single scan + conditional agg whose
+    # whole value is NOT regressing into per-stage rescans or joins).
+    # q128 (incremental components) is deliberately NOT here: its wall
+    # is dominated by building the historical labels it then merges
+    # into, which benchmarks the q39 family twice — INCREMENTAL_CC.json
+    # tracks the merge itself against history scale instead.
+    "q126_heavy_hitter_parts",
+    "q127_curation_funnel",
 ]
 
 #: Pinned machine-factor kernels (VERDICT r5 item 5): code-independent
