@@ -291,3 +291,171 @@ def sql_hash_split(expr: str, splits: list[tuple[str, int]], salt: str) -> str:
         acc += pct
         arms.append(f"WHEN {bucket} < {acc} THEN '{name}'")
     return f"CASE {' '.join(arms)} ELSE '{splits[-1][0]}' END"
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (ticket lottery)
+# ---------------------------------------------------------------------------
+#
+# Quality-weighted subset selection — "sample k docs per language,
+# preferring high quality but not deterministically top-k" — is the
+# probabilistic sibling of token_budget_selection's best-first cut (q112):
+# best-first maximizes quality but collapses diversity; a weighted sample
+# keeps the long tail reachable at a rate you control.
+#
+# The textbook scheme (Efraimidis-Spirakis: rank by u^(1/w)) needs ln/pow
+# over doubles, and cross-engine float ordering is exactly the hazard this
+# repo's integer-hash idiom exists to avoid: two rows whose keys differ in
+# the last ulp could RANK differently on Spark vs DuckDB, flipping the
+# sampled set at the k boundary.  So the key here is integer-exact: each
+# row holds ``tickets`` (an integer weight, 1..max_tickets) independent
+# md5 draws, and its sample key is the MINIMUM draw.  More tickets →
+# stochastically smaller minimum → more likely in the k smallest keys;
+# for k << n the inclusion probability is ~proportional to tickets
+# (P[min < c] = 1-(1-c/M)^w ≈ w·c/M), and both engines replay the exact
+# same 60-bit integers — no transcendentals anywhere.
+#
+# The oversample-trim scale shape generalizes: expected survivors below a
+# cutoff c are ~(c/M)·W for W = stratum ticket SUM, so the row-local
+# pre-filter cutoff is k_eff·M/W — one tiny aggregate, broadcast, then a
+# branchless compare in the scan, exactly like stratified_survivors with
+# the ticket sum standing in for the row count.
+
+
+def weighted_ticket_key(
+    id_col: Column, tickets: Column, max_tickets: int, salt: str
+) -> Column:
+    """Integer sample key: min of ``tickets`` independent md5 draws (of
+    ``max_tickets`` precomputed).  Tickets are clamped into
+    [1, max_tickets] row-locally — out-of-range weights degrade to the
+    nearest valid lottery rather than corrupting the draw (documented
+    loudly: the CLAMPED value is the effective weight)."""
+    if not 1 <= max_tickets <= 64:
+        raise ValueError(f"max_tickets must be in [1, 64], got {max_tickets}")
+    draws = F.array(
+        *[
+            hashing.md5_prefix_int(id_col, nhex=15, salt=f"{salt}#{r}")
+            for r in range(1, max_tickets + 1)
+        ]
+    )
+    # coalesce BEFORE the clamp: Spark's least/greatest skip NULL args
+    # (least(NULL, 10) = 10), so a NULL ticket count would silently clamp
+    # to max_tickets — and engines disagree on NULL propagation here, so
+    # the explicit coalesce-to-1 is the only portable reading
+    t = F.greatest(
+        F.lit(1),
+        F.least(F.coalesce(tickets.cast("int"), F.lit(1)), F.lit(max_tickets)),
+    )
+    return F.array_min(F.slice(draws, 1, t))
+
+
+def sql_weighted_ticket_key(
+    id_expr: str, tickets_expr: str, max_tickets: int, salt: str
+) -> str:
+    """DuckDB twin of :func:`weighted_ticket_key` — identical integers."""
+    draws = ", ".join(
+        hashing.sql_md5_prefix_int(id_expr, nhex=15, salt=f"{salt}#{r}")
+        for r in range(1, max_tickets + 1)
+    )
+    t = (
+        f"GREATEST(1, LEAST(COALESCE(CAST({tickets_expr} AS INT), 1), "
+        f"{max_tickets}))"
+    )
+    return f"list_min(([{draws}])[1:{t}])"
+
+
+def weighted_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    tickets_col: str,
+    k: int,
+    max_tickets: int = 16,
+    salt: str = ":wsamp",
+    slack_stddevs: float = 6.0,
+    slack_abs: int = 16,
+) -> DataFrame:
+    """Deterministic weighted k-per-stratum sample (ticket lottery).
+
+    Equivalent to ``row_number() OVER (PARTITION BY strata ORDER BY
+    weighted_ticket_key, id) <= k`` (the spec the DuckDB oracle runs
+    verbatim), but scaled like :func:`stratified_sample`: a per-stratum
+    TICKET-SUM aggregate sets the row-local cutoff ``k_eff·M/W``, the
+    scan drops non-survivors branchlessly, and the exact window runs
+    over ~``k_eff`` survivors per stratum — corpus-size- and
+    task-count-independent.  (The concavity of 1-(1-c/M)^w only ever
+    makes the survivor count UNDERSHOOT its ~k_eff mean by a
+    second-order term ~k_eff²·max_tickets/(2W); the additive slack
+    floor covers it at any stratum size where the cutoff is below 1.0
+    — at small W the cutoff saturates and every row survives, making
+    the trim exact by construction.)
+
+    Output: ``strata_cols + [id_col, tickets_col, sample_rank]``.
+    Same NULL contract as :func:`stratified_sample`: NULL ids are
+    dropped (unrankable), NULL strata form one group.  NULL tickets
+    clamp to 1 (the minimum lottery).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    k_eff = _k_eff(k, slack_stddevs, slack_abs)
+    t_eff = F.greatest(
+        F.lit(1),
+        F.least(
+            F.coalesce(F.col(tickets_col).cast("int"), F.lit(1)),
+            F.lit(max_tickets),
+        ),
+    )
+    keyed = df.withColumn(
+        "__wkey", weighted_ticket_key(F.col(id_col), F.col(tickets_col), max_tickets, salt)
+    ).withColumn("__t_eff", t_eff)
+    sums = keyed.groupBy(*strata_cols).agg(F.sum("__t_eff").alias("__w"))
+    p = F.least(F.lit(1.0), F.lit(float(k_eff)) / F.col("__w"))
+    cuts = sums.select(
+        *strata_cols, F.ceil(F.lit(float(MAX_KEY)) * p).alias("__cutoff")
+    )
+    left, right = keyed.alias("__ws_l"), F.broadcast(cuts).alias("__ws_r")
+    cond = None
+    for c in strata_cols:
+        clause = F.col(f"__ws_l.{c}").eqNullSafe(F.col(f"__ws_r.{c}"))
+        cond = clause if cond is None else cond & clause
+    surv = left.join(right, cond).where(F.col("__wkey") < F.col("__cutoff"))
+    w = Window.partitionBy(*[F.col(f"__ws_l.{c}") for c in strata_cols]).orderBy(
+        F.col("__wkey").asc(), F.col(f"__ws_l.{id_col}").asc()
+    )
+    return (
+        surv.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= k)
+        .select(
+            *[F.col(f"__ws_l.{c}") for c in strata_cols],
+            F.col(f"__ws_l.{id_col}"),
+            F.col(f"__ws_l.{tickets_col}"),
+            F.col("__rank").cast("int").alias("sample_rank"),
+        )
+    )
+
+
+def sql_weighted_sample(
+    table: str,
+    strata_cols: list[str],
+    id_col: str,
+    tickets_expr: str,
+    tickets_alias: str,
+    k: int,
+    max_tickets: int = 16,
+    salt: str = ":wsamp",
+) -> str:
+    """DuckDB spec of :func:`weighted_sample`: the NAIVE full-window form
+    on purpose (same stance as :func:`sql_stratified_sample`)."""
+    strata = ", ".join(strata_cols)
+    key = sql_weighted_ticket_key(id_col, tickets_expr, max_tickets, salt)
+    return f"""
+WITH ranked AS (
+  SELECT {strata}, {id_col}, {tickets_expr} AS {tickets_alias},
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY {strata} ORDER BY {key}, {id_col}
+         ) AS INTEGER) AS sample_rank
+  FROM {table}
+)
+SELECT {strata}, {id_col}, {tickets_alias}, sample_rank
+FROM ranked WHERE sample_rank <= {k}
+"""

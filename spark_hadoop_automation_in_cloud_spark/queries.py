@@ -61,16 +61,18 @@ def register(name: str, sql: str | None, doc: str = ""):
 # for round 8 instead.  Round 7's window (kept to the same standing
 # rules: round-changed kernels first, then never-stamped rows, then the
 # oldest backlog) allocates its 50 slots as 3 + 11 + 7 + 8 + 21:
-#   - 3 NEW r7 rows: q126 (count-min-screened exact heavy hitters),
+#   - 4 NEW r7 rows: q126 (count-min-screened exact heavy hitters),
 #     q127 (one-pass curation funnel), q128 (incremental connected
-#     components);
-#   - 11 r7-changed textops-family rows: q26/q27 (language_id /
+#     components), q129 (weighted ticket-lottery sampling — swapped in
+#     when it registered, displacing q105: the sketches.py change it
+#     was in for is signature-only/behavior-identical, q105 is the
+#     freshest-stamped row in the window (r05), and its parity is
+#     green locally on HEAD);
+#   - 10 r7-changed textops-family rows: q26/q27 (language_id /
 #     quality_score now compose the extracted lang_score_exprs /
 #     lang_pred_exprs / quality_exprs builders q127 shares), q28/q54/q63
 #     (same module), and the quality-consumer queries whose oracle SQL
-#     embeds sql_quality_score — q40, q116, q112, q120, q125 — plus q105
-#     (sketches.py changed: _cm_buckets widened to accept a Column for
-#     the heavy-hitter screen);
+#     embeds sql_quality_score — q40, q116, q112, q120, q125;
 #   - 7 r6 additions never driver-stamped: q117, q118, q119, q121,
 #     q122, q123, q124 (q120/q125 already counted above);
 #   - 8 r6-changed kernels never re-stamped: q20, q30, q96, q107, q108,
@@ -135,6 +137,7 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q126_heavy_hitter_parts",
     "q127_curation_funnel",
     "q128_incremental_components",
+    "q129_weighted_sample",
     # --- round-7-changed kernels (textops expression-builder refactor +
     #     its oracle-SQL consumers; q105 for the sketches.py change)
     "q26_language_id",
@@ -147,7 +150,6 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q112_token_budget_selection",
     "q120_quality_threshold_for_budget",
     "q125_mixture_budget_selection",
-    "q105_countmin_persist_merge",
     # --- round-6 additions never driver-stamped (r6 verification never ran)
     "q117_upsert_replay",
     "q118_repeated_span_coverage",
@@ -5473,3 +5475,56 @@ def q128_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels, new_batch, "left_id", "right_id",
         node_col="vec_id", comp_col="component_id",
     ).select("vec_id", "component_id")
+
+
+_Q129_TICKETS_SQL = "CAST(1 + floor(quality * 9) AS INT)"
+_Q129_SCORED_SQL = f"""
+SELECT d.lang, q.doc_id, q.quality
+FROM ({tx.sql_quality_score("documents", "doc_id", "text")}) q
+JOIN documents d ON d.doc_id = q.doc_id
+"""
+
+
+@register(
+    "q129_weighted_sample",
+    f"""
+WITH scored AS ({_Q129_SCORED_SQL}),
+ranked AS (
+  SELECT lang, doc_id, {_Q129_TICKETS_SQL} AS tickets,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {sampling.sql_weighted_ticket_key(
+               "doc_id", _Q129_TICKETS_SQL, 10, ":q129")}, doc_id
+         ) AS INTEGER) AS sample_rank
+  FROM scored
+)
+SELECT lang, doc_id, tickets, sample_rank FROM ranked WHERE sample_rank <= 10
+""",
+    doc="Quality-weighted sampling without replacement (operators/"
+    "sampling.py weighted_sample): k=10 docs per language, inclusion "
+    "probability ~proportional to a 1..10 ticket weight derived from the "
+    "quality score — the probabilistic sibling of q112's best-first cut "
+    "(keeps the long tail reachable instead of collapsing to top-k). "
+    "Integer-exact ticket lottery (min of `tickets` md5 draws) instead "
+    "of Efraimidis-Spirakis' u^(1/w): no transcendental floats anywhere, "
+    "so both engines replay the identical 60-bit keys and the sampled "
+    "SET can never flip at the rank-k boundary from a last-ulp "
+    "difference. Scale shape: the q123 oversample-trim generalizes with "
+    "the per-stratum ticket SUM setting the row-local cutoff — one tiny "
+    "aggregate broadcast into the scan, window over ~k_eff survivors, "
+    "corpus-size-independent. Oracle: the naive full-window form with "
+    "the identical key arithmetic.",
+)
+def q129_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    scored = (
+        tx.quality_score(d, "doc_id", "text")
+        .select("doc_id", "quality")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .withColumn(
+            "tickets", (F.lit(1) + F.floor(F.col("quality") * 9)).cast("int")
+        )
+    )
+    return sampling.weighted_sample(
+        scored, ["lang"], "doc_id", "tickets", k=10, max_tickets=10, salt=":q129"
+    )

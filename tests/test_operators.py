@@ -1853,3 +1853,99 @@ def test_heavy_hitters_screen_is_superset_and_prunes(spark):
 
     hh = heavy_hitters_exact(df, "key", 80, depth=4, width=4096)
     assert sorted(r["key"] for r in hh.collect()) == [f"hot{j}" for j in range(5)]
+
+
+def _weighted_fixture(spark):
+    """Ticket extremes + NULLs: a big stratum with tickets 1..10, a tiny
+    keep-all stratum, NULL tickets (clamp to 1), and a NULL id (dropped)."""
+    rows = [("big", 1000 + i, 1 + (i % 10)) for i in range(3000)]
+    rows += [("tiny", i, 5) for i in range(4)]
+    rows += [("big", 9000, None), ("big", None, 7)]
+    return spark.createDataFrame(rows, "stratum string, id bigint, tickets int")
+
+
+def test_weighted_sample_equals_naive_window(spark):
+    """The ticket-sum oversample-trim must return EXACTLY the naive
+    full-window top-k by weighted key — including the keep-all stratum,
+    the NULL-ticket row competing with the minimum lottery, and the
+    NULL-id row dropped (unrankable)."""
+    from pyspark.sql.window import Window
+
+    from spark_hadoop_automation_in_cloud_spark.operators import sampling
+
+    df = _weighted_fixture(spark)
+    k = 12
+    got = sampling.weighted_sample(
+        df, ["stratum"], "id", "tickets", k=k, max_tickets=10, salt=":wt"
+    )
+    w = Window.partitionBy("stratum").orderBy(
+        sampling.weighted_ticket_key(
+            F.col("id"), F.col("tickets"), 10, ":wt"
+        ).asc(),
+        F.col("id").asc(),
+    )
+    want = (
+        df.where(F.col("id").isNotNull())
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("sample_rank") <= k)
+        .select("stratum", "id", "tickets", "sample_rank")
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    sizes = {
+        r["stratum"]: r["n"]
+        for r in got.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes == {"big": 12, "tiny": 4}
+
+
+def test_weighted_sample_inclusion_tracks_tickets(spark):
+    """The lottery's reason to exist: across many independent salts, a
+    10-ticket row must be sampled ~10x as often as a 1-ticket row (for
+    k << n the inclusion probability is ~proportional to tickets).  The
+    salts are fixed strings, so this is deterministic, not flaky."""
+    from spark_hadoop_automation_in_cloud_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [("s", i, 10 if i < 150 else 1) for i in range(1500)],
+        "stratum string, id bigint, tickets int",
+    ).cache()
+    hi = lo = 0
+    for trial in range(12):
+        got = sampling.weighted_sample(
+            df, ["stratum"], "id", "tickets", k=30, max_tickets=10,
+            salt=f":inc{trial}",
+        ).collect()
+        hi += sum(1 for r in got if r["tickets"] == 10)
+        lo += sum(1 for r in got if r["tickets"] == 1)
+    df.unpersist()
+    # ticket mass is 1500+1350 hi vs 1350 lo → expect ~ hi:lo = 10:9 per
+    # CAPITA ratio 10:1; with 360 draws the split should be ~190/170 —
+    # demand the per-capita rate gap loudly (hi rate >= 5x lo rate)
+    hi_rate, lo_rate = hi / 150, lo / 1350
+    assert hi_rate >= 5 * lo_rate, (hi, lo)
+
+
+def test_sql_weighted_sample_matches_spark_on_duckdb(spark):
+    """The generic SQL spec generator (sql_weighted_sample) replayed in
+    DuckDB over the same rows must pick the identical sample — the
+    cross-engine guarantee the integer ticket lottery exists to give
+    (q129 pins the composed form; this pins the generator itself)."""
+    import duckdb
+
+    from spark_hadoop_automation_in_cloud_spark.operators import sampling
+
+    df = _weighted_fixture(spark).where(F.col("id").isNotNull())
+    got = sorted(
+        (r["stratum"], r["id"], r["sample_rank"])
+        for r in sampling.weighted_sample(
+            df, ["stratum"], "id", "tickets", k=12, max_tickets=10, salt=":sq"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    sql = sampling.sql_weighted_sample(
+        "t", ["stratum"], "id", "tickets", "tickets", k=12, max_tickets=10,
+        salt=":sq",
+    )
+    want = sorted((r[0], r[1], r[3]) for r in con.sql(sql).fetchall())
+    assert got == want

@@ -68,7 +68,17 @@ QUERIES = [
     # mixture budget: per-lang quality windows grow with the factor while
     # budgets stay fixed — same stress as q112 plus the literal-map arm
     "q125_mixture_budget_selection",
+    # curation funnel: one scan + conditional agg to |sources| groups —
+    # wall should track the scan and nothing else (the regression this
+    # guards: the one-pass shape quietly becoming per-stage rescans)
+    "q127_curation_funnel",
 ]
+# q126 (heavy hitters) and q128 (incremental components) are swept by
+# their own dedicated ladders instead — HEAVY_HITTERS.json widens the
+# KEY SPACE at constant support (replicating lineitem here would only
+# multiply per-key counts), INCREMENTAL_CC.json grows the HISTORY at a
+# fixed batch (replication would grow the batch too, which is exactly
+# the variable that must stay fixed to show history-independence).
 
 #: events-table operators: replication shifts user_id/event_id per copy, so
 #: the KEY SPACE grows with the factor while per-key work stays constant —
