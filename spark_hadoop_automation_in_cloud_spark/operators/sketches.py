@@ -247,16 +247,21 @@ def merge_quantile_sketches(
     )
 
 
-def quantile_estimates(
+def quantile_buckets(
     sketches: DataFrame,
     group_cols: list[str],
     qs: list[float],
     eps: float = DEFAULT_EPS,
     sketch_col: str = "qsketch",
 ) -> DataFrame:
-    """Per-group quantile estimates from stored sketches.
+    """Per-group quantile BUCKET CODES from stored sketches — the
+    integer half of :func:`quantile_estimates`, exposed because a bucket
+    code is exactly comparable against :func:`value_bucket` of raw
+    values on ANY engine (pure integer arithmetic), where the
+    representative double would reintroduce last-ulp comparison hazards
+    (q130's per-source threshold filter is the consumer).
 
-    Output: group_cols..., q (double), est (double).  Rank rule: the
+    Output: group_cols..., q (double), bucket (bigint).  Rank rule: the
     smallest bucket whose cumulative count reaches ``ceil(q * total)``
     (q=0 → the first non-empty bucket); the product is snapped to a 1e-9
     grid before the ceil, because a q not exactly representable in binary
@@ -313,10 +318,60 @@ def quantile_estimates(
     return out.select(
         *group_cols,
         F.col("__q").alias("q"),
+        folded["bucket"].alias("bucket"),
+    )
+
+
+def quantile_estimates(
+    sketches: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    eps: float = DEFAULT_EPS,
+    sketch_col: str = "qsketch",
+) -> DataFrame:
+    """Per-group quantile estimates from stored sketches: the
+    :func:`quantile_buckets` codes mapped to their geometric-midpoint
+    representatives.  Output: group_cols..., q (double), est (double)."""
+    picked = quantile_buckets(sketches, group_cols, qs, eps, sketch_col)
+    return picked.select(
+        *group_cols,
+        "q",
         # no decimal rounding: the estimate is a deterministic pow() of
         # literals, and absolute 9dp rounding would flatten sub-1e-9
         # magnitudes to zero — destroying the sketch's RELATIVE guarantee
-        _representative(folded["bucket"], eps).alias("est"),
+        _representative(F.col("bucket"), eps).alias("est"),
+    )
+
+
+def value_bucket(v: Column, eps: float = DEFAULT_EPS) -> Column:
+    """Public bucket coder: the sketch's sign-aware log-scale code for a
+    raw value (``_bucket`` with the eps guard) — compare against
+    :func:`quantile_buckets` output for integer-exact threshold filters
+    (values the sketch cannot encode — NULL/NaN/±inf — code NULL and
+    fail any comparison, the same skip semantics the sketch build
+    applies)."""
+    _check_eps(eps)
+    return F.when(_finite(v), _bucket(v, eps)).otherwise(
+        F.lit(None).cast("bigint")
+    )
+
+
+def sql_value_bucket(expr: str, eps: float = DEFAULT_EPS) -> str:
+    """DuckDB twin of :func:`value_bucket` — the identical double
+    constants inlined via float repr (the q102 oracle precedent: ln(1+eps)
+    via log1p, not the SQL ln(1.01), so a floor can't flip in the last
+    ulp), identical sign/zero/non-finite branches."""
+    import math
+
+    _check_eps(eps)
+    lg = repr(math.log1p(eps))
+    off = _offset(eps)
+    code = f"(CAST(floor(ln(abs({expr})) / {lg}) AS BIGINT) + {off})"
+    return (
+        f"CASE WHEN NOT (abs({expr}) <= {_DBL_MAX!r}) THEN NULL "
+        f"WHEN {expr} = 0.0 THEN 0 "
+        f"WHEN {expr} > 0.0 THEN {code} "
+        f"ELSE -{code} END"
     )
 
 

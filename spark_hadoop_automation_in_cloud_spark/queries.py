@@ -61,16 +61,19 @@ def register(name: str, sql: str | None, doc: str = ""):
 # for round 8 instead.  Round 7's window (kept to the same standing
 # rules: round-changed kernels first, then never-stamped rows, then the
 # oldest backlog) allocates its 50 slots as 3 + 11 + 7 + 8 + 21:
-#   - 4 NEW r7 rows: q126 (count-min-screened exact heavy hitters),
+#   - 5 NEW r7 rows: q126 (count-min-screened exact heavy hitters),
 #     q127 (one-pass curation funnel), q128 (incremental connected
-#     components), q129 (weighted ticket-lottery sampling — swapped in
-#     when it registered, displacing q105: the sketches.py change it
-#     was in for is signature-only/behavior-identical, q105 is the
-#     freshest-stamped row in the window (r05), and its parity is
-#     green locally on HEAD);
-#   - 10 r7-changed textops-family rows: q26/q27 (language_id /
+#     components), q129 (weighted ticket-lottery sampling), q130
+#     (sketch-thresholded per-source quality cut).  q129/q130 were
+#     swapped in when they registered, displacing q105 (the sketches.py
+#     change it was in for is signature-only/behavior-identical, and it
+#     is the freshest-stamped row in the window — r05) and q28 (its
+#     token_stats kernel is untouched by the textops refactor; it joins
+#     the r04 set leading round 8).  Both displaced rows are
+#     parity-green locally on HEAD;
+#   - 9 r7-changed textops-family rows: q26/q27 (language_id /
 #     quality_score now compose the extracted lang_score_exprs /
-#     lang_pred_exprs / quality_exprs builders q127 shares), q28/q54/q63
+#     lang_pred_exprs / quality_exprs builders q127 shares), q54/q63
 #     (same module), and the quality-consumer queries whose oracle SQL
 #     embeds sql_quality_score — q40, q116, q112, q120, q125;
 #   - 7 r6 additions never driver-stamped: q117, q118, q119, q121,
@@ -80,13 +83,13 @@ def register(name: str, sql: str | None, doc: str = ""):
 #   - the 21 r03-stamped rows (the standing age-2 backlog: q14, q34,
 #     q38, q43, q44, q45, q50, q51, q53, q57, q65, q67, q70, q71, q72,
 #     q73, q74, q79, q80, q89, q95).
-# Left out: 38 of the 45 r04-stamped rows (the 7 in-window ones are
-# q20, q26, q27, q28, q40, q54, q63): q12, q13, q15, q18, q21, q23,
+# Left out: 39 of the 45 r04-stamped rows (the 6 in-window ones are
+# q20, q26, q27, q40, q54, q63): q12, q13, q15, q18, q21, q23, q28,
 # q24, q32, q37, q39, q42, q46, q47, q48, q49, q55, q56, q58, q60, q61,
 # q62, q64, q68, q75, q76, q78, q81, q82, q84, q85, q86, q87, q88, q90,
 # q91, q92, q97, q101 — plus the r05 rows not re-listed above; all are
 # sf0.01-parity-green on HEAD via tests/test_oracle_parity.py, and the
-# r04 set MUST lead round 8's window (38 <= 50, fits).  The original
+# r04 set MUST lead round 8's window (39 <= 50, fits).  The original
 # round-6 allocation rationale is preserved in git history (this file,
 # commit aad8580 and earlier).
 #
@@ -138,11 +141,11 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q127_curation_funnel",
     "q128_incremental_components",
     "q129_weighted_sample",
+    "q130_per_source_quality_cut",
     # --- round-7-changed kernels (textops expression-builder refactor +
     #     its oracle-SQL consumers; q105 for the sketches.py change)
     "q26_language_id",
     "q27_quality_score",
-    "q28_token_stats",
     "q54_repetition_ratio",
     "q63_tfidf_top_terms",
     "q40_corpus_curation",
@@ -5527,4 +5530,76 @@ def q129_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sampling.weighted_sample(
         scored, ["lang"], "doc_id", "tickets", k=10, max_tickets=10, salt=":q129"
+    )
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.sketches import (  # noqa: E402
+    quantile_buckets,
+    quantile_sketches,
+    sql_value_bucket,
+    value_bucket,
+)
+
+_Q130_SCORED_SQL = f"""
+SELECT d.source, q.doc_id, q.quality
+FROM ({tx.sql_quality_score("documents", "doc_id", "text")}) q
+JOIN documents d ON d.doc_id = q.doc_id
+"""
+
+
+@register(
+    "q130_per_source_quality_cut",
+    f"""
+WITH scored AS ({_Q130_SCORED_SQL}),
+b AS (SELECT source, doc_id, quality,
+             {sql_value_bucket("quality", 0.01)} AS bkt
+      FROM scored),
+c AS (SELECT source, bkt, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+t AS (SELECT source, SUM(cnt) AS total FROM c GROUP BY 1),
+r AS (SELECT source,
+             GREATEST(CAST(ceil(round(0.7 * total, 9)) AS BIGINT), 1) AS rnk
+      FROM t),
+cum AS (SELECT source, bkt,
+               SUM(cnt) OVER (PARTITION BY source ORDER BY bkt) AS cum
+        FROM c),
+pick AS (SELECT r.source, MIN(cum.bkt) AS thr_bucket
+         FROM r JOIN cum ON cum.source = r.source AND cum.cum >= r.rnk
+         GROUP BY 1)
+SELECT b.source, b.doc_id, b.quality, p.thr_bucket
+FROM b JOIN pick p ON b.source = p.source AND b.bkt >= p.thr_bucket
+""",
+    doc="Per-source adaptive quality cut (operators/sketches.py "
+    "quantile_buckets + value_bucket): keep each source's docs at or "
+    "above its OWN p70 quality — the per-domain threshold calibration "
+    "every mixed-source corpus needs (a fixed global bar over- or "
+    "under-prunes sources with different quality distributions; q120 "
+    "calibrates one global bar from a budget, this calibrates one bar "
+    "PER source from its distribution). The threshold is the mergeable "
+    "quantile sketch's p70 BUCKET CODE and rows compare their own "
+    "value_bucket against it — pure integer comparison on both engines "
+    "(the representative double would reintroduce last-ulp >= hazards "
+    "at the cut line), honest to the sketch's 1% resolution. Scale "
+    "shape: sketch build is one map-side-combined agg to a few hundred "
+    "bucket rows per source, the threshold table broadcasts, the filter "
+    "is row-local in the scan — no sort, no corpus window; at 100 TB "
+    "the sketches are the same persisted state q102 rolls up. Floor "
+    "stability measured: quality values sit >= 3e-3 buckets from any "
+    "boundary vs ~1e-13 cross-engine ln() noise.",
+)
+def q130_per_source_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    scored = (
+        tx.quality_score(d, "doc_id", "text")
+        .select("doc_id", "quality")
+        .join(d.select("doc_id", "source"), "doc_id")
+    )
+    sk = quantile_sketches(scored, ["source"], "quality", eps=0.01)
+    thr = quantile_buckets(sk, ["source"], [0.7], eps=0.01).select(
+        "source", F.col("bucket").alias("thr_bucket")
+    )
+    return (
+        scored.withColumn("__b", value_bucket(F.col("quality"), 0.01))
+        .join(F.broadcast(thr), "source")
+        .where(F.col("__b") >= F.col("thr_bucket"))
+        .select("source", "doc_id", "quality", "thr_bucket")
     )

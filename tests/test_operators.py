@@ -1949,3 +1949,48 @@ def test_sql_weighted_sample_matches_spark_on_duckdb(spark):
     )
     want = sorted((r[0], r[1], r[3]) for r in con.sql(sql).fetchall())
     assert got == want
+
+
+def test_value_bucket_matches_sketch_and_threshold_cut(spark):
+    """value_bucket must agree with the sketch's own bucket coder (a
+    filter built on it sees exactly the sketch's view of the data), the
+    quantile_buckets code must be the smallest bucket reaching the rank,
+    and non-encodable values (NULL/NaN/inf) must code NULL and fall out
+    of any >= comparison — the same skip semantics the sketch build
+    applies."""
+    import math
+
+    from spark_hadoop_automation_in_cloud_spark.operators.sketches import (
+        quantile_buckets,
+        quantile_sketches,
+        value_bucket,
+    )
+
+    vals = [0.001 * i for i in range(1, 400)] + [0.0, 5.0, -2.5]
+    df = spark.createDataFrame([(v,) for v in vals], "v double").withColumn(
+        "g", F.lit(1)
+    )
+    sk = quantile_sketches(df, ["g"], "v", eps=0.01)
+    picked = {
+        r["q"]: r["bucket"]
+        for r in quantile_buckets(sk, ["g"], [0.0, 0.5, 1.0], eps=0.01).collect()
+    }
+    coded = df.select("v", value_bucket(F.col("v"), 0.01).alias("b")).collect()
+    by_v = {r["v"]: r["b"] for r in coded}
+    # q=1.0 -> the max bucket; q=0.0 -> the min bucket; q=0.5 splits ranks
+    codes = sorted(by_v.values())
+    assert picked[0.0] == codes[0] and picked[1.0] == codes[-1]
+    n_le = sum(1 for b in codes if b <= picked[0.5])
+    n_lt = sum(1 for b in codes if b < picked[0.5])
+    assert n_lt < math.ceil(0.5 * len(codes)) <= n_le
+    # threshold-cut semantics: rows at/above the p50 bucket ~ top half
+    kept = df.where(value_bucket(F.col("v"), 0.01) >= picked[0.5]).count()
+    assert abs(kept - len(vals) / 2) <= len(vals) * 0.02 + 2
+
+    weird = spark.createDataFrame(
+        [(None,), (float("nan"),), (float("inf",),)], "v double"
+    )
+    assert weird.where(value_bucket(F.col("v")) >= -10**15).count() == 0
+    assert weird.select(value_bucket(F.col("v")).alias("b")).where(
+        F.col("b").isNotNull()
+    ).count() == 0
