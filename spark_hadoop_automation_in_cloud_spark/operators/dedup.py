@@ -1362,3 +1362,53 @@ SELECT doc_id, {cols}
 FROM new_sigs s
 WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = s.doc_id)
 """
+
+
+def group_overlap_matrix(
+    df: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """Distinct-item overlap counts for every pair of groups — the
+    cross-source contamination matrix: fed (source, shingle) rows it
+    answers "how much content do these two sources share?", the signal
+    that decides which source pairs need cross-dedup (q108/q113) before
+    mixing and which are independent.
+
+    Output: ``{group_col}_a``, ``{group_col}_b`` (a < b), n_shared
+    (bigint, distinct shared items).
+
+    Scale shape: items are md5-compressed to int64 BEFORE any shuffle
+    (strings never travel — the q109 idiom; the oracle hashes
+    identically, so a collision would fold the same pair on both
+    engines), the distinct pass is one map-side-combined shuffle on the
+    item hash, and the per-item self-join fans out s_i(s_i-1)/2 pairs
+    for an item present in s_i groups — bounded by |groups|²/2 per item
+    REGARDLESS of corpus size, aggregated map-side to at most |groups|²
+    cells.  The whole plan is corpus-linear with a groups²-bounded tail;
+    with thousands of groups, pre-prune items by group frequency (the
+    boilerplate present in every group carries no pairing information
+    and costs the most — the q126 screen finds those cheaply).
+
+    NULL groups and NULL items are dropped: a NULL never equi-joins, and
+    "shared with the NULL source" has no contamination reading.
+    """
+    g = (
+        df.where(F.col(group_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(
+            F.col(group_col).alias("__g"),
+            md5_int60(F.col(item_col)).alias("__ih"),
+        )
+        .distinct()
+    )
+    a, b = g.alias("__ol_a"), g.alias("__ol_b")
+    return (
+        a.join(
+            b,
+            (F.col("__ol_a.__ih") == F.col("__ol_b.__ih"))
+            & (F.col("__ol_a.__g") < F.col("__ol_b.__g")),
+        )
+        .groupBy(
+            F.col("__ol_a.__g").alias(f"{group_col}_a"),
+            F.col("__ol_b.__g").alias(f"{group_col}_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )

@@ -60,20 +60,21 @@ def register(name: str, sql: str | None, doc: str = ""):
 # the 33 r04 rows the r6 note promised to round 7 stay age-1 obligations
 # for round 8 instead.  Round 7's window (kept to the same standing
 # rules: round-changed kernels first, then never-stamped rows, then the
-# oldest backlog) allocates its 50 slots as 3 + 11 + 7 + 8 + 21:
-#   - 5 NEW r7 rows: q126 (count-min-screened exact heavy hitters),
+# oldest backlog) allocates its 50 slots as 6 + 8 + 7 + 8 + 21:
+#   - 6 NEW r7 rows: q126 (count-min-screened exact heavy hitters),
 #     q127 (one-pass curation funnel), q128 (incremental connected
 #     components), q129 (weighted ticket-lottery sampling), q130
-#     (sketch-thresholded per-source quality cut).  q129/q130 were
-#     swapped in when they registered, displacing q105 (the sketches.py
-#     change it was in for is signature-only/behavior-identical, and it
-#     is the freshest-stamped row in the window — r05) and q28 (its
-#     token_stats kernel is untouched by the textops refactor; it joins
-#     the r04 set leading round 8).  Both displaced rows are
-#     parity-green locally on HEAD;
-#   - 9 r7-changed textops-family rows: q26/q27 (language_id /
+#     (sketch-thresholded per-source quality cut), q131 (cross-source
+#     gram-overlap contamination matrix).  q129/q130/q131 were swapped
+#     in when they registered, displacing q105 (the sketches.py change
+#     it was in for is signature-only/behavior-identical, and it is the
+#     freshest-stamped row in the window — r05), q28 and q54 (their
+#     token_stats / repetition kernels are untouched by the textops
+#     refactor; they join the r04 set leading round 8).  All displaced
+#     rows are parity-green locally on HEAD;
+#   - 8 r7-changed textops-family rows: q26/q27 (language_id /
 #     quality_score now compose the extracted lang_score_exprs /
-#     lang_pred_exprs / quality_exprs builders q127 shares), q54/q63
+#     lang_pred_exprs / quality_exprs builders q127 shares), q63
 #     (same module), and the quality-consumer queries whose oracle SQL
 #     embeds sql_quality_score — q40, q116, q112, q120, q125;
 #   - 7 r6 additions never driver-stamped: q117, q118, q119, q121,
@@ -83,58 +84,22 @@ def register(name: str, sql: str | None, doc: str = ""):
 #   - the 21 r03-stamped rows (the standing age-2 backlog: q14, q34,
 #     q38, q43, q44, q45, q50, q51, q53, q57, q65, q67, q70, q71, q72,
 #     q73, q74, q79, q80, q89, q95).
-# Left out: 39 of the 45 r04-stamped rows (the 6 in-window ones are
-# q20, q26, q27, q40, q54, q63): q12, q13, q15, q18, q21, q23, q28,
+# Left out: 40 of the 45 r04-stamped rows (the 5 in-window ones are
+# q20, q26, q27, q40, q63): q12, q13, q15, q18, q21, q23, q28, q54,
 # q24, q32, q37, q39, q42, q46, q47, q48, q49, q55, q56, q58, q60, q61,
 # q62, q64, q68, q75, q76, q78, q81, q82, q84, q85, q86, q87, q88, q90,
 # q91, q92, q97, q101 — plus the r05 rows not re-listed above; all are
 # sf0.01-parity-green on HEAD via tests/test_oracle_parity.py, and the
-# r04 set MUST lead round 8's window (39 <= 50, fits).  The original
+# r04 set MUST lead round 8's window (40 <= 50, fits).  The original
 # round-6 allocation rationale is preserved in git history (this file,
 # commit aad8580 and earlier).
 #
-# The driver's CORRECTNESS run verifies a bounded window (50 entries) taken
-# in registration order, so queries() exposes the registry ROTATED.  Round-6
-# allocation (VERDICT r5 item 1 verbatim, plus its standing rule that
-# round-changed kernels go first): the window opens with the rows whose
-# kernel or oracle changed in round 6 itself — q117 (NEW: upsert replay
-# through the duckdb_merge_fn seam), q108/q111 (content hash now NULL-
-# coalesced via dedup.content_hash; q111 additionally reworked to drive
-# dedup_batch_against_index directly, VERDICT r5 item 4), q115 (explicit
-# byte==char ASCII guard on both engines), q20 (same content_hash
-# definition change), q113 (kernel untouched but it lives in the
-# changed dedup module, so it re-stamps with its family), q107 (pair
-# stage rebuilt: keep_vec assignment scan, block-salted pair join,
-# norm precompute), q96 (kmeans_assign grew the keep_vec flag), q118
-# (NEW: position-level repeated-span coverage), q119 (NEW: persisted
-# partition-pruned IVF probe), q30 (ann_ivf_topk refactored into the
-# persistable build/probe stages q119 round-trips), q120 (NEW: budget
-# -> quality-threshold calibration over global_cumsum), and q121 (NEW:
-# integer-exact event-mix TV drift) — then ALL 21 rows whose last
-# driver stamp is r03
-# (the age-2 backlog the verdict lists), then 11 of the 45 r04-stamped
-# rows as refreshes, multi-stage / shared-infra kernels first (a 12th
-# r04 row, q20, rides in the changed block — its content-hash kernel
-# changed).  The late-r6 additions q122 (projected rerank top-k), q123
-# (stratified sample), q124 (leakage-safe split) and q125 (mixture-
-# budget selection) were swapped INTO the window's new block when they
-# registered, displacing the four simplest single-pass r04 refreshes
-# (q42, q61, q64, q68 — all untouched modules, all sf0.001/0.01/0.1
-# parity-green locally): a brand-new operator earns its driver stamp
-# before an age-1 refresh does.  q112 (r05-stamped) also joins the
-# changed block — generalizing token_budget_selection to per-row
-# budgets for q125's mixture cut touched its kernel (plan unchanged,
-# re-stamped per the changed-kernel rule), displacing q54.  That fills
-# the window exactly: 13 + 4 + 1 + 21 + 11 = 50.  The 33 r04 rows left
-# out (q12, q13, q15, q18, q23, q26, q27, q28, q37, q42, q46, q47,
-# q48, q49, q54, q55, q56, q58, q61, q62, q64, q68, q75, q76, q78,
-# q81, q82, q84, q85, q86, q90, q91, q97) land at age exactly 2 — the
-# bound — and MUST lead round 7's window (33 <= 50, fits); the 44
-# r05-stamped rows skipped this round reach age 2 during round 7 and
-# must lead round 8 (that round has little slack, so rounds 7-8 should
-# prefer perf/evidence work over new registry rows).  Local pytest parity
+# The driver's CORRECTNESS run verifies a bounded window (50 entries)
+# taken in registration order, so queries() exposes the registry ROTATED
+# per the allocation above.  Local pytest parity
 # (tests/test_oracle_parity.py) still covers every registered query
-# regardless of position.
+# regardless of position.  (The round-6 allocation this replaced is in
+# git history: commit aad8580 and earlier.)
 _ROTATE_FIRST: tuple[str, ...] = (
     # --- NEW in round 7
     "q126_heavy_hitter_parts",
@@ -142,11 +107,11 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q128_incremental_components",
     "q129_weighted_sample",
     "q130_per_source_quality_cut",
+    "q131_source_overlap_matrix",
     # --- round-7-changed kernels (textops expression-builder refactor +
     #     its oracle-SQL consumers; q105 for the sketches.py change)
     "q26_language_id",
     "q27_quality_score",
-    "q54_repetition_ratio",
     "q63_tfidf_top_terms",
     "q40_corpus_curation",
     "q116_cluster_canonicals_by_quality",
@@ -5603,3 +5568,33 @@ def q130_per_source_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__b") >= F.col("thr_bucket"))
         .select("source", "doc_id", "quality", "thr_bucket")
     )
+
+
+@register(
+    "q131_source_overlap_matrix",
+    f"""
+WITH g AS ({dd.sql_shingle_rows("documents", "source", "text", n=3)}),
+h AS (SELECT DISTINCT doc_id AS source, {dd.sql_md5_int60("shingle")} AS ih FROM g)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM h a JOIN h b ON a.ih = b.ih AND a.source < b.source
+GROUP BY 1, 2
+""",
+    doc="Cross-source contamination matrix (operators/dedup.py "
+    "group_overlap_matrix): distinct shared 3-gram count for every "
+    "source pair — the planning signal for WHICH source pairs need "
+    "cross-dedup (q108/q113) before mixing, and the corpus-level "
+    "complement of q109's per-document duplication flags. Grams are "
+    "md5-int60-compressed before any shuffle (the oracle hashes "
+    "identically); the per-gram self-join fans out at most "
+    "|sources|²/2 pairs per gram regardless of corpus size, and the "
+    "aggregate map-side-combines to at most |sources|² cells. At "
+    "thousands of sources, pre-prune boilerplate grams with the q126 "
+    "screen (they carry no pairing information and cost the most).",
+)
+def q131_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    sh = dd.shingle_rows(d, "source", "text", n=3).withColumnRenamed(
+        "doc_id", "source"
+    )
+    return dd.group_overlap_matrix(sh, "source", "shingle")

@@ -1994,3 +1994,25 @@ def test_value_bucket_matches_sketch_and_threshold_cut(spark):
     assert weird.select(value_bucket(F.col("v")).alias("b")).where(
         F.col("b").isNotNull()
     ).count() == 0
+
+
+def test_group_overlap_matrix_exact_counts(spark):
+    """Hand-built overlap: exact pair counts, a<b canonical ordering (no
+    mirrored or self rows), disjoint groups absent from the output, and
+    NULL groups/items dropped."""
+    from spark_hadoop_automation_in_cloud_spark.operators.dedup import (
+        group_overlap_matrix,
+    )
+
+    rows = (
+        [("s1", f"x{i}") for i in range(6)]
+        + [("s2", f"x{i}") for i in range(4)]      # shares x0..x3 with s1
+        + [("s2", "y0"), ("s3", "z0"), ("s3", "x0")]  # s3 shares x0 w/ s1,s2
+        + [("s1", "x0"), ("s1", None), (None, "x1")]  # dup row + NULLs
+    )
+    df = spark.createDataFrame(rows, "source string, item string")
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in group_overlap_matrix(df, "source", "item").collect()
+    }
+    assert got == {("s1", "s2"): 4, ("s1", "s3"): 1, ("s2", "s3"): 1}
