@@ -442,16 +442,32 @@ def incremental_components(
     )
     pinned = _pinned_rdd_ids(mapped)
     reduced = connected_components(mapped, "ma", "mb", max_rounds)
+    pinned |= _pinned_rdd_ids(reduced)
     new_ids = (
-        mapped.select(F.col("ma").alias("n")).where(F.col("__a_new"))
-        .unionByName(mapped.select(F.col("mb").alias("n")).where(F.col("__b_new")))
+        mapped.select(F.col("ma").alias("__nid")).where(F.col("__a_new"))
+        .unionByName(
+            mapped.select(F.col("mb").alias("__nid")).where(F.col("__b_new"))
+        )
         .distinct()
+    )
+    # ONE batch-sized result checkpoint (the convention every iterative
+    # operator here follows: the returned lineage pins exactly one
+    # block): reduced labels annotated with the is-new flag.  The EAGER
+    # checkpoint materializes it, after which mapped's and reduced's own
+    # blocks are released — a per-batch ingest loop accumulates one
+    # O(batch) block per call instead of three (the accumulation
+    # pathology _unpersist_rdds' docstring measures).
+    ann = (
+        reduced.join(
+            F.broadcast(new_ids), reduced.node == F.col("__nid"), "left"
+        )
+        .select(
+            "node", "component_id", F.col("__nid").isNotNull().alias("__is_new")
+        )
         .localCheckpoint()
     )
-    _unpersist_rdds(
-        spark, pinned - _pinned_rdd_ids(reduced) - _pinned_rdd_ids(new_ids)
-    )
-    remap = reduced.select(
+    _unpersist_rdds(spark, pinned - _pinned_rdd_ids(ann))
+    remap = ann.select(
         F.col("node").alias("__root"), F.col("component_id").alias("__new_comp")
     )
     updated = (
@@ -463,8 +479,7 @@ def incremental_components(
             F.coalesce(F.col("__new_comp"), labels[comp_col]).alias(comp_col),
         )
     )
-    new_nodes = (
-        reduced.join(F.broadcast(new_ids), reduced.node == new_ids.n, "left_semi")
-        .select(F.col("node").alias(node_col), F.col("component_id").alias(comp_col))
+    new_nodes = ann.where(F.col("__is_new")).select(
+        F.col("node").alias(node_col), F.col("component_id").alias(comp_col)
     )
     return updated.unionByName(new_nodes)

@@ -405,6 +405,12 @@ def weighted_sample(
             F.lit(max_tickets),
         ),
     )
+    # NULL ids are out of the draw ENTIRELY — dropped here, before the
+    # ticket sum: an unrankable row must not contribute ticket mass to
+    # W either, or a stratum heavy in NULL-id rows gets a deflated
+    # cutoff and silently returns fewer than k valid rows (diverging
+    # from the naive-window spec, which never sees those rows)
+    df = df.where(F.col(id_col).isNotNull())
     keyed = df.withColumn(
         "__wkey", weighted_ticket_key(F.col(id_col), F.col(tickets_col), max_tickets, salt)
     ).withColumn("__t_eff", t_eff)

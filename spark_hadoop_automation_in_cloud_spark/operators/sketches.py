@@ -563,13 +563,15 @@ def _hh_table(df: DataFrame, value_col: str, depth: int, width: int) -> list[lis
     return table
 
 
-def _hh_estimate(key: Column, table: list[list[int]], width: int) -> Column:
+def _hh_estimate(key: Column, table: list[list[int]]) -> Column:
     """Row-local count-min estimate against a collected table: min over
     the depth rows of the key's cells.  The table ships as one JSON
     string literal + foldable ``from_json`` (the q106 bloom idiom — the
     naive per-element ``lit`` measured ~7s of driver time there); the
     probe is ``depth`` xxhash64 calls + array lookups, inside whatever
-    scan the caller filters, so it composes with pushdown and codegen."""
+    scan the caller filters, so it composes with pushdown and codegen.
+    The geometry comes from the table's own shape — there is no separate
+    width argument to get out of sync with it."""
     arr = F.from_json(
         F.lit(json.dumps(table)),
         "array<array<bigint>>",
@@ -640,7 +642,7 @@ def heavy_hitters_exact(
         raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
     vals = df.where(F.col(value_col).isNotNull())
     table = _hh_table(vals, value_col, depth, width)
-    est = _hh_estimate(F.col(value_col), table, width)
+    est = _hh_estimate(F.col(value_col), table)
     return (
         vals.where(est >= threshold)
         .groupBy(value_col)

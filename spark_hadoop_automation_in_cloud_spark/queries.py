@@ -109,7 +109,8 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q130_per_source_quality_cut",
     "q131_source_overlap_matrix",
     # --- round-7-changed kernels (textops expression-builder refactor +
-    #     its oracle-SQL consumers; q105 for the sketches.py change)
+    #     its oracle-SQL consumers; q105, originally here for the
+    #     sketches.py change, was displaced by the new rows — see above)
     "q26_language_id",
     "q27_quality_score",
     "q63_tfidf_top_terms",
@@ -5519,7 +5520,12 @@ WITH scored AS ({_Q130_SCORED_SQL}),
 b AS (SELECT source, doc_id, quality,
              {sql_value_bucket("quality", 0.01)} AS bkt
       FROM scored),
-c AS (SELECT source, bkt, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+-- NULL buckets (NULL/non-finite quality) carry no rank: the sketch
+-- build skips them (quantile_sketches' _finite guard), so the oracle's
+-- totals must too or rnk overshoots the valid cumulative range whenever
+-- any document has NULL text
+c AS (SELECT source, bkt, COUNT(*) AS cnt FROM b
+      WHERE bkt IS NOT NULL GROUP BY 1, 2),
 t AS (SELECT source, SUM(cnt) AS total FROM c GROUP BY 1),
 r AS (SELECT source,
              GREATEST(CAST(ceil(round(0.7 * total, 9)) AS BIGINT), 1) AS rnk

@@ -1846,7 +1846,7 @@ def test_heavy_hitters_screen_is_superset_and_prunes(spark):
     df = spark.createDataFrame(rows, ["key"]).repartition(5)
 
     table = _hh_table(df, "key", 4, 4096)
-    est = _hh_estimate(F.col("key"), table, 4096)
+    est = _hh_estimate(F.col("key"), table)
     cands = {r["key"] for r in df.where(est >= 80).select("key").distinct().collect()}
     assert {f"hot{j}" for j in range(5)} <= cands  # (a) no false negatives
     assert len(cands) < 100  # (b) prunes 3005 distinct keys to a handful
@@ -1861,6 +1861,11 @@ def _weighted_fixture(spark):
     rows = [("big", 1000 + i, 1 + (i % 10)) for i in range(3000)]
     rows += [("tiny", i, 5) for i in range(4)]
     rows += [("big", 9000, None), ("big", None, 7)]
+    # a stratum DOMINATED by NULL-id ticket mass: 900 unrankable rows at
+    # max tickets vs 100 valid rows at 1 — the cutoff must be computed
+    # from the VALID rows only, or this stratum undershoots k badly
+    rows += [("nullheavy", None, 10)] * 900
+    rows += [("nullheavy", 50000 + i, 1) for i in range(100)]
     return spark.createDataFrame(rows, "stratum string, id bigint, tickets int")
 
 
@@ -1895,7 +1900,7 @@ def test_weighted_sample_equals_naive_window(spark):
         r["stratum"]: r["n"]
         for r in got.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    assert sizes == {"big": 12, "tiny": 4}
+    assert sizes == {"big": 12, "tiny": 4, "nullheavy": 12}
 
 
 def test_weighted_sample_inclusion_tracks_tickets(spark):
@@ -2016,3 +2021,76 @@ def test_group_overlap_matrix_exact_counts(spark):
         for r in group_overlap_matrix(df, "source", "item").collect()
     }
     assert got == {("s1", "s2"): 4, ("s1", "s3"): 1, ("s2", "s3"): 1}
+
+
+def test_incremental_components_releases_checkpoint_storage(spark):
+    """Same block-accounting contract for the incremental merge: a
+    per-batch ingest loop calls it repeatedly, so each call may keep
+    exactly ONE new persisted RDD (the annotated reduced frame its
+    returned lineage needs) — the mapped-endpoints frame and the inner
+    CC's own result block must both be released."""
+    from spark_hadoop_automation_in_cloud_spark.operators.components import (
+        _persistent_rdd_ids,
+        connected_components,
+        incremental_components,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 80, 2)], "l int, r int"
+    )
+    labels = connected_components(hist, "l", "r")
+    labels.count()
+    base = len(_persistent_rdd_ids(spark))
+    outs = []
+    for j in range(3):
+        batch = spark.createDataFrame(
+            [(i, i + 2 + j) for i in range(0, 40, 4)], "l int, r int"
+        )
+        outs.append(incremental_components(labels, batch, "l", "r"))
+    assert len(_persistent_rdd_ids(spark)) <= base + 3
+    for o in outs:  # results stay usable after later calls' cleanup
+        assert o.count() > 0
+
+
+def test_per_source_quality_cut_oracle_handles_null_text(spark):
+    """The q130 oracle's totals must skip NULL-bucket (NULL-text) rows
+    exactly like the sketch build does — with NULL text in the data the
+    two engines previously picked different thresholds (rnk overshot the
+    valid cumulative range and the oracle kept 0 rows where Spark kept
+    the top bucket).  Replays BOTH engines on a corpus WITH NULL text,
+    which the parity fixtures don't contain."""
+    import duckdb
+
+    from spark_hadoop_automation_in_cloud_spark.queries import (
+        q130_per_source_quality_cut,
+        specs,
+    )
+
+    import os
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="q130nulls_")
+    try:
+        base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        nulls = spark.createDataFrame(
+            [(90000 + i, None, "en", f"src{i % 3}", 0) for i in range(40)],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        )
+        base.unionByName(nulls).coalesce(1).write.mode("overwrite").parquet(
+            f"{root}/documents.parquet"
+        )
+        got = sorted(
+            (r["source"], r["doc_id"])
+            for r in q130_per_source_quality_cut(spark, root).collect()
+        )
+        sql = next(s.sql for s in specs() if s.name == "q130_per_source_quality_cut")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{root}/documents.parquet/*.parquet'"
+        )
+        want = sorted((r[0], r[1]) for r in con.sql(sql).fetchall())
+        assert got and got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

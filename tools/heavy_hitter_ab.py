@@ -73,7 +73,7 @@ def measure(df, key, threshold) -> dict:
     )
     assert got == want, "screened result diverged from the naive census"
     table = _hh_table(df, key, DEPTH, WIDTH)
-    est = _hh_estimate(F.col(key), table, WIDTH)
+    est = _hh_estimate(F.col(key), table)
     cand = df.where(est >= threshold).select(key).distinct().count()
     distinct = df.select(key).distinct().count()
     return {
@@ -86,6 +86,25 @@ def measure(df, key, threshold) -> dict:
         ),
         "wall_naive_s": median3(lambda: naive(df, key, threshold).count()),
     }
+
+
+def make_synthetic(spark, scale: int, hot_occurrences: int):
+    """scale*200k singleton cold keys + 500 hot keys at hot_occurrences
+    each — ONE corpus builder for the constant-support ladder and the
+    blown-geometry contrast, so the two always measure the same shape."""
+    cold = spark.range(200_000 * scale).select(
+        F.concat(F.lit("cold"), F.col("id")).alias("key")
+    )
+    hot = (
+        spark.range(500)
+        .crossJoin(
+            spark.range(hot_occurrences).withColumnRenamed("id", "__r")
+        )
+        .select(F.concat(F.lit("hot"), F.col("id")).alias("key"))
+    )
+    df = cold.unionByName(hot).repartition(32).cache()
+    df.count()
+    return df
 
 
 def main() -> None:
@@ -113,16 +132,7 @@ def main() -> None:
     # distinct_keys.
     ladder = []
     for scale in scales:
-        cold = spark.range(200_000 * scale).select(
-            F.concat(F.lit("cold"), F.col("id")).alias("key")
-        )
-        hot = (
-            spark.range(500)
-            .crossJoin(spark.range(100 * scale).withColumnRenamed("id", "__r"))
-            .select(F.concat(F.lit("hot"), F.col("id")).alias("key"))
-        )
-        df = cold.unionByName(hot).repartition(32).cache()
-        df.count()
+        df = make_synthetic(spark, scale, hot_occurrences=100 * scale)
         m = measure(df, "key", 100 * scale)
         m["scale"] = scale
         m["threshold"] = 100 * scale
@@ -137,16 +147,7 @@ def main() -> None:
     # degrades, correctness never does.  Sizing rule recorded here:
     # keep width >= ~8 * N / threshold, i.e. size for support, not for
     # an absolute count.
-    cold = spark.range(200_000 * 30).select(
-        F.concat(F.lit("cold"), F.col("id")).alias("key")
-    )
-    hot = (
-        spark.range(500)
-        .crossJoin(spark.range(100).withColumnRenamed("id", "__r"))
-        .select(F.concat(F.lit("hot"), F.col("id")).alias("key"))
-    )
-    df = cold.unionByName(hot).repartition(32).cache()
-    df.count()
+    df = make_synthetic(spark, 30, hot_occurrences=100)
     blown = measure(df, "key", 100)
     blown["note"] = (
         "constant absolute threshold at 30x volume: width << N/threshold, "
