@@ -1412,3 +1412,49 @@ def group_overlap_matrix(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
     )
+
+
+def incremental_lsh_pairs(
+    new_signatures: DataFrame,
+    band_index: DataFrame,
+    min_est_jaccard: float,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING a new batch: batch docs vs the persisted
+    :func:`minhash_band_index` of all earlier batches, plus within-batch
+    pairs — never index-vs-index (those edges are already folded into
+    whatever state the caller maintains; re-deriving them would rescan
+    history, the thing the incremental family exists to avoid).
+
+    Output: left_doc_id < right_doc_id, est_jaccard — the same pair
+    semantics as ``lsh_candidate_pairs(all_signatures)`` restricted to
+    pairs with at least one batch member (the equivalence
+    q132 banks on: hist-pairs ∪ these = full-corpus pairs).
+
+    Scale shape: the probe side is the batch's bands only; the index
+    side is partitioned by band_key at scale (co-located equi-join);
+    est_jaccard reads the signature columns riding in the colliding
+    rows — no text access, no extra shuffle.  Same canonicalization as
+    :func:`lsh_candidate_pairs` (least/greatest + distinct), so a
+    within-batch collision surfacing from both sides folds to one row.
+    """
+    new_bands = minhash_band_index(new_signatures)
+    l = new_bands.alias("l")
+    r = band_index.unionByName(new_bands).alias("r")
+    matches = sum(
+        (F.col(f"l.mh_{i}") == F.col(f"r.mh_{i}")).cast("int") for i in range(NUM_PERM)
+    )
+    return (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") != F.col("r.doc_id")),
+        )
+        .select(
+            F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("left_doc_id"),
+            F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("right_doc_id"),
+            (matches / F.lit(float(NUM_PERM))).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= min_est_jaccard)
+        .distinct()
+    )

@@ -60,23 +60,24 @@ def register(name: str, sql: str | None, doc: str = ""):
 # the 33 r04 rows the r6 note promised to round 7 stay age-1 obligations
 # for round 8 instead.  Round 7's window (kept to the same standing
 # rules: round-changed kernels first, then never-stamped rows, then the
-# oldest backlog) allocates its 50 slots as 6 + 8 + 7 + 8 + 21:
-#   - 6 NEW r7 rows: q126 (count-min-screened exact heavy hitters),
+# oldest backlog) allocates its 50 slots as 7 + 7 + 7 + 8 + 21:
+#   - 7 NEW r7 rows: q126 (count-min-screened exact heavy hitters),
 #     q127 (one-pass curation funnel), q128 (incremental connected
 #     components), q129 (weighted ticket-lottery sampling), q130
 #     (sketch-thresholded per-source quality cut), q131 (cross-source
-#     gram-overlap contamination matrix).  q129/q130/q131 were swapped
-#     in when they registered, displacing q105 (the sketches.py change
-#     it was in for is signature-only/behavior-identical, and it is the
-#     freshest-stamped row in the window — r05), q28 and q54 (their
-#     token_stats / repetition kernels are untouched by the textops
-#     refactor; they join the r04 set leading round 8).  All displaced
-#     rows are parity-green locally on HEAD;
-#   - 8 r7-changed textops-family rows: q26/q27 (language_id /
+#     gram-overlap contamination matrix), q132 (end-to-end incremental
+#     cluster maintenance).  q129-q132 were swapped in when they
+#     registered, displacing q105 (the sketches.py change it was in for
+#     is signature-only/behavior-identical, and it is the
+#     freshest-stamped row in the window — r05) and q28/q54/q63 (their
+#     token_stats / repetition / tfidf kernels are untouched by the
+#     textops refactor; they join the r04 set leading round 8).  All
+#     displaced rows are parity-green locally on HEAD;
+#   - 7 r7-changed textops-family rows: q26/q27 (language_id /
 #     quality_score now compose the extracted lang_score_exprs /
-#     lang_pred_exprs / quality_exprs builders q127 shares), q63
-#     (same module), and the quality-consumer queries whose oracle SQL
-#     embeds sql_quality_score — q40, q116, q112, q120, q125;
+#     lang_pred_exprs / quality_exprs builders q127 shares) and the
+#     quality-consumer queries whose oracle SQL embeds
+#     sql_quality_score — q40, q116, q112, q120, q125;
 #   - 7 r6 additions never driver-stamped: q117, q118, q119, q121,
 #     q122, q123, q124 (q120/q125 already counted above);
 #   - 8 r6-changed kernels never re-stamped: q20, q30, q96, q107, q108,
@@ -84,13 +85,14 @@ def register(name: str, sql: str | None, doc: str = ""):
 #   - the 21 r03-stamped rows (the standing age-2 backlog: q14, q34,
 #     q38, q43, q44, q45, q50, q51, q53, q57, q65, q67, q70, q71, q72,
 #     q73, q74, q79, q80, q89, q95).
-# Left out: 40 of the 45 r04-stamped rows (the 5 in-window ones are
-# q20, q26, q27, q40, q63): q12, q13, q15, q18, q21, q23, q28, q54,
-# q24, q32, q37, q39, q42, q46, q47, q48, q49, q55, q56, q58, q60, q61,
-# q62, q64, q68, q75, q76, q78, q81, q82, q84, q85, q86, q87, q88, q90,
-# q91, q92, q97, q101 — plus the r05 rows not re-listed above; all are
-# sf0.01-parity-green on HEAD via tests/test_oracle_parity.py, and the
-# r04 set MUST lead round 8's window (40 <= 50, fits).  The original
+# Left out: 41 of the 45 r04-stamped rows (the 4 in-window ones are
+# q20, q26, q27, q40): q12, q13, q15, q18, q21, q23, q24, q28, q32,
+# q37, q39, q42, q46, q47, q48, q49, q54, q55, q56, q58, q60, q61,
+# q62, q63, q64, q68, q75, q76, q78, q81, q82, q84, q85, q86, q87,
+# q88, q90, q91, q92, q97, q101 — plus the r05 rows not re-listed
+# above; all are sf0.01-parity-green on HEAD via
+# tests/test_oracle_parity.py, and the r04 set MUST lead round 8's
+# window (41 <= 50, fits).  The original
 # round-6 allocation rationale is preserved in git history (this file,
 # commit aad8580 and earlier).
 #
@@ -108,12 +110,12 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q129_weighted_sample",
     "q130_per_source_quality_cut",
     "q131_source_overlap_matrix",
+    "q132_incremental_cluster_maintenance",
     # --- round-7-changed kernels (textops expression-builder refactor +
     #     its oracle-SQL consumers; q105, originally here for the
     #     sketches.py change, was displaced by the new rows — see above)
     "q26_language_id",
     "q27_quality_score",
-    "q63_tfidf_top_terms",
     "q40_corpus_curation",
     "q116_cluster_canonicals_by_quality",
     "q112_token_budget_selection",
@@ -5604,3 +5606,80 @@ def q131_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source"
     )
     return dd.group_overlap_matrix(sh, "source", "shingle")
+
+
+_Q132_SHINGLES = dd.sql_shingle_rows("documents", "doc_id", "text", n=2)
+_Q132_PAIRS = dd.sql_lsh_candidate_pairs(dd.sql_minhash_signatures(_Q132_SHINGLES))
+
+
+@register(
+    "q132_incremental_cluster_maintenance",
+    f"""
+WITH RECURSIVE pairs AS (
+  SELECT left_doc_id, right_doc_id
+  FROM ({_Q132_PAIRS}) p
+  WHERE est_jaccard >= 0.5
+),
+edges AS (
+  SELECT left_doc_id AS a, right_doc_id AS b FROM pairs
+  UNION
+  SELECT right_doc_id AS a, left_doc_id AS b FROM pairs
+  UNION
+  SELECT doc_id AS a, doc_id AS b FROM documents
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+""",
+    doc="End-to-end incremental dedup-CLUSTER maintenance — the capstone "
+    "of the incremental family: the corpus splits into an admitted "
+    "majority and a NEW batch (q108's hash bucket); history exists only "
+    "as its persisted MinHash band index (q113's state) and its persisted "
+    "min-id cluster labels; the batch contributes pairs via "
+    "incremental_lsh_pairs (batch-vs-index + within-batch band "
+    "equi-joins — never index-vs-index, history is not rescanned) and "
+    "the labels merge via incremental_components (iterative work "
+    "O(batch), one broadcast remap pass over the labels). Equivalence "
+    "closed in algebra: hist-pairs ∪ batch-touching-pairs = full-corpus "
+    "pairs, and the q128 property test pins the CC merge — so the "
+    "oracle is the FULL recompute: LSH pairs over the whole corpus at "
+    "the same est_jaccard >= 0.5, recursive closure, min-id labels, "
+    "singletons labeling themselves. This is the crawl-pipeline loop "
+    "shape at 100 TB: each snapshot pays its own size, never the "
+    "corpus's.",
+)
+def q132_incremental_cluster_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    bucket = _inc_bucket()
+    hist = d.where(bucket != 0)
+    new = d.where(bucket == 0)
+    sig_h = dd.minhash_signatures(dd.shingle_rows(hist, "doc_id", "text", n=2))
+    sig_n = dd.minhash_signatures(dd.shingle_rows(new, "doc_id", "text", n=2))
+    # persisted state an ingest loop would already hold: the band index
+    # and the full-coverage min-id labels of the admitted corpus
+    index = dd.minhash_band_index(sig_h)
+    hist_pairs = dd.lsh_candidate_pairs(sig_h).where(F.col("est_jaccard") >= 0.5)
+    labels = neardup_clusters(
+        hist_pairs, hist, "doc_id",
+        left_col="left_doc_id", right_col="right_doc_id",
+    ).withColumnRenamed("doc_id", "node")
+    batch_pairs = dd.incremental_lsh_pairs(sig_n, index, min_est_jaccard=0.5)
+    merged = incremental_components(
+        labels, batch_pairs, "left_doc_id", "right_doc_id",
+        node_col="node", comp_col="cluster_id",
+    )
+    # batch singletons (no pair touches them) label themselves — the
+    # same coalesce-to-self rule neardup_clusters applies
+    return (
+        d.select("doc_id")
+        .join(merged, d["doc_id"] == merged["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(merged["cluster_id"], d["doc_id"]).alias("cluster_id"),
+        )
+    )

@@ -2094,3 +2094,33 @@ def test_per_source_quality_cut_oracle_handles_null_text(spark):
         assert got and got == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_incremental_lsh_pairs_complement_hist_pairs(spark, sf_dir):
+    """The algebra q132 banks on, pinned directly: full-corpus LSH pairs
+    = hist-vs-hist pairs ∪ pairs touching the batch — same band
+    collisions, same est_jaccard values, no pair lost or invented at the
+    split boundary."""
+    from spark_hadoop_automation_in_cloud_spark.operators import dedup as dd
+
+    spark_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = spark_df.where(F.col("doc_id") % 3 != 0)
+    new = spark_df.where(F.col("doc_id") % 3 == 0)
+    sig_all = dd.minhash_signatures(
+        dd.shingle_rows(spark_df, "doc_id", "text", n=2)
+    )
+    sig_h = dd.minhash_signatures(dd.shingle_rows(hist, "doc_id", "text", n=2))
+    sig_n = dd.minhash_signatures(dd.shingle_rows(new, "doc_id", "text", n=2))
+
+    key = lambda r: (r["left_doc_id"], r["right_doc_id"], r["est_jaccard"])  # noqa: E731
+    full = {key(r) for r in dd.lsh_candidate_pairs(sig_all).collect()}
+    hist_pairs = {key(r) for r in dd.lsh_candidate_pairs(sig_h).collect()}
+    inc = {
+        key(r)
+        for r in dd.incremental_lsh_pairs(
+            sig_n, dd.minhash_band_index(sig_h), min_est_jaccard=0.0
+        ).collect()
+    }
+    assert hist_pairs | inc == full
+    assert hist_pairs & inc == set()  # inc never re-derives history
+    assert inc  # the split actually produced batch-touching pairs
