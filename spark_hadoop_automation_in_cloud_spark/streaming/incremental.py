@@ -449,3 +449,139 @@ def compact_dedup_index(spark, index_path: str, upto_epoch: int) -> None:
         os.rename(os.path.join(index_path, d), os.path.join(bak, d))
     os.rename(tmp, target)
     shutil.rmtree(bak)
+
+
+def maintain_neardup_clusters(
+    spark,
+    new_docs: DataFrame,
+    state_dir: str,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """One round of incremental near-dup CLUSTER maintenance — the q132
+    composition as persisted state an ingest loop owns (the graph sibling
+    of the fingerprint index: q111 maintains exact-dedup survivors, this
+    maintains the near-dup cluster labels).
+
+    State layout (plain parquet, local paths):
+
+    - ``state_dir/band_index/ingest=<token>/`` — append-only MinHash band
+      rows per ingested batch (``operators.dedup.minhash_band_index``);
+      the probe reads every partition EXCEPT the current batch's own.
+    - ``state_dir/labels/`` — the full-coverage min-id label table
+      (node, cluster_id), swap-rewritten per round with the same
+      crash-safe rename protocol as :func:`upsert_batch`.
+
+    Per round: batch signatures → :func:`~spark_hadoop_automation_in_cloud_spark.operators.
+    dedup.incremental_lsh_pairs` against the persisted index →
+    :func:`~spark_hadoop_automation_in_cloud_spark.operators.components.incremental_components`
+    against the persisted labels → batch singletons label themselves.
+    History is never rescanned: the iterative work is O(batch), the label
+    table is touched by one broadcast remap pass.
+
+    Replay-idempotent: the batch token is a deterministic fingerprint
+    (count/min/max of doc ids), the index increment overwrites its own
+    ``ingest=<token>`` partition, and a batch whose token partition exists
+    AND whose doc ids are all labeled is skipped outright.  Crash between
+    the index write and the label swap re-derives the identical pairs on
+    rerun (the probe excludes the batch's own partition, so the
+    half-committed increment cannot double-pair), and a crash mid-swap
+    repairs on entry exactly like ``upsert_batch``.
+
+    Returns the post-round label table (read back from disk).
+    """
+    from spark_hadoop_automation_in_cloud_spark.operators.components import (
+        incremental_components,
+        neardup_clusters,
+    )
+    from spark_hadoop_automation_in_cloud_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        lsh_candidate_pairs,
+        minhash_band_index,
+        minhash_signatures,
+        shingle_rows,
+    )
+
+    if "://" in state_dir:
+        raise ValueError(
+            "maintain_neardup_clusters swaps directories with local-"
+            f"filesystem renames; got URI path {state_dir!r} — on an "
+            "object store, keep the labels in a table format instead"
+        )
+    index_root = os.path.join(state_dir, "band_index")
+    labels_path = os.path.join(state_dir, "labels")
+    tmp, bak = f"{labels_path}.tmp-merge", f"{labels_path}.bak-merge"
+    # repair a previous crash (the upsert_batch protocol)
+    if os.path.isdir(bak):
+        if os.path.isdir(labels_path):
+            shutil.rmtree(bak)
+        else:
+            os.rename(bak, labels_path)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+
+    batch = new_docs.select("doc_id", "text").where(F.col("doc_id").isNotNull())
+    fp = batch.agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).first()
+    if fp["n"] == 0:
+        return (
+            spark.read.parquet(labels_path)
+            if os.path.isdir(labels_path)
+            else spark.createDataFrame([], "node bigint, cluster_id bigint")
+        )
+    import hashlib
+
+    token = hashlib.md5(f"{fp['n']}:{fp['lo']}:{fp['hi']}".encode()).hexdigest()[:16]
+    token_dir = os.path.join(index_root, f"ingest={token}")
+
+    sig = minhash_signatures(shingle_rows(batch, "doc_id", "text", n=2))
+    have_labels = os.path.isdir(labels_path)
+    if have_labels and os.path.isdir(token_dir):
+        labels_old = spark.read.parquet(labels_path)
+        missing = (
+            batch.select(F.col("doc_id").alias("node"))
+            .join(labels_old, "node", "left_anti")
+            .limit(1)
+            .count()
+        )
+        if missing == 0:  # full replay of a committed round: no-op
+            return labels_old
+
+    if have_labels:
+        labels_old = spark.read.parquet(labels_path)
+        index = (
+            spark.read.option("basePath", index_root)
+            .parquet(index_root)
+            .where(F.col("ingest") != token)
+            .drop("ingest")
+        )
+        pairs = incremental_lsh_pairs(sig, index, min_est_jaccard)
+        merged = incremental_components(
+            labels_old, pairs, "left_doc_id", "right_doc_id",
+            node_col="node", comp_col="cluster_id",
+        )
+        singles = (
+            batch.select(F.col("doc_id").alias("node"))
+            .join(merged, "node", "left_anti")
+            .select("node", F.col("node").alias("cluster_id"))
+        )
+        labels_new = merged.unionByName(singles)
+    else:
+        pairs = lsh_candidate_pairs(sig).where(
+            F.col("est_jaccard") >= min_est_jaccard
+        )
+        labels_new = neardup_clusters(
+            pairs, batch, "doc_id",
+            left_col="left_doc_id", right_col="right_doc_id",
+        ).select(F.col("doc_id").alias("node"), "cluster_id")
+
+    # write order: index increment first (overwrites its own token
+    # partition — replay-safe), then the label swap
+    minhash_band_index(sig).write.mode("overwrite").parquet(token_dir)
+    labels_new.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(labels_path):
+        os.rename(labels_path, bak)
+    os.rename(tmp, labels_path)
+    shutil.rmtree(bak, ignore_errors=True)
+    return spark.read.parquet(labels_path)

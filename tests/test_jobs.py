@@ -257,3 +257,39 @@ def test_incremental_dedup_job_cli_compact_flag(spark, tmp_path):
         for r in spark.read.parquet(idx).collect()
     }
     assert rows == {(0, 2), (1, 2), (2, 2), (4, 3)}
+
+
+def test_cluster_maintenance_job_cli_two_rounds(spark, tmp_path):
+    """Two CLI rounds over arriving batches: the second merges the new
+    docs into the persisted labels (a cross-batch near-dup pair must fold
+    both docs into one cluster) without rescanning round one's corpus;
+    bad argv exits 2 without touching state."""
+    job = _load("cluster_maintenance_job")
+    state = str(tmp_path / "state")
+
+    long_a = "x " * 40 + "common tail of words shared verbatim " * 3
+    spark.createDataFrame(
+        [(0, long_a), (1, "totally different text about other things entirely")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(tmp_path / "b1"))
+    assert job.main([str(tmp_path / "b1"), state]) == 0
+    labels1 = {
+        (r["node"], r["cluster_id"])
+        for r in spark.read.parquet(f"{state}/labels").collect()
+    }
+    assert labels1 == {(0, 0), (1, 1)}
+
+    # doc 2 is a near-dup of doc 0 (same text): must join cluster 0
+    spark.createDataFrame(
+        [(2, long_a)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(tmp_path / "b2"))
+    assert job.main([str(tmp_path / "b2"), state, "0.5"]) == 0
+    labels2 = {
+        (r["node"], r["cluster_id"])
+        for r in spark.read.parquet(f"{state}/labels").collect()
+    }
+    assert labels2 == {(0, 0), (1, 1), (2, 0)}
+
+    assert job.main([]) == 2
+    assert job.main([str(tmp_path / "b2"), state, "2.0"]) == 2
+    assert job.main([str(tmp_path / "b2"), state, "abc"]) == 2

@@ -951,3 +951,62 @@ def test_compact_dedup_index_repairs_crash_states(spark, tmp_path):
         for r in spark.read.parquet(idx).collect()
     } == full
     shutil.rmtree(idx)
+
+
+def test_maintain_neardup_clusters_multi_batch_replay_and_crash(spark, sf_dir):
+    """The persisted cluster-maintenance seam, end to end: (a) any
+    batching of the corpus converges to the full-recompute labels, (b) a
+    verbatim replay of a committed round is a no-op, (c) a crash between
+    the index increment and the label swap (index holds the batch's
+    partition, labels do not) re-derives the identical state on rerun —
+    the probe excludes the batch's own partition, so the half-committed
+    increment cannot double-pair."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_hadoop_automation_in_cloud_spark.operators import dedup as dd
+    from spark_hadoop_automation_in_cloud_spark.operators.components import (
+        neardup_clusters,
+    )
+    from spark_hadoop_automation_in_cloud_spark.streaming.incremental import (
+        maintain_neardup_clusters,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    batches = [d.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    full_pairs = dd.lsh_candidate_pairs(
+        dd.minhash_signatures(dd.shingle_rows(d, "doc_id", "text", n=2))
+    ).where(F.col("est_jaccard") >= 0.5)
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in neardup_clusters(
+            full_pairs, d, "doc_id",
+            left_col="left_doc_id", right_col="right_doc_id",
+        ).collect()
+    }
+
+    state = tempfile.mkdtemp(prefix="cm_state_")
+    pre_crash = tempfile.mkdtemp(prefix="cm_precrash_")
+    try:
+        for b in batches:
+            labels = maintain_neardup_clusters(spark, b, state, 0.5)
+        got = {(r["node"], r["cluster_id"]) for r in labels.collect()}
+        assert got == want  # (a)
+
+        again = maintain_neardup_clusters(spark, batches[2], state, 0.5)
+        assert {(r["node"], r["cluster_id"]) for r in again.collect()} == want  # (b)
+
+        # (c): state's index holds all 3 increments; reset labels to the
+        # 2-batch point (what a crash before batch 2's swap leaves behind)
+        for b in batches[:2]:
+            maintain_neardup_clusters(spark, b, pre_crash, 0.5)
+        shutil.rmtree(os.path.join(state, "labels"))
+        shutil.copytree(
+            os.path.join(pre_crash, "labels"), os.path.join(state, "labels")
+        )
+        rerun = maintain_neardup_clusters(spark, batches[2], state, 0.5)
+        assert {(r["node"], r["cluster_id"]) for r in rerun.collect()} == want
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+        shutil.rmtree(pre_crash, ignore_errors=True)
