@@ -185,6 +185,38 @@ def duckdb_merge_fn(table: str = "datamart") -> MergeFn:
     return merge
 
 
+def _repair_swap(path: str) -> tuple[str, str]:
+    """Entry half of the crash-safe directory-swap protocol (ONE
+    definition — upsert_batch and maintain_neardup_clusters share it so a
+    protocol fix can never drift between them): repair whatever a
+    previous crash left, return the (tmp, bak) sibling paths.
+
+    - backup + live both present → the old crash happened after the new
+      snapshot landed: drop the backup;
+    - backup present, live missing → the crash happened mid-swap: restore
+      the backup;
+    - stale tmp → always discarded (the caller rewrites it).
+    """
+    tmp, bak = f"{path}.tmp-merge", f"{path}.bak-merge"
+    if os.path.isdir(bak):
+        if os.path.isdir(path):
+            shutil.rmtree(bak)
+        else:
+            os.rename(bak, path)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    return tmp, bak
+
+
+def _commit_swap(path: str, tmp: str, bak: str) -> None:
+    """Commit half of the swap protocol: the live dir is renamed aside
+    BEFORE the tmp renames in, so no crash point loses the snapshot."""
+    if os.path.isdir(path):
+        os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak, ignore_errors=True)
+
+
 def upsert_batch(
     batch_df: DataFrame,
     path: str,
@@ -222,14 +254,7 @@ def upsert_batch(
             "to target a table format instead"
         )
     spark = batch_df.sparkSession
-    tmp, bak = f"{path}.tmp-merge", f"{path}.bak-merge"
-    if os.path.isdir(bak):
-        if os.path.isdir(path):
-            shutil.rmtree(bak)
-        else:
-            os.rename(bak, path)
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp)
+    tmp, bak = _repair_swap(path)
 
     if os.path.isdir(path):
         current = spark.read.parquet(path)
@@ -239,10 +264,7 @@ def upsert_batch(
     else:
         merged = latest_per_key(batch_df, key_cols, order_cols)
     merged.write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(path):
-        os.rename(path, bak)
-    os.rename(tmp, path)
-    shutil.rmtree(bak, ignore_errors=True)
+    _commit_swap(path, tmp, bak)
 
 
 def run_incremental_upsert(
@@ -464,28 +486,43 @@ def maintain_neardup_clusters(
 
     State layout (plain parquet, local paths):
 
-    - ``state_dir/band_index/ingest=<token>/`` — append-only MinHash band
-      rows per ingested batch (``operators.dedup.minhash_band_index``);
-      the probe reads every partition EXCEPT the current batch's own.
+    - ``state_dir/band_index/ingest=t<token>/`` — append-only MinHash
+      band rows per ingested batch (``operators.dedup.
+      minhash_band_index``); the probe reads every partition EXCEPT the
+      current batch's own.  The token is an order-independent content
+      fingerprint of the batch's doc-id SET (count/min/max/bit_xor of
+      the id hashes — count:min:max alone collides for different sets
+      with the same envelope, and a collision would let a later batch's
+      overwrite destroy an earlier batch's index partition).  The 't'
+      prefix keeps Spark's partition-column type inference on STRING —
+      an all-digit token set would infer numeric and turn the
+      ``!= token`` probe filter into a NULL that silently drops the
+      whole history.
     - ``state_dir/labels/`` — the full-coverage min-id label table
-      (node, cluster_id), swap-rewritten per round with the same
-      crash-safe rename protocol as :func:`upsert_batch`.
+      (node, cluster_id), swap-rewritten per round with the shared
+      crash-safe rename protocol (``_repair_swap``/``_commit_swap``).
 
     Per round: batch signatures → :func:`~spark_hadoop_automation_in_cloud_spark.operators.
     dedup.incremental_lsh_pairs` against the persisted index →
     :func:`~spark_hadoop_automation_in_cloud_spark.operators.components.incremental_components`
-    against the persisted labels → batch singletons label themselves.
-    History is never rescanned: the iterative work is O(batch), the label
-    table is touched by one broadcast remap pass.
+    against the persisted labels → batch singletons label themselves
+    (derived from the batch-id set minus pair endpoints minus already-
+    labeled ids — batch-sized anti-joins, so the merged frame is
+    evaluated exactly once, by the label write).  Duplicate doc_id rows
+    in a batch are collapsed to the id set before any node row is built
+    — the label table's one-row-per-node contract (which
+    incremental_components requires of its input) survives bad upstream
+    delivery.
 
-    Replay-idempotent: the batch token is a deterministic fingerprint
-    (count/min/max of doc ids), the index increment overwrites its own
-    ``ingest=<token>`` partition, and a batch whose token partition exists
-    AND whose doc ids are all labeled is skipped outright.  Crash between
-    the index write and the label swap re-derives the identical pairs on
-    rerun (the probe excludes the batch's own partition, so the
-    half-committed increment cannot double-pair), and a crash mid-swap
-    repairs on entry exactly like ``upsert_batch``.
+    Replay-idempotent BY ALGEBRA, not by a skip check: re-running any
+    committed batch re-derives the identical pairs (the probe excludes
+    the batch's own partition) and re-merging already-folded edges is a
+    no-op under min-id CC — so interleaved crash/replay orderings
+    converge without a "was this committed?" heuristic (a skip check
+    keyed on "token dir exists and ids are labeled" would WRONGLY skip a
+    crashed batch whose ids a later batch labeled through cross-batch
+    pairs, losing the crashed batch's within-batch edges forever).
+    Crash mid-swap repairs on entry exactly like ``upsert_batch``.
 
     Returns the post-round label table (read back from disk).
     """
@@ -500,6 +537,7 @@ def maintain_neardup_clusters(
         minhash_signatures,
         shingle_rows,
     )
+    from spark_hadoop_automation_in_cloud_spark.functions.hashing import md5_int60
 
     if "://" in state_dir:
         raise ValueError(
@@ -509,20 +547,14 @@ def maintain_neardup_clusters(
         )
     index_root = os.path.join(state_dir, "band_index")
     labels_path = os.path.join(state_dir, "labels")
-    tmp, bak = f"{labels_path}.tmp-merge", f"{labels_path}.bak-merge"
-    # repair a previous crash (the upsert_batch protocol)
-    if os.path.isdir(bak):
-        if os.path.isdir(labels_path):
-            shutil.rmtree(bak)
-        else:
-            os.rename(bak, labels_path)
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp)
+    tmp, bak = _repair_swap(labels_path)
 
     batch = new_docs.select("doc_id", "text").where(F.col("doc_id").isNotNull())
     fp = batch.agg(
-        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("lo"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("lo"),
         F.max("doc_id").alias("hi"),
+        F.bit_xor(md5_int60(F.col("doc_id").cast("string"))).alias("xr"),
     ).first()
     if fp["n"] == 0:
         return (
@@ -532,28 +564,22 @@ def maintain_neardup_clusters(
         )
     import hashlib
 
-    token = hashlib.md5(f"{fp['n']}:{fp['lo']}:{fp['hi']}".encode()).hexdigest()[:16]
-    token_dir = os.path.join(index_root, f"ingest={token}")
+    token = hashlib.md5(
+        f"{fp['n']}:{fp['lo']}:{fp['hi']}:{fp['xr']}".encode()
+    ).hexdigest()[:16]
+    token_dir = os.path.join(index_root, f"ingest=t{token}")
 
-    sig = minhash_signatures(shingle_rows(batch, "doc_id", "text", n=2))
-    have_labels = os.path.isdir(labels_path)
-    if have_labels and os.path.isdir(token_dir):
-        labels_old = spark.read.parquet(labels_path)
-        missing = (
-            batch.select(F.col("doc_id").alias("node"))
-            .join(labels_old, "node", "left_anti")
-            .limit(1)
-            .count()
-        )
-        if missing == 0:  # full replay of a committed round: no-op
-            return labels_old
+    # one signature row per doc_id (minhash_signatures groups by id), so
+    # duplicate batch rows cannot duplicate index or label rows
+    sig = minhash_signatures(shingle_rows(batch, "doc_id", "text", n=2)).cache()
+    batch_ids = batch.select(F.col("doc_id").alias("node")).distinct()
 
-    if have_labels:
+    if os.path.isdir(labels_path):
         labels_old = spark.read.parquet(labels_path)
         index = (
             spark.read.option("basePath", index_root)
             .parquet(index_root)
-            .where(F.col("ingest") != token)
+            .where(F.col("ingest") != f"t{token}")
             .drop("ingest")
         )
         pairs = incremental_lsh_pairs(sig, index, min_est_jaccard)
@@ -561,9 +587,18 @@ def maintain_neardup_clusters(
             labels_old, pairs, "left_doc_id", "right_doc_id",
             node_col="node", comp_col="cluster_id",
         )
+        # singletons WITHOUT touching merged (which embeds the history
+        # remap — evaluating it twice would re-scan the label table): a
+        # batch id is a singleton iff no pair touches it and no earlier
+        # round labeled it
+        pair_nodes = (
+            pairs.select(F.col("left_doc_id").alias("node"))
+            .unionByName(pairs.select(F.col("right_doc_id").alias("node")))
+            .distinct()
+        )
         singles = (
-            batch.select(F.col("doc_id").alias("node"))
-            .join(merged, "node", "left_anti")
+            batch_ids.join(pair_nodes, "node", "left_anti")
+            .join(labels_old.select("node"), "node", "left_anti")
             .select("node", F.col("node").alias("cluster_id"))
         )
         labels_new = merged.unionByName(singles)
@@ -572,7 +607,7 @@ def maintain_neardup_clusters(
             F.col("est_jaccard") >= min_est_jaccard
         )
         labels_new = neardup_clusters(
-            pairs, batch, "doc_id",
+            pairs, batch_ids.withColumnRenamed("node", "doc_id"), "doc_id",
             left_col="left_doc_id", right_col="right_doc_id",
         ).select(F.col("doc_id").alias("node"), "cluster_id")
 
@@ -580,8 +615,6 @@ def maintain_neardup_clusters(
     # partition — replay-safe), then the label swap
     minhash_band_index(sig).write.mode("overwrite").parquet(token_dir)
     labels_new.write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(labels_path):
-        os.rename(labels_path, bak)
-    os.rename(tmp, labels_path)
-    shutil.rmtree(bak, ignore_errors=True)
+    _commit_swap(labels_path, tmp, bak)
+    sig.unpersist()
     return spark.read.parquet(labels_path)
