@@ -723,3 +723,164 @@ SELECT source,
 FROM j
 GROUP BY 1
 """
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: dict[int, str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+) -> DataFrame:
+    """BM25 lexical retrieval: top-``topk`` documents per query — the
+    exact-lexical half of the engine's search story (ANN covers the
+    semantic half; TF-IDF gives per-doc keywords, this ranks docs
+    against QUERIES).
+
+    Output: query_id, doc_id, bm25 (round 6dp), rank (1..topk, dense per
+    query, ties broken by doc_id).
+
+    Scoring: the BM25+-style robust idf ``ln(1 + (N - df + 0.5) /
+    (df + 0.5))`` (never negative) times the saturated tf norm
+    ``tf(k1+1) / (tf + k1(1 - b + b·dl/avgdl))``.  ``dl/avgdl`` is
+    computed as ``dl·N / total_dl`` — integer numerator, one double
+    division — and each (query, doc, term) contribution is snapped to an
+    integer 1e-6 grid before the per-doc sum (the unigram-LM idiom:
+    order-independent exact summation; ``ln`` agreement at 6dp follows
+    the TF-IDF precedent).
+
+    Scale shape: the query-term table is a broadcast literal joined into
+    the (doc, term) tf frame FIRST, so only the query terms' posting
+    lists survive — the inverted-index probe; fan-out per term = its
+    document frequency.  Corpus statistics (per-term df, N, total
+    length) are two aggregates, broadcast back.  The per-query top-k is
+    a WindowGroupLimit window over matched docs only.
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    if topk < 1:
+        raise ValueError(f"topk must be >= 1, got {topk}")
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        sorted(
+            {(int(qid), t) for qid, qs in queries.items() for t in qs.split()}
+        ),
+        "query_id int, token string",
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    # prune to query terms BEFORE any aggregation: tf and df shuffle only
+    # the query terms' posting lists, never the full vocabulary (the
+    # oracle computes the naive full-vocab form — df per term is the same
+    # number either way, which is exactly what the value-hash proves)
+    qtok = F.broadcast(qterms.select("token").distinct())
+    tf = (
+        toks.join(qtok, "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    matched = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + k1
+        * (
+            1.0
+            - b
+            + b * (F.col("dl") * F.col("n_docs")).cast("double") / F.col("total_dl")
+        )
+    )
+    contrib = F.round(idf * norm * 1_000_000).cast("bigint")
+    scored = (
+        matched.select("query_id", "doc_id", contrib.alias("__c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("__c").alias("__s"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__s").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("__s") / 1_000_000.0, 6).alias("bm25"),
+            "rank",
+        )
+    )
+
+
+def sql_bm25_scores(
+    src: str,
+    id_col: str,
+    text_col: str,
+    queries: dict[int, str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+) -> str:
+    """DuckDB twin of :func:`bm25_scores` — identical idf/norm arithmetic,
+    identical 1e-6 contribution grid, identical tiebreak."""
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    pairs = sorted(
+        {(int(qid), t) for qid, qs in queries.items() for t in qs.split()}
+    )
+    values = ", ".join(
+        f"({qid}, '" + t.replace("'", "''") + "')" for qid, t in pairs
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, unnest(string_split({text_col}, ' ')) AS token
+  FROM {src}
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+qterms(query_id, token) AS (VALUES {values}),
+matched AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(round(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * ({k1!r} + 1.0))
+           / (tf.tf + {k1!r} * (1.0 - {b!r}
+              + {b!r} * CAST(dl.dl * s.n_docs AS DOUBLE) / s.total_dl))
+           * 1000000) AS BIGINT) AS c
+  FROM tf
+  JOIN qterms q ON q.token = tf.token
+  JOIN dfreq d ON d.token = tf.token
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id, SUM(c) AS s FROM matched GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         round(s / 1000000.0, 6) AS bm25,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY s DESC, doc_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, bm25, rank FROM ranked WHERE rank <= {topk}
+"""

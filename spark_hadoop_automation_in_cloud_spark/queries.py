@@ -96,6 +96,12 @@ def register(name: str, sql: str | None, doc: str = ""):
 # round-6 allocation rationale is preserved in git history (this file,
 # commit aad8580 and earlier).
 #
+# Late-r7 additions AFTER the window filled (q133 BM25 retrieval): the
+# window's 50 slots are all new rows, changed kernels, or the age-2
+# backlog — no displaceable refresh remains — so q133 stays outside and
+# rides round 8's new block per the standing rule (it is
+# sf0.001/0.01-parity-green locally on registration).
+#
 # The driver's CORRECTNESS run verifies a bounded window (50 entries)
 # taken in registration order, so queries() exposes the registry ROTATED
 # per the allocation above.  Local pytest parity
@@ -5683,3 +5689,35 @@ def q132_incremental_cluster_maintenance(
             F.coalesce(merged["cluster_id"], d["doc_id"]).alias("cluster_id"),
         )
     )
+
+
+#: q133's fixed retrieval queries — ONE literal, inlined identically into
+#: the Spark plan and the SQL oracle (terms drawn from the synthetic
+#: corpus vocabulary so every query matches documents at every sf)
+_Q133_QUERIES: dict[int, str] = {
+    1: "hash join shuffle",
+    2: "window sort order",
+    3: "stream batch merge",
+}
+
+
+@register(
+    "q133_bm25_retrieval",
+    tx.sql_bm25_scores("documents", "doc_id", "text", _Q133_QUERIES, topk=10),
+    doc="BM25 lexical retrieval (operators/textops.py bm25_scores): "
+    "top-10 documents for each of three fixed keyword queries — the "
+    "exact-lexical half of the search story (q24/q25/q30/q122 cover the "
+    "semantic half; q63's TF-IDF gives per-doc keywords, this ranks "
+    "docs against QUERIES). Robust BM25+ idf times saturated tf norm; "
+    "per-(query,doc,term) contributions snap to a 1e-6 integer grid "
+    "before the exact per-doc sum (the q101 unigram-LM idiom, so the "
+    "oracle reproduces scores despite float summation order; ln "
+    "agreement at 6dp per the TF-IDF precedent). Scale shape: the "
+    "query-term literal broadcasts into the token scan FIRST, so tf and "
+    "df shuffle only the query terms' posting lists — never the full "
+    "vocabulary; corpus stats are one doc-length aggregate; the "
+    "per-query top-10 is a WindowGroupLimit window over matched docs.",
+)
+def q133_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    return tx.bm25_scores(d, "doc_id", "text", _Q133_QUERIES, topk=10)

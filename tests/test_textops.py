@@ -166,3 +166,59 @@ def test_curation_funnel_staged_counts_and_one_pass_plan(spark):
     plan = curation_funnel(df, "source", "lang", "text")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Join" not in plan and plan.count("Exchange") == 1
+
+
+def test_bm25_properties_and_python_reference(spark):
+    """BM25 pinned against a from-scratch Python reference on a toy
+    corpus (same idf/norm/grid arithmetic — catches sign, saturation,
+    and avgdl mistakes the oracle parity could mask by replicating
+    them), plus the two semantic properties: a doc with more matching
+    terms outranks one with fewer, and a rare term outweighs a common
+    one at equal tf."""
+    import math
+
+    from spark_hadoop_automation_in_cloud_spark.operators.textops import bm25_scores
+
+    corpus = {
+        1: "rare common common filler filler filler",
+        2: "common filler filler",
+        3: "rare common extra filler",
+        4: "filler filler filler filler",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()], "doc_id long, text string"
+    )
+    queries = {7: "rare common"}
+    got = {
+        (r["query_id"], r["doc_id"]): (r["bm25"], r["rank"])
+        for r in bm25_scores(df, "doc_id", "text", queries, topk=4).collect()
+    }
+
+    k1, b = 1.2, 0.75
+    docs_toks = {i: t.split() for i, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in docs_toks.values()) / n
+    dfreq = {
+        w: sum(1 for t in docs_toks.values() if w in t) for w in ("rare", "common")
+    }
+    want_scores = {}
+    for i, t in docs_toks.items():
+        s = 0
+        for w in ("rare", "common"):
+            tf = t.count(w)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - dfreq[w] + 0.5) / (dfreq[w] + 0.5))
+            norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(t) / avgdl))
+            s += round(idf * norm * 1_000_000)
+        if s:
+            want_scores[i] = round(s / 1_000_000.0, 6)
+    order = sorted(want_scores, key=lambda i: (-want_scores[i], i))
+    want = {
+        (7, i): (want_scores[i], r + 1) for r, i in enumerate(order)
+    }
+    assert got == want
+    # both-term docs outrank single-term docs; rare beats common at the top
+    ranks = {i: got[(7, i)][1] for i in got and [k[1] for k in got]}
+    assert ranks[1] < ranks[2] and ranks[3] < ranks[2]
+    assert 4 not in ranks  # no matching term, no row
