@@ -369,6 +369,7 @@ BNLJ_INTENDED = {
     "q120_quality_threshold_for_budget": 1,  # 1-row budget cut broadcast
     "q121_event_mix_drift": 2,     # 1-row totals broadcast, one per side
     "q122_projected_rerank_topk": 1,  # broadcast query side, 16-dim stage
+    "q133_bm25_retrieval": 1,      # 1-row corpus-stats (N, total_dl) broadcast
 }
 
 #: queries whose SinglePartition window sort is fed by a CALENDAR-bounded
