@@ -110,6 +110,11 @@ HEADLINE = [
     # tracks the merge itself against history scale instead.
     "q126_heavy_hitter_parts",
     "q127_curation_funnel",
+    # late-r7 addition: BM25 retrieval — the lexical-search plan family
+    # (broadcast query terms pruning the token scan before any shuffle);
+    # a regression that un-prunes the tf/df aggregation back to the full
+    # vocabulary shows up here as a wall cliff
+    "q133_bm25_retrieval",
 ]
 
 #: Pinned machine-factor kernels (VERDICT r5 item 5): code-independent
