@@ -115,6 +115,7 @@ HEADLINE = [
     # a regression that un-prunes the tf/df aggregation back to the full
     # vocabulary shows up here as a wall cliff
     "q133_bm25_retrieval",
+    "q134_hybrid_rrf_retrieval",
 ]
 
 #: Pinned machine-factor kernels (VERDICT r5 item 5): code-independent

@@ -890,3 +890,185 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+# --- Hybrid lexical+dense retrieval (PRF seed + reciprocal-rank fusion) ------
+
+
+def hybrid_prf_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    queries: dict[int, str],
+    *,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_each: int = 20,
+    topk: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with a dense cosine
+    ranking via reciprocal-rank fusion (RRF), the dense query vector
+    obtained by pseudo-relevance feedback (PRF) — the embedding of each
+    query's BM25 top-1 document seeds its semantic neighborhood scan.
+
+    Output: ``query_id``, ``doc_id``, ``bm25_rank`` / ``dense_rank``
+    (1-based int, NULL when the doc appears on one side only), ``rrf``
+    (fused score, 6dp) and ``rank`` (1..topk, ties by doc_id).
+
+    Fusion is Cormack et al.'s RRF: ``sum(1 / (rrf_k + rank))`` over the
+    sides that ranked the doc in their top ``k_each``.  Each side's term
+    is snapped to an integer 1e-9 grid before the sum (ranks are exact
+    ints, so both engines compute the identical bigint), making the fused
+    ORDER cross-engine exact; ``rrf`` is the grid sum scaled back.
+
+    Scale shape: the lexical side is :func:`~...textops.bm25_scores`
+    (query-term posting lists only; 1-row stats broadcast).  Its ranked
+    list — at most ``n_queries·k_each`` rows by construction, bounded
+    model state like a centroid set — is materialized driver-side ONCE,
+    so the token-probe scan runs once even though two downstream branches
+    (the PRF seeds and the fusion join) consume the list; a lazy reuse
+    would re-evaluate the whole lexical subtree per branch (two corpus
+    scans, verified in the physical plan).  The PRF seed set and its
+    embeddings ride broadcasts; the dense side is one unshuffled corpus
+    scan (broadcast NLJ, q24's shape); the fusion joins two tiny frames.
+    """
+    # local import: fusion composes the lexical ranker from textops; the
+    # dependency is one-way (textops never imports similarity)
+    from spark_hadoop_automation_in_cloud_spark.operators.textops import bm25_scores
+
+    if topk < 1 or k_each < 1:
+        raise ValueError(f"topk/k_each must be >= 1, got {topk}/{k_each}")
+    spark = docs.sparkSession
+    lex_plan = bm25_scores(docs, doc_id_col, text_col, queries, topk=k_each).select(
+        "query_id", "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    lex = spark.createDataFrame(lex_plan.collect(), lex_plan.schema)
+    seeds = lex.where(F.col("bm25_rank") == 1).select(
+        "query_id", F.col("doc_id").alias("__seed_id")
+    )
+    qv = F.broadcast(
+        seeds.join(emb, seeds["__seed_id"] == emb[vec_id_col]).select(
+            "query_id", "__seed_id", F.col(vec_col).alias("__qvec")
+        )
+    )
+    corpus = emb.select(
+        F.col(vec_id_col).alias("doc_id"), F.col(vec_col).alias("__cvec")
+    )
+    dscored = (
+        qv.crossJoin(corpus)
+        .where(F.col("doc_id") != F.col("__seed_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    dw = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("doc_id").asc()
+    )
+    dense = (
+        dscored.withColumn("dense_rank", F.row_number().over(dw))
+        .where(F.col("dense_rank") <= k_each)
+        .select("query_id", "doc_id", "dense_rank")
+    )
+
+    def contrib(rank: Column) -> Column:
+        return F.when(
+            rank.isNotNull(),
+            F.round(F.lit(1_000_000_000.0) / (rank + F.lit(rrf_k))).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.col("bm25_rank").cast("int").alias("bm25_rank"),
+        F.col("dense_rank").cast("int").alias("dense_rank"),
+        (contrib(F.col("bm25_rank")) + contrib(F.col("dense_rank"))).alias("__s"),
+    )
+    fw = Window.partitionBy("query_id").orderBy(
+        F.col("__s").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(fw).cast("int"))
+        .where(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "doc_id",
+            "bm25_rank",
+            "dense_rank",
+            F.round(F.col("__s") / 1_000_000_000.0, 6).alias("rrf"),
+            "rank",
+        )
+    )
+
+
+def sql_hybrid_prf_rrf_topk(
+    docs_src: str,
+    emb_src: str,
+    queries: dict[int, str],
+    *,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_each: int = 20,
+    topk: int = 10,
+    rrf_k: int = 60,
+) -> str:
+    """DuckDB twin of :func:`hybrid_prf_rrf_topk`: the lexical CTE is the
+    verbatim :func:`~...textops.sql_bm25_scores` body (ONE definition of
+    the ranker per engine), the dense side shares ``_SQL_COS``, and the
+    fusion uses the identical 1e-9 integer grid."""
+    from spark_hadoop_automation_in_cloud_spark.operators.textops import (
+        sql_bm25_scores,
+    )
+
+    lex_sql = sql_bm25_scores(
+        docs_src, doc_id_col, text_col, queries, topk=k_each
+    )
+    cos = _SQL_COS.format(a="qv.__qvec", b="c.__cvec")
+    grid = 1_000_000_000.0
+    return f"""
+WITH lex AS (
+  SELECT query_id, doc_id, rank AS bm25_rank FROM ({lex_sql})
+),
+seeds AS (SELECT query_id, doc_id AS __seed_id FROM lex WHERE bm25_rank = 1),
+qv AS (
+  SELECT s.query_id, s.__seed_id, e.{vec_col} AS __qvec
+  FROM seeds s JOIN {emb_src} e ON e.{vec_id_col} = s.__seed_id
+),
+dscored AS (
+  SELECT qv.query_id, c.{vec_id_col} AS doc_id, {cos} AS cosine_sim
+  FROM qv CROSS JOIN (SELECT {vec_id_col}, {vec_col} AS __cvec FROM {emb_src}) c
+  WHERE c.{vec_id_col} <> qv.__seed_id
+),
+dense AS (
+  SELECT query_id, doc_id, dense_rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_sim DESC, doc_id ASC) AS dense_rank
+    FROM dscored
+  ) WHERE dense_rank <= {k_each}
+),
+fused AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         CAST(l.bm25_rank AS INT) AS bm25_rank,
+         CAST(d.dense_rank AS INT) AS dense_rank,
+         COALESCE(CAST(round({grid!r} / (l.bm25_rank + {rrf_k})) AS BIGINT), 0)
+         + COALESCE(CAST(round({grid!r} / (d.dense_rank + {rrf_k})) AS BIGINT), 0)
+           AS __s
+  FROM lex l FULL JOIN dense d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY __s DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, bm25_rank, dense_rank,
+       round(__s / {grid!r}, 6) AS rrf, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {topk}
+"""

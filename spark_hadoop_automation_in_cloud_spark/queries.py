@@ -5721,3 +5721,33 @@ _Q133_QUERIES: dict[int, str] = {
 def q133_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", parallelize=True)
     return tx.bm25_scores(d, "doc_id", "text", _Q133_QUERIES, topk=10)
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.similarity import (  # noqa: E402
+    hybrid_prf_rrf_topk,
+    sql_hybrid_prf_rrf_topk,
+)
+
+
+@register(
+    "q134_hybrid_rrf_retrieval",
+    sql_hybrid_prf_rrf_topk(
+        "documents", "embeddings", _Q133_QUERIES, k_each=20, topk=10
+    ),
+    doc="Hybrid lexical+dense retrieval (operators/similarity.py "
+    "hybrid_prf_rrf_topk): q133's BM25 queries ranked lexically (top-20), "
+    "each query's top-1 hit seeding a dense cosine neighborhood scan by "
+    "pseudo-relevance feedback, the two rank lists fused per doc with "
+    "reciprocal-rank fusion 1/(60+rank) on an exact 1e-9 integer grid — "
+    "the standard two-tower retrieval composition (RAG-style) from parts "
+    "the registry already proves separately (q133 lexical, q24 dense). "
+    "Scale shape: query-term posting lists + 1-row stats broadcast on "
+    "the lexical side; a one-row-per-query PRF seed broadcast and one "
+    "unshuffled corpus scan on the dense side; fusion joins two "
+    "n_queries*20-row frames. The oracle embeds sql_bm25_scores "
+    "verbatim — ONE ranker definition per engine.",
+)
+def q134_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    e = read_table(spark, sf_dir, "embeddings", parallelize=True)
+    return hybrid_prf_rrf_topk(d, e, _Q133_QUERIES, k_each=20, topk=10)

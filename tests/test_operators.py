@@ -2124,3 +2124,54 @@ def test_incremental_lsh_pairs_complement_hist_pairs(spark, sf_dir):
     assert hist_pairs | inc == full
     assert hist_pairs & inc == set()  # inc never re-derives history
     assert inc  # the split actually produced batch-touching pairs
+
+
+def test_hybrid_prf_rrf_fusion_math(spark):
+    """RRF fusion on a hand-computable corpus: the dense list is seeded by
+    the BM25 top-1 (PRF), a doc on both lists sums both grid terms, a
+    one-list doc gets one term + a NULL rank on the other side, and the
+    fused order breaks ties by doc_id."""
+    from spark_hadoop_automation_in_cloud_spark.operators.similarity import (
+        hybrid_prf_rrf_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha alpha alpha beta pad"),  # strongest lexical match
+            (1, "alpha beta pad pad pad"),
+            (2, "beta pad pad pad pad"),
+            (3, "pad pad pad pad pad"),  # no lexical match
+            (4, "pad pad pad pad pad"),  # no lexical match
+        ],
+        "doc_id long, text string",
+    )
+    # doc0 is the PRF seed; doc3 is nearly parallel to it (dense #1),
+    # doc4 close (dense #2), docs 1/2 orthogonal-ish
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (2, [0.0, 0.0, 1.0]),
+            (3, [0.99, 0.1, 0.0]),
+            (4, [0.9, 0.3, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = hybrid_prf_rrf_topk(
+        docs, emb, {7: "alpha beta"}, k_each=3, topk=5
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    # lexical ranks: doc0=1 (seed), doc1=2, doc2=3; dense (vs doc0,
+    # excluding the seed): doc3=1, doc4=2, doc1 or doc2 =3 (cos 0 tie →
+    # doc1 by id)
+    assert rows[0]["bm25_rank"] == 1 and rows[0]["dense_rank"] is None
+    assert rows[3]["dense_rank"] == 1 and rows[3]["bm25_rank"] is None
+    assert rows[1]["bm25_rank"] == 2 and rows[1]["dense_rank"] == 3
+    g = lambda r: round(1e9 / (60 + r))
+    assert rows[1]["rrf"] == round((g(2) + g(3)) / 1e9, 6)
+    assert rows[0]["rrf"] == round(g(1) / 1e9, 6)
+    # doc1 (two sides) outscores every single-side doc
+    assert rows[1]["rank"] == 1
+    # doc2 absent from dense top-3? doc2 cos==0 ties doc1, loses by id →
+    # lexical-only contribution
+    assert rows[2]["dense_rank"] is None and rows[2]["bm25_rank"] == 3

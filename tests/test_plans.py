@@ -370,6 +370,10 @@ BNLJ_INTENDED = {
     "q121_event_mix_drift": 2,     # 1-row totals broadcast, one per side
     "q122_projected_rerank_topk": 1,  # broadcast query side, 16-dim stage
     "q133_bm25_retrieval": 1,      # 1-row corpus-stats (N, total_dl) broadcast
+    # broadcast PRF-seed query side over the unshuffled corpus; the
+    # lexical side's stats BNLJ runs inside the bounded list collect,
+    # not in the returned plan
+    "q134_hybrid_rrf_retrieval": 1,
 }
 
 #: queries whose SinglePartition window sort is fed by a CALENDAR-bounded
