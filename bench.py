@@ -116,6 +116,11 @@ HEADLINE = [
     # vocabulary shows up here as a wall cliff
     "q133_bm25_retrieval",
     "q134_hybrid_rrf_retrieval",
+    # distributed-PCA family: the one-scan moment aggregate and the
+    # zero-shuffle projection (its covariance collect runs inside the
+    # timed call, so the number covers the whole two-job pipeline)
+    "q135_embedding_covariance",
+    "q136_pc_projection",
 ]
 
 #: Pinned machine-factor kernels (VERDICT r5 item 5): code-independent

@@ -1,0 +1,342 @@
+"""Distributed linear algebra over embedding columns: exact covariance
+aggregation and the top principal component by power iteration.
+
+The training-data use case is embedding whitening / drift analysis: the
+covariance of an ``array<float>`` column is the canonical "is this corpus
+collapsing onto a few directions?" statistic, and projecting every vector
+onto the top principal component gives the 1-D spectral ordering SemDeDup-
+style curation pipelines use for diversity budgeting.
+
+Scale + determinism design (the repo's integer-grid idiom, q101/q133
+precedent):
+
+- Components are snapped to a 1e-6 integer grid at the scan, so every
+  downstream moment is an EXACT integer in both engines (Spark DECIMAL(38,0)
+  accumulators, DuckDB HUGEINT).
+- The second-moment aggregation is ONE corpus scan: each row explodes into
+  its ``dim·(dim+1)/2`` upper-triangle cells carrying ``(x_i·x_j, x_i, x_j,
+  1)``, and a single map-side-combined hash aggregate reduces them — the
+  shuffle moves at most ``cells × partitions`` pre-combined rows regardless
+  of corpus size.  No join recovers the first moments afterwards: they ride
+  in the same cell payload, so the centered numerator ``n·Σxy − Σx·Σy``
+  computes inside the aggregate's projection with zero extra scans.
+- Power iteration runs driver-side on the collected cell table — bounded
+  model state (``dim²`` integers, the k-means-centroid precedent), exact
+  Python bigints.  Per iteration the vector renormalizes to the 1e-6 grid
+  through one float division mirrored step-for-step by the SQL twin
+  (``floor(1e6·w/max|w| + 0.5)`` on identically-rounded doubles), so both
+  engines walk the identical trajectory.
+- The projection is a row-local integer dot product (one scan, zero
+  shuffle); the direction ships into the plan as a single array literal.
+
+Reference parity: the reference engine has no linear-algebra operators —
+this module is part of the §7.3-step-9 training-data extension surface.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_GRID = 1_000_000  # 1e-6 component grid
+_GRID2 = float(_GRID) * float(_GRID)  # product-of-two-components grid
+
+
+def _int_vec_expr(vec_col: str) -> str:
+    """SQL expression snapping a vector to the 1e-6 integer grid (exact
+    float32→double widening first, the clustering.py convention)."""
+    return (
+        f"transform(cast(`{vec_col}` as array<double>),"
+        f" x -> CAST(round(x * {float(_GRID)!r}) AS BIGINT))"
+    )
+
+
+def covariance_cells(
+    emb: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Upper-triangle covariance moments in one scan + one aggregation.
+
+    Output: ``i``, ``j`` (int, ``i <= j``), ``num`` (DECIMAL(38,0): the
+    exact centered numerator ``n·Σx_i x_j − Σx_i·Σx_j`` on the squared
+    grid), ``n`` (bigint row count).  ``cov = num / n² / grid²``.
+
+    Every row explodes into its upper-triangle cells, each carrying the
+    pair product AND both first-moment components, so ONE hash aggregate
+    (map-side combined) yields second and first moments together — no
+    sentinel rows, no re-join, no second scan.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    qv = emb.select(F.expr(_int_vec_expr(vec_col)).alias("__qv"))
+    cells = F.expr(
+        f"""
+        flatten(transform(sequence(0, {dim - 1}), i ->
+          transform(sequence(i, {dim - 1}), j ->
+            struct(CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+                   element_at(__qv, i + 1) * element_at(__qv, j + 1) AS p,
+                   element_at(__qv, i + 1) AS a,
+                   element_at(__qv, j + 1) AS b))))
+        """
+    )
+    dec = "decimal(38,0)"
+    exploded = qv.select(F.explode(cells).alias("c")).select(
+        "c.i", "c.j", "c.p", "c.a", "c.b"
+    )
+    return exploded.groupBy("i", "j").agg(
+        (
+            F.count(F.lit(1)) * F.sum(F.col("p").cast(dec))
+            - F.sum(F.col("a").cast(dec)) * F.sum(F.col("b").cast(dec))
+        ).alias("num"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def covariance_matrix(
+    emb: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Centered covariance of the vector column, upper triangle.
+
+    Output: ``i``, ``j`` (int, ``i <= j``), ``cov`` (double, 6dp).  The
+    population covariance (``/n``, not ``/(n−1)``): ``(n·Σxy − Σx·Σy) /
+    n²`` on grid-snapped components — exact integers until one final
+    double division sequence both engines share verbatim.
+    """
+    c = covariance_cells(emb, vec_col, dim)
+    # + 0.0 canonicalizes IEEE negative zero (round(-4e-8, 6) is -0.0,
+    # whose string form would diverge from the other engine's +0.0 in the
+    # driver's value hash); same op on the SQL side
+    cov = F.round(
+        F.col("num").cast("double") / F.col("n") / F.col("n") / F.lit(_GRID2), 6
+    ) + F.lit(0.0)
+    return c.select("i", "j", cov.alias("cov"))
+
+
+def sql_covariance_cells(src: str, vec_col: str = "embedding", dim: int = 64) -> str:
+    """DuckDB CTE body mirroring :func:`covariance_cells` (shared by the
+    covariance and projection oracles): yields i, j, num (HUGEINT), n."""
+    return f"""
+q AS MATERIALIZED (
+  SELECT list_transform(CAST({vec_col} AS DOUBLE[]),
+                        x -> CAST(round(x * {float(_GRID)!r}) AS BIGINT)) AS qv
+  FROM {src}
+),
+cells AS MATERIALIZED (
+  SELECT CAST(gi.i AS INT) AS i, CAST(gj.j AS INT) AS j,
+         COUNT(*) * SUM(CAST(qv[gi.i + 1] AS HUGEINT) * qv[gj.j + 1])
+         - SUM(CAST(qv[gi.i + 1] AS HUGEINT)) * SUM(CAST(qv[gj.j + 1] AS HUGEINT))
+           AS num,
+         COUNT(*) AS n
+  FROM q
+  CROSS JOIN generate_series(0, {dim - 1}) gi(i)
+  CROSS JOIN generate_series(0, {dim - 1}) gj(j)
+  WHERE gj.j >= gi.i
+  GROUP BY 1, 2
+)"""
+
+
+def sql_covariance_matrix(src: str, vec_col: str = "embedding", dim: int = 64) -> str:
+    """DuckDB twin of :func:`covariance_matrix`."""
+    return f"""
+WITH {sql_covariance_cells(src, vec_col, dim)}
+SELECT i, j,
+       round(CAST(num AS DOUBLE) / n / n / {_GRID2!r}, 6) + 0.0 AS cov
+FROM cells
+"""
+
+
+def _renorm_int(x: int, mx: int) -> int:
+    """``floor(grid·x/mx + 0.5)`` through the exact float recipe the SQL
+    twin uses: both operands cast to double first (HUGEINT → DOUBLE in
+    DuckDB, Python int → float here), then one multiply, one divide, one
+    add, one floor — identical IEEE steps, identical result."""
+    return int(math.floor(float(_GRID) * float(x) / float(mx) + 0.5))
+
+
+def top_principal_component(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    squarings: int = 7,
+    iters: int = 4,
+) -> list[int]:
+    """Top eigenvector of the covariance matrix, as a 1e-6-grid integer
+    direction (max-norm 1e6), sign-canonicalized so the first nonzero
+    component is positive.
+
+    Plain power iteration converges at ``(λ2/λ1)^t``, and the corpora's
+    eigengap TIGHTENS with scale (measured λ2/λ1: 0.93 at sf0.001, 0.987
+    at sf0.01, 0.983 at sf0.1) — a linear iteration count tuned at test
+    scale silently stops converging at 1000×.  The scale-robust schedule
+    is repeated matrix SQUARING: ``squarings`` grid-renormalized
+    squarings followed by ``iters`` mat-vec steps converge at
+    ``(λ2/λ1)^(2^squarings·iters)`` — an effective power of 512 with the
+    defaults, driving even a 0.99-gap spectrum to |cos| ≥ 0.999 — while
+    the work stays O(dim³·squarings) on a ``dim²`` model, independent of
+    corpus size.
+
+    Everything runs driver-side on the collected covariance cells
+    (bounded model state, the k-means-centroid precedent) in exact Python
+    bigints; each renormalization back to the grid goes through one float
+    recipe (``floor(1e6·x/max|x| + 0.5)``) mirrored step-for-step by the
+    SQL twin, so both engines walk the identical trajectory.  Grid state
+    stays small: entries ≤ 1e6, so mat-mat products are ≤ dim·1e12 —
+    exact in bigint/HUGEINT.  A degenerate (all-zero) matrix yields the
+    all-zero direction rather than raising — the SQL twin has no raise
+    path, and the two engines must agree.
+    """
+    rows = covariance_cells(emb, vec_col, dim).select("i", "j", "num").collect()
+    raw: dict[tuple[int, int], int] = {}
+    for r in rows:
+        e = int(r["num"])
+        raw[(int(r["i"]), int(r["j"]))] = e
+        raw[(int(r["j"]), int(r["i"]))] = e
+    # initial renormalization: raw numerators (~n²·grid² magnitude) onto
+    # the grid, so every later product is bounded by dim·grid²
+    mx = max(max(abs(e) for e in raw.values()), 1) if raw else 1
+    m = [[_renorm_int(raw.get((i, j), 0), mx) for j in range(dim)] for i in range(dim)]
+    for _ in range(squarings):
+        sq = [
+            [sum(m[i][k] * m[k][j] for k in range(dim)) for j in range(dim)]
+            for i in range(dim)
+        ]
+        mx = max(max(max(abs(x) for x in row) for row in sq), 1)
+        m = [[_renorm_int(x, mx) for x in row] for row in sq]
+    v = [_GRID] + [0] * (dim - 1)
+    for _ in range(iters):
+        w = [sum(m[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        mx = max(max(abs(x) for x in w), 1)
+        v = [_renorm_int(x, mx) for x in w]
+    for x in v:
+        if x != 0:
+            if x < 0:
+                v = [-y for y in v]
+            break
+    return v
+
+
+def pc_projection(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    squarings: int = 7,
+    iters: int = 4,
+) -> DataFrame:
+    """Project every vector onto the corpus's top principal component.
+
+    Output: ``id_col``, ``pc1`` (double, 6dp) — the 1-D spectral
+    coordinate used for diversity budgeting / whitening diagnostics.
+
+    Two Spark jobs total: the covariance aggregate (collected, bounded)
+    and the projection scan — a row-local exact integer dot product
+    against the direction literal, zero shuffle.
+    """
+    v = top_principal_component(emb, vec_col, dim, squarings, iters)
+    vlit = "array(" + ",".join(f"{x}L" for x in v) + ")"
+    proj = F.expr(
+        f"aggregate(zip_with({_int_vec_expr(vec_col)}, {vlit},"
+        " (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+    )
+    # + 0.0: negative-zero canonicalization (see covariance_matrix)
+    return emb.select(
+        F.col(id_col),
+        (F.round(proj.cast("double") / F.lit(_GRID2), 6) + F.lit(0.0)).alias("pc1"),
+    )
+
+
+def sql_pc_projection(
+    src: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    squarings: int = 7,
+    iters: int = 4,
+) -> str:
+    """DuckDB twin of :func:`pc_projection`: the covariance cells CTE is
+    shared verbatim with :func:`sql_covariance_matrix`; the squaring
+    schedule unrolls to ``squarings`` (mat-mat + renormalize) CTE triples
+    and ``iters`` (mat-vec + renormalize) pairs, all on exact
+    HUGEINT/double arithmetic identical to the kernel's driver loop; the
+    final projection reuses the same grid dot product.  Every CTE is
+    MATERIALIZED — DuckDB inlines plain CTEs, and an iteration chain
+    re-expands its whole prefix per reference (exponential re-scans)."""
+    parts = [sql_covariance_cells(src, vec_col, dim)]
+    parts.append(
+        """
+qid AS MATERIALIZED (
+  SELECT {id_col} AS vid,
+         list_transform(CAST({vec_col} AS DOUBLE[]),
+                        x -> CAST(round(x * {grid!r}) AS BIGINT)) AS qv
+  FROM {src}
+),
+raw AS MATERIALIZED (
+  SELECT i, j, num FROM cells
+  UNION ALL
+  SELECT j AS i, i AS j, num FROM cells WHERE i <> j
+),
+rawmx AS MATERIALIZED (SELECT GREATEST(MAX(ABS(num)), 1) AS mx FROM raw),
+m0 AS MATERIALIZED (
+  SELECT i, j, CAST(FLOOR({grid!r} * CAST(num AS DOUBLE)
+                          / CAST(mx AS DOUBLE) + 0.5) AS HUGEINT) AS e
+  FROM raw, rawmx
+)""".format(id_col=id_col, vec_col=vec_col, src=src, grid=float(_GRID))
+    )
+    for t in range(1, squarings + 1):
+        parts.append(
+            f"""
+sq{t} AS MATERIALIZED (
+  SELECT a.i AS i, b.j AS j, SUM(a.e * b.e) AS e
+  FROM m{t - 1} a JOIN m{t - 1} b ON a.j = b.i
+  GROUP BY 1, 2
+),
+sqmx{t} AS MATERIALIZED (SELECT GREATEST(MAX(ABS(e)), 1) AS mx FROM sq{t}),
+m{t} AS MATERIALIZED (
+  SELECT i, j, CAST(FLOOR({float(_GRID)!r} * CAST(e AS DOUBLE)
+                          / CAST(mx AS DOUBLE) + 0.5) AS HUGEINT) AS e
+  FROM sq{t}, sqmx{t}
+)"""
+        )
+    parts.append(
+        f"""
+v0 AS MATERIALIZED (
+  SELECT CAST(gi.i AS INT) AS d,
+         CAST(CASE WHEN gi.i = 0 THEN {_GRID} ELSE 0 END AS HUGEINT) AS v
+  FROM generate_series(0, {dim - 1}) gi(i)
+)"""
+    )
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""
+w{t} AS MATERIALIZED (
+  SELECT m.i AS d, SUM(m.e * v{t - 1}.v) AS w
+  FROM m{squarings} m JOIN v{t - 1} ON v{t - 1}.d = m.j
+  GROUP BY 1
+),
+wmx{t} AS MATERIALIZED (SELECT GREATEST(MAX(ABS(w)), 1) AS mx FROM w{t}),
+v{t} AS MATERIALIZED (
+  SELECT d, CAST(FLOOR({float(_GRID)!r} * CAST(w AS DOUBLE)
+                       / CAST(mx AS DOUBLE) + 0.5) AS HUGEINT) AS v
+  FROM w{t}, wmx{t}
+)"""
+        )
+    parts.append(
+        f"""
+sgn AS MATERIALIZED (
+  SELECT COALESCE((SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END
+                   FROM v{iters} WHERE v <> 0 ORDER BY d LIMIT 1), 1) AS s
+),
+fv AS MATERIALIZED (SELECT d, v * s AS v FROM v{iters}, sgn),
+proj AS MATERIALIZED (
+  SELECT qid.vid, SUM(CAST(qid.qv[fv.d + 1] AS HUGEINT) * fv.v) AS p
+  FROM qid CROSS JOIN fv
+  GROUP BY 1
+)"""
+    )
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT vid AS {id_col}, round(CAST(p AS DOUBLE) / {_GRID2!r}, 6) + 0.0 AS pc1
+FROM proj
+"""

@@ -5751,3 +5751,46 @@ def q134_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", parallelize=True)
     e = read_table(spark, sf_dir, "embeddings", parallelize=True)
     return hybrid_prf_rrf_topk(d, e, _Q133_QUERIES, k_each=20, topk=10)
+
+
+from spark_hadoop_automation_in_cloud_spark.operators import linalg as la  # noqa: E402
+
+
+@register(
+    "q135_embedding_covariance",
+    la.sql_covariance_matrix("embeddings", dim=64),
+    doc="Embedding covariance matrix (operators/linalg.py "
+    "covariance_matrix): the corpus-collapse / whitening diagnostic — "
+    "upper-triangle population covariance of the 64-dim embedding "
+    "column, exact on a 1e-6 component grid (Spark DECIMAL(38,0) vs "
+    "DuckDB HUGEINT moments; value-hash-identical). Scale shape: ONE "
+    "corpus scan; each row explodes into its dim(dim+1)/2 cells carrying "
+    "pair product + both first moments, so a single map-side-combined "
+    "hash aggregate yields n*Sxy - Sx*Sy with no re-join and a shuffle "
+    "bounded by cells x partitions regardless of corpus size.",
+)
+def q135_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings", parallelize=True)
+    return la.covariance_matrix(e, dim=64)
+
+
+@register(
+    "q136_pc_projection",
+    la.sql_pc_projection("embeddings", dim=64),
+    doc="Top-principal-component projection (operators/linalg.py "
+    "pc_projection): every embedding's 1-D spectral coordinate, the "
+    "SemDeDup-style diversity-budgeting / whitening primitive. The "
+    "eigenvector comes from q135's covariance cells by repeated matrix "
+    "SQUARING (7 squarings + 4 mat-vec steps = effective power 512, "
+    "converging at (l2/l1)^512 — scale-robust where linear power "
+    "iteration degrades as the eigengap tightens with corpus size; "
+    "|cos| vs numpy eigh = 1.0 at sf0.001/0.01/0.1), all driver-side on "
+    "bounded dim^2 integer state with one float renorm recipe per step "
+    "that the unrolled SQL twin mirrors op-for-op on HUGEINT/DOUBLE. "
+    "Scale shape: one covariance aggregate (collected, bounded) + one "
+    "row-local integer dot-product scan — zero shuffle in the returned "
+    "plan; the direction ships as a single 64-element literal.",
+)
+def q136_pc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings", parallelize=True)
+    return la.pc_projection(e, dim=64)
