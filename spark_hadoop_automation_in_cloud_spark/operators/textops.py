@@ -884,3 +884,70 @@ ranked AS (
 )
 SELECT query_id, doc_id, bm25, rank FROM ranked WHERE rank <= {topk}
 """
+
+
+def vocab_coverage(df: DataFrame, text_col: str, topk: int = 200) -> DataFrame:
+    """Vocabulary coverage curve: the ``topk`` most frequent tokens with
+    their exact global rank and the cumulative share of ALL token
+    occurrences they cover — the tokenizer/vocab-construction statistic
+    ("how many types cover 95% of the stream?").
+
+    Output: ``rank`` (int, 1-based by count desc / token asc), ``token``,
+    ``cnt`` (bigint), ``cum_share`` (double, 6dp — running coverage of
+    the total token count, NOT just the top-k mass).
+
+    Scale shape: token counts are one map-side-combined shuffle; the
+    global order over the (already aggregated, vocabulary-sized) counts
+    uses the range-partition + broadcast-prefix-offset primitives
+    (:func:`~...ranks.global_row_number` / ``global_cumsum``) — never a
+    SinglePartition window, so a 100 TB corpus's multi-million-type
+    vocabulary ranks without serializing through one task.  The total
+    occurrence count rides a 1-row broadcast.
+    """
+    from spark_hadoop_automation_in_cloud_spark.operators.ranks import (
+        global_cumsum,
+        global_row_number,
+    )
+
+    if topk < 1:
+        raise ValueError(f"topk must be >= 1, got {topk}")
+    counts = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    order = [F.col("cnt").desc(), F.col("token").asc()]
+    ranked = global_row_number(counts, order, out_col="rank").where(
+        F.col("rank") <= topk
+    )
+    cum = global_cumsum(ranked, [F.col("rank").asc()], "cnt", out_col="cum")
+    return cum.crossJoin(F.broadcast(total)).select(
+        F.col("rank").cast("int").alias("rank"),
+        "token",
+        "cnt",
+        F.round(F.col("cum").cast("double") / F.col("tot"), 6).alias("cum_share"),
+    )
+
+
+def sql_vocab_coverage(src: str, text_col: str, topk: int = 200) -> str:
+    """DuckDB twin of :func:`vocab_coverage` — same tokenization as the
+    BM25/TF-IDF family, same (cnt desc, token asc) tiebreak; the windowed
+    bigint SUM comes back HUGEINT, so it is cast before the division."""
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split({text_col}, ' ')) AS token FROM {src}
+),
+counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1),
+total AS (SELECT SUM(cnt) AS tot FROM counts),
+ranked AS (
+  SELECT token, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank
+  FROM counts
+)
+SELECT CAST(rank AS INT) AS rank, token, CAST(cnt AS BIGINT) AS cnt,
+       round(CAST(CAST(SUM(cnt) OVER (ORDER BY rank) AS BIGINT) AS DOUBLE)
+             / tot, 6) AS cum_share
+FROM ranked, total
+WHERE rank <= {topk}
+"""

@@ -5794,3 +5794,22 @@ def q135_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q136_pc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings", parallelize=True)
     return la.pc_projection(e, dim=64)
+
+
+@register(
+    "q137_vocab_coverage",
+    tx.sql_vocab_coverage("documents", "text", topk=200),
+    doc="Vocabulary coverage curve (operators/textops.py vocab_coverage): "
+    "the 200 most frequent tokens with exact global rank and cumulative "
+    "share of all token occurrences — the tokenizer/vocab-construction "
+    "statistic (how many types cover X% of the stream). Scale shape: one "
+    "map-side-combined token-count shuffle, then the global order runs "
+    "on the range-partition + broadcast-prefix-offset primitives "
+    "(ranks.global_row_number / global_cumsum) over the already-"
+    "aggregated vocabulary — no SinglePartition window anywhere, so a "
+    "multi-million-type vocabulary ranks without serializing through "
+    "one task; the total count rides a 1-row broadcast.",
+)
+def q137_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    return tx.vocab_coverage(d, "text", topk=200)

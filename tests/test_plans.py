@@ -374,6 +374,7 @@ BNLJ_INTENDED = {
     # lexical side's stats BNLJ runs inside the bounded list collect,
     # not in the returned plan
     "q134_hybrid_rrf_retrieval": 1,
+    "q137_vocab_coverage": 1,      # 1-row total-token-count broadcast
 }
 
 #: queries whose SinglePartition window sort is fed by a CALENDAR-bounded

@@ -222,3 +222,44 @@ def test_bm25_properties_and_python_reference(spark):
     ranks = {i: got[(7, i)][1] for i in got and [k[1] for k in got]}
     assert ranks[1] < ranks[2] and ranks[3] < ranks[2]
     assert 4 not in ranks  # no matching term, no row
+
+
+def test_vocab_coverage_counts_rank_and_share(spark):
+    """Hand corpus: exact counts, (cnt desc, token asc) tiebreak, and a
+    cumulative share over the TOTAL stream (so a topk smaller than the
+    vocabulary tops out below 1.0)."""
+    from spark_hadoop_automation_in_cloud_spark.operators.textops import (
+        vocab_coverage,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "a a a b b c"),
+            (1, "a b z"),
+            (2, "c a"),
+        ],
+        "doc_id long, text string",
+    )
+    # counts: a=5, b=3, c=2, z=1; total=11
+    out = {r["token"]: r for r in vocab_coverage(df, "text", topk=3).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert (out["a"]["rank"], out["a"]["cnt"]) == (1, 5)
+    assert (out["b"]["rank"], out["b"]["cnt"]) == (2, 3)
+    assert (out["c"]["rank"], out["c"]["cnt"]) == (3, 2)
+    assert out["a"]["cum_share"] == round(5 / 11, 6)
+    assert out["b"]["cum_share"] == round(8 / 11, 6)
+    assert out["c"]["cum_share"] == round(10 / 11, 6)  # < 1.0: z excluded
+
+
+def test_vocab_coverage_tiebreak_by_token(spark):
+    from spark_hadoop_automation_in_cloud_spark.operators.textops import (
+        vocab_coverage,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "x y"), (1, "y x")], "doc_id long, text string"
+    )
+    rows = sorted(
+        vocab_coverage(df, "text", topk=2).collect(), key=lambda r: r["rank"]
+    )
+    assert [r["token"] for r in rows] == ["x", "y"]  # equal cnt → token asc
