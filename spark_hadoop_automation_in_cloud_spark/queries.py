@@ -51,17 +51,23 @@ def register(name: str, sql: str | None, doc: str = ""):
     return deco
 
 
-# ROUND-7 NOTE FIRST: the round-6 driver verification never ran — no
-# CORRECTNESS_r06.json / BENCH_r06.json / round-6 VERDICT exists — so the
-# round-6 window below was never externally stamped and the stamp ledger
-# (tools/stamps.py) still reads rounds 1..5.  Ages therefore did NOT
-# advance: the 21 r03 rows are still the age-2 backlog, the r6 additions
-# (q117–q125) and every r6-changed kernel are still unstamped/stale, and
-# the 33 r04 rows the r6 note promised to round 7 stay age-1 obligations
-# for round 8 instead.  Round 7's window (kept to the same standing
-# rules: round-changed kernels first, then never-stamped rows, then the
-# oldest backlog) allocates its 50 slots as 7 + 7 + 7 + 8 + 21:
-#   - 7 NEW r7 rows: q126 (count-min-screened exact heavy hitters),
+# WINDOW NOTE FIRST — read this before touching _ROTATE_FIRST.
+#
+# ROUND NUMBERING: the driver restarted its round counter — the next
+# verification it runs will be recorded as CORRECTNESS_r06 / BENCH_r06
+# even though TWO local build rounds ("r6": q117–q125, "r7": q126–q133)
+# have landed since CORRECTNESS_r05.  Neither local round was externally
+# stamped (no r06 artifacts existed when this window was allocated), so
+# the stamp ledger (tools/stamps.py) reads rounds 1..5 and ages did NOT
+# advance: the 21 r03 rows are still the age-2 backlog, the "r6"
+# additions (q117–q125) and every kernel changed since r05 are still
+# unstamped/stale.  Wherever this file or VERDICT-era notes say "round
+# 7", the artifact the allocation targets is the upcoming CORRECTNESS_r06.
+#
+# This window (kept to the standing rules: round-changed kernels first,
+# then never-stamped rows, then the oldest backlog) allocates its 50
+# slots as 7 + 7 + 7 + 8 + 21:
+#   - 7 NEW rows (never stamped): q126 (count-min-screened exact heavy hitters),
 #     q127 (one-pass curation funnel), q128 (incremental connected
 #     components), q129 (weighted ticket-lottery sampling), q130
 #     (sketch-thresholded per-source quality cut), q131 (cross-source
@@ -71,16 +77,16 @@ def register(name: str, sql: str | None, doc: str = ""):
 #     is signature-only/behavior-identical, and it is the
 #     freshest-stamped row in the window — r05) and q28/q54/q63 (their
 #     token_stats / repetition / tfidf kernels are untouched by the
-#     textops refactor; they join the r04 set leading round 8).  All
+#     textops refactor; they join the r04 set leading the next round (r07)).  All
 #     displaced rows are parity-green locally on HEAD;
-#   - 7 r7-changed textops-family rows: q26/q27 (language_id /
+#   - 7 textops-family rows changed since r05: q26/q27 (language_id /
 #     quality_score now compose the extracted lang_score_exprs /
 #     lang_pred_exprs / quality_exprs builders q127 shares) and the
 #     quality-consumer queries whose oracle SQL embeds
 #     sql_quality_score — q40, q116, q112, q120, q125;
-#   - 7 r6 additions never driver-stamped: q117, q118, q119, q121,
+#   - 7 earlier additions never driver-stamped: q117, q118, q119, q121,
 #     q122, q123, q124 (q120/q125 already counted above);
-#   - 8 r6-changed kernels never re-stamped: q20, q30, q96, q107, q108,
+#   - 8 kernels changed since their last stamp, never re-stamped: q20, q30, q96, q107, q108,
 #     q111, q113, q115;
 #   - the 21 r03-stamped rows (the standing age-2 backlog: q14, q34,
 #     q38, q43, q44, q45, q50, q51, q53, q57, q65, q67, q70, q71, q72,
@@ -91,16 +97,19 @@ def register(name: str, sql: str | None, doc: str = ""):
 # q62, q63, q64, q68, q75, q76, q78, q81, q82, q84, q85, q86, q87,
 # q88, q90, q91, q92, q97, q101 — plus the r05 rows not re-listed
 # above; all are sf0.01-parity-green on HEAD via
-# tests/test_oracle_parity.py, and the r04 set MUST lead round 8's
+# tests/test_oracle_parity.py, and the r04 set MUST lead the r07
 # window (41 <= 50, fits).  The original
 # round-6 allocation rationale is preserved in git history (this file,
 # commit aad8580 and earlier).
 #
-# Late-r7 additions AFTER the window filled (q133 BM25 retrieval): the
-# window's 50 slots are all new rows, changed kernels, or the age-2
-# backlog — no displaceable refresh remains — so q133 stays outside and
-# rides round 8's new block per the standing rule (it is
-# sf0.001/0.01-parity-green locally on registration).
+# Additions AFTER the window filled (q133 BM25 retrieval; q134 hybrid
+# RRF retrieval; q135 embedding covariance; q136 top-PC projection; q137
+# vocabulary coverage): the window's 50 slots are all new rows, changed
+# kernels, or the age-2 backlog — no displaceable refresh remains — so
+# q133–q137 stay outside and lead the NEXT round's new block per the
+# standing rule (each was sf0.001/0.01-parity-green on registration, and
+# q134–q136 also at sf0.1; all are covered every run by
+# tests/test_oracle_parity.py).
 #
 # The driver's CORRECTNESS run verifies a bounded window (50 entries)
 # taken in registration order, so queries() exposes the registry ROTATED
