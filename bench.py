@@ -121,6 +121,10 @@ HEADLINE = [
     # timed call, so the number covers the whole two-job pipeline)
     "q135_embedding_covariance",
     "q136_pc_projection",
+    # the source-centroid matrix: group-cell aggregate + driver-side pair
+    # finish (q139's grouped-OLS shares the grouped-moment plan family
+    # q66 already benches, so it is deliberately not here)
+    "q138_source_centroid_cosine",
 ]
 
 #: Pinned machine-factor kernels (VERDICT r5 item 5): code-independent

@@ -340,3 +340,208 @@ WITH {body}
 SELECT vid AS {id_col}, round(CAST(p AS DOUBLE) / {_GRID2!r}, 6) + 0.0 AS pc1
 FROM proj
 """
+
+
+# --- Per-group centroid geometry (domain-similarity for mixture design) ------
+
+
+def group_centroid_cosine(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-group embedding centroids —
+    the domain-similarity matrix mixture design reads ("which sources
+    cover the same semantic region?").
+
+    Output: ``group_a`` < ``group_b`` (lexicographic), ``centroid_cos``
+    (double 6dp; NULL when either group's summed vector is zero).
+
+    Cosine is scale-invariant per vector, so the kernel never divides by
+    counts: it works on the exact integer SUM vectors (1e-6 grid,
+    DECIMAL(38,0)/HUGEINT), making every moment bit-identical across
+    engines — ``cos(Σa, Σb) = cos(mean_a, mean_b)``.
+
+    Scale shape: one corpus scan + one map-side-combined aggregate over
+    ``groups × dim`` cells; the per-group sum table (bounded model state,
+    like a centroid set) collects driver-side, and the O(groups²·dim)
+    pair arithmetic runs on exact Python ints — the final cosine (the
+    only float op) evaluates ENGINE-side on the tiny result frame, so
+    rounding semantics are Spark's, never Python's.
+    """
+    from decimal import Decimal
+
+    spark = df.sparkSession
+    qv = df.select(
+        F.col(group_col).alias("__g"), F.expr(_int_vec_expr(vec_col)).alias("__qv")
+    )
+    sums = (
+        qv.select("__g", F.posexplode("__qv").alias("pos", "x"))
+        .groupBy("__g", "pos")
+        .agg(F.sum(F.col("x").cast("decimal(38,0)")).alias("s"))
+    )
+    rows = sums.collect()
+    by_g: dict[str, dict[int, int]] = {}
+    for r in rows:
+        by_g.setdefault(r["__g"], {})[int(r["pos"])] = int(r["s"])
+    groups = sorted(by_g)
+    out = []
+    for ai in range(len(groups)):
+        for bi in range(ai + 1, len(groups)):
+            a, b = groups[ai], groups[bi]
+            sa, sb = by_g[a], by_g[b]
+            dot = sum(sa.get(p, 0) * sb.get(p, 0) for p in range(dim))
+            na = sum(x * x for x in sa.values())
+            nb = sum(x * x for x in sb.values())
+            out.append((a, b, Decimal(dot), Decimal(na), Decimal(nb)))
+    moments = spark.createDataFrame(
+        out,
+        "group_a string, group_b string, dot decimal(38,0),"
+        " na decimal(38,0), nb decimal(38,0)",
+    )
+    cos = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        F.round(
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("na").cast("double"))
+            / F.sqrt(F.col("nb").cast("double")),
+            6,
+        )
+        + F.lit(0.0),
+    )
+    return moments.select("group_a", "group_b", cos.alias("centroid_cos"))
+
+
+def sql_group_centroid_cosine(
+    join_sql: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`group_centroid_cosine`.  ``join_sql`` must
+    yield columns ``g`` (group) and ``{vec_col}``; moments stay exact
+    HUGEINT until the one shared float recipe."""
+    return f"""
+WITH j AS ({join_sql}),
+q AS (
+  SELECT g, list_transform(CAST({vec_col} AS DOUBLE[]),
+                           x -> CAST(round(x * {float(_GRID)!r}) AS BIGINT)) AS qv
+  FROM j
+),
+sums AS (
+  SELECT g, gi.i AS pos, SUM(CAST(qv[gi.i + 1] AS HUGEINT)) AS s
+  FROM q CROSS JOIN generate_series(0, {dim - 1}) gi(i)
+  GROUP BY 1, 2
+),
+norms AS (SELECT g, SUM(s * s) AS n2 FROM sums GROUP BY 1),
+pairs AS (
+  SELECT a.g AS group_a, b.g AS group_b, SUM(a.s * b.s) AS dot
+  FROM sums a JOIN sums b ON a.pos = b.pos AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT group_a, group_b,
+       CASE WHEN na.n2 > 0 AND nb.n2 > 0 THEN
+         round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+               / sqrt(CAST(nb.n2 AS DOUBLE)), 6) + 0.0
+       END AS centroid_cos
+FROM pairs
+JOIN norms na ON na.g = group_a
+JOIN norms nb ON nb.g = group_b
+"""
+
+
+# --- Grouped ordinary least squares (trend detection) ------------------------
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group OLS line ``y = slope·x + intercept`` from exact integer
+    moments — trend detection over grouped series (integer ``x_col`` /
+    ``y_col``; scale money to cents first, the ``dsum`` convention).
+
+    Output: the group columns, ``n_points`` (bigint), ``slope`` /
+    ``intercept`` (double 6dp; NULL when the variance of x is zero —
+    fewer than two distinct x values).
+
+    ``slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`` with every moment an
+    exact DECIMAL(38,0) (order-independent, overflow-safe), then ONE
+    shared double-division recipe — cross-engine value-hash identical.
+    Scale shape: one map-side-combined aggregate; five numbers of state
+    per group.
+    """
+    dec = "decimal(38,0)"
+    x = F.col(x_col).cast(dec)
+    y = F.col(y_col).cast(dec)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n = F.col("n_points").cast(dec)
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(
+        den != 0, F.round(num.cast("double") / den.cast("double"), 6) + F.lit(0.0)
+    )
+    intercept = F.when(
+        den != 0,
+        F.round(
+            (
+                F.col("sy").cast("double")
+                - (num.cast("double") / den.cast("double"))
+                * F.col("sx").cast("double")
+            )
+            / F.col("n_points").cast("double"),
+            6,
+        )
+        + F.lit(0.0),
+    )
+    return agg.select(
+        *group_cols,
+        "n_points",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+
+
+def sql_grouped_ols(
+    src_sql: str,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> str:
+    """DuckDB twin of :func:`grouped_ols`: identical exact HUGEINT moments
+    and the identical double recipe — intercept recomputes the UNROUNDED
+    slope (num/den) like the kernel does, so its rounding never compounds
+    the slope's."""
+    gs = ", ".join(group_cols)
+    return f"""
+WITH src AS ({src_sql}),
+m AS (
+  SELECT {gs}, COUNT(*) AS n_points,
+         SUM(CAST({x_col} AS HUGEINT)) AS sx,
+         SUM(CAST({y_col} AS HUGEINT)) AS sy,
+         SUM(CAST({x_col} AS HUGEINT) * CAST({y_col} AS HUGEINT)) AS sxy,
+         SUM(CAST({x_col} AS HUGEINT) * CAST({x_col} AS HUGEINT)) AS sxx
+  FROM src GROUP BY {gs}
+)
+SELECT {gs}, n_points,
+       CASE WHEN n_points * sxx - sx * sx <> 0 THEN
+         round(CAST(n_points * sxy - sx * sy AS DOUBLE)
+               / CAST(n_points * sxx - sx * sx AS DOUBLE), 6) + 0.0
+       END AS slope,
+       CASE WHEN n_points * sxx - sx * sx <> 0 THEN
+         round((CAST(sy AS DOUBLE)
+                - (CAST(n_points * sxy - sx * sy AS DOUBLE)
+                   / CAST(n_points * sxx - sx * sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE))
+               / CAST(n_points AS DOUBLE), 6) + 0.0
+       END AS intercept
+FROM m
+"""

@@ -5822,3 +5822,87 @@ def q136_pc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q137_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", parallelize=True)
     return tx.vocab_coverage(d, "text", topk=200)
+
+
+_Q138_JOIN_SQL = (
+    "SELECT d.source AS g, e.embedding"
+    " FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id"
+)
+
+
+@register(
+    "q138_source_centroid_cosine",
+    "SELECT group_a AS source_a, group_b AS source_b, centroid_cos FROM ("
+    + la.sql_group_centroid_cosine(_Q138_JOIN_SQL, dim=64)
+    + ")",
+    doc="Cross-source centroid similarity matrix (operators/linalg.py "
+    "group_centroid_cosine): pairwise cosine between per-source mean "
+    "embeddings — the domain-similarity reading mixture design needs "
+    "(which sources cover the same semantic region; complements q131's "
+    "LEXICAL gram-overlap matrix with the semantic view). Cosine is "
+    "scale-invariant, so the kernel works on exact integer SUM vectors "
+    "(1e-6 grid, DECIMAL/HUGEINT) and never divides by counts; the "
+    "per-source sums (groups x dim — bounded model state) collect "
+    "driver-side, pair moments compute in exact Python ints, and the "
+    "single float step (the cosine) evaluates ENGINE-side on the tiny "
+    "result frame so rounding is Spark's, never Python's. Scale shape: "
+    "one equi-join + one map-side-combined aggregate over groups x dim "
+    "cells; everything after is O(sources^2 * dim) on the driver.",
+)
+def q138_source_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # documents is a fact table at scale — no broadcast hint; the id
+    # equi-join shuffles both sides on the key (AQE may still pick a
+    # broadcast-hash at small sf, which is fine)
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = read_table(spark, sf_dir, "embeddings", parallelize=True)
+    j = e.join(d, e["vec_id"] == d["doc_id"]).select(
+        F.col("source").alias("src"), "embedding"
+    )
+    return la.group_centroid_cosine(j, "src", dim=64).select(
+        F.col("group_a").alias("source_a"),
+        F.col("group_b").alias("source_b"),
+        "centroid_cos",
+    )
+
+
+_Q139_MONTHLY_SQL = """
+SELECT n.n_name,
+       CAST(EXTRACT(year FROM o.o_orderdate) * 12
+            + EXTRACT(month FROM o.o_orderdate) AS BIGINT) AS month_idx,
+       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS rev_cents
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "q139_revenue_trend_ols",
+    la.sql_grouped_ols(_Q139_MONTHLY_SQL, ["n_name"], "month_idx", "rev_cents"),
+    doc="Per-nation revenue trend by grouped OLS (operators/linalg.py "
+    "grouped_ols): slope/intercept of monthly revenue against a month "
+    "index, from exact DECIMAL(38,0)/HUGEINT moments (n, Sx, Sy, Sxy, "
+    "Sxx) and ONE shared double recipe — the trend-detection analytic "
+    "(is this segment growing?) as a single map-side-combined aggregate "
+    "over the month rollup; five numbers of state per group, NULL slope "
+    "when a nation has fewer than two distinct months. The intercept "
+    "recomputes the unrounded slope so roundings never compound.",
+)
+def q139_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = F.broadcast(read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    month_idx = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", month_idx.alias("month_idx"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    return la.grouped_ols(monthly, ["n_name"], "month_idx", "rev_cents")

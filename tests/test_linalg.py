@@ -150,3 +150,43 @@ def test_negative_zero_canonicalized(spark):
     rows = la.covariance_matrix(emb, dim=2).collect()
     for r in rows:
         assert str(r["cov"]) != "-0.0", r
+
+
+def test_group_centroid_cosine_math(spark):
+    """Hand-computable centroids: identical groups → cos 1.0, orthogonal
+    groups → 0.0, zero-sum group → NULL; cosine of SUMS equals cosine of
+    means."""
+    emb = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0]),
+            ("a", [3.0, 0.0]),
+            ("b", [0.0, 2.0]),
+            ("c", [1.0, 1.0]),
+            ("z", [1.0, 0.0]),
+            ("z", [-1.0, 0.0]),  # sums to zero → NULL vs everyone
+        ],
+        "g string, embedding array<double>",
+    )
+    out = {
+        (r["group_a"], r["group_b"]): r["centroid_cos"]
+        for r in la.group_centroid_cosine(emb, "g", dim=2).collect()
+    }
+    assert out[("a", "b")] == 0.0
+    assert out[("a", "c")] == round(1 / 2**0.5, 6)
+    assert out[("b", "c")] == round(1 / 2**0.5, 6)
+    assert out[("a", "z")] is None and out[("b", "z")] is None
+    assert len(out) == 6  # 4 groups → 6 pairs
+
+
+def test_grouped_ols_exact_line(spark):
+    """Points exactly on y = 3x + 7 recover slope 3 / intercept 7; a
+    single-x group yields NULLs (zero x-variance)."""
+    df = spark.createDataFrame(
+        [("g", x, 3 * x + 7) for x in (1, 2, 5, 9)]
+        + [("s", 4, 100), ("s", 4, 200)],
+        "k string, x long, y long",
+    )
+    rows = {r["k"]: r for r in la.grouped_ols(df, ["k"], "x", "y").collect()}
+    assert rows["g"]["slope"] == 3.0 and rows["g"]["intercept"] == 7.0
+    assert rows["g"]["n_points"] == 4
+    assert rows["s"]["slope"] is None and rows["s"]["intercept"] is None

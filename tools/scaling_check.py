@@ -72,6 +72,14 @@ QUERIES = [
     # wall should track the scan and nothing else (the regression this
     # guards: the one-pass shape quietly becoming per-stage rescans)
     "q127_curation_funnel",
+    # BM25: replication multiplies every query term's document frequency
+    # by the factor — the posting-list join fan-out is exactly df, so
+    # this is the worst case for the pruned tf/df aggregation
+    "q133_bm25_retrieval",
+    # vocab coverage: replication multiplies counts while the vocabulary
+    # stays constant — the rank/cumsum stages see identical input sizes,
+    # so wall should track the token scan alone
+    "q137_vocab_coverage",
 ]
 # q126 (heavy hitters) and q128 (incremental components) are swept by
 # their own dedicated ladders instead — HEAVY_HITTERS.json widens the
@@ -101,6 +109,23 @@ EVENTS_QUERIES = [
 # NOT replicated here: q16 (co-purchase pairing) — replicas share contact
 # keys, so pair density grows QUADRATICALLY with the factor; that stress
 # shape is covered by the documents-side dedup caps instead.
+
+#: embeddings-table operators: replication re-ids vectors with the SAME
+#: shift as documents (the join key alignment q134/q138 need), leaving
+#: the vector values identical — covariance/PC outputs are unchanged
+#: while the scan grows by the factor, so wall isolates the scan +
+#: bounded-shuffle claim (the moment aggregate's shuffle is cells x
+#: partitions regardless of rows).
+EMB_QUERIES = [
+    "q135_embedding_covariance",
+    "q136_pc_projection",
+    # source-centroid matrix: the doc join + groups x dim aggregate —
+    # group count fixed, rows x factor
+    "q138_source_centroid_cosine",
+    # hybrid retrieval: both the lexical posting lists and the dense
+    # corpus scan grow by the factor; the fusion stays bounded
+    "q134_hybrid_rrf_retrieval",
+]
 
 
 def best_of(fn, sf_dir: str, n: int = 2) -> float:
@@ -142,13 +167,21 @@ def main() -> None:
     )
     ev_rep.write.mode("overwrite").parquet(f"{scaled}/events.parquet")
 
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb_rep = (
+        emb.crossJoin(spark.range(scale).withColumnRenamed("id", "__rep"))
+        .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * (n * scale))
+        .drop("__rep")
+    )
+    emb_rep.write.mode("overwrite").parquet(f"{scaled}/embeddings.parquet")
+
     for t in TABLES:
-        if t not in ("documents", "events"):
+        if t not in ("documents", "events", "embeddings"):
             os.symlink(f"{sf_dir}/{t}.parquet", f"{scaled}/{t}.parquet")
 
     fns = {s.name: s.fn for s in q.specs()}
     out: dict[str, dict] = {}
-    for name in QUERIES + EVENTS_QUERIES:
+    for name in QUERIES + EVENTS_QUERIES + EMB_QUERIES:
         fn = fns[name]
         t1 = best_of(lambda d: fn(spark, d), sf_dir)
         t10 = best_of(lambda d: fn(spark, d), scaled)
