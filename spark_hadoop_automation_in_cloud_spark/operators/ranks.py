@@ -186,3 +186,60 @@ def global_cumsum(
     return tagged.withColumn(
         out_col, local + _offset_map(sums, sum_type)[F.col(_PID)]
     ).drop(_PID)
+
+
+def group_percentile(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[Column],
+    out_col: str = "pct",
+) -> DataFrame:
+    """Per-group rank percentile in [0, 1]: ``(rank − 1) / (n − 1)`` over
+    the group's total order (unique tiebreaker required) — the score-
+    calibration transform that makes quality scores comparable ACROSS
+    heterogeneous sources before a global cut (a raw threshold keeps
+    whatever source happens to score high; the percentile keeps the same
+    FRACTION of every source).
+
+    A single-row group has no spread: its percentile is defined as 0.5
+    (the median), mirrored exactly by the SQL twin.
+
+    Scale shape: one hash partition on the group key feeding an ordinary
+    partitioned window (rank + count in the same window pass) — groups
+    parallelize across the cluster; nothing global, nothing single-
+    partition.  This is deliberately NOT the global-order machinery
+    above: the order is per group, so the plain partitioned window is
+    already the right plan.
+    """
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    wall = Window.partitionBy(group_col)
+    rank = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wall)
+    pct = F.when(n > 1, (rank - 1).cast("double") / (n - 1)).otherwise(0.5)
+    return df.withColumn(out_col, F.round(pct, 6))
+
+
+def sql_group_percentile(
+    src_sql: str,
+    group_col: str,
+    order_sql: str,
+    cols_sql: str,
+    out_col: str = "pct",
+) -> str:
+    """DuckDB twin of :func:`group_percentile`.  ``src_sql`` yields the
+    input; ``order_sql`` is the ORDER BY list (must total-order within a
+    group); ``cols_sql`` the output projection of the source columns."""
+    return f"""
+WITH src AS ({src_sql}),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY {group_col} ORDER BY {order_sql}) AS __rank,
+         COUNT(*) OVER (PARTITION BY {group_col}) AS __n
+  FROM src
+)
+SELECT {cols_sql},
+       round(CASE WHEN __n > 1
+                  THEN CAST(__rank - 1 AS DOUBLE) / (__n - 1)
+                  ELSE 0.5 END, 6) AS {out_col}
+FROM r
+"""

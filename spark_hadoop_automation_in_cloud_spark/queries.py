@@ -5906,3 +5906,45 @@ def q139_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return la.grouped_ols(monthly, ["n_name"], "month_idx", "rev_cents")
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.ranks import (  # noqa: E402
+    group_percentile,
+    sql_group_percentile,
+)
+
+_Q140_SRC_SQL = (
+    "SELECT q.doc_id, d.source, q.quality FROM ("
+    + tx.sql_quality_score("documents", "doc_id", "text")
+    + ") q JOIN documents d ON d.doc_id = q.doc_id"
+)
+
+
+@register(
+    "q140_source_calibrated_quality",
+    sql_group_percentile(
+        _Q140_SRC_SQL,
+        "source",
+        "quality ASC, doc_id ASC",
+        "doc_id, source, quality",
+        out_col="pct",
+    ),
+    doc="Per-source percentile calibration of the quality score "
+    "(operators/ranks.py group_percentile): (rank-1)/(n-1) within each "
+    "source over (quality, doc_id) — the transform that makes heuristic "
+    "quality comparable ACROSS heterogeneous sources before a global "
+    "cut (a raw threshold keeps whatever source happens to score high; "
+    "the percentile keeps the same fraction of every source; single-doc "
+    "sources land at 0.5). Scale shape: quality computes inline in the "
+    "scan (no rejoin — the oracle rejoins only because its quality "
+    "fragment is a standalone SELECT) and one hash partition on source "
+    "feeds an ordinary partitioned window (rank + count in one pass) — "
+    "groups parallelize; nothing single-partition.",
+)
+def q140_source_calibrated_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    e = tx.quality_exprs(F.col("text"))
+    scored = d.select("doc_id", "source", e["quality"].alias("quality"))
+    return group_percentile(
+        scored, "source", [F.col("quality").asc(), F.col("doc_id").asc()], "pct"
+    )

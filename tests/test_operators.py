@@ -2175,3 +2175,30 @@ def test_hybrid_prf_rrf_fusion_math(spark):
     # doc2 absent from dense top-3? doc2 cos==0 ties doc1, loses by id →
     # lexical-only contribution
     assert rows[2]["dense_rank"] is None and rows[2]["bm25_rank"] == 3
+
+
+def test_group_percentile_spread_and_singleton(spark):
+    """(rank-1)/(n-1) in [0,1] per group; single-row groups land at 0.5;
+    ties break by the unique tiebreaker."""
+    from spark_hadoop_automation_in_cloud_spark.operators.ranks import (
+        group_percentile,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0),
+         ("a", 4, 30.0), ("b", 9, 99.0)],
+        "g string, id long, score double",
+    )
+    out = {
+        r["id"]: r["pct"]
+        for r in group_percentile(
+            df, "g", [F.col("score").asc(), F.col("id").asc()], "pct"
+        ).collect()
+    }
+    # group a order: 10(id1) < 20(id3) < 30(id2) < 30(id4 — tie by id)
+    assert out[1] == 0.0
+    assert out[3] == round(1 / 3, 6)
+    assert out[2] == round(2 / 3, 6)
+    assert out[4] == 1.0
+    assert out[9] == 0.5  # singleton group
