@@ -951,3 +951,133 @@ SELECT CAST(rank AS INT) AS rank, token, CAST(cnt AS BIGINT) AS cnt,
 FROM ranked, total
 WHERE rank <= {topk}
 """
+
+
+def _bigram_pairs(text_col: str) -> Column:
+    """Row-local bigram extraction expression: adjacent token pairs from
+    the split array via one transform — NO per-doc window, no shuffle;
+    documents shorter than two tokens yield an empty array (and a NULL
+    text yields NULL, which explode drops — same as the unigram family)."""
+    return F.expr(
+        f"""
+        CASE WHEN size(split({text_col}, ' ')) < 2 THEN
+          array()
+        ELSE
+          transform(sequence(2, size(split({text_col}, ' '))), i ->
+            struct(element_at(split({text_col}, ' '), i - 1) AS w1,
+                   element_at(split({text_col}, ' '), i) AS w2))
+        END
+        """
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    train: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Bigram language-model quality scoring: per-document average
+    negative log-probability of its adjacent token pairs under an
+    add-``alpha``-smoothed bigram model fit on ``train`` —
+    :func:`unigram_lm_scores`' conditional upgrade (fluency now requires
+    LOCAL word order, not just vocabulary; shuffled text that fools the
+    unigram filter scores high here).
+
+    Model: ``P(w2|w1) = (c(w1,w2) + alpha) / (c1(w1) + alpha·(V+1))``
+    with ``c1`` the context total (derived from the bigram counts — one
+    aggregate chain, no second train scan), ``V`` the distinct follower
+    types in train (+1 shared OOV bucket).  An unseen context degrades
+    to the uniform ``1/(V+1)``.
+
+    Distributed shape: bigrams extract ROW-LOCALLY from the split array
+    (one transform — no per-doc window, so the corpus never shuffles on
+    doc id for adjacency); the model is two aggregates; scoring is two
+    equi-joins (pair → bigram table, context → context table) + a 1-row
+    stats broadcast + per-doc aggregation.  Grid idiom: per-pair
+    log-probs snap to an integer 1e-6 grid and sum exactly.
+
+    Output: doc_id, n_bigrams, n_unseen (pairs absent from the train
+    bigram table), avg_neg_logprob (6dp).  Documents with fewer than two
+    tokens have no pairs and no output row (both engines).
+    """
+    pairs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_bigram_pairs(text_col)).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    tpairs = train.select(
+        F.explode(_bigram_pairs(text_col)).alias("p")
+    ).select("p.w1", "p.w2")
+    c2 = tpairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
+    c1 = c2.groupBy("w1").agg(F.sum("cnt2").alias("cnt1"))
+    stats = c2.agg(F.count_distinct("w2").alias("v_size"))
+    denom = F.coalesce(F.col("cnt1"), F.lit(0)).cast("double") + F.lit(alpha) * (
+        F.col("v_size").cast("double") + 1.0
+    )
+    logp = F.log(
+        (F.coalesce(F.col("cnt2"), F.lit(0)).cast("double") + F.lit(alpha)) / denom
+    )
+    q = F.round(logp * 1_000_000).cast("bigint")
+    scored = (
+        pairs.join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            q.alias("__q"),
+            F.when(F.col("cnt2").isNull(), 1).otherwise(0).alias("__unseen"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("__unseen").cast("bigint").alias("n_unseen"),
+        F.round(
+            -F.sum("__q").cast("double") / (F.count(F.lit(1)) * 1_000_000.0), 6
+        ).alias("avg_neg_logprob"),
+    )
+
+
+def sql_bigram_lm_scores(
+    docs_src: str,
+    train_pred: str,
+    id_col: str,
+    text_col: str,
+    alpha: float = 1.0,
+) -> str:
+    """DuckDB twin of :func:`bigram_lm_scores`: bigrams via
+    ``list_zip(l, l[2:])`` (pads the tail with one NULL pair, filtered),
+    identical smoothing arithmetic and 1e-6 grid."""
+    bigrams = (
+        f"SELECT {id_col} AS doc_id, p[1] AS w1, p[2] AS w2 FROM ("
+        f"  SELECT {id_col}, unnest(list_zip(l, l[2:])) AS p FROM ("
+        f"    SELECT {id_col}, string_split({text_col}, ' ') AS l FROM {docs_src}"
+        f"  )"
+        f") WHERE p[2] IS NOT NULL"
+    )
+    return f"""
+WITH pairs AS ({bigrams}),
+tpairs AS (
+  SELECT w1, w2 FROM ({bigrams.replace(f"FROM {docs_src}", f"FROM {docs_src} WHERE {train_pred}")})
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM tpairs GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(cnt2) AS cnt1 FROM c2 GROUP BY 1),
+stats AS (SELECT COUNT(DISTINCT w2) AS v_size FROM c2),
+scored AS (
+  SELECT p.doc_id,
+         CAST(round(ln((CAST(COALESCE(c2.cnt2, 0) AS DOUBLE) + {alpha})
+                       / (CAST(COALESCE(c1.cnt1, 0) AS DOUBLE)
+                          + {alpha} * (CAST(s.v_size AS DOUBLE) + 1.0)))
+                    * 1000000) AS BIGINT) AS q,
+         CASE WHEN c2.cnt2 IS NULL THEN 1 ELSE 0 END AS unseen
+  FROM pairs p
+  LEFT JOIN c2 ON c2.w1 = p.w1 AND c2.w2 = p.w2
+  LEFT JOIN c1 ON c1.w1 = p.w1
+  CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+       round(-CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS avg_neg_logprob
+FROM scored GROUP BY doc_id
+"""

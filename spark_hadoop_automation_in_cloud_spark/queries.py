@@ -5948,3 +5948,25 @@ def q140_source_calibrated_quality(spark: SparkSession, sf_dir: str) -> DataFram
     return group_percentile(
         scored, "source", [F.col("quality").asc(), F.col("doc_id").asc()], "pct"
     )
+
+
+@register(
+    "q141_bigram_lm_quality",
+    tx.sql_bigram_lm_scores("documents", _SQL_TRAIN_PRED, "doc_id", "text"),
+    doc="Bigram language-model quality scoring (operators/textops.py "
+    "bigram_lm_scores): q101's conditional upgrade — per-doc average "
+    "negative log-prob of ADJACENT token pairs under an add-one-smoothed "
+    "bigram model fit on the same train split, so fluency now requires "
+    "local word order (shuffled text that fools the unigram filter "
+    "scores high here). Bigrams extract ROW-LOCALLY from the split "
+    "array (one transform, no per-doc window — the corpus never "
+    "shuffles on doc id for adjacency); the model is two aggregates "
+    "(pair counts; context totals derived from them, no second train "
+    "scan); scoring is two equi-joins + a 1-row stats broadcast. "
+    "Per-pair log-probs snap to the 1e-6 grid and sum exactly.",
+)
+def q141_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    bucket = hashing.md5_prefix_int(F.col("doc_id"), nhex=8, salt=":split") % 100
+    train = d.where(bucket < 80)
+    return tx.bigram_lm_scores(d, train, "doc_id", "text", alpha=1.0)

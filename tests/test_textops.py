@@ -263,3 +263,42 @@ def test_vocab_coverage_tiebreak_by_token(spark):
         vocab_coverage(df, "text", topk=2).collect(), key=lambda r: r["rank"]
     )
     assert [r["token"] for r in rows] == ["x", "y"]  # equal cnt → token asc
+
+
+def test_bigram_lm_python_reference(spark):
+    """Hand-check the smoothed bigram model on a tiny corpus: per-pair
+    quantized log-probs, unseen-pair counting, and the <2-token /
+    NULL-text drop rule."""
+    import math
+
+    from spark_hadoop_automation_in_cloud_spark.operators.textops import (
+        bigram_lm_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b"),      # train
+            (1, "a b c"),        # train
+            (2, "b a"),          # scored: pair (b,a) seen? train has (b,a) from doc0
+            (3, "x"),            # single token → no row
+            (4, None),           # NULL text → no row
+            (5, "q z"),          # fully unseen pair + unseen context
+        ],
+        "doc_id long, text string",
+    )
+    train = docs.where("doc_id < 2")
+    out = {r["doc_id"]: r for r in bigram_lm_scores(docs, train, "doc_id", "text").collect()}
+    assert 3 not in out and 4 not in out
+    # train pairs: (a,b)x3? doc0: (a,b),(b,a),(a,b); doc1: (a,b),(b,c)
+    # c2: (a,b)=3, (b,a)=1, (b,c)=1; c1: a=3, b=2; V = |{b,a,c}| = 3
+    def logp(c2, c1):
+        return math.log((c2 + 1.0) / (c1 + 1.0 * (3 + 1.0)))
+    q = lambda c2, c1: round(logp(c2, c1) * 1_000_000)
+    # doc2: one pair (b,a): c2=1, c1=2
+    assert out[2]["n_bigrams"] == 1 and out[2]["n_unseen"] == 0
+    assert out[2]["avg_neg_logprob"] == round(-q(1, 2) / 1e6, 6)
+    # doc5: (q,z): unseen pair AND unseen context → 1/(V+1) smoothing
+    assert out[5]["n_unseen"] == 1
+    assert out[5]["avg_neg_logprob"] == round(-q(0, 0) / 1e6, 6)
+    # word order matters: the model is conditional, not bag-of-words
+    assert out[2]["avg_neg_logprob"] != out[5]["avg_neg_logprob"]
