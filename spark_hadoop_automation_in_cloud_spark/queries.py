@@ -5970,3 +5970,64 @@ def q141_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = hashing.md5_prefix_int(F.col("doc_id"), nhex=8, salt=":split") % 100
     train = d.where(bucket < 80)
     return tx.bigram_lm_scores(d, train, "doc_id", "text", alpha=1.0)
+
+
+@register(
+    "q142_streaming_countmin",
+    _q105_sql(),
+    doc="Streaming count-min maintenance (streaming/incremental.py "
+    "update_countmin_index / read_countmin_index): events arrive in "
+    "three epochs (md5-bucketed), each epoch sketches ITSELF into its "
+    "own batch_id partition (overwrite = replay-idempotent; unlike the "
+    "dedup index a batch never reads earlier state — pure append-of-own-"
+    "partition, commutative by construction), and the reader merges "
+    "whatever partitions exist. Count-min is LINEAR, so the merged "
+    "batch sketches are bit-for-bit the full-corpus sketch — which is "
+    "why this row shares q105's cell-exact oracle VERBATIM: the SQL "
+    "sketches the whole table at once, and the value hash proves the "
+    "epoch-partitioned maintenance converges to exactly that. This row "
+    "drives the per-epoch engine body directly (q111's idiom — no "
+    "file-source timing in a correctness row); the stream wiring "
+    "(availableNow drain + checkpoint) is pinned in test_streaming.py.",
+)
+def q142_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from spark_hadoop_automation_in_cloud_spark.operators.sketches import (
+        countmin_estimate,
+    )
+    from spark_hadoop_automation_in_cloud_spark.streaming.incremental import (
+        read_countmin_index,
+        update_countmin_index,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    bucket = hashing.md5_prefix_int(F.col("event_id"), nhex=8, salt=":cmb") % 3
+    root = tempfile.mkdtemp(prefix="q142_")
+    idx = f"{root}/index"
+    try:
+        for b in range(3):
+            update_countmin_index(
+                e.where(bucket == b).select("event_type", "user_id"),
+                idx,
+                ["event_type"],
+                "user_id",
+                epoch_id=b,
+            )
+        merged = read_countmin_index(spark, idx, ["event_type"])
+        items = e.select("event_type", "user_id").distinct()
+        est = countmin_estimate(merged, ["event_type"], items, "user_id")
+        tru = e.groupBy("event_type", "user_id").agg(
+            F.count(F.lit(1)).alias("true_n")
+        )
+        out = tru.join(est, ["event_type", "user_id"]).select(
+            "event_type",
+            "user_id",
+            F.col("true_n").cast("bigint").alias("true_n"),
+            F.col("est_n").cast("bigint").alias("est_n"),
+        )
+        # materialize before the index dir goes away (q111's idiom)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

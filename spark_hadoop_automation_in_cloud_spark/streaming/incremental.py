@@ -618,3 +618,79 @@ def maintain_neardup_clusters(
     _commit_swap(labels_path, tmp, bak)
     sig.unpersist()
     return spark.read.parquet(labels_path)
+
+
+# --- Streaming sketch maintenance (count-min over arriving batches) ----------
+#
+# Count-min is LINEAR: cell counts are plain integer sums, so the merge of
+# per-batch sketches is bit-for-bit the sketch of the union — however the
+# stream happened to batch the rows.  That makes the partitioned-index
+# idiom above a complete streaming-sketch story: each micro-batch sketches
+# ITSELF (bounded depth x width cells) into its own ``batch_id=<epoch>``
+# partition (an overwrite — replay after a crash rewrites the same
+# partition with the same cells, so the reader never double-counts), and
+# readers merge whatever partitions exist.  Unlike the dedup index, a
+# batch never reads earlier state: the update is pure append-of-own-
+# partition, commutative and idempotent by construction.
+
+
+def update_countmin_index(
+    batch: DataFrame,
+    index_path: str,
+    group_cols: list[str],
+    value_col: str,
+    epoch_id: int,
+    depth: int | None = None,
+    width: int | None = None,
+) -> None:
+    """foreachBatch body (exposed for direct testing): sketch this batch
+    and overwrite its own ``batch_id`` partition."""
+    from spark_hadoop_automation_in_cloud_spark.operators import sketches as sk
+
+    d = sk.CM_DEPTH if depth is None else depth
+    w = sk.CM_WIDTH if width is None else width
+    sk.countmin_sketches(batch, group_cols, value_col, d, w).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/batch_id={epoch_id}")
+
+
+def read_countmin_index(
+    spark,
+    index_path: str,
+    group_cols: list[str],
+    depth: int | None = None,
+    width: int | None = None,
+) -> DataFrame:
+    """Merge every batch partition into the current sketch (cell sums —
+    exactly the sketch of everything ingested; geometry tags verified per
+    stored row by the merge)."""
+    from spark_hadoop_automation_in_cloud_spark.operators import sketches as sk
+
+    d = sk.CM_DEPTH if depth is None else depth
+    w = sk.CM_WIDTH if width is None else width
+    idx = spark.read.parquet(index_path).drop("batch_id")
+    return sk.merge_countmin_sketches(idx, group_cols, d, w)
+
+
+def run_streaming_countmin(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    value_col: str,
+) -> None:
+    """Drain ``stream`` (availableNow) through per-batch count-min updates
+    into the partitioned sketch index — the streaming frequency-state
+    job (trending keys, rate anomalies) whose state is depth x width
+    cells per group FOREVER, no matter how much data arrives."""
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: update_countmin_index(
+                bdf, index_path, group_cols, value_col, bid
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

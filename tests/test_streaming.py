@@ -1010,3 +1010,49 @@ def test_maintain_neardup_clusters_multi_batch_replay_and_crash(spark, sf_dir):
     finally:
         shutil.rmtree(state, ignore_errors=True)
         shutil.rmtree(pre_crash, ignore_errors=True)
+
+
+def test_streaming_countmin_equals_full_sketch_and_replays(spark, sf_dir, tmp_path):
+    """Count-min linearity through the partitioned index: (a) a 3-batch
+    availableNow drain's merged sketch is CELL-IDENTICAL to sketching the
+    whole table at once; (b) replaying an epoch (same rows, same id)
+    overwrites its own partition — the merge never double-counts."""
+    from spark_hadoop_automation_in_cloud_spark.operators.sketches import (
+        countmin_sketches,
+    )
+    from spark_hadoop_automation_in_cloud_spark.streaming.incremental import (
+        read_countmin_index,
+        run_streaming_countmin,
+        update_countmin_index,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    src = tmp_path / "src"
+    # three files → three micro-batches under maxFilesPerTrigger=1
+    for b in range(3):
+        ev.where(F.col("user_id") % 3 == b).coalesce(1).write.parquet(
+            str(src / f"b={b}")
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    idx = str(tmp_path / "cm_index")
+    run_streaming_countmin(
+        stream, idx, str(tmp_path / "ckpt"), ["event_type"], "user_id"
+    )
+    merged = read_countmin_index(spark, idx, ["event_type"])
+    full = countmin_sketches(ev, ["event_type"], "user_id")
+    key = ["event_type", "row_i", "bucket", "n"]
+    assert sorted(map(tuple, merged.select(*key).collect())) == sorted(
+        map(tuple, full.select(*key).collect())
+    )
+    # replay: rewrite epoch 1's partition with the same rows — unchanged
+    b1 = ev.where(F.col("user_id") % 3 == 1)
+    update_countmin_index(b1, idx, ["event_type"], "user_id", epoch_id=1)
+    replayed = read_countmin_index(spark, idx, ["event_type"])
+    assert sorted(map(tuple, replayed.select(*key).collect())) == sorted(
+        map(tuple, full.select(*key).collect())
+    )
