@@ -6031,3 +6031,75 @@ def q142_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q143_dedup_audit",
+    f"""
+WITH RECURSIVE {_SQL_CLUSTER_CTES},
+m AS (
+  SELECT c.cluster_id, k.doc_id, k.quality,
+         CAST(len(string_split(k.text, ' ')) AS BIGINT) AS n_tokens
+  FROM kept k JOIN clus c ON k.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT cluster_id, doc_id, quality, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+         MIN(quality) OVER (PARTITION BY cluster_id) AS worst_quality,
+         CAST(SUM(n_tokens) OVER (PARTITION BY cluster_id) AS BIGINT) AS tot_tokens
+  FROM m
+)
+SELECT cluster_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       doc_id AS survivor_id,
+       quality AS best_quality,
+       worst_quality,
+       round(quality - worst_quality, 6) AS quality_spread,
+       tot_tokens - n_tokens AS dropped_tokens
+FROM ranked
+WHERE rn = 1 AND n_members >= 2
+""",
+    doc="Dedup audit report (the ops deliverable behind q40/q116): for "
+    "every MULTI-member near-dup cluster, what dedup kept and what it "
+    "cost — size, the q116 keep-rule survivor, best/worst quality and "
+    "their spread, and the token mass the drop forfeits. Spark side is "
+    "ONE map-side-combined aggregation over the shared cluster labels "
+    "(count + max_by survivor + min/max quality + token sums — no "
+    "corpus window; the oracle uses windows only because its CTE is a "
+    "standalone SELECT). Shares the q40/q116 closure CTEs verbatim, so "
+    "a threshold change moves all three oracles together.",
+)
+def q143_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept, clusters = _curation_clusters(spark, sf_dir)
+    members = (
+        kept.select(
+            "doc_id",
+            "quality",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        )
+        .join(clusters, "doc_id")
+    )
+    key = F.struct(F.col("quality"), (-F.col("doc_id")).alias("__neg_id"))
+    agg = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max_by("doc_id", key).alias("survivor_id"),
+        F.max("quality").alias("best_quality"),
+        F.min("quality").alias("worst_quality"),
+        F.sum("n_tokens").alias("__tot_tokens"),
+        F.max_by("n_tokens", key).alias("__survivor_tokens"),
+    )
+    return agg.where(F.col("n_members") >= 2).select(
+        "cluster_id",
+        "n_members",
+        "survivor_id",
+        "best_quality",
+        "worst_quality",
+        F.round(F.col("best_quality") - F.col("worst_quality"), 6).alias(
+            "quality_spread"
+        ),
+        (F.col("__tot_tokens") - F.col("__survivor_tokens"))
+        .cast("bigint")
+        .alias("dropped_tokens"),
+    )
