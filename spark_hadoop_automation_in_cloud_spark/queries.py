@@ -6103,3 +6103,51 @@ def q143_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dropped_tokens"),
     )
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.inference import (  # noqa: E402
+    rerank_topk,
+    sql_fake_pair_score,
+)
+
+
+@register(
+    "q144_model_rerank",
+    f"""
+WITH fused AS (
+  SELECT query_id, doc_id, rrf FROM (
+    {sql_hybrid_prf_rrf_topk("documents", "embeddings", _Q133_QUERIES, k_each=20, topk=10)}
+  )
+),
+scored AS (
+  SELECT query_id, doc_id, rrf,
+         round({sql_fake_pair_score(["query_id", "doc_id"])}, 6) AS model_score
+  FROM fused
+)
+SELECT query_id, doc_id, rrf, model_score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY model_score DESC, doc_id ASC) AS INT)
+         AS model_rank
+FROM scored
+QUALIFY model_rank <= 5
+""",
+    doc="Model-scored rerank through the Arrow inference seam "
+    "(operators/inference.py rerank_topk / score_candidates): the "
+    "retrieve→rerank composition — q134's fused top-10 candidates per "
+    "query scored by a pluggable batch scorer over mapInPandas "
+    "(vectorized Arrow batches, zero shuffle; memory bounded by "
+    "maxRecordsPerBatch) and cut to the model's top-5. The default "
+    "scorer is the deterministic md5 FAKE (warns at construction; "
+    "strict=True raises; a real cross-encoder injects via scorer= — "
+    "the multimodal codec-seam pattern applied to inference), which is "
+    "what lets this row be a full value-hash oracle: the SQL replays "
+    "the same md5 arithmetic. The window is per query over ≤10 rows — "
+    "bounded however large the corpus.",
+)
+def q144_model_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    e = read_table(spark, sf_dir, "embeddings", parallelize=True)
+    fused = hybrid_prf_rrf_topk(d, e, _Q133_QUERIES, k_each=20, topk=10).select(
+        "query_id", "doc_id", "rrf"
+    )
+    return rerank_topk(fused, "query_id", "doc_id", topk=5)

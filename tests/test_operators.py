@@ -2202,3 +2202,41 @@ def test_group_percentile_spread_and_singleton(spark):
     assert out[2] == round(2 / 3, 6)
     assert out[4] == 1.0
     assert out[9] == 0.5  # singleton group
+
+
+def test_inference_seam_injects_and_strict_raises(spark):
+    """The scorer seam: an injected vectorized scorer drives the rank; the
+    fake warns at construction; strict=True raises (no silent fake in
+    production)."""
+    import warnings
+
+    import pytest as _pytest
+
+    from spark_hadoop_automation_in_cloud_spark.operators.inference import (
+        rerank_topk,
+        score_candidates,
+    )
+
+    cands = spark.createDataFrame(
+        [(1, 10, 0.5), (1, 11, 0.4), (1, 12, 0.3), (2, 10, 0.9)],
+        "query_id int, doc_id long, rrf double",
+    )
+
+    def scorer(batch):
+        return batch["doc_id"] * 0.1  # deterministic, reads a real column
+
+    out = {
+        (r["query_id"], r["doc_id"]): (r["model_score"], r["model_rank"])
+        for r in rerank_topk(
+            cands, "query_id", "doc_id", topk=2, scorer=scorer
+        ).collect()
+    }
+    assert out[(1, 12)][1] == 1 and out[(1, 11)][1] == 2  # highest doc_id*0.1 wins
+    assert (1, 10) not in out  # cut by topk=2
+    assert out[(2, 10)] == (1.0, 1)
+    with _pytest.raises(NotImplementedError):
+        score_candidates(cands, ["query_id", "doc_id"], strict=True)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        score_candidates(cands, ["query_id", "doc_id"])
+        assert any("FAKE scorer" in str(x.message) for x in w)

@@ -375,6 +375,9 @@ BNLJ_INTENDED = {
     # not in the returned plan
     "q134_hybrid_rrf_retrieval": 1,
     "q137_vocab_coverage": 1,      # 1-row total-token-count broadcast
+    # q134's dense stage reused under the rerank map (the inference seam
+    # adds no join of its own)
+    "q144_model_rerank": 1,
 }
 
 #: queries whose SinglePartition window sort is fed by a CALENDAR-bounded
