@@ -6151,3 +6151,77 @@ def q144_model_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "doc_id", "rrf"
     )
     return rerank_topk(fused, "query_id", "doc_id", topk=5)
+
+
+@register(
+    "q145_sketch_quality_deciles",
+    f"""
+WITH scored AS ({_Q130_SCORED_SQL}),
+b AS (SELECT source, doc_id, quality,
+             {sql_value_bucket("quality", 0.01)} AS bkt
+      FROM scored),
+c AS (SELECT source, bkt, COUNT(*) AS cnt FROM b
+      WHERE bkt IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT source, SUM(cnt) AS total FROM c GROUP BY 1),
+qs AS (SELECT gi.i / 10.0 AS q FROM generate_series(1, 9) gi(i)),
+r AS (SELECT t.source, qs.q,
+             GREATEST(CAST(ceil(round(qs.q * t.total, 9)) AS BIGINT), 1) AS rnk
+      FROM t CROSS JOIN qs),
+cum AS (SELECT source, bkt,
+               SUM(cnt) OVER (PARTITION BY source ORDER BY bkt) AS cum
+        FROM c),
+pick AS (SELECT r.source, r.q, MIN(cum.bkt) AS cut
+         FROM r JOIN cum ON cum.source = r.source AND cum.cum >= r.rnk
+         GROUP BY 1, 2)
+SELECT b.source, b.doc_id, b.quality,
+       CAST(SUM(CASE WHEN b.bkt > p.cut THEN 1 ELSE 0 END) AS INT) AS decile
+FROM b JOIN pick p ON p.source = b.source
+WHERE b.bkt IS NOT NULL
+GROUP BY 1, 2, 3
+""",
+    doc="Per-source quality DECILES from the mergeable quantile sketch "
+    "(operators/sketches.py quantile_sketches / quantile_buckets / "
+    "value_bucket): q140's exact-percentile calibration is a per-group "
+    "window — fine when groups fit a partition; THIS is the scale path "
+    "when they don't: the nine per-source cut points come from the same "
+    "persisted sketch state q102 rolls up, broadcast as integer BUCKET "
+    "CODES, and every row's decile is a row-local fold comparing its "
+    "own value_bucket against the cut array — pure integer comparisons "
+    "(no representative-double >= hazards at cut lines), one map-side-"
+    "combined sketch aggregate, no sort, no corpus window. Honest to "
+    "the sketch's 1% resolution: adjacent deciles whose cuts land in "
+    "one bucket collapse identically on both engines. Rows with "
+    "NULL/non-finite quality carry no rank and are excluded on both "
+    "sides (the sketch skips them).",
+)
+def q145_sketch_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    scored = (
+        tx.quality_score(d, "doc_id", "text")
+        .select("doc_id", "quality")
+        .join(d.select("doc_id", "source"), "doc_id")
+    )
+    sk = quantile_sketches(scored, ["source"], "quality", eps=0.01)
+    qs = [i / 10.0 for i in range(1, 10)]
+    cuts = (
+        quantile_buckets(sk, ["source"], qs, eps=0.01)
+        .groupBy("source")
+        .agg(F.array_sort(F.collect_list("bucket")).alias("__cuts"))
+    )
+    b = value_bucket(F.col("quality"), 0.01)
+    decile = F.aggregate(
+        F.col("__cuts"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col("__b") > c, 1).otherwise(0),
+    )
+    return (
+        scored.withColumn("__b", b)
+        .where(F.col("__b").isNotNull())
+        .join(F.broadcast(cuts), "source")
+        .select(
+            "source",
+            "doc_id",
+            "quality",
+            decile.cast("int").alias("decile"),
+        )
+    )
