@@ -293,3 +293,46 @@ def test_cluster_maintenance_job_cli_two_rounds(spark, tmp_path):
     assert job.main([]) == 2
     assert job.main([str(tmp_path / "b2"), state, "2.0"]) == 2
     assert job.main([str(tmp_path / "b2"), state, "abc"]) == 2
+
+
+def test_streaming_countmin_job_cli_accumulates_across_runs(spark, tmp_path):
+    """Two CLI runs over a growing landing dir: the merged sketch after
+    run 2 equals sketching everything ingested at once (count-min
+    linearity through the checkpoint); bad argv exits 2."""
+    from pyspark.sql import functions as F
+
+    from spark_hadoop_automation_in_cloud_spark.operators.sketches import (
+        countmin_sketches,
+    )
+    from spark_hadoop_automation_in_cloud_spark.streaming.incremental import (
+        read_countmin_index,
+    )
+
+    job = _load("streaming_countmin_job")
+    src = tmp_path / "landing"
+    src.mkdir()
+    idx, ckpt = str(tmp_path / "index"), str(tmp_path / "ckpt")
+
+    d1 = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2)], "event_type string, user_id long"
+    )
+    d1.coalesce(1).write.parquet(str(src / "drop1"))
+    assert job.main([f"{src}/*", idx, ckpt]) == 0
+
+    d2 = spark.createDataFrame(
+        [("a", 1), ("b", 3)], "event_type string, user_id long"
+    )
+    d2.coalesce(1).write.parquet(str(src / "drop2"))
+    assert job.main([f"{src}/*", idx, ckpt]) == 0
+
+    merged = read_countmin_index(spark, idx, ["event_type"])
+    full = countmin_sketches(d1.unionByName(d2), ["event_type"], "user_id")
+    key = ["event_type", "row_i", "bucket", "n"]
+    assert sorted(map(tuple, merged.select(*key).collect())) == sorted(
+        map(tuple, full.select(*key).collect())
+    )
+    # two distinct epochs on disk — run 2 didn't rewrite run 1's state
+    assert {r["batch_id"] for r in spark.read.parquet(idx).select("batch_id").distinct().collect()} == {0, 1}
+
+    assert job.main([]) == 2
+    assert job.main([f"{src}/*", idx, ckpt, "0"]) == 2
