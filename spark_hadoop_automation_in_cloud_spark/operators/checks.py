@@ -139,3 +139,138 @@ SELECT b AS {bucket_out}, n_rows,
        round(CAST(SUM(term) AS DOUBLE) / (2.0 * n_rows * m_rows), 6) AS tv_drift
 FROM g GROUP BY b, n_rows, m_rows
 """
+
+
+def numeric_psi(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    seg_col: str,
+    a_label: str,
+    b_label: str,
+    value_col: str,
+    eps: float = 0.01,
+) -> DataFrame:
+    """Population Stability Index of a NUMERIC column between two segments,
+    per group — the numeric half of the drift dashboard
+    (:func:`distribution_drift_tv` covers the categorical half): did this
+    group's value distribution move between segment ``a`` and segment
+    ``b``?  PSI < 0.1 is the conventional "stable" line.
+
+    Bins are the mergeable quantile sketch's integer bucket codes
+    (``sketches.value_bucket`` at ``eps`` relative resolution) — log-scale
+    equi-RESOLUTION bins that need no training pass, are identical across
+    engines (pure integer arithmetic), and make the PSI of two runs
+    comparable.  NULL/non-finite values carry no bin and drop (the sketch
+    family's skip rule); rows outside the two segments are filtered.
+
+    Laplace-smoothed shares over the group's bin UNION (B bins):
+    ``p = (c_a + 0.5) / (n_a + 0.5·B)`` — a bin empty on one side
+    contributes a finite term instead of an infinite log.  Each bin's
+    ``(p − q)·ln(p/q)`` snaps to a 1e-9 integer grid before the exact
+    sum (the engine's ln idiom), so the score is partition-order-
+    independent and oracle-replayable.
+
+    Scale shape: ONE shuffle into (group, bin) rows with conditional
+    per-segment counts (map-side combined, bounded by groups × occupied
+    bins); totals re-aggregate those rows; the term math is row-local.
+
+    Output: group_cols..., n_bins (bigint), n_a, n_b (bigint),
+    psi (double, 6dp).
+    """
+    from spark_hadoop_automation_in_cloud_spark.operators.sketches import (
+        value_bucket,
+    )
+
+    gs = list(group_cols)
+    seg = F.col(seg_col)
+    b = value_bucket(F.col(value_col), eps)
+    counts = (
+        df.where(seg.isin(a_label, b_label))
+        .withColumn("__bin", b)
+        .where(F.col("__bin").isNotNull())
+        .groupBy(*gs, "__bin")
+        .agg(
+            F.sum(F.when(seg == a_label, 1).otherwise(0)).cast("bigint").alias("ca"),
+            F.sum(F.when(seg == b_label, 1).otherwise(0)).cast("bigint").alias("cb"),
+        )
+    )
+    totals = counts.groupBy(*gs).agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+    )
+    j = counts.join(F.broadcast(totals), gs)
+    p = (F.col("ca").cast("double") + 0.5) / (
+        F.col("na").cast("double") + 0.5 * F.col("n_bins").cast("double")
+    )
+    q = (F.col("cb").cast("double") + 0.5) / (
+        F.col("nb").cast("double") + 0.5 * F.col("n_bins").cast("double")
+    )
+    term = F.round((p - q) * F.log(p / q) * 1_000_000_000).cast("bigint")
+    return (
+        j.select(*gs, "n_bins", "na", "nb", term.alias("__t"))
+        .groupBy(*gs, "n_bins", "na", "nb")
+        .agg(
+            F.round(F.sum("__t").cast("double") / 1_000_000_000.0, 6).alias("psi")
+        )
+        .select(
+            *gs,
+            "n_bins",
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            "psi",
+        )
+    )
+
+
+def sql_numeric_psi(
+    src_sql: str,
+    group_cols: Sequence[str],
+    seg_expr: str,
+    a_label: str,
+    b_label: str,
+    value_col: str,
+    eps: float = 0.01,
+) -> str:
+    """DuckDB twin of :func:`numeric_psi`.  ``src_sql`` yields the input
+    rows; ``seg_expr`` computes the segment label; identical bucket
+    arithmetic, smoothing, and 1e-9 term grid."""
+    from spark_hadoop_automation_in_cloud_spark.operators.sketches import (
+        sql_value_bucket,
+    )
+
+    gs = ", ".join(group_cols)
+    bucket = sql_value_bucket(value_col, eps)
+    return f"""
+WITH src AS ({src_sql}),
+tagged AS (
+  SELECT {gs}, ({seg_expr}) AS seg, {bucket} AS bin FROM src
+),
+counts AS (
+  SELECT {gs}, bin,
+         CAST(SUM(CASE WHEN seg = '{a_label}' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN seg = '{b_label}' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM tagged
+  WHERE seg IN ('{a_label}', '{b_label}') AND bin IS NOT NULL
+  GROUP BY {gs}, bin
+),
+totals AS (
+  SELECT {gs}, CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+         CAST(COUNT(*) AS BIGINT) AS n_bins
+  FROM counts GROUP BY {gs}
+),
+terms AS (
+  SELECT c.*, t.na, t.nb, t.n_bins,
+         CAST(round(
+           ((CAST(c.ca AS DOUBLE) + 0.5) / (CAST(t.na AS DOUBLE) + 0.5 * CAST(t.n_bins AS DOUBLE))
+            - (CAST(c.cb AS DOUBLE) + 0.5) / (CAST(t.nb AS DOUBLE) + 0.5 * CAST(t.n_bins AS DOUBLE)))
+           * ln(((CAST(c.ca AS DOUBLE) + 0.5) / (CAST(t.na AS DOUBLE) + 0.5 * CAST(t.n_bins AS DOUBLE)))
+                / ((CAST(c.cb AS DOUBLE) + 0.5) / (CAST(t.nb AS DOUBLE) + 0.5 * CAST(t.n_bins AS DOUBLE))))
+           * 1000000000) AS BIGINT) AS t
+  FROM counts c JOIN totals t USING ({gs})
+)
+SELECT {gs}, n_bins, na AS n_a, nb AS n_b,
+       round(CAST(SUM(t) AS DOUBLE) / 1000000000.0, 6) AS psi
+FROM terms
+GROUP BY {gs}, n_bins, na, nb
+"""

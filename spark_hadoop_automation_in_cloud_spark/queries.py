@@ -6225,3 +6225,50 @@ def q145_sketch_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             decile.cast("int").alias("decile"),
         )
     )
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.checks import (  # noqa: E402
+    numeric_psi,
+    sql_numeric_psi,
+)
+
+
+@register(
+    "q146_value_psi_weekend",
+    sql_numeric_psi(
+        "SELECT event_type, ts, value FROM events",
+        ["event_type"],
+        "CASE WHEN extract(dow FROM ts) IN (0, 6) THEN 'weekend' ELSE 'weekday' END",
+        "weekday",
+        "weekend",
+        "value",
+        eps=0.01,
+    ),
+    doc="Numeric distribution drift as PSI (operators/checks.py "
+    "numeric_psi): per event type, the Population Stability Index of "
+    "the value column between weekday and weekend traffic — the numeric "
+    "half of the drift dashboard (q121's total-variation score covers "
+    "the categorical half; PSI < 0.1 is the conventional stable line). "
+    "Bins are the mergeable quantile sketch's integer bucket codes — no "
+    "training pass, engine-identical, run-over-run comparable; shares "
+    "are Laplace-smoothed over the group's bin union so one-sided bins "
+    "stay finite; each bin's (p-q)*ln(p/q) snaps to a 1e-9 grid before "
+    "the exact sum (the ln idiom). ONE shuffle into (group, bin) "
+    "conditional counts, map-side combined; term math row-local. Note "
+    "the dow conventions differ (Spark dayofweek: 1=Sun..7=Sat; DuckDB "
+    "dow: 0=Sun..6=Sat) — each side uses its own weekend set.",
+)
+def q146_value_psi_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    seg = F.when(F.dayofweek(F.col("ts")).isin(1, 7), "weekend").otherwise(
+        "weekday"
+    )
+    return numeric_psi(
+        e.select("event_type", seg.alias("seg"), "value"),
+        ["event_type"],
+        "seg",
+        "weekday",
+        "weekend",
+        "value",
+        eps=0.01,
+    )

@@ -2240,3 +2240,32 @@ def test_inference_seam_injects_and_strict_raises(spark):
         warnings.simplefilter("always")
         score_candidates(cands, ["query_id", "doc_id"])
         assert any("FAKE scorer" in str(x.message) for x in w)
+
+
+def test_numeric_psi_identical_and_shifted(spark):
+    """Identical segment distributions → PSI ~0; a clearly shifted
+    segment → PSI well above the 0.1 stability line; one-sided bins stay
+    finite via the Laplace smoothing."""
+    from spark_hadoop_automation_in_cloud_spark.operators.checks import numeric_psi
+
+    same = [("g", "a", float(v)) for v in (1, 2, 4, 8)] * 8 + [
+        ("g", "b", float(v)) for v in (1, 2, 4, 8)
+    ] * 8
+    shifted = [("h", "a", float(v)) for v in (1, 1, 1, 2)] * 8 + [
+        ("h", "b", float(v)) for v in (64, 128, 128, 256)
+    ] * 8
+    df = spark.createDataFrame(same + shifted, "g string, seg string, v double")
+    out = {
+        r["g"]: r
+        for r in numeric_psi(df, ["g"], "seg", "a", "b", "v").collect()
+    }
+    assert abs(out["g"]["psi"]) < 1e-6
+    assert out["h"]["psi"] > 0.1
+    assert out["g"]["n_a"] == out["g"]["n_b"] == 32
+    # NULL/non-finite values drop; out-of-segment rows filtered
+    df2 = spark.createDataFrame(
+        [("g", "a", 1.0), ("g", "a", None), ("g", "c", 2.0), ("g", "b", 1.0)],
+        "g string, seg string, v double",
+    )
+    r2 = numeric_psi(df2, ["g"], "seg", "a", "b", "v").collect()[0]
+    assert (r2["n_a"], r2["n_b"]) == (1, 1)

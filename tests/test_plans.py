@@ -365,6 +365,7 @@ BNLJ_INTENDED = {
     "q77_value_histogram": 1,      # 1-row global min/max broadcast
     "q94_benford_first_digit": 1,  # 1-row total broadcast
     "q101_unigram_lm_quality": 1,  # 1-row corpus-stats broadcast
+    "q141_bigram_lm_quality": 1,   # 1-row v_size stats broadcast (q101's shape)
     "q114_hard_negatives": 1,      # broadcast query side, corpus unshuffled
     "q120_quality_threshold_for_budget": 1,  # 1-row budget cut broadcast
     "q121_event_mix_drift": 2,     # 1-row totals broadcast, one per side
