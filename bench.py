@@ -125,6 +125,10 @@ HEADLINE = [
     # finish (q139's grouped-OLS shares the grouped-moment plan family
     # q66 already benches, so it is deliberately not here)
     "q138_source_centroid_cosine",
+    # bigram LM: the two-equi-join conditional scoring shape — a
+    # regression that re-shuffles the corpus for adjacency (a per-doc
+    # window creeping back into _bigram_pairs) shows up as a wall cliff
+    "q141_bigram_lm_quality",
 ]
 
 #: Pinned machine-factor kernels (VERDICT r5 item 5): code-independent

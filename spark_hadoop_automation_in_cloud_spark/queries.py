@@ -102,13 +102,18 @@ def register(name: str, sql: str | None, doc: str = ""):
 # round-6 allocation rationale is preserved in git history (this file,
 # commit aad8580 and earlier).
 #
-# Additions AFTER the window filled (q133 BM25 retrieval; q134 hybrid
-# RRF retrieval; q135 embedding covariance; q136 top-PC projection; q137
-# vocabulary coverage): the window's 50 slots are all new rows, changed
+# Additions AFTER the window filled (q133 BM25; q134 hybrid PRF+RRF
+# retrieval; q135 embedding covariance; q136 top-PC projection; q137
+# vocabulary coverage; q138 source-centroid matrix; q139 grouped OLS;
+# q140 per-source percentile calibration; q141 bigram LM; q142 streaming
+# count-min maintenance; q143 dedup audit; q144 model-scored rerank
+# through the Arrow inference seam; q145 sketch quality deciles; q146
+# numeric PSI drift): the window's 50 slots are all new rows, changed
 # kernels, or the age-2 backlog — no displaceable refresh remains — so
-# q133–q137 stay outside and lead the NEXT round's new block per the
-# standing rule (each was sf0.001/0.01-parity-green on registration, and
-# q134–q136 also at sf0.1; all are covered every run by
+# q133–q146 stay outside and lead the NEXT round's new block per the
+# standing rule (each was sf0.001/0.01-parity-green on a vanilla driver
+# simulation at registration; the whole registry is re-proven at sf0.1
+# once per session — see README; all are covered every run by
 # tests/test_oracle_parity.py).
 #
 # The driver's CORRECTNESS run verifies a bounded window (50 entries)
