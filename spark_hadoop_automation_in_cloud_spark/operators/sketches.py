@@ -649,3 +649,45 @@ def heavy_hitters_exact(
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
         .where(F.col("freq") >= threshold)
     )
+
+
+def overlap_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    group_cols: list[str],
+    left_key: str,
+    right_key: str,
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """Distinct-key OVERLAP estimate between two tables per group, by HLL
+    inclusion–exclusion — the join-size planning primitive: "how many of
+    this segment's keys appear on the other side?" answered from two
+    fixed-size sketches, without running (or shuffling) the join.
+
+    ``left`` carries the group columns; ``right`` is sketched globally
+    (one sketch) and broadcast.  ``est_overlap = est_left + est_right −
+    est_union`` with the union via ``hll_union`` — the standard
+    inclusion–exclusion composition, whose error is bounded by the sum
+    of the three estimates' bounds (each 1.04/√2^lgk relative).
+
+    Output: group_cols..., est_left, est_right, est_union, est_overlap
+    (bigint; inclusion–exclusion can go slightly negative on tiny
+    overlaps — reported as-is, floor at the caller).
+
+    Scale shape: two map-side-combined sketch aggregations (state 2^lgk
+    bytes per group / per side) + a 1-row broadcast; no key shuffle at
+    all — the point, at 100 TB, is sizing the join BEFORE paying for it.
+    """
+    ska = distinct_sketches(left, group_cols, left_key, lgk, sketch_col="__a")
+    skb = right.agg(F.hll_sketch_agg(right_key, F.lit(lgk)).alias("__b"))
+    j = ska.crossJoin(F.broadcast(skb))
+    ea = F.hll_sketch_estimate("__a").cast("bigint")
+    eb = F.hll_sketch_estimate("__b").cast("bigint")
+    eu = F.hll_sketch_estimate(F.hll_union("__a", "__b")).cast("bigint")
+    return j.select(
+        *group_cols,
+        ea.alias("est_left"),
+        eb.alias("est_right"),
+        eu.alias("est_union"),
+        (ea + eb - eu).alias("est_overlap"),
+    )

@@ -6277,3 +6277,78 @@ def q146_value_psi_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         eps=0.01,
     )
+
+
+@register(
+    "q147_join_size_estimate",
+    """
+WITH seg AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_seg
+  FROM customer GROUP BY 1
+),
+ov AS (
+  SELECT c.c_mktsegment,
+         CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS exact_overlap
+  FROM customer c
+  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  GROUP BY 1
+)
+SELECT seg.c_mktsegment, seg.exact_seg,
+       COALESCE(ov.exact_overlap, 0) AS exact_overlap,
+       TRUE AS est_in_bound
+FROM seg LEFT JOIN ov ON ov.c_mktsegment = seg.c_mktsegment
+""",
+    doc="Join-cardinality estimation by HLL inclusion-exclusion "
+    "(operators/sketches.py overlap_estimate): per market segment, how "
+    "many of its customer keys appear among order placers — estimated "
+    "from two fixed-size sketches (est_left + est_right - est_union, "
+    "union via hll_union) with NO key shuffle; at 100 TB this sizes a "
+    "join before paying for it. The DataSketches estimator isn't "
+    "SQL-replayable (q104's precedent), so the oracle pins what IS "
+    "exact — the segment key counts and the true overlap — plus the "
+    "assertion that the inclusion-exclusion estimate lands within the "
+    "summed 3-sigma bounds of its three component estimates; "
+    "est_in_bound must come back TRUE per group or the value hash "
+    "fails.",
+)
+def q147_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from spark_hadoop_automation_in_cloud_spark.operators.sketches import (
+        DEFAULT_LGK,
+        overlap_estimate,
+    )
+
+    c = read_table(spark, sf_dir, "customer").select("c_mktsegment", "c_custkey")
+    o = read_table(spark, sf_dir, "orders").select("o_custkey")
+    est = overlap_estimate(c, o, ["c_mktsegment"], "c_custkey", "o_custkey")
+    exact_seg = c.groupBy("c_mktsegment").agg(
+        F.count_distinct("c_custkey").cast("bigint").alias("exact_seg")
+    )
+    buyers = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+    exact_ov = buyers.groupBy("c_mktsegment").agg(
+        F.count_distinct("c_custkey").cast("bigint").alias("exact_overlap")
+    )
+    rel3 = 3.0 * 1.04 / math.sqrt(2.0**DEFAULT_LGK)
+    bound = rel3 * (
+        F.col("est_left") + F.col("est_right") + F.col("est_union")
+    ).cast("double")
+    return (
+        est.join(exact_seg, "c_mktsegment")
+        .join(exact_ov, "c_mktsegment", "left")
+        .select(
+            "c_mktsegment",
+            "exact_seg",
+            F.coalesce(F.col("exact_overlap"), F.lit(0).cast("bigint")).alias(
+                "exact_overlap"
+            ),
+            (
+                F.abs(
+                    F.col("est_overlap").cast("double")
+                    - F.coalesce(F.col("exact_overlap"), F.lit(0)).cast("double")
+                )
+                <= bound
+            ).alias("est_in_bound"),
+        )
+    )

@@ -379,6 +379,7 @@ BNLJ_INTENDED = {
     # q134's dense stage reused under the rerank map (the inference seam
     # adds no join of its own)
     "q144_model_rerank": 1,
+    "q147_join_size_estimate": 1,  # 1-row global-sketch broadcast
 }
 
 #: queries whose SinglePartition window sort is fed by a CALENDAR-bounded
