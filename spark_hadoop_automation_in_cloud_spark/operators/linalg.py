@@ -463,9 +463,13 @@ def grouped_ols(
     moments — trend detection over grouped series (integer ``x_col`` /
     ``y_col``; scale money to cents first, the ``dsum`` convention).
 
-    Output: the group columns, ``n_points`` (bigint), ``slope`` /
-    ``intercept`` (double 6dp; NULL when the variance of x is zero —
-    fewer than two distinct x values).
+    Output: the group columns, ``n_points`` (bigint), ``slope`` (double
+    6dp) and ``intercept`` (double 2dp — the intercept inherits the y
+    scale, and rounding a ~1e10 value at 6dp is NOT cross-engine safe:
+    DuckDB's round multiplies by 1e6 first, overflowing exact double
+    range past ~9e9 while Spark rounds through exact BigDecimal — the
+    one-ulp divergence the sf0.1 sweep caught); both NULL when the
+    variance of x is zero (fewer than two distinct x values).
 
     ``slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`` with every moment an
     exact DECIMAL(38,0) (order-independent, overflow-safe), then ONE
@@ -498,7 +502,7 @@ def grouped_ols(
                 * F.col("sx").cast("double")
             )
             / F.col("n_points").cast("double"),
-            6,
+            2,
         )
         + F.lit(0.0),
     )
@@ -541,7 +545,7 @@ SELECT {gs}, n_points,
                 - (CAST(n_points * sxy - sx * sy AS DOUBLE)
                    / CAST(n_points * sxx - sx * sx AS DOUBLE))
                   * CAST(sx AS DOUBLE))
-               / CAST(n_points AS DOUBLE), 6) + 0.0
+               / CAST(n_points AS DOUBLE), 2) + 0.0
        END AS intercept
 FROM m
 """

@@ -110,7 +110,7 @@ def register(name: str, sql: str | None, doc: str = ""):
 # through the Arrow inference seam; q145 sketch quality deciles; q146
 # numeric PSI drift): the window's 50 slots are all new rows, changed
 # kernels, or the age-2 backlog — no displaceable refresh remains — so
-# q133–q146 stay outside and lead the NEXT round's new block per the
+# q133–q147 stay outside and lead the NEXT round's new block per the
 # standing rule (each was sf0.001/0.01-parity-green on a vanilla driver
 # simulation at registration; the whole registry is re-proven at sf0.1
 # once per session — see README; all are covered every run by
@@ -5889,7 +5889,9 @@ GROUP BY 1, 2
     doc="Per-nation revenue trend by grouped OLS (operators/linalg.py "
     "grouped_ols): slope/intercept of monthly revenue against a month "
     "index, from exact DECIMAL(38,0)/HUGEINT moments (n, Sx, Sy, Sxy, "
-    "Sxx) and ONE shared double recipe — the trend-detection analytic "
+    "Sxx), ONE shared double recipe, and magnitude-scaled rounding "
+    "(slope 6dp; intercept 2dp — 6dp rounding past ~9e9 is not "
+    "cross-engine safe, see grouped_ols) — the trend-detection analytic "
     "(is this segment growing?) as a single map-side-combined aggregate "
     "over the month rollup; five numbers of state per group, NULL slope "
     "when a nation has fewer than two distinct months. The intercept "
