@@ -6354,3 +6354,112 @@ def q147_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_in_bound"),
         )
     )
+
+
+@register(
+    "q148_langid_confusion",
+    f"""
+WITH pred AS ({tx.sql_language_id("documents", "doc_id", "text")}),
+conf AS (
+  SELECT d.lang AS true_lang, p.pred_lang,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+  GROUP BY 1, 2
+)
+SELECT true_lang, pred_lang, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY pred_lang) AS BIGINT), 6)
+         AS share_of_pred,
+       round(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY true_lang) AS BIGINT), 6)
+         AS share_of_true
+FROM conf
+""",
+    doc="Classifier evaluation: the language-ID confusion matrix "
+    "(operators/textops.py language_id vs the ground-truth lang column) "
+    "with per-cell shares — diagonal cells' share_of_pred IS the class "
+    "precision and share_of_true the class recall, the evaluation "
+    "primitive any heuristic classifier in the curation pipeline needs "
+    "before its output gates data. Scale shape: prediction is row-local "
+    "marker counting in the scan; ONE map-side-combined aggregation to "
+    "|langs|^2 cells; the marginal windows run over that tiny aggregate "
+    "(partitioned by class, never the corpus).",
+)
+def q148_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    pred = tx.language_id(d, "doc_id", "text").select("doc_id", "pred_lang")
+    conf = (
+        d.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wp = Window.partitionBy("pred_lang")
+    wt = Window.partitionBy("true_lang")
+    return conf.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias(
+            "share_of_pred"
+        ),
+        F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias(
+            "share_of_true"
+        ),
+    )
+
+
+@register(
+    "q149_ann_recall_eval",
+    f"""
+WITH ann AS (
+  SELECT query_id, neighbor_id FROM (
+    {sql_ann_lsh_topk("embeddings", "vec_id < 10", k=5, dim=64, planes=4, tables=6)}
+  )
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    {sql_cosine_topk("embeddings", "vec_id < 10", k=5)}
+  )
+)
+SELECT e.query_id,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       round(CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*), 6) AS recall_at_k
+FROM exact e
+LEFT JOIN ann a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+""",
+    doc="Retrieval evaluation as a first-class query: recall@5 of the "
+    "LSH ANN index (q25's exact operating point) against the brute-force "
+    "ground truth (q24's ranking), per query — the measure-your-index "
+    "primitive RECALL.json records offline, here oracle-checked so the "
+    "evaluation itself is proven cross-engine (both rankings are "
+    "deterministic: LCG hyperplanes, 6dp-rounded cosines, id "
+    "tiebreaks). Scale shape: both sides are the already-proven "
+    "bucketed/broadcast plans; the comparison joins two "
+    "n_queries*k-row frames. At 100 TB the same query runs against a "
+    "persisted ANN index (q119) — recall evaluation needs no extra "
+    "infrastructure, just this join.",
+)
+def q149_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
+    queries_df = emb.where(F.col("vec_id") < 10)
+    ann = ann_lsh_topk(emb, queries_df, k=5, dim=64, planes=4, tables=6).select(
+        "query_id", F.col("neighbor_id").alias("__ann_n")
+    )
+    exact = cosine_topk(emb, queries_df, k=5).select("query_id", "neighbor_id")
+    j = exact.join(
+        ann,
+        (exact["query_id"] == ann["query_id"])
+        & (exact["neighbor_id"] == ann["__ann_n"]),
+        "left",
+    ).select(exact["query_id"].alias("qid"), "neighbor_id", "__ann_n")
+    return j.groupBy(F.col("qid").alias("query_id")).agg(
+        F.count("__ann_n").cast("bigint").alias("n_hit"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.round(
+            F.count("__ann_n").cast("double") / F.count(F.lit(1)), 6
+        ).alias("recall_at_k"),
+    )

@@ -380,6 +380,7 @@ BNLJ_INTENDED = {
     # adds no join of its own)
     "q144_model_rerank": 1,
     "q147_join_size_estimate": 1,  # 1-row global-sketch broadcast
+    "q149_ann_recall_eval": 1,     # exact side = q24's broadcast query scan
 }
 
 #: queries whose SinglePartition window sort is fed by a CALENDAR-bounded
