@@ -345,3 +345,64 @@ WHERE {case} IS NOT NULL
         annotated, part_col, id_col, quality_col, tokens_col,
         budget="domain_budget",
     )
+
+
+def rendezvous_shard(
+    key: Column, n_shards: int, salt: str = ":hrw"
+) -> Column:
+    """Highest-random-weight (rendezvous) shard for a key: ``argmax over
+    s in [0, n_shards) of md5(key || ':' || s || salt)`` — the
+    MINIMAL-MOVE layout for shard-count growth.  The modulo layout
+    (:func:`shard_assignments`) rehomes ~(1 − 1/lcm-ish) of ALL keys when
+    n changes; under HRW a key moves only if one of the NEW shards wins
+    its argmax, so growing n → n+m relocates exactly the expected
+    m/(n+m) fraction, and every move lands ON a new shard — no old→old
+    churn (property-pinned in tests; the classic Thaler–Ravishankar
+    result).  Row-local: an argmax fold over an n_shards-literal array
+    (the k-means inline-argmin idiom), no shuffle, exactly replayable in
+    SQL.  Cost is O(n_shards) hashes per row — size it for shard COUNTS
+    (files), not partition counts.
+    """
+    from spark_hadoop_automation_in_cloud_spark.functions.hashing import (
+        md5_prefix_int,
+    )
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    md5_prefix_int(
+                        F.concat(key.cast("string"), F.lit(f":{s}")),
+                        nhex=15,
+                        salt=salt,
+                    ).alias("w"),
+                    F.lit(s).cast("int").alias("shard"),
+                )
+                for s in range(n_shards)
+            ]
+        )
+    )
+    return best["shard"]
+
+
+def sql_rendezvous_shard(key_expr: str, n_shards: int, salt: str = ":hrw") -> str:
+    """DuckDB twin of :func:`rendezvous_shard` — identical per-shard
+    weights (the shared md5 integer prefix), argmax by (weight, shard)
+    struct order like Spark's array_max."""
+    from spark_hadoop_automation_in_cloud_spark.functions.hashing import (
+        sql_md5_prefix_int,
+    )
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    structs = ", ".join(
+        "{'w': "
+        + sql_md5_prefix_int(
+            f"(CAST({key_expr} AS VARCHAR) || ':{s}')", nhex=15, salt=salt
+        )
+        + f", 'shard': {s}}}"
+        for s in range(n_shards)
+    )
+    return f"CAST(list_max([{structs}]).shard AS INT)"

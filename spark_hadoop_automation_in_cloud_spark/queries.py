@@ -6463,3 +6463,52 @@ def q149_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("__ann_n").cast("double") / F.count(F.lit(1)), 6
         ).alias("recall_at_k"),
     )
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.packing import (  # noqa: E402
+    rendezvous_shard,
+    sql_rendezvous_shard,
+)
+
+
+@register(
+    "q150_shard_rebalance_plan",
+    f"""
+WITH a AS (
+  SELECT doc_id,
+         {sql_rendezvous_shard("doc_id", 12)} AS old_shard,
+         {sql_rendezvous_shard("doc_id", 16)} AS new_shard
+  FROM documents
+)
+SELECT old_shard, new_shard,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       old_shard <> new_shard AS moved
+FROM a GROUP BY 1, 2
+""",
+    doc="Shard-growth rebalance plan under rendezvous (HRW) hashing "
+    "(operators/packing.py rendezvous_shard): the old (12-shard) vs new "
+    "(16-shard) placement transition matrix — the minimal-move layout "
+    "for growing a training-shard set, where the q110 modulo layout "
+    "would rehome nearly every key. HRW guarantees a key moves ONLY "
+    "into a new shard (no old-to-old churn; property-pinned: every "
+    "moved row has new_shard >= 12) and the expected moved fraction is "
+    "m/(n+m) = 4/16. Row-local argmax over an n_shards-literal weight "
+    "array (the k-means inline-argmin idiom), zero shuffle before the "
+    "one transition-matrix aggregation; exactly SQL-replayable.",
+)
+def q150_shard_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    a = d.select(
+        rendezvous_shard(F.col("doc_id"), 12).alias("old_shard"),
+        rendezvous_shard(F.col("doc_id"), 16).alias("new_shard"),
+    )
+    return (
+        a.groupBy("old_shard", "new_shard")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "old_shard",
+            "new_shard",
+            "n",
+            (F.col("old_shard") != F.col("new_shard")).alias("moved"),
+        )
+    )

@@ -2269,3 +2269,28 @@ def test_numeric_psi_identical_and_shifted(spark):
     )
     r2 = numeric_psi(df2, ["g"], "seg", "a", "b", "v").collect()[0]
     assert (r2["n_a"], r2["n_b"]) == (1, 1)
+
+
+def test_rendezvous_shard_minimal_moves(spark):
+    """HRW growth property: growing 12 -> 16 shards moves ~4/16 of keys,
+    and every move lands ON a new shard (no old-to-old churn)."""
+    from pyspark.sql import functions as F
+
+    from spark_hadoop_automation_in_cloud_spark.operators.packing import (
+        rendezvous_shard,
+    )
+
+    df = spark.range(2000).select(F.col("id"))
+    a = df.select(
+        rendezvous_shard(F.col("id"), 12).alias("old"),
+        rendezvous_shard(F.col("id"), 16).alias("new"),
+    ).collect()
+    moved = [r for r in a if r["old"] != r["new"]]
+    frac = len(moved) / len(a)
+    assert 0.15 < frac < 0.35, frac  # expected 4/16 = 0.25
+    assert all(r["new"] >= 12 for r in moved)  # moves only INTO new shards
+    # placement balance: each of the 16 shards gets a sane share
+    from collections import Counter
+
+    c = Counter(r["new"] for r in a)
+    assert len(c) == 16 and min(c.values()) > 2000 / 16 / 3
