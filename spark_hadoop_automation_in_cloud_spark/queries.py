@@ -6512,3 +6512,48 @@ def q150_shard_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("old_shard") != F.col("new_shard")).alias("moved"),
         )
     )
+
+
+@register(
+    "q151_freshness_report",
+    """
+WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+anchor AS (SELECT MAX(us) AS a_us FROM ev)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(MAX(us) AS BIGINT) AS max_us,
+       round(CAST(a.a_us - MAX(us) AS DOUBLE) / 3600000000.0, 6) AS lag_hours,
+       CAST(SUM(CASE WHEN us > a.a_us - 86400000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_last_day,
+       (a.a_us - MAX(us)) > 86400000000 AS is_stale
+FROM ev CROSS JOIN anchor a
+GROUP BY event_type, a.a_us
+""",
+    doc="Source-freshness SLA report: per event type, the lag behind the "
+    "lake's newest event (the corpus max ts as the deterministic anchor "
+    "— no wall clock, so the report is replayable), volume in the "
+    "anchor-relative last day, and a staleness flag at the 24 h line — "
+    "the is-any-feed-dead check an ingest dashboard runs every cycle. "
+    "All arithmetic on exact epoch microseconds until one final "
+    "division. Scale shape: one 1-row max broadcast + one map-side-"
+    "combined aggregation over the scan; nothing else.",
+)
+def q151_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events").select(
+        "event_type", epoch_us(F.col("ts")).alias("us")
+    )
+    anchor = e.agg(F.max("us").alias("a_us"))
+    j = e.crossJoin(F.broadcast(anchor))
+    return j.groupBy("event_type", "a_us").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.max("us").cast("bigint").alias("max_us"),
+        F.round(
+            (F.col("a_us") - F.max("us")).cast("double") / 3_600_000_000.0, 6
+        ).alias("lag_hours"),
+        F.sum(
+            F.when(F.col("us") > F.col("a_us") - 86_400_000_000, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_last_day"),
+        ((F.col("a_us") - F.max("us")) > 86_400_000_000).alias("is_stale"),
+    ).drop("a_us")

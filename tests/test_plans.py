@@ -381,6 +381,7 @@ BNLJ_INTENDED = {
     "q144_model_rerank": 1,
     "q147_join_size_estimate": 1,  # 1-row global-sketch broadcast
     "q149_ann_recall_eval": 1,     # exact side = q24's broadcast query scan
+    "q151_freshness_report": 1,    # 1-row max-ts anchor broadcast
 }
 
 #: queries whose SinglePartition window sort is fed by a CALENDAR-bounded
