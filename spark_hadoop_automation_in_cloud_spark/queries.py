@@ -110,7 +110,7 @@ def register(name: str, sql: str | None, doc: str = ""):
 # through the Arrow inference seam; q145 sketch quality deciles; q146
 # numeric PSI drift): the window's 50 slots are all new rows, changed
 # kernels, or the age-2 backlog — no displaceable refresh remains — so
-# q133–q147 stay outside and lead the NEXT round's new block per the
+# q133–q151 stay outside and lead the NEXT round's new block per the
 # standing rule (each was sf0.001/0.01-parity-green on a vanilla driver
 # simulation at registration; the whole registry is re-proven at sf0.1
 # once per session — see README; all are covered every run by
