@@ -53,14 +53,18 @@ def _int_vec_expr(vec_col: str) -> str:
     )
 
 
-def covariance_cells(
+def raw_moment_cells(
     emb: DataFrame, vec_col: str = "embedding", dim: int = 64
 ) -> DataFrame:
-    """Upper-triangle covariance moments in one scan + one aggregation.
+    """Upper-triangle RAW second/first moments in one scan + one
+    aggregation — the MERGEABLE form (plain integer sums per cell, so
+    merging per-batch cell tables is bit-for-bit the cells of the union;
+    :func:`covariance_cells` centers on top of this, and the incremental
+    maintenance seam persists exactly these rows).
 
-    Output: ``i``, ``j`` (int, ``i <= j``), ``num`` (DECIMAL(38,0): the
-    exact centered numerator ``n·Σx_i x_j − Σx_i·Σx_j`` on the squared
-    grid), ``n`` (bigint row count).  ``cov = num / n² / grid²``.
+    Output: ``i``, ``j`` (int, ``i <= j``), ``sp`` (DECIMAL(38,0):
+    Σx_i·x_j on the squared grid), ``sa``/``sb`` (DECIMAL(38,0): Σx_i /
+    Σx_j on the grid), ``n`` (bigint row count).
 
     Every row explodes into its upper-triangle cells, each carrying the
     pair product AND both first-moment components, so ONE hash aggregate
@@ -85,12 +89,44 @@ def covariance_cells(
         "c.i", "c.j", "c.p", "c.a", "c.b"
     )
     return exploded.groupBy("i", "j").agg(
-        (
-            F.count(F.lit(1)) * F.sum(F.col("p").cast(dec))
-            - F.sum(F.col("a").cast(dec)) * F.sum(F.col("b").cast(dec))
-        ).alias("num"),
+        F.sum(F.col("p").cast(dec)).alias("sp"),
+        F.sum(F.col("a").cast(dec)).alias("sa"),
+        F.sum(F.col("b").cast(dec)).alias("sb"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def merge_moment_cells(cells: DataFrame) -> DataFrame:
+    """Re-aggregate stored raw moment cells (e.g. per-batch partitions of
+    the incremental index) to the union's cells: plain integer sums per
+    (i, j) — exactly :func:`raw_moment_cells` of the concatenated input,
+    the same linearity count-min maintenance relies on."""
+    return cells.groupBy("i", "j").agg(
+        F.sum("sp").alias("sp"),
+        F.sum("sa").alias("sa"),
+        F.sum("sb").alias("sb"),
+        F.sum("n").alias("n"),
+    )
+
+
+def _center(cells: DataFrame) -> DataFrame:
+    """num = n·Σxy − Σx·Σy from raw cells (exact DECIMAL)."""
+    return cells.select(
+        "i",
+        "j",
+        (F.col("n") * F.col("sp") - F.col("sa") * F.col("sb")).alias("num"),
+        "n",
+    )
+
+
+def covariance_cells(
+    emb: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Upper-triangle CENTERED covariance moments: ``i``, ``j`` (int,
+    ``i <= j``), ``num`` (DECIMAL(38,0): the exact ``n·Σx_i x_j −
+    Σx_i·Σx_j`` on the squared grid), ``n``.  ``cov = num / n² / grid²``.
+    One scan + one aggregation via :func:`raw_moment_cells`."""
+    return _center(raw_moment_cells(emb, vec_col, dim))
 
 
 def covariance_matrix(

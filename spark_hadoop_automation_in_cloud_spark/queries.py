@@ -110,7 +110,7 @@ def register(name: str, sql: str | None, doc: str = ""):
 # through the Arrow inference seam; q145 sketch quality deciles; q146
 # numeric PSI drift): the window's 50 slots are all new rows, changed
 # kernels, or the age-2 backlog — no displaceable refresh remains — so
-# q133–q151 stay outside and lead the NEXT round's new block per the
+# q133–q152 stay outside and lead the NEXT round's new block per the
 # standing rule (each was sf0.001/0.01-parity-green on a vanilla driver
 # simulation at registration; the whole registry is re-proven at sf0.1
 # once per session — see README; all are covered every run by
@@ -6557,3 +6557,53 @@ def q151_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_last_day"),
         ((F.col("a_us") - F.max("us")) > 86_400_000_000).alias("is_stale"),
     ).drop("a_us")
+
+
+@register(
+    "q152_streaming_covariance",
+    la.sql_covariance_matrix("embeddings", dim=64),
+    doc="Streaming covariance maintenance (streaming/incremental.py "
+    "update_covariance_index / read_covariance_index over "
+    "linalg.raw_moment_cells): embeddings arrive in three epochs "
+    "(md5-bucketed), each epoch aggregates its OWN raw moment cells "
+    "into its batch_id partition (overwrite = replay-idempotent, no "
+    "earlier state read — q142's pure append-of-own-partition shape), "
+    "and the reader merges partitions. Raw moment cells are plain "
+    "integer sums — LINEAR like count-min — so merged batch cells are "
+    "bit-for-bit the full-corpus cells, and this row shares q135's "
+    "covariance oracle VERBATIM: the SQL computes the whole table at "
+    "once, the value hash proves the epoch-partitioned maintenance "
+    "converges to exactly that. The embedding-drift monitor's "
+    "run-over-run shape: dim(dim+1)/2 rows of state per batch, "
+    "independent of batch size. Engine body driven directly (q111's "
+    "idiom); the stream wiring is pinned in test_streaming.py.",
+)
+def q152_streaming_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from spark_hadoop_automation_in_cloud_spark.streaming.incremental import (
+        read_covariance_index,
+        update_covariance_index,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    bucket = hashing.md5_prefix_int(F.col("vec_id"), nhex=8, salt=":cov") % 3
+    root = tempfile.mkdtemp(prefix="q152_")
+    idx = f"{root}/index"
+    try:
+        for b in range(3):
+            update_covariance_index(
+                e.where(bucket == b).select("embedding"), idx, "embedding", b
+            )
+        merged = read_covariance_index(spark, idx)
+        cov = F.round(
+            F.col("num").cast("double") / F.col("n") / F.col("n")
+            / F.lit(la._GRID2),
+            6,
+        ) + F.lit(0.0)
+        out = la._center(merged).select("i", "j", cov.alias("cov"))
+        # materialize before the index dir goes away (q111's idiom)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -694,3 +694,66 @@ def run_streaming_countmin(
         .start()
     )
     q.awaitTermination()
+
+
+# --- Streaming covariance maintenance (raw moment cells per batch) -----------
+#
+# The covariance family's raw moment cells (linalg.raw_moment_cells) are
+# plain integer sums per (i, j) — LINEAR, like count-min cells — so the
+# same partitioned-index idiom maintains an exact corpus covariance as
+# batches arrive: each micro-batch writes ITS OWN cells into its
+# batch_id partition (overwrite = replay-idempotent; no earlier state
+# read), and readers merge whatever partitions exist to get bit-for-bit
+# the cells of everything ingested.  State is dim(dim+1)/2 rows per
+# batch, independent of batch size — the embedding-drift monitor's
+# run-over-run shape.
+
+
+def update_covariance_index(
+    batch: DataFrame,
+    index_path: str,
+    vec_col: str,
+    epoch_id: int,
+    dim: int = 64,
+) -> None:
+    """foreachBatch body (exposed for direct testing): aggregate this
+    batch's raw moment cells and overwrite its own partition."""
+    from spark_hadoop_automation_in_cloud_spark.operators.linalg import (
+        raw_moment_cells,
+    )
+
+    raw_moment_cells(batch, vec_col, dim).write.mode("overwrite").parquet(
+        f"{index_path}/batch_id={epoch_id}"
+    )
+
+
+def read_covariance_index(spark, index_path: str) -> DataFrame:
+    """Merge every batch partition to the union's raw moment cells."""
+    from spark_hadoop_automation_in_cloud_spark.operators.linalg import (
+        merge_moment_cells,
+    )
+
+    idx = spark.read.parquet(index_path).drop("batch_id")
+    return merge_moment_cells(idx)
+
+
+def run_streaming_covariance(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    vec_col: str,
+    dim: int = 64,
+) -> None:
+    """Drain ``stream`` (availableNow) through per-batch moment updates
+    into the partitioned covariance index."""
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: update_covariance_index(
+                bdf, index_path, vec_col, bid, dim
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

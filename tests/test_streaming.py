@@ -1056,3 +1056,43 @@ def test_streaming_countmin_equals_full_sketch_and_replays(spark, sf_dir, tmp_pa
     assert sorted(map(tuple, replayed.select(*key).collect())) == sorted(
         map(tuple, full.select(*key).collect())
     )
+
+
+def test_streaming_covariance_equals_full_cells_and_replays(spark, sf_dir, tmp_path):
+    """Moment-cell linearity through the partitioned index: a 3-batch
+    availableNow drain's merged cells are IDENTICAL to one aggregation
+    over the whole table, and replaying an epoch changes nothing."""
+    from spark_hadoop_automation_in_cloud_spark.operators.linalg import (
+        raw_moment_cells,
+    )
+    from spark_hadoop_automation_in_cloud_spark.streaming.incremental import (
+        read_covariance_index,
+        run_streaming_covariance,
+        update_covariance_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src = tmp_path / "src"
+    for b in range(3):
+        emb.where(F.col("vec_id") % 3 == b).coalesce(1).write.parquet(
+            str(src / f"b={b}")
+        )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    idx = str(tmp_path / "cov_index")
+    run_streaming_covariance(stream, idx, str(tmp_path / "ckpt"), "embedding")
+    key = ["i", "j", "sp", "sa", "sb", "n"]
+    merged = sorted(map(tuple, read_covariance_index(spark, idx).select(*key).collect()))
+    full = sorted(map(tuple, raw_moment_cells(emb, "embedding").select(*key).collect()))
+    assert merged == full
+    update_covariance_index(
+        emb.where(F.col("vec_id") % 3 == 1).select("embedding"), idx, "embedding", 1
+    )
+    replayed = sorted(
+        map(tuple, read_covariance_index(spark, idx).select(*key).collect())
+    )
+    assert replayed == full
