@@ -53,10 +53,25 @@ def fake_pair_scorer(key_cols: list[str]) -> Scorer:
     """The deterministic placeholder: md5 of the ':'-joined key columns,
     first 15 hex digits mod 1e6, scaled to [0, 1).  Pure arithmetic on the
     row's own keys — exactly replayable in oracle SQL via
-    :func:`sql_fake_pair_score`."""
+    :func:`sql_fake_pair_score`.
+
+    Keys must be NON-NULL: pandas would stringify a NULL as ``'None'`` /
+    ``'nan'`` while the SQL twin's ``md5(NULL)`` propagates NULL — a
+    silent cross-engine divergence — so a NULL key raises instead.
+    COALESCE nullable keys to a sentinel (in BOTH engines) before
+    scoring."""
 
     def score(batch: pd.DataFrame) -> pd.Series:
-        joined = batch[key_cols].astype(str).agg(":".join, axis=1)
+        keys = batch[key_cols]
+        if keys.isna().any().any():
+            null_cols = [c for c in key_cols if keys[c].isna().any()]
+            raise ValueError(
+                f"fake_pair_scorer: NULL key value in {null_cols}; the fake's "
+                "md5-of-string contract is defined for non-null keys only "
+                "(sql_fake_pair_score's md5(NULL) propagates NULL) — COALESCE "
+                "keys to a sentinel in both engines first"
+            )
+        joined = keys.astype(str).agg(":".join, axis=1)
         return joined.map(
             lambda s: (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _FAKE_MOD)
             / _FAKE_MOD
@@ -66,7 +81,9 @@ def fake_pair_scorer(key_cols: list[str]) -> Scorer:
 
 
 def sql_fake_pair_score(key_exprs: list[str]) -> str:
-    """DuckDB twin of :func:`fake_pair_scorer`'s arithmetic."""
+    """DuckDB twin of :func:`fake_pair_scorer`'s arithmetic.  Same
+    non-null-key contract: ``md5(NULL)`` here yields NULL where the
+    kernel raises — never feed nullable keys without a COALESCE."""
     joined = " || ':' || ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs)
     return (
         f"CAST(CAST(('0x' || substr(md5({joined}), 1, 15)) AS BIGINT)"

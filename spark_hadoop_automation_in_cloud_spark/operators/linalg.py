@@ -221,6 +221,16 @@ def top_principal_component(
     exact in bigint/HUGEINT.  A degenerate (all-zero) matrix yields the
     all-zero direction rather than raising — the SQL twin has no raise
     path, and the two engines must agree.
+
+    The mat-vec phase seeds with the row of the squared matrix whose
+    absolute sum is largest (ties to the smallest index), renormalized to
+    the grid.  A fixed basis seed (the previous ``e0``) silently returns
+    the zero direction whenever the top PC's seed coordinate vanishes —
+    e.g. a constant/zero-variance first embedding dimension zeroes
+    covariance column 0, and ``m·e0 = 0`` forever.  Because the squared
+    matrix is ≈ rank-1 (``≈ λ1^(2^s)·v1·v1ᵀ``), its max-|sum| row is the
+    row best aligned with the dominant eigenvector, so the seed is zero
+    only when the whole matrix is zero (the degenerate case above).
     """
     rows = covariance_cells(emb, vec_col, dim).select("i", "j", "num").collect()
     raw: dict[tuple[int, int], int] = {}
@@ -239,7 +249,10 @@ def top_principal_component(
         ]
         mx = max(max(max(abs(x) for x in row) for row in sq), 1)
         m = [[_renorm_int(x, mx) for x in row] for row in sq]
-    v = [_GRID] + [0] * (dim - 1)
+    row_sums = [sum(abs(x) for x in row) for row in m]
+    bi = max(range(dim), key=lambda i: (row_sums[i], -i))
+    mx = max(max(abs(x) for x in m[bi]), 1)
+    v = [_renorm_int(x, mx) for x in m[bi]]
     for _ in range(iters):
         w = [sum(m[i][j] * v[j] for j in range(dim)) for i in range(dim)]
         mx = max(max(abs(x) for x in w), 1)
@@ -334,12 +347,26 @@ m{t} AS MATERIALIZED (
   FROM sq{t}, sqmx{t}
 )"""
         )
+    # seed = max-|row-sum| row of the squared matrix, grid-renormalized —
+    # mirrors the kernel's argmax_i Σ|m_ij| (ties to the smallest i) so a
+    # vanishing basis coordinate cannot zero the iteration (ADVICE r06)
     parts.append(
         f"""
+rsum AS MATERIALIZED (
+  SELECT i, SUM(ABS(e)) AS s FROM m{squarings} GROUP BY i
+),
+seedi AS MATERIALIZED (
+  SELECT i FROM rsum ORDER BY s DESC, i ASC LIMIT 1
+),
+seedrow AS MATERIALIZED (
+  SELECT m.j AS d, m.e AS w FROM m{squarings} m, seedi WHERE m.i = seedi.i
+),
+seedmx AS MATERIALIZED (SELECT GREATEST(MAX(ABS(w)), 1) AS mx FROM seedrow),
 v0 AS MATERIALIZED (
-  SELECT CAST(gi.i AS INT) AS d,
-         CAST(CASE WHEN gi.i = 0 THEN {_GRID} ELSE 0 END AS HUGEINT) AS v
-  FROM generate_series(0, {dim - 1}) gi(i)
+  SELECT CAST(d AS INT) AS d,
+         CAST(FLOOR({float(_GRID)!r} * CAST(w AS DOUBLE)
+                    / CAST(mx AS DOUBLE) + 0.5) AS HUGEINT) AS v
+  FROM seedrow, seedmx
 )"""
     )
     for t in range(1, iters + 1):
@@ -394,6 +421,12 @@ def group_centroid_cosine(
     Output: ``group_a`` < ``group_b`` (lexicographic), ``centroid_cos``
     (double 6dp; NULL when either group's summed vector is zero).
 
+    Group keys are cast to string at the scan and NULL groups are dropped
+    (both engines — a NULL key has no well-defined lexicographic pair
+    order, and the driver-side ``sorted()`` would raise on mixed
+    None/str).  Callers needing a NULL bucket should COALESCE to a
+    sentinel before calling.
+
     Cosine is scale-invariant per vector, so the kernel never divides by
     counts: it works on the exact integer SUM vectors (1e-6 grid,
     DECIMAL(38,0)/HUGEINT), making every moment bit-identical across
@@ -409,8 +442,9 @@ def group_centroid_cosine(
     from decimal import Decimal
 
     spark = df.sparkSession
-    qv = df.select(
-        F.col(group_col).alias("__g"), F.expr(_int_vec_expr(vec_col)).alias("__qv")
+    qv = df.where(F.col(group_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("__g"),
+        F.expr(_int_vec_expr(vec_col)).alias("__qv"),
     )
     sums = (
         qv.select("__g", F.posexplode("__qv").alias("pos", "x"))
@@ -456,13 +490,16 @@ def sql_group_centroid_cosine(
 ) -> str:
     """DuckDB twin of :func:`group_centroid_cosine`.  ``join_sql`` must
     yield columns ``g`` (group) and ``{vec_col}``; moments stay exact
-    HUGEINT until the one shared float recipe."""
+    HUGEINT until the one shared float recipe.  NULL groups are dropped
+    and keys cast to VARCHAR, matching the kernel's contract."""
     return f"""
 WITH j AS ({join_sql}),
 q AS (
-  SELECT g, list_transform(CAST({vec_col} AS DOUBLE[]),
-                           x -> CAST(round(x * {float(_GRID)!r}) AS BIGINT)) AS qv
+  SELECT CAST(g AS VARCHAR) AS g,
+         list_transform(CAST({vec_col} AS DOUBLE[]),
+                        x -> CAST(round(x * {float(_GRID)!r}) AS BIGINT)) AS qv
   FROM j
+  WHERE g IS NOT NULL
 ),
 sums AS (
   SELECT g, gi.i AS pos, SUM(CAST(qv[gi.i + 1] AS HUGEINT)) AS s

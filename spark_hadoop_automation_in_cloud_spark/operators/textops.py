@@ -754,9 +754,14 @@ def bm25_scores(
     Scale shape: the query-term table is a broadcast literal joined into
     the (doc, term) tf frame FIRST, so only the query terms' posting
     lists survive — the inverted-index probe; fan-out per term = its
-    document frequency.  Corpus statistics (per-term df, N, total
-    length) are two aggregates, broadcast back.  The per-query top-k is
-    a WindowGroupLimit window over matched docs only.
+    document frequency.  Document length is ROW-LOCAL
+    (``size(split(text))`` projected in the same scan that tokenizes, and
+    carried through the tf aggregate's key) — dl never aggregates and
+    never joins, so the corpus-wide ``explode→groupBy(doc_id)`` shuffle
+    and the tf⋈dl shuffle join of the earlier form are both gone
+    (r06 VERDICT item 5).  Corpus statistics (per-term df; N and total
+    length via one row-local scan-aggregate) broadcast back.  The
+    per-query top-k is a WindowGroupLimit window over matched docs only.
     """
     if not queries:
         raise ValueError("queries must be non-empty")
@@ -769,8 +774,12 @@ def bm25_scores(
         ),
         "query_id int, token string",
     )
+    # dl = size(split(text)) is exactly explode-count for non-NULL text
+    # ("" splits to [""], count 1); NULL-text docs vanish from explode and
+    # are excluded from the stats scan by the same isNotNull predicate
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("dl"),
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
     )
     # prune to query terms BEFORE any aggregation: tf and df shuffle only
@@ -780,18 +789,18 @@ def bm25_scores(
     qtok = F.broadcast(qterms.select("token").distinct())
     tf = (
         toks.join(qtok, "token")
-        .groupBy("doc_id", "token")
+        .groupBy("doc_id", "token", "dl")  # dl functionally depends on doc_id
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    stats = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("__dl"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("__dl").alias("total_dl"))
     )
     matched = (
         tf.join(F.broadcast(qterms), "token")
         .join(F.broadcast(dfreq), "token")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
     idf = F.log(
@@ -1047,18 +1056,30 @@ def sql_bigram_lm_scores(
 ) -> str:
     """DuckDB twin of :func:`bigram_lm_scores`: bigrams via
     ``list_zip(l, l[2:])`` (pads the tail with one NULL pair, filtered),
-    identical smoothing arithmetic and 1e-6 grid."""
-    bigrams = (
-        f"SELECT {id_col} AS doc_id, p[1] AS w1, p[2] AS w2 FROM ("
-        f"  SELECT {id_col}, unnest(list_zip(l, l[2:])) AS p FROM ("
-        f"    SELECT {id_col}, string_split({text_col}, ' ') AS l FROM {docs_src}"
-        f"  )"
-        f") WHERE p[2] IS NOT NULL"
-    )
+    identical smoothing arithmetic and 1e-6 grid.
+
+    The SQL surface expresses the train corpus as ``docs_src`` rows
+    satisfying ``train_pred`` — the Python API's arbitrary ``train``
+    DataFrame has no SQL-side equivalent beyond that predicate, so
+    callers pairing the two must pass ``train = docs.where(train_pred)``.
+    Both CTEs instantiate one shared template with the FROM clause as a
+    parameter (never post-hoc string replacement, which would corrupt a
+    ``docs_src`` that happens to be a substring of another identifier)."""
+
+    def bigrams(from_clause: str) -> str:
+        return (
+            f"SELECT {id_col} AS doc_id, p[1] AS w1, p[2] AS w2 FROM ("
+            f"  SELECT {id_col}, unnest(list_zip(l, l[2:])) AS p FROM ("
+            f"    SELECT {id_col}, string_split({text_col}, ' ') AS l"
+            f" FROM {from_clause}"
+            f"  )"
+            f") WHERE p[2] IS NOT NULL"
+        )
+
     return f"""
-WITH pairs AS ({bigrams}),
+WITH pairs AS ({bigrams(docs_src)}),
 tpairs AS (
-  SELECT w1, w2 FROM ({bigrams.replace(f"FROM {docs_src}", f"FROM {docs_src} WHERE {train_pred}")})
+  SELECT w1, w2 FROM ({bigrams(f"{docs_src} WHERE {train_pred}")})
 ),
 c2 AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM tpairs GROUP BY 1, 2),
 c1 AS (SELECT w1, SUM(cnt2) AS cnt1 FROM c2 GROUP BY 1),

@@ -53,133 +53,113 @@ def register(name: str, sql: str | None, doc: str = ""):
 
 # WINDOW NOTE FIRST — read this before touching _ROTATE_FIRST.
 #
-# ROUND NUMBERING: the driver restarted its round counter — the next
-# verification it runs will be recorded as CORRECTNESS_r06 / BENCH_r06
-# even though TWO local build rounds ("r6": q117–q125, "r7": q126–q133)
-# have landed since CORRECTNESS_r05.  Neither local round was externally
-# stamped (no r06 artifacts existed when this window was allocated), so
-# the stamp ledger (tools/stamps.py) reads rounds 1..5 and ages did NOT
-# advance: the 21 r03 rows are still the age-2 backlog, the "r6"
-# additions (q117–q125) and every kernel changed since r05 are still
-# unstamped/stale.  Wherever this file or VERDICT-era notes say "round
-# 7", the artifact the allocation targets is the upcoming CORRECTNESS_r06.
+# ROUND NUMBERING: the driver's counter restarted after r05 (see
+# memory/driver-round-numbering): CORRECTNESS_r06 landed 2026-08-15,
+# 50/50 tri-green, exactly on the previous window (q126–q132 + refreshed
+# kernels + the whole 21-row r03 backlog — that allocation's rationale
+# is in git history, commit a5fb37f and earlier).  This file now
+# allocates the NEXT verification, CORRECTNESS_r07.
 #
-# This window (kept to the standing rules: round-changed kernels first,
-# then never-stamped rows, then the oldest backlog) allocates its 50
-# slots as 7 + 7 + 7 + 8 + 21:
-#   - 7 NEW rows (never stamped): q126 (count-min-screened exact heavy hitters),
-#     q127 (one-pass curation funnel), q128 (incremental connected
-#     components), q129 (weighted ticket-lottery sampling), q130
-#     (sketch-thresholded per-source quality cut), q131 (cross-source
-#     gram-overlap contamination matrix), q132 (end-to-end incremental
-#     cluster maintenance).  q129-q132 were swapped in when they
-#     registered, displacing q105 (the sketches.py change it was in for
-#     is signature-only/behavior-identical, and it is the
-#     freshest-stamped row in the window — r05) and q28/q54/q63 (their
-#     token_stats / repetition / tfidf kernels are untouched by the
-#     textops refactor; they join the r04 set leading the next round (r07)).  All
-#     displaced rows are parity-green locally on HEAD;
-#   - 7 textops-family rows changed since r05: q26/q27 (language_id /
-#     quality_score now compose the extracted lang_score_exprs /
-#     lang_pred_exprs / quality_exprs builders q127 shares) and the
-#     quality-consumer queries whose oracle SQL embeds
-#     sql_quality_score — q40, q116, q112, q120, q125;
-#   - 7 earlier additions never driver-stamped: q117, q118, q119, q121,
-#     q122, q123, q124 (q120/q125 already counted above);
-#   - 8 kernels changed since their last stamp, never re-stamped: q20, q30, q96, q107, q108,
-#     q111, q113, q115;
-#   - the 21 r03-stamped rows (the standing age-2 backlog: q14, q34,
-#     q38, q43, q44, q45, q50, q51, q53, q57, q65, q67, q70, q71, q72,
-#     q73, q74, q79, q80, q89, q95).
-# Left out: 41 of the 45 r04-stamped rows (the 4 in-window ones are
-# q20, q26, q27, q40): q12, q13, q15, q18, q21, q23, q24, q28, q32,
-# q37, q39, q42, q46, q47, q48, q49, q54, q55, q56, q58, q60, q61,
-# q62, q63, q64, q68, q75, q76, q78, q81, q82, q84, q85, q86, q87,
-# q88, q90, q91, q92, q97, q101 — plus the r05 rows not re-listed
-# above; all are sf0.01-parity-green on HEAD via
-# tests/test_oracle_parity.py, and the r04 set MUST lead the r07
-# window (41 <= 50, fits).  The original
-# round-6 allocation rationale is preserved in git history (this file,
-# commit aad8580 and earlier).
-#
-# Additions AFTER the window filled (q133 BM25; q134 hybrid PRF+RRF
-# retrieval; q135 embedding covariance; q136 top-PC projection; q137
-# vocabulary coverage; q138 source-centroid matrix; q139 grouped OLS;
-# q140 per-source percentile calibration; q141 bigram LM; q142 streaming
-# count-min maintenance; q143 dedup audit; q144 model-scored rerank
-# through the Arrow inference seam; q145 sketch quality deciles; q146
-# numeric PSI drift): the window's 50 slots are all new rows, changed
-# kernels, or the age-2 backlog — no displaceable refresh remains — so
-# q133–q152 stay outside and lead the NEXT round's new block per the
-# standing rule (each was sf0.001/0.01-parity-green on a vanilla driver
-# simulation at registration; the whole registry is re-proven at sf0.1
-# once per session — see README; all are covered every run by
-# tests/test_oracle_parity.py).
+# The r07 ledger (tools/stamps.py after the r06 stamps) is
+# OVERSUBSCRIBED: 20 never-stamped rows (q133–q152) + the 41 r04-stamped
+# rows the previous note promised would lead r07 = 61 mandatory
+# candidates for 50 slots.  The r06 verdict (Next round 1) resolves the
+# conflict explicitly: changed kernels first, then the 20 never-stamped,
+# then the OLDEST 30 of the 41 r04 rows; the remaining 11 r04 rows lead
+# r08.  This window's 50 slots are therefore 20 + 30:
+#   - 20 never-stamped rows (q133–q152 — BM25, hybrid RRF, covariance,
+#     PC projection, vocab coverage, centroid cosine, grouped OLS,
+#     calibrated quality, bigram LM, streaming count-min, dedup audit,
+#     model rerank, sketch deciles, PSI drift, HLL join estimate,
+#     lang-ID confusion, ANN recall, shard rebalance, freshness SLA,
+#     streaming covariance).  This block ALSO covers every kernel
+#     changed in round 7, all of which live in this family: the BM25
+#     row-local dl (q133/q134/q144), the power-iteration max-row seed +
+#     its SQL twin (q135/q136), the NULL-group centroid contract
+#     (q138), the parameterized bigram-LM train CTE (q141 —
+#     byte-identical generated SQL), the bounded ≤types×200 audit probe
+#     (q142), and the fake-scorer NULL-key guard (q144);
+#   - the oldest 30 of the 41 r04-stamped rows, in registration order:
+#     q12, q13, q15, q18, q21, q23, q24, q28, q32, q37, q39, q42, q46,
+#     q47, q48, q49, q54, q55, q56, q58, q60, q61, q62, q63, q64, q68,
+#     q75, q76, q78, q81.
+# Left out, and why:
+#   - the remaining 11 r04 rows — q82, q84, q85, q86, q87, q88, q90,
+#     q91, q92, q97, q101 — MUST lead the r08 window (11 of 50), along
+#     with the 41 r05-stamped rows that reach the age-2 bound during
+#     r07 (11 + 41 = 52 — r08 is oversubscribed by 2, so the 2
+#     freshest-registered r05 rows spill to r09; re-derive from
+#     tools/stamps.py when allocating);
+#   - q105: its oracle-SQL helper (_q105_sql) grew an optional
+#     probe_per_type parameter for q142; the q105 call passes None and
+#     the generated SQL is semantically identical (two empty format
+#     slots add whitespace only) — the same displacement precedent as
+#     r06's signature-only sketches.py change.  q105 is r05-stamped and
+#     leads r08 with its cohort;
+#   - everything else is r05/r06-stamped (age ≤ 1) and untouched.
+# All left-out rows are sf0.001-parity-green on HEAD via
+# tests/test_oracle_parity.py (153 rows, every run).
 #
 # The driver's CORRECTNESS run verifies a bounded window (50 entries)
 # taken in registration order, so queries() exposes the registry ROTATED
 # per the allocation above.  Local pytest parity
 # (tests/test_oracle_parity.py) still covers every registered query
-# regardless of position.  (The round-6 allocation this replaced is in
-# git history: commit aad8580 and earlier.)
+# regardless of position.
 _ROTATE_FIRST: tuple[str, ...] = (
-    # --- NEW in round 7
-    "q126_heavy_hitter_parts",
-    "q127_curation_funnel",
-    "q128_incremental_components",
-    "q129_weighted_sample",
-    "q130_per_source_quality_cut",
-    "q131_source_overlap_matrix",
-    "q132_incremental_cluster_maintenance",
-    # --- round-7-changed kernels (textops expression-builder refactor +
-    #     its oracle-SQL consumers; q105, originally here for the
-    #     sketches.py change, was displaced by the new rows — see above)
-    "q26_language_id",
-    "q27_quality_score",
-    "q40_corpus_curation",
-    "q116_cluster_canonicals_by_quality",
-    "q112_token_budget_selection",
-    "q120_quality_threshold_for_budget",
-    "q125_mixture_budget_selection",
-    # --- round-6 additions never driver-stamped (r6 verification never ran)
-    "q117_upsert_replay",
-    "q118_repeated_span_coverage",
-    "q119_ann_ivf_persisted",
-    "q121_event_mix_drift",
-    "q122_projected_rerank_topk",
-    "q123_stratified_sample",
-    "q124_leakage_safe_split",
-    # --- round-6-changed kernels never re-stamped (same reason)
-    "q20_exact_dedup",
-    "q30_ann_ivf_topk",
-    "q96_kmeans_clusters",
-    "q107_semantic_cluster_dedup",
-    "q108_incremental_dedup",
-    "q111_streaming_incremental_dedup",
-    "q113_incremental_minhash_dedup",
-    "q115_frame_sampling",
-    # --- the standing age-2 backlog (last stamped r03)
-    "q14_local_time",
-    "q34_raw_event_flatten",
-    "q38_moving_average",
-    "q43_session_windows",
-    "q44_streaming_geo_rollup",
-    "q45_distinct_aggregates",
-    "q50_fuzzy_name_pairs",
-    "q51_data_quality_profile",
-    "q53_time_range_average",
-    "q57_streaming_dedup",
-    "q65_stream_stream_join",
-    "q67_stream_static_join",
-    "q70_resample_forward_fill",
-    "q71_map_explode",
-    "q72_conversion_funnel",
-    "q73_retention_cohorts",
-    "q74_scd2_intervals",
-    "q79_growth_accounting",
-    "q80_next_event_features",
-    "q89_session_intervals",
-    "q95_containment_dups",
+    # --- never stamped (registered after the r06 window filled); includes
+    #     every round-7-changed kernel — see WINDOW NOTE
+    "q133_bm25_retrieval",
+    "q134_hybrid_rrf_retrieval",
+    "q135_embedding_covariance",
+    "q136_pc_projection",
+    "q137_vocab_coverage",
+    "q138_source_centroid_cosine",
+    "q139_revenue_trend_ols",
+    "q140_source_calibrated_quality",
+    "q141_bigram_lm_quality",
+    "q142_streaming_countmin",
+    "q143_dedup_audit",
+    "q144_model_rerank",
+    "q145_sketch_quality_deciles",
+    "q146_value_psi_weekend",
+    "q147_join_size_estimate",
+    "q148_langid_confusion",
+    "q149_ann_recall_eval",
+    "q150_shard_rebalance_plan",
+    "q151_freshness_report",
+    "q152_streaming_covariance",
+    # --- the oldest 30 of the 41-row r04 backlog (registration order);
+    #     the remaining 11 lead r08
+    "q12_active_user_segments",
+    "q13_order_priority_sets",
+    "q15_top_parts_global",
+    "q18_zone_activity",
+    "q21_minhash_lsh_pairs",
+    "q23_simhash",
+    "q24_cosine_topk",
+    "q28_token_stats",
+    "q32_streaming_weekly_rollup",
+    "q37_value_quantiles",
+    "q39_neardup_clusters",
+    "q42_hash_split",
+    "q46_pivot",
+    "q47_unpivot",
+    "q48_ranking_functions",
+    "q49_cube",
+    "q54_repetition_ratio",
+    "q55_stratified_sample",
+    "q56_full_outer_reconciliation",
+    "q58_training_sequences",
+    "q60_decontamination",
+    "q61_pii_scrub",
+    "q62_embedding_quantize",
+    "q63_tfidf_top_terms",
+    "q64_document_chunking",
+    "q68_trimmed_mean",
+    "q75_weighted_sample",
+    "q76_mad_outliers",
+    "q78_pareto_abc",
+    "q81_transition_matrix",
 )
 
 
@@ -4456,7 +4436,7 @@ def q104_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q105_sql() -> str:
+def _q105_sql(probe_per_type: int | None = None) -> str:
     from spark_hadoop_automation_in_cloud_spark.operators.sketches import (
         CM_WIDTH,
         _CM_SEED,
@@ -4470,6 +4450,30 @@ def _q105_sql() -> str:
         f" ({hashing.sql_perm_hash('h', a, b)}) % {CM_WIDTH} AS bucket FROM ev"
         for i, (a, b) in enumerate(coeffs)
     )
+    # optional bounded probe: the first probe_per_type keys per event_type
+    # in deterministic hash order — ≤ types × probe_per_type output rows
+    # by construction, so a consumer may collect the audit frame at any sf
+    # (q142).  Point-query estimates are per-key, so restricting the probe
+    # set changes WHICH rows appear, never their values.
+    probe_cte = ""
+    probe_join = ""
+    if probe_per_type is not None:
+        ph = hashing.sql_md5_prefix_int(
+            "event_type || ':' || CAST(user_id AS VARCHAR)",
+            nhex=15,
+            salt=":cmprobe",
+        )
+        probe_cte = f""",
+keys AS (SELECT DISTINCT event_type, user_id FROM events),
+probe AS (
+  SELECT event_type, user_id FROM (
+    SELECT event_type, user_id,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY {ph}, user_id) AS r
+    FROM keys)
+  WHERE r <= {probe_per_type}
+)"""
+        probe_join = "JOIN probe USING (event_type, user_id)"
     # the oracle sketches at the COARSE grain directly: cell counts are
     # plain integer sums, so merge-of-day-sketches ≡ sketch-of-the-union
     # bit-for-bit — the very property this query exists to prove
@@ -4485,10 +4489,11 @@ est AS (
   FROM items LEFT JOIN sketch USING (event_type, row_i, bucket)
   GROUP BY 1, 2
 ),
-tru AS (SELECT event_type, user_id, COUNT(*) AS true_n FROM events GROUP BY 1, 2)
+tru AS (SELECT event_type, user_id, COUNT(*) AS true_n FROM events GROUP BY 1, 2){probe_cte}
 SELECT event_type, user_id, CAST(true_n AS BIGINT) AS true_n,
        CAST(est_n AS BIGINT) AS est_n
 FROM tru JOIN est USING (event_type, user_id)
+{probe_join}
 """
 
 
@@ -5979,9 +5984,15 @@ def q141_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bigram_lm_scores(d, train, "doc_id", "text", alpha=1.0)
 
 
+#: q142's audit probe: ≤ this many (hash-ordered) users per event_type,
+#: so the materialize-before-rmtree collect is bounded by construction
+#: (types × 200 rows) at ANY sf — the r06 verdict's one unbounded collect
+_CM_PROBE_PER_TYPE = 200
+
+
 @register(
     "q142_streaming_countmin",
-    _q105_sql(),
+    _q105_sql(probe_per_type=_CM_PROBE_PER_TYPE),
     doc="Streaming count-min maintenance (streaming/incremental.py "
     "update_countmin_index / read_countmin_index): events arrive in "
     "three epochs (md5-bucketed), each epoch sketches ITSELF into its "
@@ -5989,13 +6000,17 @@ def q141_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup index a batch never reads earlier state — pure append-of-own-"
     "partition, commutative by construction), and the reader merges "
     "whatever partitions exist. Count-min is LINEAR, so the merged "
-    "batch sketches are bit-for-bit the full-corpus sketch — which is "
-    "why this row shares q105's cell-exact oracle VERBATIM: the SQL "
-    "sketches the whole table at once, and the value hash proves the "
-    "epoch-partitioned maintenance converges to exactly that. This row "
-    "drives the per-epoch engine body directly (q111's idiom — no "
-    "file-source timing in a correctness row); the stream wiring "
-    "(availableNow drain + checkpoint) is pinned in test_streaming.py.",
+    "batch sketches are bit-for-bit the full-corpus sketch — this row "
+    "shares q105's cell-exact oracle BODY (same sketch geometry, same "
+    "hash family), restricted to a bounded probe: the first 200 keys "
+    "per event_type in deterministic md5 order, so the audit frame the "
+    "row materializes before the index tempdir is removed stays ≤ "
+    "types × 200 rows at any corpus size (point-query estimates are "
+    "per-key — the probe changes which rows appear, never their "
+    "values). This row drives the per-epoch engine body directly "
+    "(q111's idiom — no file-source timing in a correctness row); the "
+    "stream wiring (availableNow drain + checkpoint) is pinned in "
+    "test_streaming.py.",
 )
 def q142_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -6023,7 +6038,25 @@ def q142_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
                 epoch_id=b,
             )
         merged = read_countmin_index(spark, idx, ["event_type"])
-        items = e.select("event_type", "user_id").distinct()
+        # bounded probe: first _CM_PROBE_PER_TYPE keys per type by md5
+        # order (user_id tiebreak) — the collect below is ≤ types × 200
+        # rows by construction; the oracle applies the identical cut
+        keys = e.select("event_type", "user_id").distinct()
+        ph = hashing.md5_prefix_int(
+            F.concat(
+                F.col("event_type"), F.lit(":"), F.col("user_id").cast("string")
+            ),
+            nhex=15,
+            salt=":cmprobe",
+        )
+        pw = Window.partitionBy("event_type").orderBy(
+            ph.asc(), F.col("user_id").asc()
+        )
+        items = (
+            keys.withColumn("__r", F.row_number().over(pw))
+            .where(F.col("__r") <= _CM_PROBE_PER_TYPE)
+            .drop("__r")
+        )
         est = countmin_estimate(merged, ["event_type"], items, "user_id")
         tru = e.groupBy("event_type", "user_id").agg(
             F.count(F.lit(1)).alias("true_n")

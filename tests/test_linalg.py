@@ -78,6 +78,65 @@ def test_degenerate_covariance_yields_zero_direction(spark):
     assert all(r["pc1"] == 0.0 for r in pr)
 
 
+def test_constant_dimension_still_finds_pc(spark, tmp_path):
+    """A constant (zero-variance) FIRST dimension zeroes covariance row 0;
+    the old fixed-e0 seed made ``m·e0 = 0`` and silently returned the zero
+    direction while a valid top PC existed (ADVICE r06, medium).  The
+    max-|row-sum| seed must recover the true PC — and the SQL twin, which
+    mirrors the seed rule, must walk the identical trajectory."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=40)
+    X = np.stack(
+        [
+            np.full(40, 0.5),  # constant dim 0 → cov column 0 is exactly zero
+            3.0 * base + rng.normal(scale=0.05, size=40),
+            -2.0 * base + rng.normal(scale=0.05, size=40),
+            rng.normal(scale=0.01, size=40),
+        ],
+        axis=1,
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    v = np.array(la.top_principal_component(emb, dim=4), dtype=np.float64)
+    assert np.abs(v).max() == la._GRID  # non-degenerate, grid max-norm
+    C = np.cov(X.T, bias=True)
+    pc = np.linalg.eigh(C)[1][:, -1]
+    assert abs(float(v / np.linalg.norm(v) @ pc)) > 0.999
+    # cross-engine: the SQL twin shares the seed rule, not just the loop
+    path = str(tmp_path / "const_dim.parquet")
+    emb.coalesce(1).write.parquet(path)
+    spark_out = {
+        r["vec_id"]: r["pc1"] for r in la.pc_projection(emb, dim=4).collect()
+    }
+    con = duckdb.connect()
+    sql = la.sql_pc_projection(f"'{path}/*.parquet'", dim=4)
+    duck_out = dict(con.execute(sql).fetchall())
+    assert spark_out == duck_out
+    assert any(x != 0.0 for x in spark_out.values())
+
+
+def test_group_centroid_cosine_null_group_dropped(spark):
+    """NULL group keys are dropped, not crashed on (ADVICE r06: sorted()
+    over mixed None/str raised driver-side), and non-string keys cast to
+    string."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (1, [3.0, 0.0]),
+            (2, [0.0, 2.0]),
+            (None, [9.0, 9.0]),
+        ],
+        "g int, embedding array<double>",
+    )
+    out = {
+        (r["group_a"], r["group_b"]): r["centroid_cos"]
+        for r in la.group_centroid_cosine(emb, "g", dim=2).collect()
+    }
+    assert out == {("1", "2"): 0.0}  # NULL group gone, int keys stringified
+
+
 def test_projection_is_exact_integer_dot(spark):
     """pc1 must equal the exact integer dot product of the grid-snapped
     vector and the returned direction — no float accumulation."""

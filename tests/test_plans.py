@@ -326,6 +326,17 @@ def test_q101_lm_scoring_no_cartesian_or_driver_vocab(spark, sf_dir):
     assert plan.lower().count("hashaggregate") >= 2
 
 
+def test_bm25_plan_has_no_shuffle_join(spark, sf_dir):
+    """Document length is row-local (size(split) carried through the tf
+    aggregate key — r06 VERDICT item 5): the BM25 plan must contain NO
+    shuffle join at all — the query-term, df, and corpus-stats sides are
+    all broadcast, so the corpus never shuffles except for the tf/top-k
+    aggregates themselves."""
+    plan = explain_simple(q.q133_bm25_retrieval(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
 def test_headline_names_are_registered():
     """Every bench.HEADLINE name must be a registered spec: bench.py
     silently FILTERS unknown names (``[n for n in HEADLINE if n in
