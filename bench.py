@@ -6,7 +6,20 @@ Each query reports the median of three executions (scheduler-noise control
 that doesn't chase the lucky tail) after a 1/100-scale warmup pass that
 JIT-compiles each plan family; timing covers full materialization into a
 noop sink — never a driver-side collect of rows.  All samples are
-published per query under "runs".
+published per query in the ``bench_runs.json`` sidecar (they lived inline
+under "runs" through round 6 — see the round-7 note below).
+
+Round-7 note on the OUTPUT LINE LENGTH: the external driver records only
+the last 2000 characters of bench stdout and parses the payload from
+that tail — BENCH_r06.json came back ``parsed: null`` because the r6
+line (33 queries × 3 inline runs + machine_factor ≈ 3.5 KB) overflowed
+it, while every earlier round's line was ≤ 2000 by luck of the smaller
+headline.  stdout is therefore exactly ONE JSON line, kept ≤ 1900 chars
+by construction (per-query medians only; 2dp fallback, then run-sample
+eviction, guards growth), and the per-run samples + machine-factor
+detail go to the ``bench_runs.json`` sidecar file instead
+(override path: $SPARK_GRAFT_BENCH_RUNS_PATH).
+tests/test_plans.py pins the bound for the registered headline.
 
 Round-3 note on the r02 q11 (1.93x) / q16 (1.29x) "regressions": both
 queries' code was unchanged from r01; the slowdown was the timestamp-
@@ -230,20 +243,53 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": runs,
-                "machine_factor": mf,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
+    # per-run samples → sidecar file (NOT stdout: the driver parses the
+    # last 2000 chars of stdout, and inline runs overflowed it in r6)
+    runs_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_RUNS_PATH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_runs.json"),
     )
+    try:
+        with open(runs_path, "w") as f:
+            json.dump(
+                {"runs": runs, "machine_factor": mf, "sf": sf_val}, f, indent=1
+            )
+    except OSError:
+        pass  # a read-only checkout must not kill the benchmark line
+    print(compact_line(total, timings, mf, sf_val))
     spark.stop()
+
+
+#: hard bound on the stdout line — the driver's tail keeps 2000 chars
+MAX_LINE = 1900
+
+
+def compact_line(
+    total: float, timings: dict[str, float], mf: dict[str, float], sf
+) -> str:
+    """The single stdout line, ≤ MAX_LINE by construction: full 3dp
+    medians when they fit, 2dp fallback, then machine_factor eviction
+    (sidecar keeps it) — never a truncated/unparseable line."""
+    for shrink in (
+        lambda: {"queries": timings, "machine_factor": mf},
+        lambda: {
+            "queries": {k: round(v, 2) for k, v in timings.items()},
+            "machine_factor": mf,
+        },
+        lambda: {"queries": {k: round(v, 2) for k, v in timings.items()}},
+    ):
+        line = json.dumps(
+            {"metric": "headline_total", "value": total, "unit": "sec"}
+            | shrink()
+            | {"sf": sf}
+        )
+        if len(line) <= MAX_LINE:
+            return line
+    raise AssertionError(
+        f"bench line exceeds {MAX_LINE} chars even without machine_factor "
+        f"({len(line)}); trim HEADLINE or shorten query names"
+    )
 
 
 if __name__ == "__main__":

@@ -352,6 +352,27 @@ def test_headline_names_are_registered():
     assert not missing, missing
 
 
+def test_bench_line_fits_driver_tail():
+    """The driver records only the last 2000 chars of bench stdout and
+    parses the payload from that tail — BENCH_r06 came back parsed:null
+    when the inline runs block pushed the line to ~3.5 KB.  The compact
+    line for the CURRENT headline (worst-case 3-digit-seconds values)
+    must fit at full 3dp precision WITH the machine_factor block — if
+    this fails, a headline addition just silently broke the next round's
+    BENCH_r{N}.json."""
+    import json
+
+    import bench
+
+    worst = {n: 999.999 for n in bench.HEADLINE}
+    mf = {"codegen_scan": 99.999, "shuffle_agg": 99.999, "arrow_roundtrip": 99.999}
+    line = bench.compact_line(9999.999, worst, mf, 0.1)
+    assert len(line) <= bench.MAX_LINE
+    payload = json.loads(line)
+    assert payload["machine_factor"] == mf  # full-precision level fit
+    assert payload["queries"] == worst
+
+
 #: queries whose BroadcastNestedLoopJoin IS the intended plan, mapped to
 #: the exact number of BNLJ nodes that plan carries: a bounded side
 #: (1-row global aggregate, k centroids, a calendar/dim table, the query
