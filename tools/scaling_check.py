@@ -80,6 +80,10 @@ QUERIES = [
     # stays constant — the rank/cumsum stages see identical input sizes,
     # so wall should track the token scan alone
     "q137_vocab_coverage",
+    # lang-ID confusion matrix: replication multiplies every (true, pred)
+    # cell count while the matrix stays |langs|² — wall must track the
+    # heuristic-scoring scan, never the cell table (r06 VERDICT item 6)
+    "q148_langid_confusion",
 ]
 # q126 (heavy hitters) and q128 (incremental components) are swept by
 # their own dedicated ladders instead — HEAVY_HITTERS.json widens the
@@ -105,6 +109,13 @@ EVENTS_QUERIES = [
     # driver-crossing micro-batch shape; the sublinear flag just confirms
     # nothing superlinear crept into the per-batch dedup windows)
     "q117_upsert_replay",
+    # numeric PSI drift: two scan-side conditional aggregates to a
+    # |event_type|×|bins| cell table — wall must track the scans; the
+    # smoothing/log arithmetic runs on the bounded cells (r06 item 6)
+    "q146_value_psi_weekend",
+    # freshness SLA: per-(type, day) aggregate + 1-row max-ts broadcast —
+    # the day×type frame is calendar-bounded, wall tracks the scan
+    "q151_freshness_report",
 ]
 # NOT replicated here: q16 (co-purchase pairing) — replicas share contact
 # keys, so pair density grows QUADRATICALLY with the factor; that stress
@@ -181,7 +192,14 @@ def main() -> None:
 
     fns = {s.name: s.fn for s in q.specs()}
     out: dict[str, dict] = {}
-    for name in QUERIES + EVENTS_QUERIES + EMB_QUERIES:
+    names = QUERIES + EVENTS_QUERIES + EMB_QUERIES
+    # SPARK_GRAFT_SCALING_QUERIES=q146_...,q151_... runs a subset and
+    # MERGES it into the existing artifact (so extending the ladder to a
+    # new family never re-times — or clobbers — the 27 standing rows)
+    only = os.environ.get("SPARK_GRAFT_SCALING_QUERIES")
+    if only:
+        names = [n for n in names if n in set(only.split(","))]
+    for name in names:
         fn = fns[name]
         t1 = best_of(lambda d: fn(spark, d), sf_dir)
         t10 = best_of(lambda d: fn(spark, d), scaled)
@@ -198,7 +216,13 @@ def main() -> None:
     # SCALING.json; other factors (30x, 100x) get their own files so a
     # deeper sweep never clobbers the baseline one
     name = "SCALING.json" if scale == 10 else f"SCALING_{scale}x.json"
-    with open(os.path.join(root, name), "w") as f:
+    path = os.path.join(root, name)
+    if only and os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f)
+        prior["queries"].update(out)
+        result = prior
+    with open(path, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
     shutil.rmtree(scaled, ignore_errors=True)
