@@ -274,3 +274,135 @@ SELECT {gs}, n_bins, na AS n_a, nb AS n_b,
 FROM terms
 GROUP BY {gs}, n_bins, na, nb
 """
+
+
+def ks_statistic(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    seg_col: str,
+    a_label: str,
+    b_label: str,
+    value_col: str,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic of a numeric column
+    between two segments, per group — the order-statistic complement to
+    :func:`numeric_psi` (PSI sees binned mass shifts; KS catches a pure
+    location/shape shift at full resolution and is the classic
+    distribution-equality test a drift dashboard quotes a p-value from).
+
+    ``KS = max_x |F_a(x) − F_b(x)|`` over the pooled distinct values,
+    computed with an EXACT integer numerator: with cumulative counts
+    ``A(x)``, ``B(x)`` and totals ``n_a``, ``n_b``,
+
+        KS = max |A(x)·n_b − B(x)·n_a| / (n_a·n_b)
+
+    so the max runs over exact DECIMAL(38,0) products (order-independent,
+    no per-row float drift) and ONE final division produces the score —
+    bit-identical in the DuckDB oracle.  NULL values drop; rows outside
+    the two segments are filtered.
+
+    Scale shape: one shuffle into (group, value) rows with conditional
+    per-segment counts (map-side combined — ties collapse at the
+    combiner), then a cumulative window PARTITIONED BY GROUP over each
+    group's distinct values (the grouped-window idiom q140's percentile
+    calibration already uses: groups parallelize, nothing runs
+    single-partition).  At petabyte per-group cardinalities, quantize
+    values first (``sketches.value_bucket``) — the same statistic on the
+    sketch grid — or read the PSI monitor instead; the exact form is the
+    auditor's tool.
+
+    Output: group_cols..., n_a, n_b (bigint), ks_stat (double, 6dp).
+    """
+    from pyspark.sql import Window
+
+    gs = list(group_cols)
+    seg = F.col(seg_col)
+    counts = (
+        df.where(seg.isin(a_label, b_label))
+        .where(F.col(value_col).isNotNull())
+        .groupBy(*gs, value_col)
+        .agg(
+            F.sum(F.when(seg == a_label, 1).otherwise(0)).cast("bigint").alias("ca"),
+            F.sum(F.when(seg == b_label, 1).otherwise(0)).cast("bigint").alias("cb"),
+        )
+    )
+    w = (
+        Window.partitionBy(*gs)
+        .orderBy(F.col(value_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dec = "decimal(38,0)"
+    cum = counts.select(
+        *gs,
+        F.sum("ca").over(w).cast(dec).alias("cum_a"),
+        F.sum("cb").over(w).cast(dec).alias("cum_b"),
+    )
+    # group totals are aggregate-sized → broadcast back into the cum rows
+    totals = counts.groupBy(*gs).agg(
+        F.sum("ca").cast(dec).alias("n_a"),
+        F.sum("cb").cast(dec).alias("n_b"),
+    )
+    term = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+    return (
+        cum.join(F.broadcast(totals), gs)
+        .groupBy(*gs, "n_a", "n_b")
+        .agg(F.max(term).alias("__num"))
+        .select(
+            *gs,
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("__num").cast("double")
+                / F.col("n_a").cast("double")
+                / F.col("n_b").cast("double"),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
+
+
+def sql_ks_statistic(
+    src_sql: str,
+    group_cols: Sequence[str],
+    seg_expr: str,
+    a_label: str,
+    b_label: str,
+    value_col: str,
+) -> str:
+    """DuckDB twin of :func:`ks_statistic`: identical conditional counts,
+    cumulative window, exact HUGEINT numerator and single final
+    division."""
+    gs = ", ".join(group_cols)
+    return f"""
+WITH src AS ({src_sql}),
+tagged AS (
+  SELECT {gs}, ({seg_expr}) AS seg, {value_col} AS v FROM src
+),
+counts AS (
+  SELECT {gs}, v,
+         CAST(SUM(CASE WHEN seg = '{a_label}' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN seg = '{b_label}' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM tagged
+  WHERE seg IN ('{a_label}', '{b_label}') AND v IS NOT NULL
+  GROUP BY {gs}, v
+),
+cum AS (
+  SELECT {gs},
+         CAST(SUM(ca) OVER (PARTITION BY {gs} ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cum_a,
+         CAST(SUM(cb) OVER (PARTITION BY {gs} ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cum_b
+  FROM counts
+),
+totals AS (
+  SELECT {gs}, CAST(SUM(ca) AS HUGEINT) AS n_a, CAST(SUM(cb) AS HUGEINT) AS n_b
+  FROM counts GROUP BY {gs}
+)
+SELECT {gs},
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       round(CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+             / CAST(n_a AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS ks_stat
+FROM cum JOIN totals USING ({gs})
+GROUP BY {gs}, n_a, n_b
+"""

@@ -1102,3 +1102,112 @@ SELECT doc_id,
        round(-CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS avg_neg_logprob
 FROM scored GROUP BY doc_id
 """
+
+
+# --- Gopher-style per-rule quality gating ------------------------------------
+
+#: the rule thresholds, named once so kernel / SQL / docs stay in lockstep
+RULE_MIN_TOKENS = 20
+RULE_MAX_TOKENS = 90
+RULE_MIN_MEAN_TOK = 3.0
+RULE_MAX_MEAN_TOK = 10.0
+RULE_MIN_ALPHA = 0.8
+RULE_MAX_DUP = 0.5
+RULE_MAX_DIGIT = 0.1
+
+
+def quality_rule_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style quality RULE BUNDLE: each heuristic gate as its own
+    0/1 flag plus the conjunctive ``pass_all`` — the audit view a curation
+    pipeline needs ("WHY was this document dropped?") that a composite
+    score (:func:`quality_score`) deliberately erases.  Rules follow the
+    Rae et al. (Gopher, arXiv:2112.11446) word-count / mean-word-length /
+    symbol-ratio / repetition family, with thresholds set for this
+    corpus's synthetic token streams:
+
+    - ``r_len``: RULE_MIN_TOKENS ≤ n_tokens ≤ RULE_MAX_TOKENS
+    - ``r_mean_tok``: mean token length in [RULE_MIN_MEAN_TOK,
+      RULE_MAX_MEAN_TOK] (reuses :func:`quality_exprs`' definition)
+    - ``r_alpha``: alphabetic-char ratio ≥ RULE_MIN_ALPHA
+    - ``r_dup``: duplicate-token fraction ``1 − distinct/n`` ≤ RULE_MAX_DUP
+    - ``r_digit``: all-digit-token fraction ≤ RULE_MAX_DIGIT
+    - ``r_stop``: contains the stopword marker (the quality_exprs gate)
+
+    Output: doc_id, the six flags (int 0/1), pass_all (int).  Empty/NULL
+    text fails every rule (n_tokens 0 guards divide-by-zero on both
+    engines).
+
+    Scale shape: every rule is a row-local expression in the scan — one
+    pass, no shuffle, no UDF; the flags feed whatever grouped audit sits
+    downstream (q153-era curation reports) as ordinary columns.
+    """
+    t = F.col(text_col)
+    e = quality_exprs(t)
+    n = e["n_tokens"]
+    toks = F.split(t, " ")
+    digit_cnt = F.size(F.filter(toks, lambda x: x.rlike("^[0-9]+$")))
+    distinct_cnt = F.size(F.array_distinct(toks))
+    nz = n > 0
+    dup_frac = F.when(nz, 1.0 - distinct_cnt.cast("double") / n).otherwise(1.0)
+    digit_frac = F.when(nz, digit_cnt.cast("double") / n).otherwise(1.0)
+    has_stop = (
+        occurrence_count(F.concat(F.lit(" "), t, F.lit(" ")), " the ") > 0
+    )
+    flags = {
+        "r_len": (n >= RULE_MIN_TOKENS) & (n <= RULE_MAX_TOKENS),
+        "r_mean_tok": nz
+        & (e["mean_token_len"] >= RULE_MIN_MEAN_TOK)
+        & (e["mean_token_len"] <= RULE_MAX_MEAN_TOK),
+        "r_alpha": nz & (e["alpha_ratio"] >= RULE_MIN_ALPHA),
+        "r_dup": nz & (dup_frac <= RULE_MAX_DUP),
+        "r_digit": nz & (digit_frac <= RULE_MAX_DIGIT),
+        "r_stop": nz & has_stop,
+    }
+    all_pass = None
+    for c in flags.values():
+        all_pass = c if all_pass is None else (all_pass & c)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.coalesce(c.cast("int"), F.lit(0)).alias(k) for k, c in flags.items()],
+        F.coalesce(all_pass.cast("int"), F.lit(0)).alias("pass_all"),
+    )
+
+
+def sql_quality_rule_flags(src: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`quality_rule_flags` — identical thresholds
+    (the module constants), identical zero-token and NULL handling."""
+    t = text_col
+    n_chars = f"length({t})"
+    n = f"len(string_split({t}, ' '))"
+    alpha = f"length(regexp_replace({t}, '[^a-zA-Z]', '', 'g'))"
+    alpha_ratio = f"(CAST({alpha} AS DOUBLE) / {n_chars})"
+    mean_tok = f"(CAST({n_chars} - ({n} - 1) AS DOUBLE) / {n})"
+    digit_cnt = (
+        f"len(list_filter(string_split({t}, ' '),"
+        f" x -> regexp_matches(x, '^[0-9]+$')))"
+    )
+    distinct_cnt = f"len(list_distinct(string_split({t}, ' ')))"
+    dup_frac = f"(1.0 - CAST({distinct_cnt} AS DOUBLE) / {n})"
+    digit_frac = f"(CAST({digit_cnt} AS DOUBLE) / {n})"
+    padded = f"(' ' || {t} || ' ')"
+    has_stop = f"{sql_occurrence_count(padded, ' the ')} > 0"
+    nz = f"{n} > 0"
+    rules = {
+        "r_len": f"{n} >= {RULE_MIN_TOKENS} AND {n} <= {RULE_MAX_TOKENS}",
+        "r_mean_tok": f"{nz} AND {mean_tok} >= {RULE_MIN_MEAN_TOK!r}"
+        f" AND {mean_tok} <= {RULE_MAX_MEAN_TOK!r}",
+        "r_alpha": f"{nz} AND {alpha_ratio} >= {RULE_MIN_ALPHA!r}",
+        "r_dup": f"{nz} AND {dup_frac} <= {RULE_MAX_DUP!r}",
+        "r_digit": f"{nz} AND {digit_frac} <= {RULE_MAX_DIGIT!r}",
+        "r_stop": f"{nz} AND {has_stop}",
+    }
+    cols = ",\n       ".join(
+        f"CAST(COALESCE(({c}), FALSE) AS INT) AS {k}" for k, c in rules.items()
+    )
+    conj = " AND ".join(f"COALESCE(({c}), FALSE)" for c in rules.values())
+    return f"""
+SELECT {id_col} AS doc_id,
+       {cols},
+       CAST(({conj}) AS INT) AS pass_all
+FROM {src}
+"""

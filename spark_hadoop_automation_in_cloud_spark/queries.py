@@ -84,12 +84,17 @@ def register(name: str, sql: str | None, doc: str = ""):
 #     q47, q48, q49, q54, q55, q56, q58, q60, q61, q62, q63, q64, q68,
 #     q75, q76, q78, q81.
 # Left out, and why:
+#   - q153 (bucketed co-located join), q154 (quality rule flags), q155
+#     (exact KS drift): registered AFTER this window was allocated and
+#     verified — they ride r08's never-stamped block per the standing
+#     rule (each sf0.001-parity-green at registration, swept by
+#     tests/test_oracle_parity.py every run);
 #   - the remaining 11 r04 rows — q82, q84, q85, q86, q87, q88, q90,
-#     q91, q92, q97, q101 — MUST lead the r08 window (11 of 50), along
-#     with the 41 r05-stamped rows that reach the age-2 bound during
-#     r07 (11 + 41 = 52 — r08 is oversubscribed by 2, so the 2
-#     freshest-registered r05 rows spill to r09; re-derive from
-#     tools/stamps.py when allocating);
+#     q91, q92, q97, q101 — MUST lead the r08 window alongside the 3
+#     never-stamped rows above and the 41 r05-stamped rows that reach
+#     the age-2 bound during r07 (3 + 11 + 41 = 55 — r08 is
+#     oversubscribed by 5, so the 5 freshest-registered r05 rows spill
+#     to r09; re-derive from tools/stamps.py when allocating);
 #   - q105: its oracle-SQL helper (_q105_sql) grew an optional
 #     probe_per_type parameter for q142; the q105 call passes None and
 #     the generated SQL is semantically identical (two empty format
@@ -6640,3 +6645,124 @@ def q152_streaming_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- round-8 batch: bucketed layout, rule-level gating, exact KS drift --------
+
+
+@register(
+    "q153_bucketed_colocated_join",
+    """
+SELECT d.source, d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(round(CAST(e.embedding AS DOUBLE[])[1] * 1000000.0)
+                     AS BIGINT)) AS BIGINT) AS emb0_grid_sum
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+GROUP BY 1, 2
+""",
+    doc="Bucketed-table co-located join (operators/bucketing.py): "
+    "documents and embeddings are written as Hive-bucketed parquet "
+    "tables (8 buckets on doc_id / vec_id, sorted), then joined through "
+    "the catalog — with matching bucket counts the plan is a "
+    "SortMergeJoin with ZERO Exchange on either side (pinned by "
+    "tests/test_sources.py; the plain-read A/B carries 2), the pay-the-"
+    "shuffle-once layout for fact×fact joins repeated on the same key "
+    "at 100 TB. The oracle IS the plain join: the value hash proves the "
+    "co-located layout dropped/duplicated nothing. Output is the "
+    "per-(source, lang) count + exact 1e-6-grid sum of the first "
+    "embedding component (bounded frame — the materialize-then-cleanup "
+    "idiom never collects corpus-sized data); tables are dropped and "
+    "the tempdir removed per invocation (q111's idiom).",
+)
+def q153_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from spark_hadoop_automation_in_cloud_spark.operators import bucketing as bk
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="q153_")
+    try:
+        bk.write_bucketed(docs, "q153_docs", f"{root}/docs", "doc_id", n_buckets=8)
+        bk.write_bucketed(emb, "q153_emb", f"{root}/emb", "vec_id", n_buckets=8)
+        j = bk.colocated_join(spark, "q153_docs", "q153_emb", "doc_id", "vec_id")
+        emb0 = F.expr(
+            "CAST(round(element_at(CAST(embedding AS ARRAY<DOUBLE>), 1)"
+            " * 1000000.0) AS BIGINT)"
+        )
+        out = j.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(emb0).cast("bigint").alias("emb0_grid_sum"),
+        )
+        # materialize before the table files go away (q111's idiom);
+        # bounded: |sources| x |langs| rows
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        bk.drop_table(spark, "q153_docs")
+        bk.drop_table(spark, "q153_emb")
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q154_quality_rule_flags",
+    tx.sql_quality_rule_flags("documents", "doc_id", "text"),
+    doc="Gopher-style quality rule bundle (operators/textops.py "
+    "quality_rule_flags): every heuristic gate as its own 0/1 flag — "
+    "token-count band, mean-token-length band, alphabetic ratio, "
+    "duplicate-token fraction, digit-token fraction, stopword presence "
+    "— plus the conjunctive pass_all. The audit view a curation "
+    "pipeline needs (WHY was a doc dropped?) that the composite q27 "
+    "score erases; thresholds live as module constants shared verbatim "
+    "by the SQL twin. Every rule is a row-local expression in the scan "
+    "— one pass, zero shuffle, zero UDF.",
+)
+def q154_quality_rule_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    return tx.quality_rule_flags(d, "doc_id", "text")
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.checks import (  # noqa: E402
+    ks_statistic,
+    sql_ks_statistic,
+)
+
+
+@register(
+    "q155_ks_drift_weekend",
+    sql_ks_statistic(
+        "SELECT event_type, ts, value FROM events",
+        ["event_type"],
+        "CASE WHEN extract(dow FROM ts) IN (0, 6) THEN 'weekend' ELSE 'weekday' END",
+        "weekday",
+        "weekend",
+        "value",
+    ),
+    doc="Exact two-sample Kolmogorov-Smirnov drift (operators/checks.py "
+    "ks_statistic): per event type, the KS statistic of the value "
+    "column between weekday and weekend traffic — the order-statistic "
+    "complement to q146's binned PSI (KS sees a pure location shift at "
+    "full resolution). Numerator is exact integer cross-products "
+    "|A(x)*n_b - B(x)*n_a| in DECIMAL(38,0) with ONE final division — "
+    "order-independent, engine-identical. One shuffle into (type, "
+    "value) conditional counts (ties collapse at the map-side "
+    "combiner), a cumulative window partitioned per type (groups "
+    "parallelize — the q140 grouped-window idiom), totals broadcast "
+    "back. At petabyte per-group cardinality, quantize to the sketch "
+    "grid first; the exact form is the auditor's tool. dow conventions "
+    "differ (Spark 1=Sun..7=Sat; DuckDB 0=Sun..6=Sat) — each side "
+    "spells its own weekend set (the q146 note).",
+)
+def q155_ks_drift_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    seg = F.when(F.dayofweek(F.col("ts")).isin(1, 7), "weekend").otherwise(
+        "weekday"
+    )
+    return ks_statistic(
+        e.select("event_type", seg.alias("seg"), "value"),
+        ["event_type"],
+        "seg",
+        "weekday",
+        "weekend",
+        "value",
+    )

@@ -2365,3 +2365,22 @@ def test_rendezvous_shard_minimal_moves(spark):
 
     c = Counter(r["new"] for r in a)
     assert len(c) == 16 and min(c.values()) > 2000 / 16 / 3
+
+
+def test_ks_statistic_hand_computed(spark):
+    """Hand-checkable KS: a=[1,2,3], b=[3,4] → sup|F_a-F_b| = |2/3 - 0|
+    at x=2 → 4/6; identical samples → 0; exact integer numerator means
+    the 6dp rounding is of 0.6666... not an accumulated float."""
+    from spark_hadoop_automation_in_cloud_spark.operators.checks import ks_statistic
+
+    rows = (
+        [("g", "a", float(v)) for v in (1, 2, 3)]
+        + [("g", "b", float(v)) for v in (3, 4)]
+        + [("h", "a", float(v)) for v in (5, 6)]
+        + [("h", "b", float(v)) for v in (5, 6)]
+    )
+    df = spark.createDataFrame(rows, "k string, seg string, value double")
+    out = {r["k"]: r for r in ks_statistic(df, ["k"], "seg", "a", "b", "value").collect()}
+    assert out["g"]["n_a"] == 3 and out["g"]["n_b"] == 2
+    assert out["g"]["ks_stat"] == round(4 / 6, 6)
+    assert out["h"]["ks_stat"] == 0.0

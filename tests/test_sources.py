@@ -496,3 +496,47 @@ def test_zorder_key_four_columns_and_degenerate_inputs(spark):
 
     empty = spark.createDataFrame([], "a double, b double")
     assert empty.select(zorder_key(empty, ["a", "b"]).alias("z")).count() == 0
+
+
+def test_bucketed_colocated_join_eliminates_exchange(spark, sf_dir, tmp_path):
+    """The bucketed layout's whole value: two tables bucketed on the join
+    key with the SAME bucket count join as a SortMergeJoin with ZERO
+    Exchange (each scan's HashPartitioning satisfies the join's
+    distribution directly), while the identical plain-parquet join
+    shuffles both sides.  Broadcast is disabled so the small test tables
+    exercise the SMJ path the layout exists for."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from spark_hadoop_automation_in_cloud_spark.operators import bucketing as bk
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        return buf.getvalue()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bk.write_bucketed(docs, "t_bk_docs", str(tmp_path / "d"), "doc_id", 8)
+        bk.write_bucketed(emb, "t_bk_emb", str(tmp_path / "e"), "vec_id", 8)
+        j = bk.colocated_join(spark, "t_bk_docs", "t_bk_emb", "doc_id", "vec_id")
+        plan = plan_of(j)
+        assert "Exchange" not in plan, plan
+        assert plan.count("SortMergeJoin") == 1, plan
+        # A/B: the same join over plain parquet reads shuffles both sides
+        pj = docs.join(emb, F.col("doc_id") == F.col("vec_id"))
+        assert plan_of(pj).count("Exchange") == 2
+        # and the layout changes nothing about the result
+        assert j.count() == pj.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        bk.drop_table(spark, "t_bk_docs")
+        bk.drop_table(spark, "t_bk_emb")

@@ -302,3 +302,30 @@ def test_bigram_lm_python_reference(spark):
     assert out[5]["avg_neg_logprob"] == round(-q(0, 0) / 1e6, 6)
     # word order matters: the model is conditional, not bag-of-words
     assert out[2]["avg_neg_logprob"] != out[5]["avg_neg_logprob"]
+
+
+def test_quality_rule_flags_each_rule_and_null(spark):
+    """Each rule trips on its own construction; NULL text fails all."""
+    from spark_hadoop_automation_in_cloud_spark.operators.textops import (
+        RULE_MIN_TOKENS,
+        quality_rule_flags,
+    )
+
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    ok = "the " + " ".join(
+        f"word{letters[i]}" for i in range(RULE_MIN_TOKENS + 4)
+    )
+    short = "the tiny text here"                       # fails r_len only
+    digits = "the " + " ".join(str(i) for i in range(30))  # digit + alpha fail
+    dupy = "the " + " ".join(["same"] * 30)            # fails r_dup (+ r_alpha ok)
+    rows = [(1, ok), (2, short), (3, digits), (4, dupy), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in quality_rule_flags(df, "doc_id", "text").collect()}
+    assert out[1]["pass_all"] == 1 and all(
+        v == 1 for k, v in out[1].items() if k.startswith("r_")
+    )
+    assert out[2]["r_len"] == 0 and out[2]["r_stop"] == 1
+    assert out[3]["r_digit"] == 0 and out[3]["r_alpha"] == 0
+    assert out[4]["r_dup"] == 0 and out[4]["r_len"] == 1
+    assert all(v == 0 for k, v in out[5].items() if k != "doc_id")
+    assert all(out[i]["pass_all"] == 0 for i in (2, 3, 4, 5))
