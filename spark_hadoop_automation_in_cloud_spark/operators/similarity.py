@@ -1072,3 +1072,383 @@ SELECT query_id, doc_id, bm25_rank, dense_rank,
        round(__s / {grid!r}, 6) AS rrf, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {topk}
 """
+
+
+# --- Product quantization (memory-scale ANN path) ----------------------------
+
+#: PQ geometry: dim splits into PQ_SUBSPACES contiguous subvectors, each
+#: quantized to one of PQ_CODEBOOK_K per-subspace centroids — a 64-dim
+#: float32 vector (256 B) compresses to PQ_SUBSPACES small ints.  At the
+#: 100 TB target this is what makes the vector side of the index FIT:
+#: IVF prunes which cells to scan (similarity.py IVF family), PQ shrinks
+#: what a scanned cell costs to hold and compare.
+PQ_SUBSPACES = 4
+PQ_CODEBOOK_K = 8
+PQ_ITERS = 3
+_PQ_Q = 1_000_000  # centroid-mean quantization grid (clustering.py's _Q)
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = PQ_SUBSPACES,
+    k: int = PQ_CODEBOOK_K,
+    iters: int = PQ_ITERS,
+) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks with Lloyd's k-means —
+    ``codebooks[s][j]`` is centroid ``j`` (width ``dim/n_sub``) of
+    subspace ``s``.
+
+    Deterministic by the q96 k-means conventions (clustering.py): all
+    arithmetic in DOUBLE, seeds are the k lowest-id vectors' subvectors
+    (code = rank−1), assignment argmin ties break to the lowest code, and
+    centroid means accumulate exact 1e-6-quantized integers — so the
+    DuckDB oracle replays the identical trajectory.
+
+    Scale shape: the model is bounded (``n_sub·k·dim/n_sub = k·dim``
+    doubles); per iteration ONE corpus scan computes all ``n_sub``
+    row-local argmins inline (centroids ship as plan literals, the q96
+    inline path) and ONE dimension-exploded map-side-combined aggregation
+    returns all subspaces' means together — nothing per-row reaches the
+    driver.  The widened corpus persists for the loop (MEMORY_AND_DISK)
+    and unpersists after, the clustering.py discipline.
+    """
+    if dim % n_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    width = dim // n_sub
+    from pyspark import StorageLevel
+
+    widened = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        seed_rows = widened.orderBy("__id").limit(k).collect()
+        if not seed_rows:
+            raise ValueError("train_pq_codebooks: empty input")
+        seeds = [list(r["__v"]) for r in sorted(seed_rows, key=lambda r: r["__id"])]
+        books: list[list[list[float]]] = [
+            [seeds[j][s * width : (s + 1) * width] for j in range(len(seeds))]
+            for s in range(n_sub)
+        ]
+
+        def best_expr(s: int) -> Column:
+            # the q96 inline argmin, per subspace: one literal matrix, one
+            # row-local zip_with fold, array_min struct tie-break
+            mat = "array(" + ",".join(
+                "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+                for c in books[s]
+            ) + ")"
+            ids = "array(" + ",".join(str(j) for j in range(len(books[s]))) + ")"
+            return F.expr(
+                "array_min(zip_with("
+                f"transform({mat}, c -> aggregate(zip_with("
+                f"slice(__v, {s * width + 1}, {width}), c,"
+                " (a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)),"
+                f" {ids},"
+                " (d, i) -> struct(d AS sq_dist, CAST(i AS INT) AS code)))"
+            )
+
+        for _ in range(iters):
+            coded = widened.select(
+                *[best_expr(s)["code"].alias(f"__c{s}") for s in range(n_sub)],
+                F.posexplode("__v").alias("__pos", "__val"),
+            )
+            sub = (F.col("__pos") / width).cast("int")
+            code = F.element_at(
+                F.array(*[F.col(f"__c{s}") for s in range(n_sub)]), sub + 1
+            )
+            means = (
+                coded.select(
+                    sub.alias("s"),
+                    code.alias("code"),
+                    (F.col("__pos") % width).alias("sub_pos"),
+                    "__val",
+                )
+                .groupBy("s", "code", "sub_pos")
+                .agg(
+                    (
+                        F.sum(
+                            F.round(F.col("__val") * _PQ_Q).cast("decimal(38,0)")
+                        ).cast("double")
+                        / (F.count(F.lit(1)) * _PQ_Q)
+                    ).alias("m")
+                )
+                .collect()
+            )
+            new_books: list[list[list[float] | None]] = [
+                [None] * len(books[s]) for s in range(n_sub)
+            ]
+            for r in means:
+                s, j = int(r["s"]), int(r["code"])
+                if new_books[s][j] is None:
+                    new_books[s][j] = [0.0] * width
+                new_books[s][j][int(r["sub_pos"])] = float(r["m"])
+            # empty codes keep their previous centroid
+            books = [
+                [
+                    new_books[s][j] if new_books[s][j] is not None else books[s][j]
+                    for j in range(len(books[s]))
+                ]
+                for s in range(n_sub)
+            ]
+        return books
+    finally:
+        widened.unpersist()
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its per-subspace nearest-centroid codes.
+
+    Output: ``id_col``, ``code_0..code_{S-1}`` (int), ``recon_sq``
+    (double 6dp — total squared reconstruction error, the per-subspace
+    distances added in subspace order).  One row-local scan, zero
+    shuffle: the codebooks ride as plan literals.
+    """
+    n_sub = len(codebooks)
+    width = len(codebooks[0][0])
+    out_cols = [F.col(id_col)]
+    dist_sum: Column | None = None
+    for s in range(n_sub):
+        mat = "array(" + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+            for c in codebooks[s]
+        ) + ")"
+        ids = "array(" + ",".join(str(j) for j in range(len(codebooks[s]))) + ")"
+        best = F.expr(
+            "array_min(zip_with("
+            f"transform({mat}, c -> aggregate(zip_with("
+            f"slice(CAST(`{vec_col}` AS ARRAY<DOUBLE>), {s * width + 1}, {width}),"
+            " c, (a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)),"
+            f" {ids},"
+            " (d, i) -> struct(d AS sq_dist, CAST(i AS INT) AS code)))"
+        )
+        out_cols.append(best["code"].alias(f"code_{s}"))
+        d = best["sq_dist"]
+        dist_sum = d if dist_sum is None else (dist_sum + d)
+    out_cols.append((F.round(dist_sum, 6) + F.lit(0.0)).alias("recon_sq"))
+    return corpus.select(*out_cols)
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays a full
+    vector, the corpus is its codes — distance ≈ Σ_s LUT_s[code_s] where
+    ``LUT_s[j] = ‖q_s − codebook_s[j]‖²`` is precomputed per query.
+
+    This is the PQ search kernel: the scan touches ``n_sub`` small ints
+    per corpus row (never the vector), the per-row work is ``n_sub``
+    array lookups + adds, and the LUT table (queries × n_sub × k doubles
+    — bounded) broadcasts.  Output: query_id, neighbor_id (≠ query),
+    adc_sq (6dp), rank (ties to the lowest neighbor id).
+
+    The LUT folds each subspace distance left-to-right in Python —
+    IEEE-double identical to the engines' fold over the same centroid
+    values, so the oracle can recompute distances engine-side and still
+    hash-match.
+    """
+    n_sub = len(codebooks)
+    width = len(codebooks[0][0])
+    spark = codes.sparkSession
+    q_rows = queries.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).collect()
+    luts = []
+    for r in sorted(q_rows, key=lambda r: r["__qid"]):
+        qv = list(r["__qv"])
+        lut = []
+        for s in range(n_sub):
+            qs = qv[s * width : (s + 1) * width]
+            row = []
+            for c in codebooks[s]:
+                acc = 0.0
+                for a, b in zip(qs, c):
+                    acc += (a - b) * (a - b)
+                row.append(acc)
+            lut.append(row)
+        luts.append((int(r["__qid"]), lut))
+    qf = F.broadcast(
+        spark.createDataFrame(
+            luts, "query_id bigint, __lut array<array<double>>"
+        )
+    )
+    adc: Column | None = None
+    for s in range(n_sub):
+        term = F.element_at(
+            F.element_at(F.col("__lut"), s + 1), F.col(f"code_{s}") + 1
+        )
+        adc = term if adc is None else (adc + term)
+    scored = (
+        codes.crossJoin(qf)
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            (F.round(adc, 6) + F.lit(0.0)).alias("adc_sq"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sq").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def sql_pq_chain(
+    src: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = PQ_SUBSPACES,
+    k: int = PQ_CODEBOOK_K,
+    iters: int = PQ_ITERS,
+) -> str:
+    """DuckDB CTE chain replaying PQ training + encoding: per-subspace
+    unrolled Lloyd's (the q96 oracle pattern — identical seed rule,
+    argmin tie-break, and 1e-6-quantized means), ending in ``cb{s}``
+    (final codebooks, ``cid``/``c``) and ``codes`` (vec_id, ``c{s}``
+    code + ``d{s}`` squared distance per subspace).  Every CTE is
+    MATERIALIZED — DuckDB inlines plain CTEs and an unrolled iteration
+    chain re-expands its whole prefix per reference (the q136 lesson)."""
+    width = dim // n_sub
+    parts = [
+        f"""emb AS MATERIALIZED (
+  SELECT vec_id, CAST({vec_col} AS DOUBLE[]) AS v FROM {src}
+)"""
+    ]
+    for s in range(n_sub):
+        off = s * width
+        dist = (
+            f"list_sum(list_transform(generate_series(1, {width}),"
+            f" i -> (e.v[{off} + i] - c.c[i]) * (e.v[{off} + i] - c.c[i])))"
+        )
+        parts.append(
+            f"""cb{s}_0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(generate_series(1, {width}), i -> v[{off} + i]) AS c
+  FROM emb ORDER BY vec_id LIMIT {k}
+)"""
+        )
+        for t in range(1, iters + 1):
+            prev = f"cb{s}_{t - 1}"
+            parts.append(
+                f"""a{s}_{t} AS MATERIALIZED (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM emb e CROSS JOIN {prev} c) WHERE rn = 1
+),
+cb{s}_{t} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(m.c, p.c) AS c
+  FROM {prev} p LEFT JOIN (
+    SELECT cid, list(m ORDER BY sub_pos) AS c FROM (
+      SELECT cid, sub_pos,
+             CAST(SUM(CAST(round(val * {_PQ_Q}) AS HUGEINT)) AS DOUBLE)
+               / (COUNT(*) * {_PQ_Q}) AS m
+      FROM (SELECT cid,
+                   unnest(generate_series(1, {width})) AS sub_pos,
+                   unnest(list_transform(generate_series(1, {width}),
+                                         i -> v[{off} + i])) AS val
+            FROM a{s}_{t})
+      GROUP BY cid, sub_pos) GROUP BY cid) m ON m.cid = p.cid
+)"""
+            )
+        parts.append(
+            f"""f{s} AS MATERIALIZED (
+  SELECT vec_id, cid AS c{s}, d AS d{s} FROM (
+    SELECT e.vec_id, c.cid, {dist} AS d,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM emb e CROSS JOIN cb{s}_{iters} c) WHERE rn = 1
+)"""
+        )
+    joins = " ".join(f"JOIN f{s} USING (vec_id)" for s in range(1, n_sub))
+    sel = ", ".join(f"c{s}, d{s}" for s in range(n_sub))
+    parts.append(
+        f"""codes AS MATERIALIZED (
+  SELECT vec_id, {sel} FROM f0 {joins}
+)"""
+    )
+    return ",\n".join(parts)
+
+
+def sql_pq_codes(
+    src: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = PQ_SUBSPACES,
+    k: int = PQ_CODEBOOK_K,
+    iters: int = PQ_ITERS,
+) -> str:
+    """DuckDB twin of train+:func:`pq_encode` — codes + recon_sq with the
+    per-subspace distances added in subspace order (left-to-right)."""
+    recon = " + ".join(f"d{s}" for s in range(n_sub))
+    cols = ", ".join(f"CAST(c{s} AS INT) AS code_{s}" for s in range(n_sub))
+    return f"""
+WITH {sql_pq_chain(src, vec_col, dim, n_sub, k, iters)}
+SELECT vec_id, {cols}, round({recon}, 6) + 0.0 AS recon_sq
+FROM codes
+"""
+
+
+def sql_pq_adc_topk(
+    src: str,
+    query_pred: str,
+    topk: int,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = PQ_SUBSPACES,
+    k: int = PQ_CODEBOOK_K,
+    iters: int = PQ_ITERS,
+) -> str:
+    """DuckDB twin of train+encode+:func:`pq_adc_topk`: distances are
+    recomputed engine-side from the replayed codebooks (``‖q_s −
+    cb_s[code_s]‖²``, the identical left fold the kernel's Python LUT
+    uses) and added in subspace order."""
+    width = dim // n_sub
+    cb_joins = " ".join(
+        f"JOIN cb{s}_{iters} b{s} ON b{s}.cid = t.c{s}" for s in range(n_sub)
+    )
+    terms = []
+    for s in range(n_sub):
+        off = s * width
+        terms.append(
+            f"list_sum(list_transform(generate_series(1, {width}),"
+            f" i -> (q.v[{off} + i] - b{s}.c[i]) * (q.v[{off} + i] - b{s}.c[i])))"
+        )
+    adc = " + ".join(terms)
+    return f"""
+WITH {sql_pq_chain(src, vec_col, dim, n_sub, k, iters)},
+q AS MATERIALIZED (
+  SELECT vec_id AS query_id, v FROM emb WHERE {query_pred}
+),
+scored AS (
+  SELECT q.query_id, t.vec_id AS neighbor_id,
+         round({adc}, 6) + 0.0 AS adc_sq
+  FROM codes t {cb_joins} CROSS JOIN q
+  WHERE t.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_sq ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, adc_sq, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {topk}
+"""

@@ -85,15 +85,16 @@ def register(name: str, sql: str | None, doc: str = ""):
 #     q75, q76, q78, q81.
 # Left out, and why:
 #   - q153 (bucketed co-located join), q154 (quality rule flags), q155
-#     (exact KS drift): registered AFTER this window was allocated and
-#     verified — they ride r08's never-stamped block per the standing
-#     rule (each sf0.001-parity-green at registration, swept by
+#     (exact KS drift), q156 (PQ codes), q157 (PQ asymmetric-distance
+#     search): registered AFTER this window was allocated and verified —
+#     they ride r08's never-stamped block per the standing rule (each
+#     parity-green at sf0.001/0.01/0.1 at registration, swept by
 #     tests/test_oracle_parity.py every run);
 #   - the remaining 11 r04 rows — q82, q84, q85, q86, q87, q88, q90,
-#     q91, q92, q97, q101 — MUST lead the r08 window alongside the 3
+#     q91, q92, q97, q101 — MUST lead the r08 window alongside the 5
 #     never-stamped rows above and the 41 r05-stamped rows that reach
-#     the age-2 bound during r07 (3 + 11 + 41 = 55 — r08 is
-#     oversubscribed by 5, so the 5 freshest-registered r05 rows spill
+#     the age-2 bound during r07 (5 + 11 + 41 = 57 — r08 is
+#     oversubscribed by 7, so the 7 freshest-registered r05 rows spill
 #     to r09; re-derive from tools/stamps.py when allocating);
 #   - q105: its oracle-SQL helper (_q105_sql) grew an optional
 #     probe_per_type parameter for q142; the q105 call passes None and
@@ -6766,3 +6767,57 @@ def q155_ks_drift_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weekend",
         "value",
     )
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.similarity import (  # noqa: E402
+    pq_adc_topk,
+    pq_encode,
+    sql_pq_adc_topk,
+    sql_pq_codes,
+    train_pq_codebooks,
+)
+
+
+@register(
+    "q156_pq_codes",
+    sql_pq_codes("embeddings"),
+    doc="Product quantization (operators/similarity.py train_pq_codebooks "
+    "/ pq_encode): the 64-dim vector column compresses to 4 small-int "
+    "codes — one per 16-dim subspace, each trained with the q96 Lloyd's "
+    "conventions (lowest-id seeds, lowest-code tie-break, exact "
+    "1e-6-quantized means) for 3 iterations — plus the total squared "
+    "reconstruction error. This is what makes the vector side of a "
+    "100 TB ANN index FIT: IVF (q30/q119) prunes which cells to scan, "
+    "PQ shrinks what a scanned cell stores and compares (256 B float32 "
+    "-> 4 ints). Training is one scan per iteration (all subspaces' "
+    "argmins inline, all means in one exploded aggregation); encoding "
+    "is one row-local scan, zero shuffle. The oracle replays the full "
+    "per-subspace training trajectory unrolled (the q96 oracle pattern, "
+    "every CTE MATERIALIZED).",
+)
+def q156_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
+    books = train_pq_codebooks(emb)
+    return pq_encode(emb, books)
+
+
+@register(
+    "q157_pq_adc_topk",
+    sql_pq_adc_topk("embeddings", "vec_id < 5", topk=10),
+    doc="PQ asymmetric-distance search (operators/similarity.py "
+    "pq_adc_topk): top-10 neighbors per query where the query stays a "
+    "full vector and the corpus is its q156 codes — distance = "
+    "sum_s LUT_s[code_s] with the per-query lookup tables (queries x 4 "
+    "x 8 doubles, bounded) precomputed driver-side and broadcast. The "
+    "scan touches 4 small ints per corpus row, never the vector: the "
+    "PQ search kernel that turns a cell scan into array lookups + "
+    "adds. The Python LUT fold is IEEE-identical to the engines' "
+    "left fold, so the oracle recomputes distances from the replayed "
+    "codebooks and still value-hash-matches; ties break on neighbor "
+    "id after 6dp rounding (the q24 convention).",
+)
+def q157_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
+    books = train_pq_codebooks(emb)
+    codes = pq_encode(emb, books).drop("recon_sq")
+    return pq_adc_topk(codes, books, emb.where(F.col("vec_id") < 5), k=10)

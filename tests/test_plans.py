@@ -412,6 +412,7 @@ BNLJ_INTENDED = {
     # adds no join of its own)
     "q144_model_rerank": 1,
     "q147_join_size_estimate": 1,  # 1-row global-sketch broadcast
+    "q157_pq_adc_topk": 1,         # broadcast per-query LUT over the code scan
     "q149_ann_recall_eval": 1,     # exact side = q24's broadcast query scan
     "q151_freshness_report": 1,    # 1-row max-ts anchor broadcast
 }
