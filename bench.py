@@ -142,6 +142,11 @@ HEADLINE = [
     # regression that re-shuffles the corpus for adjacency (a per-doc
     # window creeping back into _bigram_pairs) shows up as a wall cliff
     "q141_bigram_lm_quality",
+    # round-9 addition: the bucketed co-located join — a new IO+join
+    # plan family (catalog bucketBy write + zero-Exchange SMJ); a
+    # regression that reintroduces an exchange doubles the join's
+    # shuffle and shows here (BUCKETING.json has the byte-level A/B)
+    "q153_bucketed_colocated_join",
 ]
 
 #: Pinned machine-factor kernels (VERDICT r5 item 5): code-independent

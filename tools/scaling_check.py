@@ -84,6 +84,10 @@ QUERIES = [
     # cell count while the matrix stays |langs|² — wall must track the
     # heuristic-scoring scan, never the cell table (r06 VERDICT item 6)
     "q148_langid_confusion",
+    # quality rule flags: pure row-local scan expressions — wall must
+    # track the scan exactly (any superlinearity = a rule stopped being
+    # row-local)
+    "q154_quality_rule_flags",
 ]
 # q126 (heavy hitters) and q128 (incremental components) are swept by
 # their own dedicated ladders instead — HEAVY_HITTERS.json widens the
@@ -116,6 +120,11 @@ EVENTS_QUERIES = [
     # freshness SLA: per-(type, day) aggregate + 1-row max-ts broadcast —
     # the day×type frame is calendar-bounded, wall tracks the scan
     "q151_freshness_report",
+    # exact KS: one shuffle into (type, value) conditional counts (ties
+    # collapse at the combiner — replication grows counts, NOT distinct
+    # values, so the per-type window input stays FLAT while the scan
+    # grows; the best case the combiner design banks on)
+    "q155_ks_drift_weekend",
 ]
 # NOT replicated here: q16 (co-purchase pairing) — replicas share contact
 # keys, so pair density grows QUADRATICALLY with the factor; that stress
@@ -136,6 +145,15 @@ EMB_QUERIES = [
     # hybrid retrieval: both the lexical posting lists and the dense
     # corpus scan grow by the factor; the fusion stays bounded
     "q134_hybrid_rrf_retrieval",
+    # bucketed co-located join: the per-invocation bucketed write + the
+    # exchange-free join both track the scan; the join key spaces stay
+    # aligned under the shared id shift
+    "q153_bucketed_colocated_join",
+    # PQ: training is iters corpus scans + a bounded-cell aggregate;
+    # encode is one row-local scan; ADC is a code-only scan per query —
+    # model state (k·dim) constant at every rung
+    "q156_pq_codes",
+    "q157_pq_adc_topk",
 ]
 
 
