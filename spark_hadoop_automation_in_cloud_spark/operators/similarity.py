@@ -1204,17 +1204,21 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode every vector as its per-subspace nearest-centroid codes.
 
-    Output: ``id_col``, ``code_0..code_{S-1}`` (int), ``recon_sq``
-    (double 6dp — total squared reconstruction error, the per-subspace
-    distances added in subspace order).  One row-local scan, zero
-    shuffle: the codebooks ride as plan literals.
+    Output: ``id_col``, ``carry_cols`` (passed through unchanged — e.g.
+    an IVF ``cell_id`` so the coded index keeps its partitioning column),
+    ``code_0..code_{S-1}`` (int), ``recon_sq`` (double 6dp — total
+    squared reconstruction error, the per-subspace distances added in
+    subspace order).  One row-local scan, zero shuffle: the codebooks
+    ride as plan literals.
     """
+    carry_cols = carry_cols or []
     n_sub = len(codebooks)
     width = len(codebooks[0][0])
-    out_cols = [F.col(id_col)]
+    out_cols = [F.col(id_col)] + [F.col(c) for c in carry_cols]
     dist_sum: Column | None = None
     for s in range(n_sub):
         mat = "array(" + ",".join(
@@ -1235,6 +1239,41 @@ def pq_encode(
         dist_sum = d if dist_sum is None else (dist_sum + d)
     out_cols.append((F.round(dist_sum, 6) + F.lit(0.0)).alias("recon_sq"))
     return corpus.select(*out_cols)
+
+
+def _pq_lut_frame(spark, codebooks, q_rows) -> DataFrame:
+    """(query_id, __lut) frame: per-query subspace-distance lookup tables
+    over the codebooks — ``LUT[s][j] = ‖q_s − codebook_s[j]‖²``, each
+    distance a left-to-right Python fold (IEEE-identical to the engines'
+    fold over the same values, the pq_adc_topk contract)."""
+    n_sub = len(codebooks)
+    width = len(codebooks[0][0])
+    luts = []
+    for r in sorted(q_rows, key=lambda r: r["__qid"]):
+        qv = list(r["__qv"])
+        lut = []
+        for s in range(n_sub):
+            qs = qv[s * width : (s + 1) * width]
+            row = []
+            for c in codebooks[s]:
+                acc = 0.0
+                for a, b in zip(qs, c):
+                    acc += (a - b) * (a - b)
+                row.append(acc)
+            lut.append(row)
+        luts.append((int(r["__qid"]), lut))
+    return spark.createDataFrame(luts, "query_id bigint, __lut array<array<double>>")
+
+
+def _adc_expr(n_sub: int) -> Column:
+    """Σ_s __lut[s][code_s], added in subspace order."""
+    adc: Column | None = None
+    for s in range(n_sub):
+        term = F.element_at(
+            F.element_at(F.col("__lut"), s + 1), F.col(f"code_{s}") + 1
+        )
+        adc = term if adc is None else (adc + term)
+    return adc
 
 
 def pq_adc_topk(
@@ -1261,37 +1300,13 @@ def pq_adc_topk(
     hash-match.
     """
     n_sub = len(codebooks)
-    width = len(codebooks[0][0])
     spark = codes.sparkSession
     q_rows = queries.select(
         F.col(id_col).alias("__qid"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
     ).collect()
-    luts = []
-    for r in sorted(q_rows, key=lambda r: r["__qid"]):
-        qv = list(r["__qv"])
-        lut = []
-        for s in range(n_sub):
-            qs = qv[s * width : (s + 1) * width]
-            row = []
-            for c in codebooks[s]:
-                acc = 0.0
-                for a, b in zip(qs, c):
-                    acc += (a - b) * (a - b)
-                row.append(acc)
-            lut.append(row)
-        luts.append((int(r["__qid"]), lut))
-    qf = F.broadcast(
-        spark.createDataFrame(
-            luts, "query_id bigint, __lut array<array<double>>"
-        )
-    )
-    adc: Column | None = None
-    for s in range(n_sub):
-        term = F.element_at(
-            F.element_at(F.col("__lut"), s + 1), F.col(f"code_{s}") + 1
-        )
-        adc = term if adc is None else (adc + term)
+    qf = F.broadcast(_pq_lut_frame(spark, codebooks, q_rows))
+    adc = _adc_expr(n_sub)
     scored = (
         codes.crossJoin(qf)
         .where(F.col(id_col) != F.col("query_id"))
@@ -1443,6 +1458,142 @@ scored AS (
          round({adc}, 6) + 0.0 AS adc_sq
   FROM codes t {cb_joins} CROSS JOIN q
   WHERE t.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_sq ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, adc_sq, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {topk}
+"""
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroid_mod: int = 37,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = PQ_SUBSPACES,
+    cb_k: int = PQ_CODEBOOK_K,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """IVF-PQ: the billion-scale ANN architecture end-to-end — IVF
+    decides WHICH cells a query scans (:func:`ivf_probe_cells`, nprobe
+    nearest of the coarse cells), PQ decides what scanning a cell COSTS
+    (:func:`pq_encode` codes + per-query LUT lookups instead of full
+    vectors).
+
+    Composition of the persistable stages: coarse centroids → inverted
+    lists → PQ codebooks → coded lists (``cell_id`` carried, so the
+    persisted index partitions by cell exactly like q119's) → per-query
+    probe + ADC rank within probed cells only.  The search-time scan
+    touches ``n_sub`` ints per candidate row in probed cells — never a
+    vector, never an unprobed cell.
+
+    Output: query_id, neighbor_id (≠ query), adc_sq (6dp), rank.
+    Approximate on two axes by construction (cell recall × quantization);
+    raise ``nprobe`` / ``n_sub`` to trade cost for accuracy.
+    """
+    spark = corpus.sparkSession
+    cent = ivf_centroids(corpus, centroid_mod, id_col, vec_col)
+    lists = ivf_build_lists(corpus, cent, id_col, vec_col)
+    books = train_pq_codebooks(corpus, id_col, vec_col, dim, n_sub, cb_k, iters)
+    coded = pq_encode(
+        lists, books, id_col="neighbor_id", vec_col="embedding",
+        carry_cols=["cell_id"],
+    ).drop("recon_sq")
+    probes = ivf_probe_cells(cent, queries, nprobe, id_col, vec_col)
+    q_rows = queries.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).collect()
+    lut = F.broadcast(_pq_lut_frame(spark, books, q_rows))
+    probe_pairs = F.broadcast(probes.select("query_id", "cell_id"))
+    scored = (
+        coded.join(probe_pairs, "cell_id")
+        .join(lut, "query_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round(_adc_expr(n_sub), 6) + F.lit(0.0)).alias("adc_sq"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sq").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def sql_ivf_pq_topk(
+    src: str,
+    query_pred: str,
+    topk: int,
+    centroid_mod: int = 37,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = PQ_SUBSPACES,
+    cb_k: int = PQ_CODEBOOK_K,
+    iters: int = PQ_ITERS,
+) -> str:
+    """DuckDB twin of :func:`ivf_pq_topk`: the q30 IVF oracle's modulus
+    centroids / rounded-cosine assignment / nprobe probing composed with
+    the replayed PQ chain — ADC distances recomputed engine-side from
+    the final codebooks, candidates restricted to probed cells."""
+    width = dim // n_sub
+    cos_cent = _SQL_COS.format(a="e.v", b="c.cvec")
+    cb_joins = " ".join(
+        f"JOIN cb{s}_{iters} b{s} ON b{s}.cid = t.c{s}" for s in range(n_sub)
+    )
+    terms = []
+    for s in range(n_sub):
+        off = s * width
+        terms.append(
+            f"list_sum(list_transform(generate_series(1, {width}),"
+            f" i -> (q.v[{off} + i] - b{s}.c[i]) * (q.v[{off} + i] - b{s}.c[i])))"
+        )
+    adc = " + ".join(terms)
+    return f"""
+WITH {sql_pq_chain(src, vec_col, dim, n_sub, cb_k, iters)},
+cent AS MATERIALIZED (
+  SELECT vec_id AS cent_id, v AS cvec FROM emb WHERE vec_id % {centroid_mod} = 0
+),
+lists AS MATERIALIZED (
+  SELECT vec_id AS neighbor_id, cent_id AS cell_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos_cent} DESC, c.cent_id ASC) AS rn
+    FROM emb e CROSS JOIN cent c) WHERE rn = 1
+),
+probes AS MATERIALIZED (
+  SELECT vec_id AS query_id, cent_id AS cell_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos_cent} DESC, c.cent_id ASC) AS rn
+    FROM (SELECT * FROM emb WHERE {query_pred}) e
+    CROSS JOIN cent c) WHERE rn <= {nprobe}
+),
+qv AS MATERIALIZED (
+  SELECT vec_id AS query_id, v FROM emb WHERE {query_pred}
+),
+scored AS (
+  SELECT p.query_id, t.vec_id AS neighbor_id,
+         round({adc}, 6) + 0.0 AS adc_sq
+  FROM codes t
+  JOIN lists l ON l.neighbor_id = t.vec_id
+  JOIN probes p ON p.cell_id = l.cell_id
+  JOIN qv q ON q.query_id = p.query_id
+  {cb_joins}
+  WHERE t.vec_id <> p.query_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id

@@ -86,15 +86,16 @@ def register(name: str, sql: str | None, doc: str = ""):
 # Left out, and why:
 #   - q153 (bucketed co-located join), q154 (quality rule flags), q155
 #     (exact KS drift), q156 (PQ codes), q157 (PQ asymmetric-distance
-#     search): registered AFTER this window was allocated and verified —
-#     they ride r08's never-stamped block per the standing rule (each
+#     search), q158 (metadata-filtered ANN), q159 (IVF-PQ search):
+#     registered AFTER this window was allocated and verified — they
+#     ride r08's never-stamped block per the standing rule (each
 #     parity-green at sf0.001/0.01/0.1 at registration, swept by
 #     tests/test_oracle_parity.py every run);
 #   - the remaining 11 r04 rows — q82, q84, q85, q86, q87, q88, q90,
-#     q91, q92, q97, q101 — MUST lead the r08 window alongside the 5
+#     q91, q92, q97, q101 — MUST lead the r08 window alongside the 7
 #     never-stamped rows above and the 41 r05-stamped rows that reach
-#     the age-2 bound during r07 (5 + 11 + 41 = 57 — r08 is
-#     oversubscribed by 7, so the 7 freshest-registered r05 rows spill
+#     the age-2 bound during r07 (7 + 11 + 41 = 59 — r08 is
+#     oversubscribed by 9, so the 9 freshest-registered r05 rows spill
 #     to r09; re-derive from tools/stamps.py when allocating);
 #   - q105: its oracle-SQL helper (_q105_sql) grew an optional
 #     probe_per_type parameter for q142; the q105 call passes None and
@@ -6821,3 +6822,59 @@ def q157_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = train_pq_codebooks(emb)
     codes = pq_encode(emb, books).drop("recon_sq")
     return pq_adc_topk(codes, books, emb.where(F.col("vec_id") < 5), k=10)
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.similarity import (  # noqa: E402
+    cosine_topk,
+    ivf_pq_topk,
+    sql_cosine_topk,
+    sql_ivf_pq_topk,
+)
+
+
+@register(
+    "q158_filtered_cosine_topk",
+    sql_cosine_topk(
+        "(SELECT e.* FROM embeddings e JOIN documents d"
+        " ON d.doc_id = e.vec_id WHERE d.lang = 'en') sub",
+        "vec_id < 20",
+        k=5,
+    ),
+    doc="Metadata-filtered vector search (the filtered-ANN composition "
+    "every retrieval product needs: 'nearest neighbors WHERE "
+    "lang=en'): the corpus narrows through an equi-join to the "
+    "documents metadata BEFORE any distance math, so the broadcast "
+    "query x corpus scan (q24's plan) runs over the filtered subset "
+    "only — predicate first, geometry second. Same rounded-cosine + "
+    "id-tiebreak contract as q24; the oracle applies the identical "
+    "join-filter. At 100 TB the filter join is the cheap side (ids + "
+    "one predicate column), and with the q153 bucketed layout it "
+    "co-locates for free.",
+)
+def q158_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
+    docs = read_table(spark, sf_dir, "documents")
+    en = docs.where(F.col("lang") == "en").select(F.col("doc_id").alias("vec_id"))
+    corpus = emb.join(en, "vec_id")
+    return cosine_topk(corpus, corpus.where(F.col("vec_id") < 20), k=5)
+
+
+@register(
+    "q159_ivf_pq_search",
+    sql_ivf_pq_topk("embeddings", "vec_id < 5", topk=10),
+    doc="IVF-PQ search (operators/similarity.py ivf_pq_topk) — the "
+    "billion-scale ANN architecture composed end-to-end from the "
+    "persistable stages this engine already ships: q30's coarse cells "
+    "decide WHICH lists a query scans (nprobe=2), q156's codebooks "
+    "decide what scanning COSTS (4 ints + LUT lookups per candidate, "
+    "never a vector), and the coded lists carry cell_id so the "
+    "persisted index partitions by cell exactly like q119's "
+    "partition-pruned probe. Search = two broadcast equi-joins "
+    "(probe pairs, per-query LUTs) into the code scan + a per-query "
+    "rank over probed candidates only. The oracle replays modulus "
+    "centroids, rounded-cosine assignment, the full PQ training "
+    "trajectory, and the probed-cell ADC ranking.",
+)
+def q159_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
+    return ivf_pq_topk(emb, emb.where(F.col("vec_id") < 5), k=10)

@@ -2432,3 +2432,26 @@ def test_pq_quantization_quality_on_clustered_corpus(spark):
         if r.neighbor_id % N_CLUSTERS != r.query_id % N_CLUSTERS
     ]
     assert not wrong, wrong
+
+
+def test_ivf_pq_search_recovers_clusters(spark):
+    """IVF-PQ composes two approximations (cell recall x quantization);
+    on the clustered fixture the composition must still land every top-5
+    neighbor in the query's true cluster — cells form around cluster
+    members (mod-37 centroids are corpus vectors), probing follows the
+    query's cosine, and ADC separates clusters even though it collapses
+    within-cluster detail."""
+    from spark_hadoop_automation_in_cloud_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+    from tests.clustered import N_CLUSTERS, clustered_corpus
+
+    emb = clustered_corpus(spark, range(400))
+    top = ivf_pq_topk(emb, emb.where(F.col("vec_id") < 10), k=5).collect()
+    assert len(top) == 50
+    wrong = [
+        (r.query_id, r.neighbor_id)
+        for r in top
+        if r.neighbor_id % N_CLUSTERS != r.query_id % N_CLUSTERS
+    ]
+    assert not wrong, wrong

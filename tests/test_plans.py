@@ -413,6 +413,8 @@ BNLJ_INTENDED = {
     "q144_model_rerank": 1,
     "q147_join_size_estimate": 1,  # 1-row global-sketch broadcast
     "q157_pq_adc_topk": 1,         # broadcast per-query LUT over the code scan
+    "q158_filtered_cosine_topk": 1,  # broadcast query side over filtered corpus
+    "q159_ivf_pq_search": 2,       # broadcast centroids: assign + probe (q30's shape)
     "q149_ann_recall_eval": 1,     # exact side = q24's broadcast query scan
     "q151_freshness_report": 1,    # 1-row max-ts anchor broadcast
 }
