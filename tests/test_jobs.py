@@ -336,3 +336,42 @@ def test_streaming_countmin_job_cli_accumulates_across_runs(spark, tmp_path):
 
     assert job.main([]) == 2
     assert job.main([f"{src}/*", idx, ckpt, "0"]) == 2
+
+
+def test_ann_index_job_build_then_probe(spark, sf_dir, tmp_path):
+    """The IVF-PQ index CLI: build writes the three artifacts (centroids,
+    JSON codebooks, cell-partitioned coded lists — no vectors), probe
+    reads only probed cells and reproduces the in-memory ivf_pq_topk
+    composition exactly.  The codebook JSON round-trip must be
+    float-exact or the ADC values drift."""
+    from spark_hadoop_automation_in_cloud_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    job = _load("build_ann_index_job")
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "topk")
+    src = f"{sf_dir}/embeddings.parquet"
+    assert job.main(["build", src, idx]) == 0
+    assert os.path.isdir(f"{idx}/coded_lists") and os.path.exists(
+        f"{idx}/codebooks.json"
+    )
+    # coded lists are cell-partitioned and vector-free
+    coded = spark.read.parquet(f"{idx}/coded_lists")
+    assert "cell_id" in coded.columns and "embedding" not in coded.columns
+
+    queries = spark.read.parquet(src).where(F.col("vec_id") < 5)
+    qsrc = str(tmp_path / "queries")
+    queries.write.parquet(qsrc)
+    assert job.main(["probe", idx, qsrc, out, "10", "2"]) == 0
+
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_sq"])
+        for r in spark.read.parquet(out).collect()
+    }
+    emb = spark.read.parquet(src)
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_sq"])
+        for r in ivf_pq_topk(emb, queries, k=10).collect()
+    }
+    assert got == want and len(got) == 50

@@ -2455,3 +2455,72 @@ def test_ivf_pq_search_recovers_clusters(spark):
         if r.neighbor_id % N_CLUSTERS != r.query_id % N_CLUSTERS
     ]
     assert not wrong, wrong
+
+
+def test_ivf_pq_persisted_coded_index_probe(spark, sf_dir, tmp_path):
+    """q159's persistence claim, executed: the CODED lists (4 ints +
+    cell_id per vector — no vectors) write partitionBy(cell_id), a later
+    query batch reads only probed cells (PartitionFilters on cell_id in
+    the executed plan), and the probe is value-identical to the
+    in-memory ivf_pq_topk composition.  Codebooks/centroids are bounded
+    model state (the kmeans-centroid precedent) and round-trip alongside."""
+    from spark_hadoop_automation_in_cloud_spark.io import read_table
+    from spark_hadoop_automation_in_cloud_spark.operators.similarity import (
+        _adc_expr,
+        _pq_lut_frame,
+        ivf_build_lists,
+        ivf_centroids,
+        ivf_pq_topk,
+        ivf_probe_cells,
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
+    queries = emb.where(F.col("vec_id") < 5)
+    cent = ivf_centroids(emb, centroid_mod=37)
+    books = train_pq_codebooks(emb)
+    lists = ivf_build_lists(emb, cent)
+    pq_encode(
+        lists, books, id_col="neighbor_id", vec_col="embedding",
+        carry_cols=["cell_id"],
+    ).drop("recon_sq").write.partitionBy("cell_id").parquet(str(tmp_path / "coded"))
+    cent.write.parquet(str(tmp_path / "centroids"))
+
+    cent2 = spark.read.parquet(str(tmp_path / "centroids"))
+    probes = ivf_probe_cells(cent2, queries, nprobe=2)
+    cells = sorted(r["cell_id"] for r in probes.select("cell_id").distinct().collect())
+    coded = spark.read.parquet(str(tmp_path / "coded")).where(
+        F.col("cell_id").isin(cells)
+    )
+    q_rows = queries.select(
+        F.col("vec_id").alias("__qid"),
+        F.col("embedding").cast("array<double>").alias("__qv"),
+    ).collect()
+    lut = F.broadcast(_pq_lut_frame(spark, books, q_rows))
+    scored = (
+        coded.join(F.broadcast(probes.select("query_id", "cell_id")), "cell_id")
+        .join(lut, "query_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round(_adc_expr(len(books)), 6) + F.lit(0.0)).alias("adc_sq"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sq").asc(), F.col("neighbor_id").asc()
+    )
+    got = scored.withColumn("rank", F.row_number().over(w).cast("int")).where(
+        F.col("rank") <= 10
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan and any("cell_id" in l for l in scan)  # pruned, not full read
+
+    key = lambda df: {  # noqa: E731
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_sq"])
+        for r in df.collect()
+    }
+    assert key(got) == key(ivf_pq_topk(emb, queries, k=10))
