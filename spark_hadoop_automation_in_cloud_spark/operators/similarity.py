@@ -933,6 +933,11 @@ def hybrid_prf_rrf_topk(
     scans, verified in the physical plan).  The PRF seed set and its
     embeddings ride broadcasts; the dense side is one unshuffled corpus
     scan (broadcast NLJ, q24's shape); the fusion joins two tiny frames.
+
+    The driver materialization is sized by ``n_queries·k_each``: callers
+    with an UNBOUNDED query set (a streaming query log) must batch the
+    queries, or swap the collect for a ``.persist()`` — executor-side
+    reuse at the cost of owning the cache lifecycle inside the operator.
     """
     # local import: fusion composes the lexical ranker from textops; the
     # dependency is one-way (textops never imports similarity)
