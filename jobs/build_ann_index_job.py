@@ -35,7 +35,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from spark_hadoop_automation_in_cloud_spark.session import session_scope
@@ -81,9 +80,8 @@ def _probe(argv: list[str]) -> int:
     k = int(argv[3]) if len(argv) > 3 else 10
     nprobe = int(argv[4]) if len(argv) > 4 else 2
     from spark_hadoop_automation_in_cloud_spark.operators.similarity import (
-        _adc_expr,
-        _pq_lut_frame,
         ivf_probe_cells,
+        pq_adc_rank_within_cells,
     )
 
     with open(f"{index_dir}/codebooks.json") as f:
@@ -99,30 +97,9 @@ def _probe(argv: list[str]) -> int:
         coded = spark.read.parquet(f"{index_dir}/coded_lists").where(
             F.col("cell_id").isin(cells)  # → PartitionFilters: probed cells only
         )
-        q_rows = queries.select(
-            F.col("vec_id").alias("__qid"),
-            F.col("embedding").cast("array<double>").alias("__qv"),
-        ).collect()
-        lut = F.broadcast(_pq_lut_frame(spark, books, q_rows))
-        scored = (
-            coded.join(F.broadcast(probes.select("query_id", "cell_id")), "cell_id")
-            .join(lut, "query_id")
-            .where(F.col("neighbor_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                "neighbor_id",
-                (F.round(_adc_expr(model["n_sub"]), 6) + F.lit(0.0)).alias("adc_sq"),
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("adc_sq").asc(), F.col("neighbor_id").asc()
-        )
-        (
-            scored.withColumn("rank", F.row_number().over(w).cast("int"))
-            .where(F.col("rank") <= k)
-            .write.mode("overwrite")
-            .parquet(out_dir)
-        )
+        pq_adc_rank_within_cells(
+            coded, books, probes, queries, k
+        ).write.mode("overwrite").parquet(out_dir)
     return 0
 
 

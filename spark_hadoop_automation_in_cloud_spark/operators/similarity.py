@@ -1504,7 +1504,6 @@ def ivf_pq_topk(
     Approximate on two axes by construction (cell recall × quantization);
     raise ``nprobe`` / ``n_sub`` to trade cost for accuracy.
     """
-    spark = corpus.sparkSession
     cent = ivf_centroids(corpus, centroid_mod, id_col, vec_col)
     lists = ivf_build_lists(corpus, cent, id_col, vec_col)
     books = train_pq_codebooks(corpus, id_col, vec_col, dim, n_sub, cb_k, iters)
@@ -1513,20 +1512,45 @@ def ivf_pq_topk(
         carry_cols=["cell_id"],
     ).drop("recon_sq")
     probes = ivf_probe_cells(cent, queries, nprobe, id_col, vec_col)
+    return pq_adc_rank_within_cells(
+        coded, books, probes, queries, k, id_col, vec_col
+    )
+
+
+def pq_adc_rank_within_cells(
+    coded: DataFrame,
+    codebooks: list[list[list[float]]],
+    probes: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF-PQ SEARCH stage, shared by the in-memory composition
+    (:func:`ivf_pq_topk`), the persisted-index probe (the index CLI),
+    and the streaming-maintained index (q160): join the coded lists to
+    the probed (query, cell) pairs, ADC-score survivors via broadcast
+    per-query LUTs, rank per query.
+
+    ``coded``: ``neighbor_id, cell_id, code_0..`` rows (any source —
+    in-memory, parquet, or the epoch-partitioned streaming index);
+    ``probes``: ``query_id, cell_id`` (extra columns ignored);
+    ``queries``: full vectors for LUT construction (bounded collect).
+    """
+    spark = coded.sparkSession
     q_rows = queries.select(
         F.col(id_col).alias("__qid"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
     ).collect()
-    lut = F.broadcast(_pq_lut_frame(spark, books, q_rows))
-    probe_pairs = F.broadcast(probes.select("query_id", "cell_id"))
+    lut = F.broadcast(_pq_lut_frame(spark, codebooks, q_rows))
     scored = (
-        coded.join(probe_pairs, "cell_id")
+        coded.join(F.broadcast(probes.select("query_id", "cell_id")), "cell_id")
         .join(lut, "query_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (F.round(_adc_expr(n_sub), 6) + F.lit(0.0)).alias("adc_sq"),
+            (F.round(_adc_expr(len(codebooks)), 6) + F.lit(0.0)).alias("adc_sq"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -86,17 +86,18 @@ def register(name: str, sql: str | None, doc: str = ""):
 # Left out, and why:
 #   - q153 (bucketed co-located join), q154 (quality rule flags), q155
 #     (exact KS drift), q156 (PQ codes), q157 (PQ asymmetric-distance
-#     search), q158 (metadata-filtered ANN), q159 (IVF-PQ search):
+#     search), q158 (metadata-filtered ANN), q159 (IVF-PQ search), q160
+#     (streaming ANN index maintenance — shares q159's oracle verbatim):
 #     registered AFTER this window was allocated and verified — they
 #     ride r08's never-stamped block per the standing rule (each
 #     parity-green at sf0.001/0.01/0.1 at registration, swept by
 #     tests/test_oracle_parity.py every run);
 #   - the remaining 11 r04 rows — q82, q84, q85, q86, q87, q88, q90,
-#     q91, q92, q97, q101 — MUST lead the r08 window alongside the 7
+#     q91, q92, q97, q101 — MUST lead the r08 window alongside the 8
 #     never-stamped rows above and the 41 r05-stamped rows that reach
-#     the age-2 bound during r07 (7 + 11 + 41 = 59 — r08 is
-#     oversubscribed by 9, so the 9 freshest-registered r05 rows spill
-#     to r09; re-derive from tools/stamps.py when allocating);
+#     the age-2 bound during r07 (8 + 11 + 41 = 60 — r08 is
+#     oversubscribed by 10, so the 10 freshest-registered r05 rows
+#     spill to r09; re-derive from tools/stamps.py when allocating);
 #   - q105: its oracle-SQL helper (_q105_sql) grew an optional
 #     probe_per_type parameter for q142; the q105 call passes None and
 #     the generated SQL is semantically identical (two empty format
@@ -6878,3 +6879,59 @@ def q158_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q159_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
     return ivf_pq_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "q160_streaming_ann_maintenance",
+    sql_ivf_pq_topk("embeddings", "vec_id < 5", topk=10),
+    doc="Streaming ANN index maintenance (streaming/incremental.py "
+    "update_ann_index / read_ann_index): vectors arrive in three epochs "
+    "(md5-bucketed), each epoch encodes ITSELF against the FROZEN "
+    "models (coarse centroids + PQ codebooks — retrained offline, the "
+    "standard ANN-serving contract) into its own batch_id partition "
+    "(overwrite = replay-idempotent; no earlier state read — the "
+    "count-min shape), with cell_id kept as a partition column so "
+    "probes prune across every epoch. Encoding is row-local and "
+    "deterministic under frozen models, so the union of epoch "
+    "partitions is ROW-identical to a one-shot build — which is why "
+    "this row shares q159's full-build oracle VERBATIM: the value hash "
+    "proves the epoch-maintained index answers queries exactly like "
+    "the index built from everything at once. Engine body driven "
+    "directly (q111's idiom); the availableNow stream wiring is pinned "
+    "in test_streaming.py.",
+)
+def q160_streaming_ann_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from spark_hadoop_automation_in_cloud_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_probe_cells,
+        pq_adc_rank_within_cells,
+        train_pq_codebooks,
+    )
+    from spark_hadoop_automation_in_cloud_spark.streaming.incremental import (
+        read_ann_index,
+        update_ann_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
+    root = tempfile.mkdtemp(prefix="q160_")
+    try:
+        # freeze the models (offline-rebuild artifacts), then stream epochs
+        ivf_centroids(emb).write.mode("overwrite").parquet(f"{root}/centroids")
+        books = train_pq_codebooks(emb)
+        bucket = hashing.md5_prefix_int(F.col("vec_id"), nhex=8, salt=":ann") % 3
+        for b in range(3):
+            update_ann_index(emb.where(bucket == b), root, books, epoch_id=b)
+        coded = read_ann_index(spark, root)
+        queries = emb.where(F.col("vec_id") < 5)
+        probes = ivf_probe_cells(
+            spark.read.parquet(f"{root}/centroids"), queries, nprobe=2
+        )
+        out = pq_adc_rank_within_cells(coded, books, probes, queries, k=10)
+        # materialize before the index dir goes away (q111's idiom);
+        # bounded: n_queries x k rows
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -757,3 +757,78 @@ def run_streaming_covariance(
         .start()
     )
     q.awaitTermination()
+
+
+# --- streaming ANN (IVF-PQ) index maintenance ---------------------------------
+
+
+def update_ann_index(
+    batch: DataFrame,
+    index_path: str,
+    codebooks: list[list[list[float]]],
+    epoch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """foreachBatch body (exposed for direct testing): encode this batch's
+    NEW vectors against the FROZEN models — coarse centroids read from
+    ``{index_path}/centroids``, PQ ``codebooks`` shipped in the closure —
+    and overwrite the batch's own ``batch_id`` partition of the coded
+    lists (replay-idempotent; like the count-min index, a batch never
+    reads earlier state).
+
+    Model freeze is the standard ANN-serving contract: centroids and
+    codebooks retrain OFFLINE (a scheduled rebuild), while ingest only
+    assigns + encodes — both row-local scans — so per-epoch cost tracks
+    the epoch, never the index.  Encoding is deterministic per row given
+    the frozen models, so the union of epoch partitions is ROW-IDENTICAL
+    to a one-shot build over everything ingested (q160 shares q159's
+    oracle verbatim on exactly that argument).  Layout:
+    ``coded_lists/batch_id=N/cell_id=C/`` — cell_id stays a partition
+    column, so probes prune to probed cells across every epoch.
+    """
+    from spark_hadoop_automation_in_cloud_spark.operators.similarity import (
+        ivf_build_lists,
+        pq_encode,
+    )
+
+    spark = batch.sparkSession
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    lists = ivf_build_lists(batch, cent, id_col, vec_col)
+    coded = pq_encode(
+        lists, codebooks, id_col="neighbor_id", vec_col="embedding",
+        carry_cols=["cell_id"],
+    ).drop("recon_sq")
+    coded.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{index_path}/coded_lists/batch_id={epoch_id}"
+    )
+
+
+def read_ann_index(spark, index_path: str) -> DataFrame:
+    """The current coded lists: every epoch partition, ``batch_id``
+    dropped — row-identical to a one-shot ``pq_encode`` over everything
+    ingested (frozen models make encoding per-row deterministic)."""
+    return spark.read.parquet(f"{index_path}/coded_lists").drop("batch_id")
+
+
+def run_streaming_ann_index(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Drain ``stream`` (availableNow) through per-batch encode-and-append
+    into the partitioned coded index — the ANN-serving ingest loop."""
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: update_ann_index(
+                bdf, index_path, codebooks, bid, id_col, vec_col
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

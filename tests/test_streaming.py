@@ -1096,3 +1096,55 @@ def test_streaming_covariance_equals_full_cells_and_replays(spark, sf_dir, tmp_p
         map(tuple, read_covariance_index(spark, idx).select(*key).collect())
     )
     assert replayed == full
+
+
+def test_streaming_ann_index_equals_full_build_and_replays(spark, sf_dir, tmp_path):
+    """Frozen-model determinism through the partitioned coded index:
+    (a) a 3-batch availableNow drain's merged coded lists are
+    ROW-IDENTICAL to one-shot encoding of the whole corpus; (b)
+    replaying an epoch overwrites its own partition — no duplicate
+    rows; (c) the cell_id partition column survives the epoch layout."""
+    from spark_hadoop_automation_in_cloud_spark.io import read_table
+    from spark_hadoop_automation_in_cloud_spark.operators.similarity import (
+        ivf_build_lists,
+        ivf_centroids,
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from spark_hadoop_automation_in_cloud_spark.streaming.incremental import (
+        read_ann_index,
+        run_streaming_ann_index,
+        update_ann_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
+    idx = str(tmp_path / "ann_index")
+    cent = ivf_centroids(emb)
+    cent.write.parquet(f"{idx}/centroids")
+    books = train_pq_codebooks(emb)
+
+    src = tmp_path / "src"
+    for b in range(3):
+        emb.where(F.col("vec_id") % 3 == b).coalesce(1).write.parquet(
+            str(src / f"b={b}")
+        )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    run_streaming_ann_index(stream, idx, str(tmp_path / "ckpt"), books)
+
+    merged = read_ann_index(spark, idx)
+    full = pq_encode(
+        ivf_build_lists(emb, cent), books,
+        id_col="neighbor_id", vec_col="embedding", carry_cols=["cell_id"],
+    ).drop("recon_sq")
+    cols = sorted(merged.columns)
+    assert cols == sorted(full.columns) and "cell_id" in cols
+    key = lambda df: sorted(map(tuple, df.select(*cols).collect()))  # noqa: E731
+    assert key(merged) == key(full)
+    # replay epoch 1 with the same rows — partition overwritten, not doubled
+    update_ann_index(emb.where(F.col("vec_id") % 3 == 1), idx, books, epoch_id=1)
+    assert key(read_ann_index(spark, idx)) == key(full)
