@@ -337,11 +337,15 @@ def ks_statistic(
         F.sum("ca").over(w).cast(dec).alias("cum_a"),
         F.sum("cb").over(w).cast(dec).alias("cum_b"),
     )
-    # group totals are aggregate-sized → broadcast back into the cum rows
+    # group totals are aggregate-sized → broadcast back into the cum rows.
+    # Groups with either segment EMPTY are dropped (KS is undefined — the
+    # division by n_a·n_b would hit zero, and Spark's Infinity vs the
+    # oracle's division semantics could silently diverge): both engines
+    # filter identically, so absence is the cross-engine answer.
     totals = counts.groupBy(*gs).agg(
         F.sum("ca").cast(dec).alias("n_a"),
         F.sum("cb").cast(dec).alias("n_b"),
-    )
+    ).where((F.col("n_a") > 0) & (F.col("n_b") > 0))
     term = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
     return (
         cum.join(F.broadcast(totals), gs)
@@ -371,7 +375,7 @@ def sql_ks_statistic(
 ) -> str:
     """DuckDB twin of :func:`ks_statistic`: identical conditional counts,
     cumulative window, exact HUGEINT numerator and single final
-    division."""
+    division; same degenerate-group filter."""
     gs = ", ".join(group_cols)
     return f"""
 WITH src AS ({src_sql}),
@@ -397,6 +401,7 @@ cum AS (
 totals AS (
   SELECT {gs}, CAST(SUM(ca) AS HUGEINT) AS n_a, CAST(SUM(cb) AS HUGEINT) AS n_b
   FROM counts GROUP BY {gs}
+  HAVING SUM(ca) > 0 AND SUM(cb) > 0
 )
 SELECT {gs},
        CAST(n_a AS BIGINT) AS n_a,

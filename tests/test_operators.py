@@ -2524,3 +2524,15 @@ def test_ivf_pq_persisted_coded_index_probe(spark, sf_dir, tmp_path):
         for r in df.collect()
     }
     assert key(got) == key(ivf_pq_topk(emb, queries, k=10))
+
+
+def test_ks_statistic_drops_one_sided_groups(spark):
+    """A group with rows in only ONE segment has no defined KS (the
+    n_a*n_b denominator would be zero) — it must be absent, not
+    Infinity/NULL, on both engines."""
+    from spark_hadoop_automation_in_cloud_spark.operators.checks import ks_statistic
+
+    rows = [("only_a", "a", 1.0), ("only_a", "a", 2.0), ("both", "a", 1.0), ("both", "b", 2.0)]
+    df = spark.createDataFrame(rows, "k string, seg string, value double")
+    out = {r["k"] for r in ks_statistic(df, ["k"], "seg", "a", "b", "value").collect()}
+    assert out == {"both"}
