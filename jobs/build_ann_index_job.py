@@ -55,7 +55,12 @@ def _build(argv: list[str]) -> int:
 
     with session_scope() as spark:
         emb = spark.read.parquet(src)
-        dim = len(emb.select("embedding").first()["embedding"])
+        head = emb.select("embedding").first()
+        if head is None:
+            raise ValueError(
+                f"build_ann_index_job: no rows in {src} — nothing to index"
+            )
+        dim = len(head["embedding"])
         cent = ivf_centroids(emb, centroid_mod)
         books = train_pq_codebooks(
             emb, dim=dim, n_sub=n_sub, k=cb_k, iters=iters

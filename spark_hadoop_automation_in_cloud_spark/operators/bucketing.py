@@ -95,7 +95,15 @@ def colocated_join(
     Reads through ``spark.table`` (bucket metadata applies only via the
     catalog) — with matching bucket counts the physical plan is a
     SortMergeJoin fed directly by the two bucketed scans, zero Exchange.
+
+    Same-named keys (the common co-located shape: both tables bucketed
+    on ``doc_id``) join on the column-name list — a bare
+    ``F.col(k) == F.col(k)`` would be AMBIGUOUS_REFERENCE against the
+    joined schema; differently-named keys use dataframe-qualified
+    references for the same reason.
     """
     lt = spark.table(left_table)
     rt = spark.table(right_table)
-    return lt.join(rt, on=F.col(left_key) == F.col(right_key), how=how)
+    if left_key == right_key:
+        return lt.join(rt, on=[left_key], how=how)
+    return lt.join(rt, on=lt[left_key] == rt[right_key], how=how)

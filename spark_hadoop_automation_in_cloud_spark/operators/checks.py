@@ -301,15 +301,16 @@ def ks_statistic(
     bit-identical in the DuckDB oracle.  NULL values drop; rows outside
     the two segments are filtered.
 
-    Scale shape: one shuffle into (group, value) rows with conditional
+    Scale shape: ONE shuffle into (group, value) rows with conditional
     per-segment counts (map-side combined — ties collapse at the
-    combiner), then a cumulative window PARTITIONED BY GROUP over each
-    group's distinct values (the grouped-window idiom q140's percentile
-    calibration already uses: groups parallelize, nothing runs
-    single-partition).  At petabyte per-group cardinalities, quantize
-    values first (``sketches.value_bucket``) — the same statistic on the
-    sketch grid — or read the PSI monitor instead; the exact form is the
-    auditor's tool.
+    combiner); the cumulative sums AND the group totals both come from
+    windows over that single partitioning (Spark chains the two Window
+    specs over one exchange — no second scan, no rejoin; the grouped-
+    window idiom q140's percentile calibration already uses: groups
+    parallelize, nothing runs single-partition).  At petabyte per-group
+    cardinalities, quantize values first (``sketches.value_bucket``) —
+    the same statistic on the sketch grid — or read the PSI monitor
+    instead; the exact form is the auditor's tool.
 
     Output: group_cols..., n_a, n_b (bigint), ks_stat (double, 6dp).
     """
@@ -332,23 +333,25 @@ def ks_statistic(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     dec = "decimal(38,0)"
+    # totals ride a full-frame window over the SAME partitioning as the
+    # cumulative window (one exchange, two chained Window operators — an
+    # earlier form re-aggregated `counts` into a broadcast-joined totals
+    # frame, re-deriving the whole input DAG a second time)
+    tw = Window.partitionBy(*gs)
     cum = counts.select(
         *gs,
         F.sum("ca").over(w).cast(dec).alias("cum_a"),
         F.sum("cb").over(w).cast(dec).alias("cum_b"),
+        F.sum("ca").over(tw).cast(dec).alias("n_a"),
+        F.sum("cb").over(tw).cast(dec).alias("n_b"),
     )
-    # group totals are aggregate-sized → broadcast back into the cum rows.
     # Groups with either segment EMPTY are dropped (KS is undefined — the
     # division by n_a·n_b would hit zero, and Spark's Infinity vs the
     # oracle's division semantics could silently diverge): both engines
     # filter identically, so absence is the cross-engine answer.
-    totals = counts.groupBy(*gs).agg(
-        F.sum("ca").cast(dec).alias("n_a"),
-        F.sum("cb").cast(dec).alias("n_b"),
-    ).where((F.col("n_a") > 0) & (F.col("n_b") > 0))
     term = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
     return (
-        cum.join(F.broadcast(totals), gs)
+        cum.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
         .groupBy(*gs, "n_a", "n_b")
         .agg(F.max(term).alias("__num"))
         .select(

@@ -1133,9 +1133,11 @@ def quality_rule_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     - ``r_digit``: all-digit-token fraction ≤ RULE_MAX_DIGIT
     - ``r_stop``: contains the stopword marker (the quality_exprs gate)
 
-    Output: doc_id, the six flags (int 0/1), pass_all (int).  Empty/NULL
-    text fails every rule (n_tokens 0 guards divide-by-zero on both
-    engines).
+    Output: doc_id, the six flags (int 0/1), pass_all (int).  NULL text
+    fails every rule; EMPTY text fails the length / mean-token / alpha /
+    stopword gates (never pass_all) but trivially passes r_dup and
+    r_digit — its single ``''`` token has zero duplicates and zero digit
+    tokens, on both engines.
 
     Scale shape: every rule is a row-local expression in the scan — one
     pass, no shuffle, no UDF; the flags feed whatever grouped audit sits

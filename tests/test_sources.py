@@ -540,3 +540,39 @@ def test_bucketed_colocated_join_eliminates_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         bk.drop_table(spark, "t_bk_docs")
         bk.drop_table(spark, "t_bk_emb")
+
+
+def test_bucketed_colocated_join_same_key_name(spark, sf_dir, tmp_path):
+    """The common co-located shape — BOTH tables bucketed on a column
+    named the same — must resolve (a bare col(k) == col(k) condition is
+    AMBIGUOUS_REFERENCE against the joined schema) and still eliminate
+    the exchange."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from spark_hadoop_automation_in_cloud_spark.operators import bucketing as bk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bk.write_bucketed(docs, "t_sk_docs", str(tmp_path / "d"), "doc_id", 8)
+        bk.write_bucketed(emb, "t_sk_emb", str(tmp_path / "e"), "doc_id", 8)
+        j = bk.colocated_join(spark, "t_sk_docs", "t_sk_emb", "doc_id", "doc_id")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain()
+        assert "Exchange" not in buf.getvalue()
+        assert j.count() == docs.count()
+        assert j.columns.count("doc_id") == 1  # name-list join dedups the key
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        bk.drop_table(spark, "t_sk_docs")
+        bk.drop_table(spark, "t_sk_emb")

@@ -81,10 +81,19 @@ def main() -> None:
         "vec_id", "embedding"
     )
 
+    # replica shift = the JOINT id span (max(id)+1 over BOTH tables, the
+    # scaling_iterative span rule) so sparse/offset ids or unequal row
+    # counts can never collide replicas — and the same shift on both
+    # sides keeps the join keys aligned per replica
+    span = max(
+        docs.agg(F.max("doc_id")).first()[0],
+        emb.agg(F.max("vec_id")).first()[0],
+    ) + 1
+
     def rep(df, key):
         return (
             df.crossJoin(spark.range(scale).withColumnRenamed("id", "__rep"))
-            .withColumn(key, F.col(key) + F.col("__rep") * (n * scale))
+            .withColumn(key, F.col(key) + F.col("__rep") * span)
             .drop("__rep")
         )
 

@@ -213,10 +213,20 @@ def main() -> None:
     names = QUERIES + EVENTS_QUERIES + EMB_QUERIES
     # SPARK_GRAFT_SCALING_QUERIES=q146_...,q151_... runs a subset and
     # MERGES it into the existing artifact (so extending the ladder to a
-    # new family never re-times — or clobbers — the 27 standing rows)
+    # new family never re-times — or clobbers — the 27 standing rows).
+    # Unknown names FAIL rather than silently filter (a typo would skip
+    # the row, rewrite the artifact unchanged, and look successful — the
+    # failure mode test_headline_names_are_registered pins for bench.py)
     only = os.environ.get("SPARK_GRAFT_SCALING_QUERIES")
     if only:
-        names = [n for n in names if n in set(only.split(","))]
+        wanted = set(only.split(","))
+        unknown = wanted - set(names)
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_SCALING_QUERIES names not in the ladder: "
+                f"{sorted(unknown)}"
+            )
+        names = [n for n in names if n in wanted]
     for name in names:
         fn = fns[name]
         t1 = best_of(lambda d: fn(spark, d), sf_dir)
