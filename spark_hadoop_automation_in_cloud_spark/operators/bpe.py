@@ -1,0 +1,191 @@
+"""Distributed byte-pair-encoding merge training — the tokenizer-side
+primitive of an LLM data pipeline: given the corpus, learn the first
+``n_merges`` BPE merge rules exactly (Sennrich et al.'s greedy
+frequency-argmax, the algorithm under GPT-2/SentencePiece-BPE vocab
+construction), entirely as DataFrame aggregates.
+
+Why this distributes cleanly when the textbook trainer doesn't: the
+textbook form mutates an in-memory vocab dict word-by-word.  Here the
+corpus collapses ONCE to the word-frequency table (one map-side-combined
+shuffle — the only corpus-sized operation at any scale), and every merge
+round after that runs on the vocab-sized frame: adjacent-pair counts are
+a row-local array expression (the bigram-LM extraction idiom — no
+per-word window), the argmax is one ordered ``LIMIT 1`` (driver state =
+ONE (left, right) pair per round, the q96 broadcast-centroid contract),
+and the rewrite is a row-local left fold over each word's symbol array.
+At 100 TB the vocab table is millions of rows, not billions of tokens —
+merge rounds never touch the corpus again.
+
+Greedy-rewrite semantics are pinned identically on both engines by the
+same fold: scanning left to right, a symbol equal to ``right`` fuses
+into the accumulator only when the accumulator's LAST symbol equals
+``left`` — so ``a a a`` under merge (a,a) becomes ``aa a``, and a
+just-fused symbol never re-fuses in the same round (the standard
+non-overlapping greedy of every BPE implementation).
+
+Vocabulary is lowercased and restricted to printable-ASCII words:
+symbols are per-codepoint, and Java regex (UTF-16) vs RE2 (UTF-8) split
+astral codepoints differently — ASCII sidesteps the divergence; a
+production byte-level trainer would pre-encode to bytes, which is the
+same pipeline with a different initial alphabet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: vocab gates shared verbatim by the SQL twin
+MAX_WORD_LEN = 30
+WORD_RE = "^[ -~]+$"  # printable ASCII only (see module docstring)
+
+
+def word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
+    """The ONE corpus-sized step: lowercase space-tokens → (word, freq).
+    Map-side combined; everything after runs vocab-sized."""
+    w = F.col("word")
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word")
+        )
+        .where((w != "") & (F.length(w) <= MAX_WORD_LEN) & w.rlike(WORD_RE))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _spaced(col: F.Column) -> F.Column:
+    """word → space-separated single-codepoint symbols."""
+    return F.trim(F.regexp_replace(col, "(.)", "$1 "))
+
+
+def _pair_counts(seqs: DataFrame) -> DataFrame:
+    """freq-weighted adjacent symbol pairs of the seq column — row-local
+    extraction (the bigram idiom), one vocab-sized aggregation."""
+    from spark_hadoop_automation_in_cloud_spark.operators.textops import _bigram_pairs
+
+    return (
+        seqs.select(F.col("freq"), F.explode(_bigram_pairs("seq")).alias("p"))
+        .groupBy(F.col("p.w1").alias("left"), F.col("p.w2").alias("right"))
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+    )
+
+
+def _apply_merge(seqs: DataFrame, left: str, right: str) -> DataFrame:
+    """One greedy left-to-right merge pass: row-local fold over each
+    word's symbol array (JVM-side ``aggregate`` — no UDF)."""
+    l, r = F.lit(left), F.lit(right)
+    arr = F.split(F.col("seq"), " ")
+    tail = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+    folded = F.aggregate(
+        tail,
+        F.element_at(arr, 1),
+        lambda acc, x: F.when(
+            (x == r) & (F.element_at(F.split(acc, " "), -1) == l),
+            F.concat(acc, x),
+        ).otherwise(F.concat(acc, F.lit(" "), x)),
+    )
+    return seqs.select(folded.alias("seq"), "freq")
+
+
+def bpe_merges(
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int = 4,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules from the corpus.
+
+    Per round: pair counts (vocab-sized aggregate) → argmax by
+    (pair_count DESC, left ASC, right ASC) — one row to the driver —
+    → fold-rewrite of every word's symbol sequence.  The working frame
+    is cached per round and released after the next round's counts
+    materialize (bounded: two vocab-sized caches in flight).
+
+    Output: step (int, 1-based), lhs, rhs, merged (string),
+    pair_count (bigint) — the merge table, ``n_merges`` rows (fewer iff
+    the vocabulary runs out of adjacent pairs).
+    """
+    spark = docs.sparkSession
+    seqs = word_freqs(docs, text_col).select(
+        _spaced(F.col("word")).alias("seq"), "freq"
+    )
+    rules: list[tuple[int, str, str, str, int]] = []
+    prev = None
+    for step in range(1, n_merges + 1):
+        seqs = seqs.persist()
+        top = (
+            _pair_counts(seqs)
+            .orderBy(F.col("pair_count").desc(), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = seqs
+        if not top:
+            break
+        l, r, cnt = top[0]["left"], top[0]["right"], int(top[0]["pair_count"])
+        rules.append((step, l, r, l + r, cnt))
+        seqs = _apply_merge(seqs, l, r)
+    if prev is not None:
+        prev.unpersist()
+    return spark.createDataFrame(
+        rules, "step int, lhs string, rhs string, merged string, pair_count bigint"
+    )
+
+
+def sql_bpe_merges(src: str, text_col: str, n_merges: int = 4) -> str:
+    """DuckDB twin of :func:`bpe_merges`: the full greedy trajectory
+    unrolled as one CTE chain per round (the q96/q156 iterative-oracle
+    pattern, MATERIALIZED so each round computes once) — identical
+    vocab gates, pair counting, (count, left, right) argmax, and the
+    same last-symbol-guarded left fold via ``list_reduce`` (the 1-row
+    winner CROSS JOINs into the rewrite; lambdas cannot hold
+    subqueries)."""
+
+    def pair_cte(seq_src: str) -> str:
+        return (
+            "SELECT p[1] AS lft, p[2] AS rgt, CAST(SUM(freq) AS BIGINT) AS pair_count"
+            " FROM (SELECT unnest(list_zip(ls, ls[2:])) AS p, freq"
+            f" FROM (SELECT string_split(seq, ' ') AS ls, freq FROM {seq_src}))"
+            " WHERE p[2] IS NOT NULL GROUP BY 1, 2"
+        )
+
+    parts = [
+        f"""
+w AS MATERIALIZED (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(lower({text_col}), ' ')) AS word FROM {src}
+  ) WHERE word <> '' AND length(word) <= {MAX_WORD_LEN}
+        AND regexp_matches(word, '{WORD_RE}')
+  GROUP BY word
+),
+s0 AS MATERIALIZED (
+  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq, freq FROM w
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""
+p{i} AS MATERIALIZED ({pair_cte(f"s{i - 1}")}),
+t{i} AS MATERIALIZED (
+  SELECT lft, rgt, pair_count FROM p{i}
+  ORDER BY pair_count DESC, lft ASC, rgt ASC LIMIT 1
+),
+s{i} AS MATERIALIZED (
+  SELECT list_reduce(string_split(s.seq, ' '),
+           (acc, x) -> CASE WHEN x = t.rgt
+                             AND string_split(acc, ' ')[-1] = t.lft
+                       THEN acc || x ELSE acc || ' ' || x END) AS seq,
+         s.freq
+  FROM s{i - 1} s CROSS JOIN t{i} t
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, lft AS lhs, rgt AS rhs, lft || rgt AS merged,"
+        f" pair_count FROM t{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",".join(parts) + f"\nSELECT * FROM ({unions}) ORDER BY step"
+    )

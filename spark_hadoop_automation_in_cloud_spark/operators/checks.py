@@ -414,3 +414,69 @@ SELECT {gs},
 FROM cum JOIN totals USING ({gs})
 GROUP BY {gs}, n_a, n_b
 """
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    k_threshold: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination — the
+    privacy gate a training corpus carrying user-derived records needs
+    before release: a row whose QI combination is shared by fewer than
+    ``k_threshold`` records is re-identifiable and must be suppressed
+    or generalized.
+
+    Reports the GROUP-SIZE HISTOGRAM, not the groups: one output row
+    per distinct anonymity-set size ``k`` with how many QI groups and
+    records sit at that size and whether that size falls below the
+    threshold — the summary a release decision reads, without the
+    report itself re-leaking the rare QI combinations it flags.
+
+    Scale shape: two map-side-combined aggregates, each strictly
+    smaller than its input (corpus → QI groups → size histogram);
+    shares are one double division of exact bigints.  Output:
+    k (bigint), n_groups, n_rows (bigint), suppressed (int 0/1),
+    row_share (double 6dp), ordered by k.
+    """
+    groups = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("k"))
+    hist = groups.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        (F.count(F.lit(1)) * F.col("k")).cast("bigint").alias("n_rows"),
+    )
+    total = hist.agg(F.sum("n_rows").alias("__tot"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "n_groups",
+            "n_rows",
+            F.when(F.col("k") < k_threshold, 1).otherwise(0).alias("suppressed"),
+            F.round(F.col("n_rows").cast("double") / F.col("__tot"), 6).alias(
+                "row_share"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
+def sql_k_anonymity_report(
+    src_sql: str, qi_cols: Sequence[str], k_threshold: int = 5
+) -> str:
+    """DuckDB twin of :func:`k_anonymity_report`."""
+    qi = ", ".join(qi_cols)
+    return f"""
+WITH groups AS (
+  SELECT {qi}, COUNT(*) AS k FROM ({src_sql}) GROUP BY {qi}
+),
+hist AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(COUNT(*) * k AS BIGINT) AS n_rows
+  FROM groups GROUP BY k
+)
+SELECT CAST(k AS BIGINT) AS k, n_groups, n_rows,
+       CASE WHEN k < {k_threshold} THEN 1 ELSE 0 END AS suppressed,
+       round(CAST(n_rows AS DOUBLE) / (SELECT SUM(n_rows) FROM hist), 6)
+         AS row_share
+FROM hist ORDER BY k
+"""

@@ -1213,3 +1213,165 @@ SELECT {id_col} AS doc_id,
        CAST(({conj}) AS INT) AS pass_all
 FROM {src}
 """
+
+
+# --- corpus statistics: collocations and Zipf fit -----------------------------
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    topk: int = 50,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information — the
+    corpus-statistics primitive behind phrase mining, tokenizer-merge
+    candidates, and boilerplate discovery (a high-PMI pair that appears
+    in half the corpus is template text, not language).
+
+    ``PMI(w1, w2) = ln( c(w1,w2)·N / (c1(w1)·c2(w2)) )`` over the
+    bigram distribution, with POSITIONAL marginals: ``c1`` counts w1
+    occurrences as a left element, ``c2`` as a right element, ``N`` the
+    total bigram count — all three derived from the bigram-count frame
+    itself (one aggregate chain, no second corpus scan: the
+    :func:`bigram_lm_scores` idiom).  ``min_count`` floors the pair
+    count (PMI's classic rare-pair pathology: a hapax pair maximizes
+    PMI by definition).
+
+    Scale shape: bigrams extract ROW-LOCALLY from the split array (no
+    per-doc window); ONE map-side-combined shuffle to vocab²-bounded
+    pair counts; marginals are two aggregates OF that frame joined back
+    onto it (vocab-sized, broadcast-eligible); N is a 1-row broadcast.
+    Top-k is TakeOrderedAndProject.  The ratio is one double division
+    of exact bigints, then ln, then 6dp — engine-identical.
+
+    Output: w1, w2, n_pair (bigint), pmi (double 6dp), ordered
+    (pmi DESC, n_pair DESC, w1, w2).
+    """
+    pairs = docs.select(F.explode(_bigram_pairs(text_col)).alias("p")).select(
+        "p.w1", "p.w2"
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    left = c2.groupBy("w1").agg(F.sum("n_pair").alias("c_left"))
+    right = c2.groupBy("w2").agg(F.sum("n_pair").alias("c_right"))
+    total = c2.agg(F.sum("n_pair").alias("n_total"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair") * F.col("n_total")).cast("double")
+            / (F.col("c_left") * F.col("c_right")).cast("double")
+        ),
+        6,
+    )
+    return (
+        c2.where(F.col("n_pair") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("n_pair").desc(), "w1", "w2")
+        .limit(topk)
+    )
+
+
+def sql_pmi_collocations(
+    src: str, text_col: str, min_count: int = 5, topk: int = 50
+) -> str:
+    """DuckDB twin of :func:`pmi_collocations`: bigrams via
+    ``list_zip(l, l[2:])``, identical positional marginals, one double
+    division of exact counts, same ln/round and top-k order."""
+    return f"""
+WITH pairs AS (
+  SELECT p[1] AS w1, p[2] AS w2 FROM (
+    SELECT unnest(list_zip(l, l[2:])) AS p FROM (
+      SELECT string_split({text_col}, ' ') AS l FROM {src}
+    )
+  ) WHERE p[2] IS NOT NULL
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS n_pair FROM pairs GROUP BY 1, 2),
+lft AS (SELECT w1, SUM(n_pair) AS c_left FROM c2 GROUP BY 1),
+rgt AS (SELECT w2, SUM(n_pair) AS c_right FROM c2 GROUP BY 1),
+total AS (SELECT SUM(n_pair) AS n_total FROM c2)
+SELECT c2.w1 AS w1, c2.w2 AS w2, CAST(c2.n_pair AS BIGINT) AS n_pair,
+       round(ln(CAST(c2.n_pair * t.n_total AS DOUBLE)
+                / CAST(l.c_left * r.c_right AS DOUBLE)), 6) AS pmi
+FROM c2
+JOIN lft l ON l.w1 = c2.w1
+JOIN rgt r ON r.w2 = c2.w2
+CROSS JOIN total t
+WHERE c2.n_pair >= {min_count}
+ORDER BY pmi DESC, n_pair DESC, c2.w1, c2.w2
+LIMIT {topk}
+"""
+
+
+#: log values snap to this grid before the OLS moments — exact integers
+#: from there on (the evals.SCORE_GRID convention)
+ZIPF_LOG_GRID = 1_000_000
+
+
+def zipf_token_points(
+    docs: DataFrame,
+    group_cols: list[str],
+    text_col: str,
+    top_n: int = 100,
+) -> DataFrame:
+    """Per-group (ln rank, ln frequency) points for the top-``top_n``
+    tokens — the input frame of :func:`zipf_slope`, exposed separately
+    so the fit stays a :func:`~spark_hadoop_automation_in_cloud_spark.operators.linalg.grouped_ols`
+    composition.
+
+    Tokens lowercase and split on space (the corpus-stats convention);
+    empty strings drop.  Rank is (count DESC, token ASC) per group —
+    deterministic; the ranking window runs over the per-group TOKEN
+    COUNT frame (vocab-sized, groups parallelize), never the corpus.
+    ln values snap to the 1e-6 grid as bigints, so the downstream OLS
+    moments are exact integers.
+    """
+    gs = list(group_cols)
+    toks = docs.select(
+        *gs,
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy(*gs, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(*gs).orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    grid = float(ZIPF_LOG_GRID)
+    return (
+        counts.select(*gs, "cnt", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= top_n)
+        .select(
+            *gs,
+            F.round(F.log(F.col("rnk").cast("double")) * grid)
+            .cast("bigint")
+            .alias("ln_rank"),
+            F.round(F.log(F.col("cnt").cast("double")) * grid)
+            .cast("bigint")
+            .alias("ln_freq"),
+        )
+    )
+
+
+def sql_zipf_token_points(
+    src: str, group_cols: list[str], text_col: str, top_n: int = 100
+) -> str:
+    """DuckDB twin of :func:`zipf_token_points`."""
+    gs = ", ".join(group_cols)
+    return f"""
+SELECT {gs},
+       CAST(round(ln(CAST(rnk AS DOUBLE)) * {ZIPF_LOG_GRID}) AS BIGINT) AS ln_rank,
+       CAST(round(ln(CAST(cnt AS DOUBLE)) * {ZIPF_LOG_GRID}) AS BIGINT) AS ln_freq
+FROM (
+  SELECT {gs}, cnt,
+         ROW_NUMBER() OVER (PARTITION BY {gs} ORDER BY cnt DESC, tok ASC) AS rnk
+  FROM (
+    SELECT {gs}, tok, COUNT(*) AS cnt FROM (
+      SELECT {gs}, unnest(string_split(lower({text_col}), ' ')) AS tok FROM {src}
+    ) WHERE tok <> '' GROUP BY {gs}, tok
+  )
+)
+WHERE rnk <= {top_n}
+"""

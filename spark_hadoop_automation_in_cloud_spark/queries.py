@@ -6935,3 +6935,223 @@ def q160_streaming_ann_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.components import (  # noqa: E402
+    sql_triangle_count,
+    triangle_count,
+)
+
+_Q161_EDGES_SQL = """
+SELECT a.l_partkey AS p1, b.l_partkey AS p2
+FROM lineitem a
+JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+@register(
+    "q161_copurchase_triangles",
+    sql_triangle_count(_Q161_EDGES_SQL, "p1", "p2", topk=50),
+    doc="Per-node triangle counts over the recurring co-purchase graph "
+    "(operators/components.py triangle_count): parts are linked when "
+    "co-ordered in >= 2 orders (the q85 basket join with a support "
+    "gate), and a part's triangle count is how CLIQUISH its "
+    "neighborhood is — community cores that components (q39) and "
+    "PageRank (q69) both miss. Degree-ordered orientation (Schank): "
+    "every edge points low->high under (degree, node), so each "
+    "triangle materializes exactly once and wedge volume is bounded by "
+    "sum(outdeg^2) = O(m^1.5) instead of the hub-quadratic sum(deg^2) "
+    "— the celebrity-hub wedge explosion, THE scale killer of naive "
+    "triangle counting at 100 TB, is charged to low-degree neighbors "
+    "which parallelize. Two equi-join shuffles; AQE splits residual "
+    "same-pivot skew. Deterministic (tri_count DESC, node ASC) top-50.",
+)
+def q161_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= 2)
+        .select("p1", "p2")
+    )
+    return triangle_count(edges, "p1", "p2", topk=50)
+
+
+from spark_hadoop_automation_in_cloud_spark.operators import evals  # noqa: E402
+
+_Q162_SCORED_SQL = f"""
+SELECT d.source, (d.lang = 'en') AS is_en, q.quality
+FROM documents d JOIN ({tx.sql_quality_score("documents", "doc_id", "text")}) q
+  ON q.doc_id = d.doc_id
+"""
+
+
+@register(
+    "q162_quality_auc_by_source",
+    evals.sql_roc_auc(_Q162_SCORED_SQL, ["source"], "is_en", "quality"),
+    doc="Exact ROC-AUC of the q27 quality score as an English-document "
+    "classifier, per source (operators/evals.py roc_auc) — BEFORE a "
+    "score gates 100 TB of data, this is the ranking-power audit: the "
+    "Mann-Whitney probability that a random positive outscores a "
+    "random negative, ties at half credit. Numerator is exact integer "
+    "pair counting on the 1e-6 score grid in DECIMAL(38,0) with one "
+    "final division (the q155 KS convention). Aggregate-first: the "
+    "corpus collapses to per-(source, distinct score) counts in one "
+    "map-side-combined shuffle; the strictly-below cumulative and the "
+    "totals are chained windows over that tiny frame, partitioned per "
+    "source — no global sort, no corpus-sized rank assignment.",
+)
+def q162_quality_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    scored = d.select(
+        "source",
+        (F.col("lang") == "en").alias("is_en"),
+        tx.quality_exprs(F.col("text"))["quality"].alias("quality"),
+    )
+    return evals.roc_auc(scored, ["source"], "is_en", "quality")
+
+
+@register(
+    "q163_quality_calibration",
+    evals.sql_calibration_bins(_Q162_SCORED_SQL, ["source"], "is_en", "quality"),
+    doc="Reliability diagram of the q27 quality score against the "
+    "English label, per source (operators/evals.py calibration_bins): "
+    "equal-width decile bins, empirical positive rate next to the mean "
+    "claimed score — the calibration gap AUC (q162) cannot see; a "
+    "perfectly-ranking score that claims 0.9 where 0.6 are positive "
+    "still over-admits at any face-value threshold. Row-local binning "
+    "in the scan, ONE map-side-combined aggregation to <= sources x 10 "
+    "cells; mean score sums 1e-6-grid integers (order-independent) "
+    "with one final division.",
+)
+def q163_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    scored = d.select(
+        "source",
+        (F.col("lang") == "en").alias("is_en"),
+        tx.quality_exprs(F.col("text"))["quality"].alias("quality"),
+    )
+    return evals.calibration_bins(scored, ["source"], "is_en", "quality")
+
+
+@register(
+    "q164_pmi_collocations",
+    tx.sql_pmi_collocations("documents", "text", min_count=5, topk=50),
+    doc="Top-50 bigram collocations by pointwise mutual information "
+    "(operators/textops.py pmi_collocations) with a min-count-5 floor "
+    "— phrase mining / tokenizer-merge candidates / boilerplate "
+    "discovery over the corpus. Bigrams extract row-locally from the "
+    "split array (the q141 idiom — no per-doc window); ONE map-side-"
+    "combined shuffle to the vocab-squared-bounded pair-count frame; "
+    "positional marginals and the grand total derive from THAT frame "
+    "(no second corpus scan), joined back vocab-sized. One double "
+    "division of exact bigints -> ln -> 6dp; top-50 is "
+    "TakeOrderedAndProject with a full tiebreak.",
+)
+def q164_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    return tx.pmi_collocations(d, "text", min_count=5, topk=50)
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.linalg import (  # noqa: E402
+    grouped_ols,
+    sql_grouped_ols,
+)
+
+
+@register(
+    "q165_zipf_slope_by_source",
+    sql_grouped_ols(
+        tx.sql_zipf_token_points("documents", ["source"], "text", top_n=100),
+        ["source"],
+        "ln_rank",
+        "ln_freq",
+    ),
+    doc="Zipf-law exponent per source (operators/textops.py "
+    "zipf_token_points composed with operators/linalg.py grouped_ols): "
+    "OLS slope of ln(frequency) on ln(rank) over each source's top-100 "
+    "tokens — natural text sits near slope -1; a source whose curve is "
+    "flat (machine-generated ID soup) or cliff-shaped (template "
+    "boilerplate) is flagged before it pollutes the mix. Aggregate-"
+    "first: corpus -> per-(source, token) counts in one map-side-"
+    "combined shuffle; ranking windows run over that vocab-sized frame "
+    "partitioned per source (groups parallelize); the fit consumes 100 "
+    "points per source as exact 1e-6-grid integer moments in "
+    "DECIMAL(38,0) (the q139 OLS recipe — slope is grid-invariant "
+    "since x and y scale identically). Intercept is in y-grid units "
+    "(1e6 x ln C) by the shared contract.",
+)
+def q165_zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    pts = tx.zipf_token_points(d, ["source"], "text", top_n=100)
+    return grouped_ols(pts, ["source"], "ln_rank", "ln_freq")
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.bpe import (  # noqa: E402
+    bpe_merges,
+    sql_bpe_merges,
+)
+
+
+@register(
+    "q166_bpe_merge_training",
+    sql_bpe_merges("documents", "text", n_merges=4),
+    doc="Distributed BPE merge training (operators/bpe.py bpe_merges): "
+    "the first 4 byte-pair-encoding merge rules learned exactly from "
+    "the corpus — Sennrich greedy frequency-argmax, the algorithm "
+    "under GPT-2/SentencePiece vocab construction. The corpus "
+    "collapses ONCE to the word-frequency table (the only corpus-sized "
+    "shuffle at any scale); each round is then vocab-sized: row-local "
+    "adjacent-pair extraction (q141's bigram idiom), one ordered "
+    "LIMIT-1 argmax (driver state = one pair per round, the q96 "
+    "broadcast contract), and a row-local JVM-side array fold rewrite "
+    "whose last-symbol guard pins the standard non-overlapping greedy "
+    "on BOTH engines ('a a a' -> 'aa a'). The oracle unrolls the full "
+    "4-round trajectory as MATERIALIZED CTEs with list_reduce folds — "
+    "the q96/q156 iterative-oracle pattern. At 100 TB the vocab table "
+    "is millions of rows, not billions of tokens; merge rounds never "
+    "rescan the corpus.",
+)
+def q166_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    return bpe_merges(d, "text", n_merges=4)
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.checks import (  # noqa: E402
+    k_anonymity_report,
+    sql_k_anonymity_report,
+)
+
+_Q167_QI_SQL = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(floor(c_acctbal / 1000.0) AS INT) AS bal_band
+FROM customer
+"""
+
+
+@register(
+    "q167_k_anonymity_audit",
+    sql_k_anonymity_report(_Q167_QI_SQL, ["c_nationkey", "c_mktsegment", "bal_band"]),
+    doc="k-anonymity audit (operators/checks.py k_anonymity_report) over "
+    "the customer quasi-identifier combination (nation, market "
+    "segment, account-balance band): the group-size histogram with "
+    "below-k-5 suppression flags — the privacy gate user-derived "
+    "training records need before release, reported WITHOUT re-leaking "
+    "the rare combinations it flags. Two map-side-combined aggregates, "
+    "each strictly smaller than its input (corpus -> QI groups -> size "
+    "histogram); banding is row-local in the scan; shares divide exact "
+    "bigints once.",
+)
+def q167_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("bal_band"),
+    )
+    return k_anonymity_report(qi, ["c_nationkey", "c_mktsegment", "bal_band"])

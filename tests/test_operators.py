@@ -2536,3 +2536,174 @@ def test_ks_statistic_drops_one_sided_groups(spark):
     df = spark.createDataFrame(rows, "k string, seg string, value double")
     out = {r["k"] for r in ks_statistic(df, ["k"], "seg", "a", "b", "value").collect()}
     assert out == {"both"}
+
+
+# --- round 7 additions: graphs, evals, corpus stats, BPE, privacy ------------
+
+
+def test_triangle_count_k4_and_normalization(spark):
+    """K4 has 4 triangles, every node in 3; duplicate and reversed edges
+    must normalize away; a pendant edge adds no triangles."""
+    from spark_hadoop_automation_in_cloud_spark.operators.components import triangle_count
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    edges = k4 + [(2, 1), (4, 5)]  # dupes in both orientations + pendant
+    df = spark.createDataFrame(edges, "u bigint, v bigint")
+    got = {r["u"]: r["tri_count"] for r in triangle_count(df, "u", "v").collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_hub_wedges_charged_to_leaves(spark):
+    """A star (hub + leaves, no leaf-leaf edges) has zero triangles and —
+    because orientation points leaves at the hub — zero wedges pivoting
+    on the hub; one closed leaf pair yields exactly one triangle."""
+    from spark_hadoop_automation_in_cloud_spark.operators.components import triangle_count
+
+    star = [(0, i) for i in range(1, 8)]
+    df = spark.createDataFrame(star, "u bigint, v bigint")
+    assert triangle_count(df, "u", "v").count() == 0
+    closed = spark.createDataFrame(star + [(1, 2)], "u bigint, v bigint")
+    got = {r["u"]: r["tri_count"] for r in triangle_count(closed, "u", "v").collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_roc_auc_hand_values(spark):
+    """Perfect ranking → 1.0; anti-ranking → 0.0; all-tied scores → 0.5;
+    a known mixed case matches the hand-computed Mann-Whitney value."""
+    from spark_hadoop_automation_in_cloud_spark.operators.evals import roc_auc
+
+    def auc_of(rows):
+        df = spark.createDataFrame(rows, "g string, y boolean, s double")
+        out = roc_auc(df, ["g"], "y", "s").collect()
+        return {r["g"]: (r["n_pos"], r["n_neg"], r["auc"]) for r in out}
+
+    perfect = [("p", True, 0.9), ("p", True, 0.8), ("p", False, 0.2), ("p", False, 0.1)]
+    anti = [("a", True, 0.1), ("a", False, 0.9)]
+    tied = [("t", True, 0.5), ("t", False, 0.5), ("t", True, 0.5), ("t", False, 0.5)]
+    # mixed: pos at .9/.4, neg at .6/.4 → pairs: (.9 beats both)=2,
+    # (.4 vs .6 loses)=0, (.4 ties .4)=0.5 → AUC = 2.5/4
+    mixed = [("m", True, 0.9), ("m", True, 0.4), ("m", False, 0.6), ("m", False, 0.4)]
+    got = auc_of(perfect + anti + tied + mixed)
+    assert got["p"] == (2, 2, 1.0)
+    assert got["a"] == (1, 1, 0.0)
+    assert got["t"] == (2, 2, 0.5)
+    assert got["m"] == (2, 2, 0.625)
+
+
+def test_roc_auc_drops_one_class_groups(spark):
+    from spark_hadoop_automation_in_cloud_spark.operators.evals import roc_auc
+
+    rows = [("only_pos", True, 0.5), ("ok", True, 0.5), ("ok", False, 0.4)]
+    df = spark.createDataFrame(rows, "g string, y boolean, s double")
+    assert {r["g"] for r in roc_auc(df, ["g"], "y", "s").collect()} == {"ok"}
+
+
+def test_calibration_bins_clamp_and_means(spark):
+    """Scores at/over the [0,1] edges land in the edge bins; frac_pos and
+    mean_score match hand arithmetic."""
+    from spark_hadoop_automation_in_cloud_spark.operators.evals import calibration_bins
+
+    rows = [
+        ("g", True, 1.0),   # clamps into bin 9
+        ("g", False, 0.95),
+        ("g", True, 0.0),   # bin 0
+        ("g", False, -0.2),  # clamps into bin 0
+        ("g", True, 0.41),  # bin 4
+    ]
+    df = spark.createDataFrame(rows, "g string, y boolean, s double")
+    out = {r["bin"]: r for r in calibration_bins(df, ["g"], "y", "s").collect()}
+    assert set(out) == {0, 4, 9}
+    assert (out[9]["n"], out[9]["n_pos"], out[9]["frac_pos"]) == (2, 1, 0.5)
+    assert out[9]["mean_score"] == 0.975
+    assert (out[0]["n"], out[0]["mean_score"]) == (2, -0.1)
+    assert out[4]["bin_lo"] == 0.4
+
+
+def test_pmi_collocations_hand_corpus(spark):
+    """'of the' dominates a corpus built to contain it; PMI matches the
+    closed-form ln(c_xy*N/(c1*c2)) on hand counts."""
+    import math
+
+    from spark_hadoop_automation_in_cloud_spark.operators.textops import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [("of the king",)] * 5 + [("of a the end",)] * 3, "text string"
+    )
+    out = pmi_collocations(docs, "text", min_count=5, topk=10).collect()
+    # bigrams: 5x(of,the) 5x(the,king) 3x(of,a) 3x(a,the) 3x(the,end) → N=19
+    # pairs with count>=5: left counts of=5+3=8, the=5+3=8;
+    # right counts the=5+3=8, king=5
+    want = {
+        ("of", "the"): (5, round(math.log(5 * 19 / (8 * 8)), 6)),
+        ("the", "king"): (5, round(math.log(5 * 19 / (8 * 5)), 6)),
+    }
+    got = {(r["w1"], r["w2"]): (r["n_pair"], r["pmi"]) for r in out}
+    assert got == want
+
+
+def test_zipf_points_and_slope_pure_power_law(spark):
+    """A corpus whose token counts are exactly c/rank has slope -1."""
+    from spark_hadoop_automation_in_cloud_spark.operators.linalg import grouped_ols
+    from spark_hadoop_automation_in_cloud_spark.operators.textops import zipf_token_points
+
+    words = []
+    for rank, tok in enumerate(["alpha", "beta", "gamma", "delta"], start=1):
+        words += [tok] * (120 // rank)
+    docs = spark.createDataFrame([("s", " ".join(words))], "source string, text string")
+    pts = zipf_token_points(docs, ["source"], "text", top_n=4)
+    got = grouped_ols(pts, ["source"], "ln_rank", "ln_freq").collect()[0]
+    assert got["n_points"] == 4
+    assert abs(got["slope"] + 1.0) < 0.01  # exact -1 up to count flooring
+
+
+def test_bpe_greedy_nonoverlap_and_merge_table(spark):
+    """'a a a' under merge (a,a) → 'aa a' (no re-fusion in one round);
+    the merge table matches a hand-run of the greedy trainer."""
+    from spark_hadoop_automation_in_cloud_spark.operators.bpe import bpe_merges
+
+    # freq-weighted corpus: 'abab' x3, 'aaa' x2  → chars a,b
+    docs = spark.createDataFrame(
+        [("abab abab abab aaa aaa",)], "text string"
+    )
+    out = [
+        (r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in bpe_merges(docs, "text", n_merges=3).collect()
+    ]
+    # round 1 pairs: abab: (a,b)x2,(b,a)x1 each x3 → (a,b)=6,(b,a)=3;
+    # aaa: (a,a)x2 x2 → 4.  argmax (a,b) → 'ab ab', 'a a a'
+    # round 2 pairs: (ab,ab)=3, (a,a)=4 → argmax (a,a) → 'aa a' (greedy!)
+    # round 3 pairs: (ab,ab)=3, (aa,a)=2 → argmax (ab,ab)
+    assert out == [
+        (1, "a", "b", "ab", 6),
+        (2, "a", "a", "aa", 4),
+        (3, "ab", "ab", "abab", 3),
+    ]
+
+
+def test_bpe_exhausts_pairs_gracefully(spark):
+    """Single-char vocabulary has no pairs: the merge table is empty and
+    nothing raises, on both the kernel and the SQL twin."""
+    import duckdb
+
+    from spark_hadoop_automation_in_cloud_spark.operators.bpe import (
+        bpe_merges,
+        sql_bpe_merges,
+    )
+
+    docs = spark.createDataFrame([("a b c a",)], "text string")
+    assert bpe_merges(docs, "text", n_merges=2).count() == 0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs AS SELECT 'a b c a' AS text")
+    assert con.execute(sql_bpe_merges("docs", "text", 2)).fetchdf().empty
+
+
+def test_k_anonymity_histogram(spark):
+    from spark_hadoop_automation_in_cloud_spark.operators.checks import k_anonymity_report
+
+    rows = [("x", 1)] * 3 + [("y", 1)] * 3 + [("z", 2)]
+    df = spark.createDataFrame(rows, "qa string, qb int")
+    out = {r["k"]: r for r in k_anonymity_report(df, ["qa", "qb"], k_threshold=2).collect()}
+    assert set(out) == {1, 3}
+    assert (out[3]["n_groups"], out[3]["n_rows"], out[3]["suppressed"]) == (2, 6, 0)
+    assert (out[1]["n_groups"], out[1]["suppressed"]) == (1, 1)
+    assert out[1]["row_share"] == round(1 / 7, 6)
