@@ -71,7 +71,12 @@ def _pair_counts(seqs: DataFrame) -> DataFrame:
     )
 
 
-def _apply_merge(seqs: DataFrame, left: str, right: str) -> DataFrame:
+def _apply_merge(
+    seqs: DataFrame,
+    left: str,
+    right: str,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
     """One greedy left-to-right merge pass: row-local fold over each
     word's symbol array (JVM-side ``aggregate`` — no UDF)."""
     l, r = F.lit(left), F.lit(right)
@@ -85,7 +90,7 @@ def _apply_merge(seqs: DataFrame, left: str, right: str) -> DataFrame:
             F.concat(acc, x),
         ).otherwise(F.concat(acc, F.lit(" "), x)),
     )
-    return seqs.select(folded.alias("seq"), "freq")
+    return seqs.select(folded.alias("seq"), "freq", *(keep_cols or []))
 
 
 def bpe_merges(
@@ -134,14 +139,21 @@ def bpe_merges(
     )
 
 
-def sql_bpe_merges(src: str, text_col: str, n_merges: int = 4) -> str:
-    """DuckDB twin of :func:`bpe_merges`: the full greedy trajectory
-    unrolled as one CTE chain per round (the q96/q156 iterative-oracle
-    pattern, MATERIALIZED so each round computes once) — identical
-    vocab gates, pair counting, (count, left, right) argmax, and the
-    same last-symbol-guarded left fold via ``list_reduce`` (the 1-row
-    winner CROSS JOINs into the rewrite; lambdas cannot hold
-    subqueries)."""
+def _sql_fold(seq_expr: str, t_alias: str) -> str:
+    """The shared ``list_reduce`` greedy rewrite (last-symbol guard)."""
+    return (
+        f"list_reduce(string_split({seq_expr}, ' '),"
+        f" (acc, x) -> CASE WHEN x = {t_alias}.rgt"
+        f" AND string_split(acc, ' ')[-1] = {t_alias}.lft"
+        " THEN acc || x ELSE acc || ' ' || x END)"
+    )
+
+
+def _sql_training_ctes(src: str, text_col: str, n_merges: int) -> str:
+    """The training trajectory as a CTE-chain fragment (``w``, ``s0``,
+    then per round ``p{i}``/``t{i}``/``s{i}``), shared by
+    :func:`sql_bpe_merges` and :func:`sql_segmentation_stats` so both
+    oracles train on ONE definition."""
 
     def pair_cte(seq_src: str) -> str:
         return (
@@ -173,19 +185,147 @@ t{i} AS MATERIALIZED (
   ORDER BY pair_count DESC, lft ASC, rgt ASC LIMIT 1
 ),
 s{i} AS MATERIALIZED (
-  SELECT list_reduce(string_split(s.seq, ' '),
-           (acc, x) -> CASE WHEN x = t.rgt
-                             AND string_split(acc, ' ')[-1] = t.lft
-                       THEN acc || x ELSE acc || ' ' || x END) AS seq,
+  SELECT {_sql_fold("s.seq", "t")} AS seq,
          s.freq
   FROM s{i - 1} s CROSS JOIN t{i} t
 )"""
         )
+    return ",".join(parts)
+
+
+def sql_bpe_merges(src: str, text_col: str, n_merges: int = 4) -> str:
+    """DuckDB twin of :func:`bpe_merges`: the full greedy trajectory
+    unrolled as one CTE chain per round (the q96/q156 iterative-oracle
+    pattern, MATERIALIZED so each round computes once) — identical
+    vocab gates, pair counting, (count, left, right) argmax, and the
+    same last-symbol-guarded left fold via ``list_reduce`` (the 1-row
+    winner CROSS JOINs into the rewrite; lambdas cannot hold
+    subqueries)."""
     unions = "\nUNION ALL\n".join(
         f"SELECT {i} AS step, lft AS lhs, rgt AS rhs, lft || rgt AS merged,"
         f" pair_count FROM t{i}"
         for i in range(1, n_merges + 1)
     )
     return (
-        "WITH " + ",".join(parts) + f"\nSELECT * FROM ({unions}) ORDER BY step"
+        "WITH "
+        + _sql_training_ctes(src, text_col, n_merges)
+        + f"\nSELECT * FROM ({unions}) ORDER BY step"
+    )
+
+
+def grouped_word_freqs(
+    docs: DataFrame, group_cols: list[str], text_col: str
+) -> DataFrame:
+    """Per-group word frequencies under the same vocab gates as
+    :func:`word_freqs` — the corpus-sized step of
+    :func:`segmentation_stats`."""
+    w = F.col("word")
+    return (
+        docs.select(
+            *group_cols,
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"),
+        )
+        .where((w != "") & (F.length(w) <= MAX_WORD_LEN) & w.rlike(WORD_RE))
+        .groupBy(*group_cols, "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def segmentation_stats(
+    docs: DataFrame,
+    group_cols: list[str],
+    text_col: str,
+    rules: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply a learned merge table to the corpus and report per-group
+    tokenizer fit: how well do the merges COMPRESS each slice?  The
+    eval a tokenizer-vs-mixture decision reads — a source whose
+    compression ratio trails the corpus average is paying more
+    sequence length per byte under this vocab (the q165 Zipf slope's
+    actionable counterpart).
+
+    ``rules`` is the (lhs, rhs) merge list IN ORDER (from
+    :func:`bpe_merges` — bounded driver state, broadcast into the fold
+    literals).  Each merge is one row-local fold pass over the
+    per-(group, word) vocab frame; the corpus is touched exactly once
+    (the grouped word-frequency aggregate).
+
+    Output per group: n_words (distinct vocab words, bigint),
+    n_tokens (word instances, bigint), syms_before, syms_after
+    (symbol instances, bigint), compression (before/after, double 6dp).
+    """
+    gs = list(group_cols)
+    seqs = grouped_word_freqs(docs, gs, text_col).select(
+        *gs,
+        _spaced(F.col("word")).alias("seq"),
+        "freq",
+        F.length(F.col("word")).alias("__lw"),
+    )
+    for lhs, rhs in rules:
+        seqs = _apply_merge(seqs, lhs, rhs, keep_cols=[*gs, "__lw"])
+    return seqs.groupBy(*gs).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("freq").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("freq") * F.col("__lw")).cast("bigint").alias("syms_before"),
+        F.sum(F.col("freq") * F.size(F.split(F.col("seq"), " ")))
+        .cast("bigint")
+        .alias("syms_after"),
+        F.round(
+            F.sum(F.col("freq") * F.col("__lw")).cast("double")
+            / F.sum(F.col("freq") * F.size(F.split(F.col("seq"), " "))).cast(
+                "double"
+            ),
+            6,
+        ).alias("compression"),
+    )
+
+
+def sql_segmentation_stats(
+    src: str, group_cols: list[str], text_col: str, n_merges: int = 4
+) -> str:
+    """DuckDB twin of :func:`segmentation_stats` for rules learned by
+    :func:`bpe_merges` on the SAME source: reuses the shared training
+    CTE chain verbatim, then applies each round's winner to the
+    per-group vocab with the same fold."""
+    gs = ", ".join(group_cols)
+    group_parts = [
+        f"""
+gw AS MATERIALIZED (
+  SELECT {gs}, word, COUNT(*) AS freq FROM (
+    SELECT {gs}, unnest(string_split(lower({text_col}), ' ')) AS word FROM {src}
+  ) WHERE word <> '' AND length(word) <= {MAX_WORD_LEN}
+        AND regexp_matches(word, '{WORD_RE}')
+  GROUP BY {gs}, word
+),
+g0 AS MATERIALIZED (
+  SELECT {gs}, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq, freq,
+         length(word) AS lw
+  FROM gw
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        group_parts.append(
+            f"""
+g{i} AS MATERIALIZED (
+  SELECT {gs}, {_sql_fold("g.seq", "t")} AS seq, g.freq, g.lw
+  FROM g{i - 1} g CROSS JOIN t{i} t
+)"""
+        )
+    return (
+        "WITH "
+        + _sql_training_ctes(src, text_col, n_merges)
+        + ","
+        + ",".join(group_parts)
+        + f"""
+SELECT {gs},
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(freq) AS BIGINT) AS n_tokens,
+       CAST(SUM(freq * lw) AS BIGINT) AS syms_before,
+       CAST(SUM(freq * len(string_split(seq, ' '))) AS BIGINT) AS syms_after,
+       round(CAST(SUM(freq * lw) AS DOUBLE)
+             / CAST(SUM(freq * len(string_split(seq, ' '))) AS DOUBLE), 6)
+         AS compression
+FROM g{n_merges}
+GROUP BY {gs}
+"""
     )

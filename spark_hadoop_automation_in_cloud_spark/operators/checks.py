@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -479,4 +479,115 @@ SELECT CAST(k AS BIGINT) AS k, n_groups, n_rows,
        round(CAST(n_rows AS DOUBLE) / (SELECT SUM(n_rows) FROM hist), 6)
          AS row_share
 FROM hist ORDER BY k
+"""
+
+
+def rolling_volume_anomaly(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    day_col: str,
+    window_days: int = 7,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Daily-volume anomaly detection per group: each day's row count
+    against a rolling z-score over the previous ``window_days`` days —
+    the ingest monitor that catches a source going dark (z << 0) or a
+    crawler loop flooding one partition (z >> 0) before either skews
+    the training mix.  The ops-side sibling of the distribution
+    monitors (PSI q146, KS q155): those watch WHAT arrives, this
+    watches HOW MUCH.
+
+    Exact arithmetic: daily counts are integers; the trailing window
+    carries (n, Σx, Σx²) as exact sums and the sample variance uses
+    the integer numerator ``n·Σx² − (Σx)²`` — z-scores come from ONE
+    shared double recipe, engine-identical.  Only days with a FULL
+    trailing window and nonzero variance report (both engines filter
+    identically; a constant-volume history has no scale for surprise).
+
+    Scale shape: the corpus collapses to (group, day) counts in one
+    map-side-combined shuffle; the rolling window runs over that
+    day-granular frame partitioned per group — bounded by days ×
+    groups, never corpus-sized.
+
+    Output: group_cols..., day (string yyyy-MM-dd), n (bigint),
+    z (double 6dp), is_anomaly (int 0/1).
+    """
+    gs = list(group_cols)
+    daily = df.groupBy(*gs, F.col(day_col).alias("__d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.partitionBy(*gs)
+        .orderBy(F.col("__d").asc())
+        .rowsBetween(-window_days, -1)
+    )
+    dec = "decimal(38,0)"
+    wd = F.lit(window_days).cast(dec)
+    stats = daily.select(
+        *gs,
+        "__d",
+        "n",
+        F.count(F.lit(1)).over(w).alias("__wn"),
+        F.sum("n").over(w).cast(dec).alias("__ws"),
+        F.sum(F.col("n").cast(dec) * F.col("n").cast(dec)).over(w).alias("__wss"),
+    )
+    var_num = wd * F.col("__wss") - F.col("__ws") * F.col("__ws")
+    mean = F.col("__ws").cast("double") / float(window_days)
+    std = F.sqrt(
+        var_num.cast("double") / float(window_days * (window_days - 1))
+    )
+    z = (F.col("n").cast("double") - mean) / std
+    return (
+        stats.where((F.col("__wn") == window_days) & (var_num > 0))
+        .select(
+            *gs,
+            F.date_format(F.col("__d"), "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("bigint").alias("n"),
+            (F.round(z, 6) + F.lit(0.0)).alias("z"),
+            F.when(F.abs(z) > z_threshold, 1).otherwise(0).alias("is_anomaly"),
+        )
+    )
+
+
+def sql_rolling_volume_anomaly(
+    src_sql: str,
+    group_cols: Sequence[str],
+    day_expr: str,
+    window_days: int = 7,
+    z_threshold: float = 2.0,
+) -> str:
+    """DuckDB twin of :func:`rolling_volume_anomaly`: identical daily
+    counts, trailing-window exact moments, variance numerator, and the
+    one shared z recipe."""
+    gs = list(group_cols)
+    g = ", ".join(gs)
+    gp = f"{g}, " if gs else ""
+    part = f"PARTITION BY {g}" if gs else ""
+    wd = window_days
+    return f"""
+WITH daily AS (
+  SELECT {gp}{day_expr} AS d, COUNT(*) AS n FROM ({src_sql}) GROUP BY {gp}d
+),
+stats AS (
+  SELECT {gp}d, n,
+         COUNT(*) OVER ({part} ORDER BY d ASC
+           ROWS BETWEEN {wd} PRECEDING AND 1 PRECEDING) AS wn,
+         CAST(SUM(n) OVER ({part} ORDER BY d ASC
+           ROWS BETWEEN {wd} PRECEDING AND 1 PRECEDING) AS HUGEINT) AS ws,
+         CAST(SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) OVER ({part}
+           ORDER BY d ASC ROWS BETWEEN {wd} PRECEDING AND 1 PRECEDING)
+           AS HUGEINT) AS wss
+  FROM daily
+)
+SELECT {gp}strftime(d, '%Y-%m-%d') AS day,
+       CAST(n AS BIGINT) AS n,
+       round((CAST(n AS DOUBLE) - CAST(ws AS DOUBLE) / {float(wd)})
+             / sqrt(CAST({wd} * wss - ws * ws AS DOUBLE)
+                    / {float(wd * (wd - 1))}), 6) + 0.0 AS z,
+       CASE WHEN abs((CAST(n AS DOUBLE) - CAST(ws AS DOUBLE) / {float(wd)})
+                     / sqrt(CAST({wd} * wss - ws * ws AS DOUBLE)
+                            / {float(wd * (wd - 1))})) > {z_threshold}
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM stats
+WHERE wn = {wd} AND {wd} * wss - ws * ws > 0
 """

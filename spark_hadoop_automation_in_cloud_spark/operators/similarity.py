@@ -1632,3 +1632,190 @@ ranked AS (
 SELECT query_id, neighbor_id, adc_sq, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {topk}
 """
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_candidates: int = 20,
+    k_select: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified rerank (Carbonell &
+    Goldstein): from each query's cosine top-``k_candidates``, greedily
+    select ``k_select`` results maximizing
+    ``lam·sim(q,d) − (1−lam)·max_{s∈selected} sim(d,s)`` — the
+    diversity pass a retrieval stack runs so five near-duplicate
+    passages don't fill the whole context window.
+
+    Distributed shape: the ONLY corpus-scale work is the candidate
+    generation (:func:`cosine_topk` — broadcast queries × unshuffled
+    corpus scan); everything after is bounded by construction at
+    queries × k_candidates² rows (the candidate-pair similarity frame)
+    and runs ``k_select`` unrolled rounds of join + aggregate + window
+    argmax on those tiny frames — no driver collect, no Python in the
+    loop, and at 100 TB the rounds' cost is independent of corpus size.
+    Greedy round t: drop already-selected candidates (anti-join), take
+    each survivor's max similarity to the selected set (join + max),
+    score, per-query row_number argmax with (score DESC, id ASC)
+    tie-break.
+
+    Determinism: all similarities snap to 6dp BEFORE the greedy (the
+    similarity-family rounding rule), so scores are identical IEEE
+    doubles on both engines.  First pick is the plain top-1 (the
+    diversity term is empty — lam scaling preserves the argmax).
+
+    Output: query_id, position (1..k_select), neighbor_id, mmr_score
+    (double 6dp).
+    """
+    cand = cosine_topk(corpus, queries, k_candidates, id_col, vec_col).select(
+        "query_id", "neighbor_id", "cosine_sim"
+    )
+    vecs = corpus.select(F.col(id_col).alias("__pid"), F.col(vec_col).alias("__pv"))
+    ci = cand.select("query_id", F.col("neighbor_id").alias("i")).join(
+        vecs.select(F.col("__pid").alias("i"), F.col("__pv").alias("__vi")), "i"
+    )
+    cj = cand.select("query_id", F.col("neighbor_id").alias("j")).join(
+        vecs.select(F.col("__pid").alias("j"), F.col("__pv").alias("__vj")), "j"
+    )
+    pairs = (
+        ci.join(cj, "query_id")
+        .where(F.col("i") != F.col("j"))
+        .select(
+            "query_id",
+            "i",
+            "j",
+            F.round(cosine(F.col("__vi"), F.col("__vj")), 6).alias("s"),
+        )
+    ).persist()
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    sel = (
+        cand.withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).alias("position"),
+            "neighbor_id",
+            (F.col("cosine_sim") * lam).alias("__score"),
+        )
+    )
+    for t in range(2, k_select + 1):
+        chosen = sel.select("query_id", "neighbor_id")
+        div = (
+            pairs.join(
+                chosen.select("query_id", F.col("neighbor_id").alias("j")),
+                ["query_id", "j"],
+            )
+            .groupBy("query_id", "i")
+            .agg(F.max("s").alias("__div"))
+        )
+        remaining = cand.join(chosen, ["query_id", "neighbor_id"], "left_anti")
+        scored = remaining.join(
+            div.select("query_id", F.col("i").alias("neighbor_id"), "__div"),
+            ["query_id", "neighbor_id"],
+        ).select(
+            "query_id",
+            "neighbor_id",
+            (F.col("cosine_sim") * lam - F.col("__div") * (1.0 - lam)).alias(
+                "__score"
+            ),
+        )
+        wt = Window.partitionBy("query_id").orderBy(
+            F.col("__score").desc(), F.col("neighbor_id").asc()
+        )
+        pick = (
+            scored.withColumn("__rn", F.row_number().over(wt))
+            .where(F.col("__rn") == 1)
+            .select(
+                "query_id", F.lit(t).alias("position"), "neighbor_id", "__score"
+            )
+        )
+        sel = sel.unionByName(pick)
+    out = sel.select(
+        "query_id",
+        "position",
+        "neighbor_id",
+        (F.round(F.col("__score"), 6) + F.lit(0.0)).alias("mmr_score"),
+    )
+    # bounded (queries x k_select); materialize so the unrolled-round plan
+    # is executed once and the pairs cache can be released
+    res = out.sparkSession.createDataFrame(out.collect(), out.schema)
+    pairs.unpersist()
+    return res
+
+
+def sql_mmr_rerank(
+    corpus_src: str,
+    query_pred: str,
+    k_candidates: int = 20,
+    k_select: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`mmr_rerank`: the same candidate top-k, the
+    same 6dp pair-similarity frame, and the greedy unrolled as one CTE
+    round per selection (the q96/q166 iterative-oracle pattern) with
+    identical (score DESC, id ASC) argmax tie-break."""
+    cos = _SQL_COS.format(a="ci.__vi", b="cj.__vj")
+    one_minus = 1.0 - lam
+    parts = [
+        f"""
+cand AS MATERIALIZED (
+  SELECT query_id, neighbor_id, cosine_sim FROM (
+    {sql_cosine_topk(corpus_src, query_pred, k_candidates, id_col, vec_col)}
+  )
+),
+pairs AS MATERIALIZED (
+  SELECT ci.query_id, ci.i, cj.j, {cos} AS s
+  FROM (SELECT c.query_id, c.neighbor_id AS i, v.{vec_col} AS __vi
+        FROM cand c JOIN {corpus_src} v ON v.{id_col} = c.neighbor_id) ci
+  JOIN (SELECT c.query_id, c.neighbor_id AS j, v.{vec_col} AS __vj
+        FROM cand c JOIN {corpus_src} v ON v.{id_col} = c.neighbor_id) cj
+    ON cj.query_id = ci.query_id AND ci.i <> cj.j
+),
+sel1 AS (
+  SELECT query_id, 1 AS position, neighbor_id, cosine_sim * {lam} AS score
+  FROM (SELECT query_id, neighbor_id, cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+        FROM cand) WHERE rn = 1
+),
+all1 AS (SELECT * FROM sel1)"""
+    ]
+    for t in range(2, k_select + 1):
+        parts.append(
+            f"""
+sel{t} AS (
+  SELECT query_id, {t} AS position, neighbor_id, score FROM (
+    SELECT c.query_id, c.neighbor_id,
+           c.cosine_sim * {lam} - d.div * {one_minus} AS score,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id
+             ORDER BY c.cosine_sim * {lam} - d.div * {one_minus} DESC,
+                      c.neighbor_id ASC) AS rn
+    FROM cand c
+    JOIN (SELECT p.query_id, p.i, MAX(p.s) AS div
+          FROM pairs p JOIN all{t - 1} s
+            ON s.query_id = p.query_id AND s.neighbor_id = p.j
+          GROUP BY 1, 2) d
+      ON d.query_id = c.query_id AND d.i = c.neighbor_id
+    WHERE NOT EXISTS (SELECT 1 FROM all{t - 1} s
+                      WHERE s.query_id = c.query_id
+                        AND s.neighbor_id = c.neighbor_id)
+  ) WHERE rn = 1
+),
+all{t} AS (SELECT * FROM all{t - 1} UNION ALL SELECT * FROM sel{t})"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT query_id, position, neighbor_id,
+       round(score, 6) + 0.0 AS mmr_score
+FROM all{k_select}
+"""
+    )

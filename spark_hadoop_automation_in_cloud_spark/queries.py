@@ -7155,3 +7155,142 @@ def q167_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("bal_band"),
     )
     return k_anonymity_report(qi, ["c_nationkey", "c_mktsegment", "bal_band"])
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.similarity import (  # noqa: E402
+    mmr_rerank,
+    sql_mmr_rerank,
+)
+
+
+@register(
+    "q168_mmr_diverse_rerank",
+    sql_mmr_rerank("embeddings", "vec_id < 3", k_candidates=20, k_select=5),
+    doc="Maximal-marginal-relevance diversified rerank (operators/"
+    "similarity.py mmr_rerank, Carbonell-Goldstein): per query, "
+    "greedily pick 5 of the cosine top-20 maximizing lam*sim(q,d) - "
+    "(1-lam)*max_selected sim(d,s) — the diversity pass that keeps "
+    "five near-duplicates from filling a context window. The only "
+    "corpus-scale work is q24's candidate scan (broadcast queries x "
+    "unshuffled corpus); the greedy runs 5 unrolled DataFrame rounds "
+    "(anti-join, max-to-selected, window argmax) on frames bounded at "
+    "queries x 20^2 — no driver loop state, cost independent of corpus "
+    "size. All sims snap to 6dp BEFORE the greedy so scores are "
+    "IEEE-identical cross-engine; the oracle unrolls the same 5 rounds "
+    "as CTEs.",
+)
+def q168_mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
+    return mmr_rerank(
+        emb, emb.where(F.col("vec_id") < 3), k_candidates=20, k_select=5
+    )
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.bpe import (  # noqa: E402
+    segmentation_stats,
+    sql_segmentation_stats,
+)
+
+
+@register(
+    "q169_tokenizer_fit_by_source",
+    sql_segmentation_stats("documents", ["source"], "text", n_merges=4),
+    doc="Tokenizer-fit evaluation (operators/bpe.py segmentation_stats): "
+    "apply the 4 merge rules q166 learns on the WHOLE corpus to each "
+    "source's vocabulary and report per-source compression (symbol "
+    "instances before/after) — a source whose ratio trails the corpus "
+    "pays more sequence length per byte under this vocab; the "
+    "actionable counterpart of q165's Zipf slope for mixture / "
+    "tokenizer decisions. The corpus is scanned once into per-(source, "
+    "word) frequencies; the learned rules are bounded driver state "
+    "(4 pairs) applied as row-local JVM folds over that vocab-sized "
+    "frame. The oracle reuses the training CTE chain VERBATIM "
+    "(_sql_training_ctes — one definition of the trajectory for both "
+    "q166 and this row) and replays the same folds per source.",
+)
+def q169_tokenizer_fit_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merges(d, "text", n_merges=4).collect()
+    ]
+    return segmentation_stats(d, ["source"], "text", rules)
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.checks import (  # noqa: E402
+    rolling_volume_anomaly,
+    sql_rolling_volume_anomaly,
+)
+
+
+@register(
+    "q170_volume_anomaly",
+    sql_rolling_volume_anomaly(
+        "SELECT event_type, ts FROM events", ["event_type"], "CAST(ts AS DATE)"
+    ),
+    doc="Ingest-volume anomaly monitor (operators/checks.py "
+    "rolling_volume_anomaly): per event type, each day's arrival count "
+    "z-scored against its trailing 7 full days — catches a source "
+    "going dark or a crawler loop flooding a partition before either "
+    "skews the training mix; the volume-side sibling of the "
+    "distribution monitors (PSI q146 / KS q155). Corpus collapses to "
+    "(type, day) counts in one map-side-combined shuffle; the rolling "
+    "window walks that day-granular frame per type with exact integer "
+    "moments (n*Sxx - Sx^2 variance numerator in DECIMAL(38,0)) and "
+    "ONE shared double z recipe.",
+)
+def q170_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return rolling_volume_anomaly(
+        e.select("event_type", F.to_date("ts").alias("d")), ["event_type"], "d"
+    )
+
+
+@register(
+    "q171_curriculum_interleave",
+    f"""
+WITH scored AS (
+  SELECT d.source, d.doc_id, round(q.quality, 6) AS quality,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+           ORDER BY q.quality DESC, d.doc_id ASC) AS rn
+  FROM documents d
+  JOIN ({tx.sql_quality_score("documents", "doc_id", "text")}) q
+    ON q.doc_id = d.doc_id
+),
+head AS (SELECT * FROM scored ORDER BY rn, source LIMIT 50)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rn, source) AS BIGINT) AS position,
+       source, doc_id, CAST(rn AS BIGINT) AS source_rank, quality
+FROM head
+""",
+    doc="Curriculum / mixture interleave ordering: the deterministic "
+    "source-round-robin, quality-descending training order (first the "
+    "best doc of every source, then every source's second-best, ...) "
+    "— how a training run consumes a multi-source corpus so no source "
+    "front-loads, materialized as the first 50 positions. Per-source "
+    "ranking windows parallelize (never corpus-global); the global "
+    "interleave key (rn, source) is only ever SORTED through a top-50 "
+    "TakeOrderedAndProject (per-partition heaps), and the position "
+    "window runs on the bounded 50-row head (the q86 bounded-window "
+    "discipline). At full scale the same (rn, source) key IS the "
+    "shard sort key — writers emit the order without any global sort.",
+)
+def q171_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    scored = d.select(
+        "source",
+        "doc_id",
+        F.round(tx.quality_exprs(F.col("text"))["quality"], 6).alias("quality"),
+    )
+    ws = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(ws))
+    head = ranked.orderBy("rn", "source").limit(50)
+    wg = Window.orderBy("rn", "source")
+    return head.select(
+        F.row_number().over(wg).cast("bigint").alias("position"),
+        "source",
+        "doc_id",
+        F.col("rn").cast("bigint").alias("source_rank"),
+        "quality",
+    )

@@ -2707,3 +2707,67 @@ def test_k_anonymity_histogram(spark):
     assert (out[3]["n_groups"], out[3]["n_rows"], out[3]["suppressed"]) == (2, 6, 0)
     assert (out[1]["n_groups"], out[1]["suppressed"]) == (1, 1)
     assert out[1]["row_share"] == round(1 / 7, 6)
+
+
+def test_mmr_rerank_diversifies(spark):
+    """With lam=0.5, after the top pick its near-duplicate must lose to
+    the off-axis candidate despite higher query similarity."""
+    from spark_hadoop_automation_in_cloud_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0]),        # query
+        (1, [1.0, 0.3]),        # best, picked first
+        (2, [1.0, 0.3001]),     # near-dup of 1 (sim→1) → redundancy ≈ 1
+        (3, [1.0, -0.3]),       # mirrored: same query sim, low sim to 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = mmr_rerank(
+        df, df.where(F.col("vec_id") == 0), k_candidates=3, k_select=3, lam=0.5
+    ).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["position"])]
+    assert order == [1, 3, 2]
+    # greedy scores are monotone non-increasing only within... positions exist
+    assert {r["position"] for r in out} == {1, 2, 3}
+
+
+def test_segmentation_stats_hand_compression(spark):
+    """Applying the single merge (a,b) to 'ab ab cd' compresses the two
+    'ab' instances from 2 symbols to 1."""
+    from spark_hadoop_automation_in_cloud_spark.operators.bpe import segmentation_stats
+
+    docs = spark.createDataFrame([("s1", "ab ab cd")], "source string, text string")
+    out = segmentation_stats(docs, ["source"], "text", [("a", "b")]).collect()[0]
+    # vocab: ab(freq 2), cd(freq 1); before: 2*2+1*2=6; after: 2*1+1*2=4
+    assert (out["n_words"], out["n_tokens"]) == (2, 3)
+    assert (out["syms_before"], out["syms_after"]) == (6, 4)
+    assert out["compression"] == 1.5
+
+
+def test_rolling_volume_anomaly_spike_and_warmup(spark):
+    """A spike after 7 full alternating-volume days flags; warm-up days
+    (incomplete trailing window) and zero-variance histories are absent."""
+    import datetime
+
+    from spark_hadoop_automation_in_cloud_spark.operators.checks import (
+        rolling_volume_anomaly,
+    )
+
+    rows = []
+    counts = [10, 11, 10, 11, 10, 11, 10, 30]
+    for i, c in enumerate(counts):
+        d = datetime.date(2024, 1, 1) + datetime.timedelta(days=i)
+        rows += [("t", d)] * c
+    # a second type with CONSTANT volume → zero variance → never reports
+    for i in range(8):
+        d = datetime.date(2024, 1, 1) + datetime.timedelta(days=i)
+        rows += [("flat", d)] * 5
+    df = spark.createDataFrame(rows, "event_type string, d date")
+    out = rolling_volume_anomaly(df, ["event_type"], "d").collect()
+    assert len(out) == 1 and out[0]["event_type"] == "t"
+    r = out[0]
+    assert r["day"] == "2024-01-08" and r["n"] == 30 and r["is_anomaly"] == 1
+    # z = (30 - 73/7) / sqrt((7*763 - 73^2)/42)
+    import math
+
+    want = round((30 - 73 / 7) / math.sqrt((7 * 763 - 73 * 73) / 42), 6)
+    assert r["z"] == want
