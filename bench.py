@@ -147,6 +147,20 @@ HEADLINE = [
     # regression that reintroduces an exchange doubles the join's
     # shuffle and shows here (BUCKETING.json has the byte-level A/B)
     "q153_bucketed_colocated_join",
+    # round-10 additions: the three heaviest new plan families.  q161 =
+    # degree-oriented triangle counting (two equi-join shuffles whose
+    # volume is the O(m^1.5) wedge bound — a regression that loses the
+    # orientation goes hub-quadratic and cliffs here); q164 = PMI
+    # collocations (row-local bigram explode + vocab-sized marginal
+    # rejoins — the corpus-stats shape); q166 = BPE merge training (one
+    # corpus shuffle + 4 vocab-sized argmax/fold rounds; a regression
+    # that re-scans the corpus per round multiplies the wall by
+    # n_merges).  q168's MMR wall is q24's candidate scan + bounded
+    # rounds and q169 shares q166's shape, so neither is benched
+    # separately.
+    "q161_copurchase_triangles",
+    "q164_pmi_collocations",
+    "q166_bpe_merge_training",
 ]
 
 #: Pinned machine-factor kernels (VERDICT r5 item 5): code-independent

@@ -516,6 +516,22 @@ def rolling_volume_anomaly(
     daily = df.groupBy(*gs, F.col(day_col).alias("__d")).agg(
         F.count(F.lit(1)).alias("n")
     )
+    return zscore_from_daily(daily, gs, window_days, z_threshold)
+
+
+def zscore_from_daily(
+    daily: DataFrame,
+    group_cols: Sequence[str],
+    window_days: int = 7,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """The window half of :func:`rolling_volume_anomaly`, over an
+    already-aggregated (group_cols..., __d, n) daily frame — exposed so
+    the streaming-maintained daily-count index (q174) feeds the SAME
+    kernel the batch monitor uses; daily counts are plain additive
+    sums, so merged batch partitions are bit-identical to the one-shot
+    aggregate and the two rows share one oracle."""
+    gs = list(group_cols)
     w = (
         Window.partitionBy(*gs)
         .orderBy(F.col("__d").asc())

@@ -231,3 +231,210 @@ FROM (
 )
 GROUP BY {gp}bin
 """
+
+
+def cohens_kappa(
+    df: DataFrame,
+    true_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two labelings:
+    ``(p_o − p_e) / (1 − p_e)`` with observed agreement ``p_o`` and the
+    chance agreement ``p_e = Σ_c (row_c · col_c) / N²`` from the
+    marginals.  The one-number upgrade of q148's confusion matrix: raw
+    accuracy flatters any classifier on a skewed label mix (predicting
+    the majority language everywhere scores high); kappa subtracts
+    exactly that.
+
+    Scale shape: ONE map-side-combined aggregation to the |labels|²
+    confusion cells; marginals and both agreement terms are aggregates
+    OF that tiny frame.  All arithmetic is exact integer products in
+    DECIMAL(38,0) — ``p_o``, ``p_e``, ``kappa`` come from single double
+    divisions of exact numerators (kappa's two divisions share one
+    recipe with the SQL twin).  NULL labels drop on both engines.
+
+    Output: one row — n (bigint), p_o, p_e, kappa (double 6dp).
+    """
+    cells = (
+        df.where(F.col(true_col).isNotNull() & F.col(pred_col).isNotNull())
+        .groupBy(
+            F.col(true_col).alias("__t"), F.col(pred_col).alias("__p")
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    dec = "decimal(38,0)"
+    rows = cells.groupBy("__t").agg(F.sum("__n").alias("__rn"))
+    colns = cells.groupBy("__p").agg(F.sum("__n").alias("__cn"))
+    marg = rows.join(colns, rows["__t"] == colns["__p"], "inner").select(
+        (F.col("__rn").cast(dec) * F.col("__cn").cast(dec)).alias("__rc")
+    )
+    stats = cells.agg(
+        F.sum("__n").cast(dec).alias("__tot"),
+        F.sum(F.when(F.col("__t") == F.col("__p"), F.col("__n")).otherwise(0))
+        .cast(dec)
+        .alias("__agree"),
+    )
+    pe_num = marg.agg(F.sum("__rc").alias("__pe_num"))
+    out = stats.crossJoin(F.broadcast(pe_num))
+    po = F.col("__agree").cast("double") / F.col("__tot").cast("double")
+    pe = F.col("__pe_num").cast("double") / (
+        F.col("__tot").cast("double") * F.col("__tot").cast("double")
+    )
+    return out.select(
+        F.col("__tot").cast("bigint").alias("n"),
+        F.round(po, 6).alias("p_o"),
+        F.round(pe, 6).alias("p_e"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )
+
+
+def sql_cohens_kappa(src_sql: str, true_expr: str, pred_expr: str) -> str:
+    """DuckDB twin of :func:`cohens_kappa`: identical cells, HUGEINT
+    marginal products, and the same division recipe."""
+    return f"""
+WITH cells AS (
+  SELECT ({true_expr}) AS t, ({pred_expr}) AS p, COUNT(*) AS n
+  FROM ({src_sql})
+  WHERE ({true_expr}) IS NOT NULL AND ({pred_expr}) IS NOT NULL
+  GROUP BY 1, 2
+),
+rows_m AS (SELECT t, SUM(n) AS rn FROM cells GROUP BY t),
+cols_m AS (SELECT p, SUM(n) AS cn FROM cells GROUP BY p),
+stats AS (
+  SELECT CAST(SUM(n) AS HUGEINT) AS tot,
+         CAST(SUM(CASE WHEN t = p THEN n ELSE 0 END) AS HUGEINT) AS agree
+  FROM cells
+),
+pe_num AS (
+  SELECT CAST(SUM(CAST(r.rn AS HUGEINT) * CAST(c.cn AS HUGEINT)) AS HUGEINT)
+           AS pen
+  FROM rows_m r JOIN cols_m c ON c.p = r.t
+)
+SELECT CAST(tot AS BIGINT) AS n,
+       round(CAST(agree AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p_o,
+       round(CAST(pen AS DOUBLE)
+             / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS p_e,
+       round((CAST(agree AS DOUBLE) / CAST(tot AS DOUBLE)
+              - CAST(pen AS DOUBLE)
+                / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)))
+             / (1.0 - CAST(pen AS DOUBLE)
+                      / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))), 6)
+         AS kappa
+FROM stats CROSS JOIN pe_num
+"""
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    seg_col: str,
+    a_label: str,
+    b_label: str,
+    success_col: str,
+) -> DataFrame:
+    """Two-proportion z-test per group — the A/B significance primitive:
+    is segment A's success rate different from segment B's beyond
+    sampling noise?  Pooled form:
+    ``z = (p_a − p_b) / sqrt( p·(1−p)·(1/n_a + 1/n_b) )`` with ``p``
+    the pooled rate.  The experiment-analysis sibling of the drift
+    monitors: PSI/KS ask "did the data change", this asks "did the
+    TREATMENT change the data".
+
+    Scale shape: ONE map-side-combined aggregation to per-group
+    conditional counts (four exact bigints per group); every division
+    happens once, on those exact counts, group-locally.  Groups missing
+    either segment drop (no defined rate), as do zero-variance pools
+    (p = 0 or 1 — z undefined; both engines filter identically).
+
+    Output: group_cols..., n_a, s_a, n_b, s_b (bigint), p_a, p_b,
+    z (double 6dp), significant_95 (int, |z| > 1.96).
+    """
+    gs = list(group_cols)
+    seg = F.col(seg_col)
+    suc = F.col(success_col).cast("int")
+    agg = (
+        df.where(seg.isin(a_label, b_label) & F.col(success_col).isNotNull())
+        .groupBy(*gs)
+        .agg(
+            F.sum(F.when(seg == a_label, 1).otherwise(0)).cast("bigint").alias("n_a"),
+            F.sum(F.when(seg == a_label, suc).otherwise(0))
+            .cast("bigint")
+            .alias("s_a"),
+            F.sum(F.when(seg == b_label, 1).otherwise(0)).cast("bigint").alias("n_b"),
+            F.sum(F.when(seg == b_label, suc).otherwise(0))
+            .cast("bigint")
+            .alias("s_b"),
+        )
+    )
+    na, sa = F.col("n_a").cast("double"), F.col("s_a").cast("double")
+    nb, sb = F.col("n_b").cast("double"), F.col("s_b").cast("double")
+    pa, pb = sa / na, sb / nb
+    pool = (sa + sb) / (na + nb)
+    z = (pa - pb) / F.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    return (
+        agg.where(
+            (F.col("n_a") > 0)
+            & (F.col("n_b") > 0)
+            & (F.col("s_a") + F.col("s_b") > 0)
+            & (F.col("s_a") + F.col("s_b") < F.col("n_a") + F.col("n_b"))
+        )
+        .select(
+            *gs,
+            "n_a",
+            "s_a",
+            "n_b",
+            "s_b",
+            F.round(pa, 6).alias("p_a"),
+            F.round(pb, 6).alias("p_b"),
+            (F.round(z, 6) + F.lit(0.0)).alias("z"),
+            F.when(F.abs(z) > 1.96, 1).otherwise(0).alias("significant_95"),
+        )
+    )
+
+
+def sql_two_proportion_ztest(
+    src_sql: str,
+    group_cols: Sequence[str],
+    seg_expr: str,
+    a_label: str,
+    b_label: str,
+    success_expr: str,
+) -> str:
+    """DuckDB twin of :func:`two_proportion_ztest`: identical conditional
+    counts and the one shared pooled-z recipe."""
+    gs = list(group_cols)
+    g = ", ".join(gs)
+    gp = f"{g}, " if gs else ""
+    return f"""
+WITH agg AS (
+  SELECT {gp}
+         CAST(SUM(CASE WHEN ({seg_expr}) = '{a_label}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN ({seg_expr}) = '{a_label}'
+                       THEN CAST(({success_expr}) AS INT) ELSE 0 END)
+              AS BIGINT) AS s_a,
+         CAST(SUM(CASE WHEN ({seg_expr}) = '{b_label}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN ({seg_expr}) = '{b_label}'
+                       THEN CAST(({success_expr}) AS INT) ELSE 0 END)
+              AS BIGINT) AS s_b
+  FROM ({src_sql})
+  WHERE ({seg_expr}) IN ('{a_label}', '{b_label}')
+        AND ({success_expr}) IS NOT NULL
+  {f"GROUP BY {g}" if gs else ""}
+)
+SELECT {gp}n_a, s_a, n_b, s_b,
+       round(CAST(s_a AS DOUBLE) / n_a, 6) AS p_a,
+       round(CAST(s_b AS DOUBLE) / n_b, 6) AS p_b,
+       round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+             / sqrt((CAST(s_a + s_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(s_a + s_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) + 0.0 AS z,
+       CASE WHEN abs((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+                     / sqrt((CAST(s_a + s_b AS DOUBLE) / (n_a + n_b))
+                            * (1.0 - CAST(s_a + s_b AS DOUBLE) / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b))) > 1.96
+            THEN 1 ELSE 0 END AS significant_95
+FROM agg
+WHERE n_a > 0 AND n_b > 0 AND s_a + s_b > 0 AND s_a + s_b < n_a + n_b
+"""

@@ -87,17 +87,26 @@ def register(name: str, sql: str | None, doc: str = ""):
 #   - q153 (bucketed co-located join), q154 (quality rule flags), q155
 #     (exact KS drift), q156 (PQ codes), q157 (PQ asymmetric-distance
 #     search), q158 (metadata-filtered ANN), q159 (IVF-PQ search), q160
-#     (streaming ANN index maintenance — shares q159's oracle verbatim):
-#     registered AFTER this window was allocated and verified — they
-#     ride r08's never-stamped block per the standing rule (each
-#     parity-green at sf0.001/0.01/0.1 at registration, swept by
-#     tests/test_oracle_parity.py every run);
+#     (streaming ANN index maintenance — shares q159's oracle verbatim),
+#     and the round-7 build block q161 (co-purchase triangles), q162
+#     (quality ROC-AUC), q163 (quality calibration bins), q164 (PMI
+#     collocations), q165 (Zipf slope), q166 (BPE merge training), q167
+#     (k-anonymity audit), q168 (MMR diversified rerank), q169
+#     (tokenizer-fit compression), q170 (volume anomaly), q171
+#     (curriculum interleave), q172 (lang-ID Cohen's kappa), q173
+#     (two-proportion A/B z-test), q174 (streaming volume monitor —
+#     shares q170's oracle verbatim): registered AFTER this window was
+#     allocated and verified — they ride r08's never-stamped block per
+#     the standing rule (each parity-green at sf0.001/0.01 at
+#     registration, swept by tests/test_oracle_parity.py every run);
 #   - the remaining 11 r04 rows — q82, q84, q85, q86, q87, q88, q90,
-#     q91, q92, q97, q101 — MUST lead the r08 window alongside the 8
+#     q91, q92, q97, q101 — MUST lead the r08 window alongside the 22
 #     never-stamped rows above and the 41 r05-stamped rows that reach
-#     the age-2 bound during r07 (8 + 11 + 41 = 60 — r08 is
-#     oversubscribed by 10, so the 10 freshest-registered r05 rows
-#     spill to r09; re-derive from tools/stamps.py when allocating);
+#     the age-2 bound during r07 (22 + 11 + 41 = 74 — r08 is
+#     oversubscribed by 24, so per the standing order (changed kernels,
+#     then never-stamped, then oldest-stamp-first) the 24
+#     freshest-registered r05 rows spill to r09; re-derive from
+#     tools/stamps.py when allocating);
 #   - q105: its oracle-SQL helper (_q105_sql) grew an optional
 #     probe_per_type parameter for q142; the q105 call passes None and
 #     the generated SQL is semantically identical (two empty format
@@ -7294,3 +7303,122 @@ def q171_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn").cast("bigint").alias("source_rank"),
         "quality",
     )
+
+
+@register(
+    "q172_langid_kappa",
+    evals.sql_cohens_kappa(
+        f"""SELECT d.lang AS true_lang, p.pred_lang
+FROM documents d JOIN ({tx.sql_language_id("documents", "doc_id", "text")}) p
+  ON p.doc_id = d.doc_id""",
+        "true_lang",
+        "pred_lang",
+    ),
+    doc="Cohen's kappa of the language-ID heuristic against ground truth "
+    "(operators/evals.py cohens_kappa) — the chance-corrected one-"
+    "number upgrade of q148's confusion matrix: raw accuracy flatters "
+    "any classifier on a skewed language mix (predict-the-majority "
+    "scores high); kappa subtracts exactly the marginal-product chance "
+    "agreement. Prediction is row-local marker counting in the scan; "
+    "ONE map-side-combined aggregation to |langs|^2 cells; marginals, "
+    "p_o and p_e are aggregates OF that tiny frame with DECIMAL(38,0) "
+    "products and single double divisions.",
+)
+def q172_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    pred = tx.language_id(d, "doc_id", "text").select("doc_id", "pred_lang")
+    joined = d.select("doc_id", F.col("lang").alias("true_lang")).join(pred, "doc_id")
+    return evals.cohens_kappa(joined, "true_lang", "pred_lang")
+
+
+@register(
+    "q173_purchase_ab_ztest",
+    evals.sql_two_proportion_ztest(
+        """SELECT event_type,
+       CASE WHEN extract(dow FROM ts) IN (0, 6) THEN 'weekend'
+            ELSE 'weekday' END AS seg,
+       CASE WHEN value >= 50 THEN 1 ELSE 0 END AS hit
+FROM events""",
+        ["event_type"],
+        "seg",
+        "weekday",
+        "weekend",
+        "hit",
+    ),
+    doc="Two-proportion z-test per event type (operators/evals.py "
+    "two_proportion_ztest): does the high-value rate (value >= 50) "
+    "differ between weekday and weekend traffic beyond sampling noise? "
+    "The A/B-experiment significance primitive — the drift monitors "
+    "(q146 PSI / q155 KS) ask 'did the data change', this asks 'did "
+    "the treatment change the data', with the pooled-variance z from "
+    "four exact bigints per group. ONE map-side-combined aggregation "
+    "to |event_type| rows; every division runs once, group-locally, on "
+    "exact counts; one-sided and zero-variance groups drop identically "
+    "on both engines. dow conventions differ (Spark 1=Sun..7=Sat, "
+    "DuckDB 0=Sun..6=Sat) — each side spells its own weekend set (the "
+    "q146/q155 note).",
+)
+def q173_purchase_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    seg = F.when(F.dayofweek(F.col("ts")).isin(1, 7), "weekend").otherwise("weekday")
+    hit = F.when(F.col("value") >= 50, 1).otherwise(0)
+    return evals.two_proportion_ztest(
+        e.select("event_type", seg.alias("seg"), hit.alias("hit")),
+        ["event_type"],
+        "seg",
+        "weekday",
+        "weekend",
+        "hit",
+    )
+
+
+@register(
+    "q174_streaming_volume_monitor",
+    sql_rolling_volume_anomaly(
+        "SELECT event_type, ts FROM events", ["event_type"], "CAST(ts AS DATE)"
+    ),
+    doc="Streaming ingest-volume monitor (streaming/incremental.py "
+    "update_daily_counts / read_daily_counts): events arrive in three "
+    "epochs (md5-bucketed), each counting ITSELF per (type, day) into "
+    "its own batch_id partition (overwrite = replay-idempotent, no "
+    "earlier state read — the q142/q152 linear-cell shape); the reader "
+    "sums partitions into daily counts that are BIT-identical to the "
+    "one-shot aggregate, then scores them through the SAME "
+    "zscore_from_daily kernel q170 uses — which is why this row shares "
+    "q170's oracle VERBATIM (the q160 precedent): the value hash "
+    "proves the epoch-maintained monitor flags exactly what the batch "
+    "monitor flags. State per batch is |types x days touched|, "
+    "independent of batch rows. Engine body driven directly (q111's "
+    "idiom); availableNow stream wiring pinned in test_streaming.py.",
+)
+def q174_streaming_volume_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from spark_hadoop_automation_in_cloud_spark.operators.checks import (
+        zscore_from_daily,
+    )
+    from spark_hadoop_automation_in_cloud_spark.streaming.incremental import (
+        read_daily_counts,
+        update_daily_counts,
+    )
+
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.to_date("ts").alias("d")
+    )
+    root = tempfile.mkdtemp(prefix="q174_")
+    try:
+        bucket = hashing.md5_prefix_int(F.col("event_id"), nhex=8, salt=":vol") % 3
+        for b in range(3):
+            update_daily_counts(
+                e.where(bucket == b), root, ["event_type"], "d", epoch_id=b
+            )
+        daily = read_daily_counts(spark, root, ["event_type"]).withColumnRenamed(
+            "d", "__d"
+        )
+        out = zscore_from_daily(daily, ["event_type"])
+        # materialize before the index dir goes away (q111's idiom);
+        # bounded: |types x days| rows
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -832,3 +832,66 @@ def run_streaming_ann_index(
         .start()
     )
     q.awaitTermination()
+
+
+# --- Streaming daily-volume maintenance (additive count cells per batch) -----
+#
+# Daily arrival counts are plain integer sums per (group, day) — LINEAR,
+# like count-min and covariance cells — so the same partitioned-index
+# idiom maintains the ingest-volume monitor's state as batches arrive:
+# each micro-batch writes ITS OWN (group, day, n) cells into its
+# batch_id partition (overwrite = replay-idempotent; no earlier state
+# read), and readers sum whatever partitions exist to get bit-for-bit
+# the daily counts of everything ingested — which is why the streaming
+# monitor row (q174) shares the batch monitor's (q170) oracle VERBATIM.
+# State per batch is |groups x days touched by that batch|, independent
+# of batch row count.
+
+
+def update_daily_counts(
+    batch: DataFrame,
+    index_path: str,
+    group_cols: list[str],
+    day_col: str,
+    epoch_id: int,
+) -> None:
+    """foreachBatch body (exposed for direct testing): count this batch's
+    rows per (group, day) and overwrite its own ``batch_id`` partition."""
+    from pyspark.sql import functions as F
+
+    batch.groupBy(*group_cols, F.col(day_col).alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).write.mode("overwrite").parquet(f"{index_path}/batch_id={epoch_id}")
+
+
+def read_daily_counts(spark, index_path: str, group_cols: list[str]):
+    """Sum every batch partition into the current daily-count table —
+    exactly the counts of everything ingested."""
+    from pyspark.sql import functions as F
+
+    idx = spark.read.parquet(index_path).drop("batch_id")
+    return idx.groupBy(*group_cols, "d").agg(F.sum("n").alias("n"))
+
+
+def run_streaming_volume_monitor(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    day_col: str,
+) -> None:
+    """Drain ``stream`` (availableNow) through per-batch daily-count
+    updates into the partitioned index — the ingest-volume monitor's
+    state maintenance; anomaly scoring reads the merged table through
+    operators.checks.zscore_from_daily."""
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: update_daily_counts(
+                bdf, index_path, group_cols, day_col, bid
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

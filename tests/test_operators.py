@@ -2771,3 +2771,47 @@ def test_rolling_volume_anomaly_spike_and_warmup(spark):
 
     want = round((30 - 73 / 7) / math.sqrt((7 * 763 - 73 * 73) / 42), 6)
     assert r["z"] == want
+
+
+def test_cohens_kappa_hand_values(spark):
+    """Perfect agreement → 1; independent-marginal agreement → ~0; a
+    textbook 2x2 case matches the closed form."""
+    from spark_hadoop_automation_in_cloud_spark.operators.evals import cohens_kappa
+
+    # classic: 20 a/a, 5 a/b, 10 b/a, 15 b/b
+    rows = (
+        [("a", "a")] * 20 + [("a", "b")] * 5 + [("b", "a")] * 10 + [("b", "b")] * 15
+    )
+    df = spark.createDataFrame(rows, "t string, p string")
+    r = cohens_kappa(df, "t", "p").collect()[0]
+    # po = 35/50; pe = (25*30 + 25*20)/2500 = 0.5; kappa = 0.4
+    assert (r["n"], r["p_o"], r["p_e"], r["kappa"]) == (50, 0.7, 0.5, 0.4)
+    perfect = spark.createDataFrame([("x", "x")] * 4 + [("y", "y")] * 6, "t string, p string")
+    assert cohens_kappa(perfect, "t", "p").collect()[0]["kappa"] == 1.0
+
+
+def test_two_proportion_ztest_hand_values(spark):
+    """A known 2x2 matches the pooled-z closed form; one-sided and
+    zero-variance groups drop."""
+    import math
+
+    from spark_hadoop_automation_in_cloud_spark.operators.evals import (
+        two_proportion_ztest,
+    )
+
+    rows = (
+        [("g", "a", 1)] * 30 + [("g", "a", 0)] * 70
+        + [("g", "b", 1)] * 20 + [("g", "b", 0)] * 80
+        + [("one_sided", "a", 1)] * 5
+        + [("flat", "a", 0)] * 5 + [("flat", "b", 0)] * 5
+    )
+    df = spark.createDataFrame(rows, "g string, seg string, hit int")
+    out = {r["g"]: r for r in
+           two_proportion_ztest(df, ["g"], "seg", "a", "b", "hit").collect()}
+    assert set(out) == {"g"}
+    r = out["g"]
+    p = 50 / 200
+    want = round((0.3 - 0.2) / math.sqrt(p * (1 - p) * (1 / 100 + 1 / 100)), 6)
+    assert (r["n_a"], r["s_a"], r["n_b"], r["s_b"]) == (100, 30, 100, 20)
+    assert r["z"] == want
+    assert r["significant_95"] == 0  # z ≈ 1.633 < 1.96

@@ -417,6 +417,8 @@ BNLJ_INTENDED = {
     "q159_ivf_pq_search": 2,       # broadcast centroids: assign + probe (q30's shape)
     "q149_ann_recall_eval": 1,     # exact side = q24's broadcast query scan
     "q151_freshness_report": 1,    # 1-row max-ts anchor broadcast
+    "q164_pmi_collocations": 1,    # 1-row bigram-total broadcast
+    "q167_k_anonymity_audit": 1,   # 1-row row-total broadcast
 }
 
 #: queries whose SinglePartition window sort is fed by a CALENDAR-bounded
@@ -428,6 +430,7 @@ SP_WINDOW_BOUNDED = {
     "q79_growth_accounting",   # month-level MAU frame
     "q86_price_skyline",       # day-level max staircase
     "q98_mom_revenue_growth",  # month-level revenue lag
+    "q171_curriculum_interleave",  # position window on the top-50 head
 }
 
 

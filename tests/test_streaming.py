@@ -1148,3 +1148,46 @@ def test_streaming_ann_index_equals_full_build_and_replays(spark, sf_dir, tmp_pa
     # replay epoch 1 with the same rows — partition overwritten, not doubled
     update_ann_index(emb.where(F.col("vec_id") % 3 == 1), idx, books, epoch_id=1)
     assert key(read_ann_index(spark, idx)) == key(full)
+
+
+def test_streaming_volume_monitor_equals_batch_and_replays(spark, sf_dir, tmp_path):
+    """Daily-count linearity through the partitioned index: (a) a 3-batch
+    availableNow drain's merged daily counts are ROW-identical to the
+    one-shot aggregate (so q174 rightly shares q170's oracle); (b)
+    replaying an epoch overwrites its own partition — never
+    double-counts."""
+    from spark_hadoop_automation_in_cloud_spark.streaming.incremental import (
+        read_daily_counts,
+        run_streaming_volume_monitor,
+        update_daily_counts,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.to_date("ts").alias("d")
+    )
+    src = tmp_path / "src"
+    for b in range(3):
+        ev.where(F.col("user_id") % 3 == b).coalesce(1).write.parquet(
+            str(src / f"b={b}")
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    idx = str(tmp_path / "vol_index")
+    run_streaming_volume_monitor(
+        stream, idx, str(tmp_path / "ckpt"), ["event_type"], "d"
+    )
+    merged = read_daily_counts(spark, idx, ["event_type"])
+    full = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    as_set = lambda df: sorted(  # noqa: E731
+        (r["event_type"], str(r["d"]), int(r["n"])) for r in df.collect()
+    )
+    assert as_set(merged) == as_set(full)
+    # replay epoch 1 verbatim → unchanged
+    update_daily_counts(
+        ev.where(F.col("user_id") % 3 == 1), idx, ["event_type"], "d", epoch_id=1
+    )
+    assert as_set(read_daily_counts(spark, idx, ["event_type"])) == as_set(full)

@@ -88,6 +88,21 @@ QUERIES = [
     # track the scan exactly (any superlinearity = a rule stopped being
     # row-local)
     "q154_quality_rule_flags",
+    # ROC-AUC: replication multiplies per-(source, score) counts while
+    # the DISTINCT score grid stays constant — the per-source cumulative
+    # windows' input is FLAT while the scan grows (the q155 combiner
+    # story applied to rank statistics)
+    "q162_quality_auc_by_source",
+    # PMI: replication multiplies every bigram count by the factor while
+    # the vocabulary stays constant — pair/marginal frames are FLAT, so
+    # wall must track the bigram-explode scan alone
+    "q164_pmi_collocations",
+    # BPE training: replicas add no new words, so the vocab table — the
+    # input of ALL 4 merge rounds — is IDENTICAL at every rung; only the
+    # one corpus shuffle grows.  The flattest ladder row by design; a
+    # ratio tracking the factor means a round regressed into rescanning
+    # the corpus (q169 shares the shape and is not separately laddered)
+    "q166_bpe_merge_training",
 ]
 # q126 (heavy hitters) and q128 (incremental components) are swept by
 # their own dedicated ladders instead — HEAVY_HITTERS.json widens the
@@ -156,6 +171,17 @@ EMB_QUERIES = [
     "q157_pq_adc_topk",
 ]
 
+#: lineitem-table operators: replication shifts BOTH l_orderkey and
+#: l_partkey per copy, so the co-purchase graph becomes ``scale``
+#: DISJOINT copies of the base graph — node and edge space x factor at
+#: constant density (the organic-growth shape; an UNshifted partkey
+#: would instead multiply every pair's support, densifying the graph
+#: into the minsup-1 clique soup — a different experiment).  Wall must
+#: track m: the orientation bound O(m^1.5) is per-component.
+LINEITEM_QUERIES = [
+    "q161_copurchase_triangles",
+]
+
 
 def best_of(fn, sf_dir: str, n: int = 2) -> float:
     fn(sf_dir).write.format("noop").mode("overwrite").save()  # warm
@@ -204,13 +230,24 @@ def main() -> None:
     )
     emb_rep.write.mode("overwrite").parquet(f"{scaled}/embeddings.parquet")
 
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_ok = li.agg(F.max("l_orderkey")).first()[0] + 1
+    n_pk = li.agg(F.max("l_partkey")).first()[0] + 1
+    li_rep = (
+        li.crossJoin(spark.range(scale).withColumnRenamed("id", "__rep"))
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("__rep") * n_ok)
+        .withColumn("l_partkey", F.col("l_partkey") + F.col("__rep") * n_pk)
+        .drop("__rep")
+    )
+    li_rep.write.mode("overwrite").parquet(f"{scaled}/lineitem.parquet")
+
     for t in TABLES:
-        if t not in ("documents", "events", "embeddings"):
+        if t not in ("documents", "events", "embeddings", "lineitem"):
             os.symlink(f"{sf_dir}/{t}.parquet", f"{scaled}/{t}.parquet")
 
     fns = {s.name: s.fn for s in q.specs()}
     out: dict[str, dict] = {}
-    names = QUERIES + EVENTS_QUERIES + EMB_QUERIES
+    names = QUERIES + EVENTS_QUERIES + EMB_QUERIES + LINEITEM_QUERIES
     # SPARK_GRAFT_SCALING_QUERIES=q146_...,q151_... runs a subset and
     # MERGES it into the existing artifact (so extending the ladder to a
     # new family never re-times — or clobbers — the 27 standing rows).
