@@ -95,16 +95,18 @@ def register(name: str, sql: str | None, doc: str = ""):
 #     (tokenizer-fit compression), q170 (volume anomaly), q171
 #     (curriculum interleave), q172 (lang-ID Cohen's kappa), q173
 #     (two-proportion A/B z-test), q174 (streaming volume monitor —
-#     shares q170's oracle verbatim): registered AFTER this window was
+#     shares q170's oracle verbatim), q175 (KS drift on the sketch
+#     grid — q155's stated 100 TB form): registered AFTER this window
+#     was
 #     allocated and verified — they ride r08's never-stamped block per
 #     the standing rule (each parity-green at sf0.001/0.01 at
 #     registration, swept by tests/test_oracle_parity.py every run);
 #   - the remaining 11 r04 rows — q82, q84, q85, q86, q87, q88, q90,
-#     q91, q92, q97, q101 — MUST lead the r08 window alongside the 22
+#     q91, q92, q97, q101 — MUST lead the r08 window alongside the 23
 #     never-stamped rows above and the 41 r05-stamped rows that reach
-#     the age-2 bound during r07 (22 + 11 + 41 = 74 — r08 is
-#     oversubscribed by 24, so per the standing order (changed kernels,
-#     then never-stamped, then oldest-stamp-first) the 24
+#     the age-2 bound during r07 (23 + 11 + 41 = 75 — r08 is
+#     oversubscribed by 25, so per the standing order (changed kernels,
+#     then never-stamped, then oldest-stamp-first) the 25
 #     freshest-registered r05 rows spill to r09; re-derive from
 #     tools/stamps.py when allocating);
 #   - q105: its oracle-SQL helper (_q105_sql) grew an optional
@@ -7422,3 +7424,51 @@ def q174_streaming_volume_monitor(spark: SparkSession, sf_dir: str) -> DataFrame
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.sketches import (  # noqa: E402
+    sql_value_bucket,
+    value_bucket,
+)
+
+
+@register(
+    "q175_ks_drift_sketched",
+    sql_ks_statistic(
+        f"""SELECT event_type,
+       CASE WHEN extract(dow FROM ts) IN (0, 6) THEN 'weekend'
+            ELSE 'weekday' END AS seg,
+       {sql_value_bucket("value")} AS vb
+FROM events""",
+        ["event_type"],
+        "seg",
+        "weekday",
+        "weekend",
+        "vb",
+    ),
+    doc="KS drift on the quantile-sketch grid — q155's documented 100 TB "
+    "form made executable: values quantize to the sketch family's "
+    "sign-aware (1+eps) log-bucket code (sketches.value_bucket — the "
+    "SAME coder q102/q140/q145 persist) BEFORE the KS kernel, so the "
+    "per-group cumulative window walks at most |buckets| rows no "
+    "matter the value cardinality — the bound the exact form (q155) "
+    "cannot give when a group's distinct values grow with the corpus. "
+    "Same exact integer cross-product numerator; the statistic is the "
+    "KS of the bucketed distributions (within one bucket width of "
+    "exact, the sketch's rank-error contract). Non-encodable values "
+    "(NULL/NaN/inf) drop identically on both engines via the shared "
+    "coder.",
+)
+def q175_ks_drift_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    seg = F.when(F.dayofweek(F.col("ts")).isin(1, 7), "weekend").otherwise("weekday")
+    return ks_statistic(
+        e.select(
+            "event_type", seg.alias("seg"), value_bucket(F.col("value")).alias("vb")
+        ),
+        ["event_type"],
+        "seg",
+        "weekday",
+        "weekend",
+        "vb",
+    )

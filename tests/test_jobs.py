@@ -375,3 +375,26 @@ def test_ann_index_job_build_then_probe(spark, sf_dir, tmp_path):
         for r in ivf_pq_topk(emb, queries, k=10).collect()
     }
     assert got == want and len(got) == 50
+
+
+def test_train_tokenizer_job_writes_artifacts(spark, sf_dir, tmp_path):
+    """The CLI writes the ordered merge table and the per-source fit
+    report; the merge table matches driving the operator directly; bad
+    argv exits 2."""
+    from spark_hadoop_automation_in_cloud_spark.io import read_table
+    from spark_hadoop_automation_in_cloud_spark.operators.bpe import bpe_merges
+
+    job = _load("train_tokenizer_job")
+    out = str(tmp_path / "tok")
+    assert job.main([f"{sf_dir}/documents.parquet", out, "3"]) == 0
+    merges = spark.read.parquet(f"{out}/merges.parquet")
+    want = bpe_merges(
+        read_table(spark, sf_dir, "documents"), "text", n_merges=3
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(merges) == key(want)
+    fit = spark.read.parquet(f"{out}/fit_by_source.parquet")
+    assert fit.count() > 0 and "compression" in fit.columns
+    assert job.main(["x"]) == 2
+    assert job.main(["a", "b", "zero"]) == 2
+    assert job.main(["a", "b", "0"]) == 2
