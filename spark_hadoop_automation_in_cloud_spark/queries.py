@@ -96,17 +96,19 @@ def register(name: str, sql: str | None, doc: str = ""):
 #     (curriculum interleave), q172 (lang-ID Cohen's kappa), q173
 #     (two-proportion A/B z-test), q174 (streaming volume monitor —
 #     shares q170's oracle verbatim), q175 (KS drift on the sketch
-#     grid — q155's stated 100 TB form): registered AFTER this window
+#     grid — q155's stated 100 TB form), q176 (TPC-H Q11-shape global
+#     revenue share), q177 (TPC-H Q22-shape dormant-rich anti-join):
+#     registered AFTER this window
 #     was
 #     allocated and verified — they ride r08's never-stamped block per
 #     the standing rule (each parity-green at sf0.001/0.01 at
 #     registration, swept by tests/test_oracle_parity.py every run);
 #   - the remaining 11 r04 rows — q82, q84, q85, q86, q87, q88, q90,
-#     q91, q92, q97, q101 — MUST lead the r08 window alongside the 23
+#     q91, q92, q97, q101 — MUST lead the r08 window alongside the 25
 #     never-stamped rows above and the 41 r05-stamped rows that reach
-#     the age-2 bound during r07 (23 + 11 + 41 = 75 — r08 is
-#     oversubscribed by 25, so per the standing order (changed kernels,
-#     then never-stamped, then oldest-stamp-first) the 25
+#     the age-2 bound during r07 (25 + 11 + 41 = 77 — r08 is
+#     oversubscribed by 27, so per the standing order (changed kernels,
+#     then never-stamped, then oldest-stamp-first) the 27
 #     freshest-registered r05 rows spill to r09; re-derive from
 #     tools/stamps.py when allocating);
 #   - q105: its oracle-SQL helper (_q105_sql) grew an optional
@@ -6976,7 +6978,9 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 2
     "— the celebrity-hub wedge explosion, THE scale killer of naive "
     "triangle counting at 100 TB, is charged to low-degree neighbors "
     "which parallelize. Two equi-join shuffles; AQE splits residual "
-    "same-pivot skew. Deterministic (tri_count DESC, node ASC) top-50.",
+    "same-pivot skew. TRIANGLES.json is the measured A/B: 8x edges -> "
+    "64x naive wedges, naive wall 5.9->43.7s while the oriented form "
+    "stays flat ~10s. Deterministic (tri_count DESC, node ASC) top-50.",
 )
 def q161_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
@@ -7471,4 +7475,112 @@ def q175_ks_drift_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weekday",
         "weekend",
         "vb",
+    )
+
+
+@register(
+    "q176_revenue_share_parts",
+    """
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS HUGEINT))
+           AS r
+  FROM lineitem GROUP BY l_partkey
+),
+total AS (SELECT SUM(r) AS t FROM rev)
+SELECT l_partkey,
+       round(CAST(r AS DOUBLE) / 10000.0, 2) AS part_revenue,
+       round(CAST(r AS DOUBLE) / CAST(t AS DOUBLE), 6) AS revenue_share
+FROM rev CROSS JOIN total
+WHERE r * 1000 > t
+ORDER BY part_revenue DESC, l_partkey
+""",
+    doc="TPC-H Q11's decorrelated HAVING-global-share shape on the "
+    "available tables: parts whose discounted revenue exceeds 0.1% of "
+    "total corpus revenue. The correlated 'HAVING sum > (SELECT "
+    "fraction x total)' decorrelates into ONE per-part aggregate and a "
+    "1-row broadcast total; the share gate is the exact integer "
+    "cross-product r*1000 > t (no division before filtering — the q155 "
+    "numerator discipline). Revenue sums in 1e-4-grid DECIMAL "
+    "(extendedprice x (1-discount) needs 4 digits) — order-independent "
+    "and engine-identical; divisions happen once, on the survivors.",
+)
+def q176_revenue_share_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast(dec)
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("r"))
+    total = rev.agg(F.sum("r").alias("t"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .where(F.col("r") * 1000 > F.col("t"))
+        .select(
+            "l_partkey",
+            F.round(F.col("r").cast("double") / 10000.0, 2).alias("part_revenue"),
+            F.round(F.col("r").cast("double") / F.col("t").cast("double"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy(F.col("part_revenue").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q177_idle_rich_customers",
+    """
+WITH pos AS (
+  SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS HUGEINT)) AS HUGEINT) AS s,
+         COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0
+),
+idle AS (
+  SELECT c.c_nationkey, CAST(round(c.c_acctbal * 100) AS HUGEINT) AS bal_cents
+  FROM customer c CROSS JOIN pos
+  WHERE CAST(round(c.c_acctbal * 100) AS HUGEINT) * pos.n > pos.s
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       round(CAST(SUM(bal_cents) AS DOUBLE) / 100.0, 2) AS totacctbal
+FROM idle GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+    doc="TPC-H Q22's shape on the available tables: per nation, the "
+    "count and total balance of customers with above-average balance "
+    "(among positive balances) who have NEVER ordered — dormant "
+    "high-value accounts. The scalar AVG subquery decorrelates into a "
+    "1-row broadcast (sum_cents, n); the above-average gate is the "
+    "exact integer cross-product bal_cents * n > sum_cents (never "
+    "compare against a divided average); 'no orders' is a left-anti "
+    "join (NOT EXISTS in the oracle — NOT IN's three-valued NULL trap "
+    "is the documented dedup.sql_incremental_dedup precedent). One "
+    "aggregate per side, one broadcast, one anti-join shuffle on "
+    "custkey.",
+)
+def q177_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    cents = F.round(F.col("c_acctbal") * 100).cast(dec)
+    pos = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).cast(dec).alias("n"))
+    )
+    rich = (
+        c.select("c_custkey", "c_nationkey", cents.alias("bal_cents"))
+        .crossJoin(F.broadcast(pos))
+        .where(F.col("bal_cents") * F.col("n") > F.col("s"))
+    )
+    idle = rich.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    )
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.round(F.sum("bal_cents").cast("double") / 100.0, 2).alias(
+                "totacctbal"
+            ),
+        )
+        .orderBy("c_nationkey")
     )

@@ -732,3 +732,191 @@ def test_incremental_components_equals_full_for_any_split(spark, edges, cut_pct)
     want = sorted((r["node"], r["component_id"]) for r in full.collect())
     got = sorted((r["node"], r["component_id"]) for r in inc.collect())
     assert got == want
+
+
+# --- round 10: graphs / evals / BPE / MMR vs brute-force references ----------
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_triangle_count_equals_brute_force(spark, edges):
+    """Per-node triangle counts equal the O(n^3) triple loop on any
+    random multigraph (dupes/reversals/self-loops included)."""
+    from spark_hadoop_automation_in_cloud_spark.operators.components import triangle_count
+
+    es = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    nodes = sorted({x for e in es for x in e})
+    want: dict[int, int] = {}
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            for c in nodes[nodes.index(b) + 1 :]:
+                if (a, b) in es and (a, c) in es and (b, c) in es:
+                    for x in (a, b, c):
+                        want[x] = want.get(x, 0) + 1
+    df = spark.createDataFrame(list(edges), "u bigint, v bigint")
+    got = {
+        r["u"]: r["tri_count"]
+        for r in triangle_count(df, "u", "v", topk=1000).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.booleans(), st.integers(0, 5)),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_roc_auc_equals_pairwise_count(spark, rows):
+    """AUC equals the direct O(n^2) pair count (wins + half-ties) over
+    arbitrary label/score multisets."""
+    from spark_hadoop_automation_in_cloud_spark.operators.evals import roc_auc
+
+    pos = [s for y, s in rows if y]
+    neg = [s for y, s in rows if not y]
+    df = spark.createDataFrame(
+        [("g", y, s / 5.0) for y, s in rows], "g string, y boolean, s double"
+    )
+    out = roc_auc(df, ["g"], "y", "s").collect()
+    if not pos or not neg:
+        assert out == []
+        return
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    assert out[0]["auc"] == round(wins / (len(pos) * len(neg)), 6)
+
+
+def _bpe_reference(words: dict[str, int], n_merges: int):
+    """Pure-Python greedy BPE (Sennrich): pair argmax by (count, left,
+    right), non-overlapping left-to-right rewrite."""
+    seqs = {w: list(w) for w in words}
+    rules = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + words[w]
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        rules.append((step, l, r, l + r, c))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return rules
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=15,
+    ),
+    n_merges=st.integers(1, 4),
+)
+def test_bpe_merges_equal_python_reference(spark, words, n_merges):
+    """The distributed trainer's merge table equals the textbook
+    in-memory greedy on any random corpus."""
+    from spark_hadoop_automation_in_cloud_spark.operators.bpe import bpe_merges
+
+    freq: dict[str, int] = {}
+    for w in words:
+        freq[w] = freq.get(w, 0) + 1
+    docs = spark.createDataFrame([(" ".join(words),)], "text string")
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in bpe_merges(docs, "text", n_merges=n_merges).collect()
+    ]
+    assert got == _bpe_reference(freq, n_merges)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(-4, 4), st.integers(-4, 4), st.integers(-4, 4)
+        ).filter(lambda t: any(t)),
+        min_size=3,
+        max_size=12,
+    )
+)
+def test_mmr_equals_python_greedy(spark, vecs):
+    """The unrolled-round MMR selection equals a pure-Python greedy on
+    random integer vectors (sims rounded to 6dp first, as the operator
+    pins)."""
+    import math
+
+    from spark_hadoop_automation_in_cloud_spark.operators.similarity import mmr_rerank
+
+    lam, kc, ks = 0.7, len(vecs) - 1, min(3, len(vecs) - 1)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = sorted(
+        (r["position"], r["neighbor_id"])
+        for r in mmr_rerank(
+            df, df.where(F.col("vec_id") == 0), k_candidates=kc, k_select=ks, lam=lam
+        ).collect()
+    )
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return round(
+            num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))),
+            6,
+        )
+
+    q = rows[0][1]
+    cands = sorted(
+        ((cos(q, v), -i) for i, v in rows[1:]),
+        key=lambda t: (-t[0], -t[1]),
+    )[:kc]
+    cand_ids = [-i for _, i in cands]
+    simq = {i: cos(q, rows[i][1]) for i in cand_ids}
+    sel: list[int] = []
+    for _ in range(ks):
+        rest = [i for i in cand_ids if i not in sel]
+        if not sel:
+            pick = max(rest, key=lambda i: (simq[i], -i))
+        else:
+            pick = max(
+                rest,
+                key=lambda i: (
+                    lam * simq[i]
+                    - (1 - lam) * max(cos(rows[i][1], rows[s][1]) for s in sel),
+                    -i,
+                ),
+            )
+        sel.append(pick)
+    want = sorted((p + 1, i) for p, i in enumerate(sel))
+    assert got == want
