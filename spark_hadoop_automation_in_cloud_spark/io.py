@@ -392,3 +392,51 @@ def compact(
     return sum(
         1 for f in os.listdir(path) if f.endswith(".parquet")
     )
+
+
+def read_json_quarantine(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-enforced JSON-lines read with a dead-letter split: rows
+    that parse against ``schema`` come back typed; rows that don't
+    land in the quarantine frame with their RAW line preserved — the
+    ingest contract a landing zone needs (a single malformed line must
+    neither kill the job (FAILFAST) nor silently become an all-NULL
+    row (plain PERMISSIVE)).
+
+    Returns ``(parsed, quarantined)``.  ``parsed`` carries exactly the
+    schema's columns; ``quarantined`` carries one ``raw`` string
+    column.  Both are row-local projections of ONE PERMISSIVE scan —
+    Spark parses each line once; the split is a null-test on the
+    corrupt-record column (its presence in the read schema is what
+    makes Spark retain the raw text).  Scale: no shuffle, no driver
+    involvement; quarantine volume is observable via a plain count.
+
+    Implementation note: this reads the files as TEXT and parses with
+    the ``from_json`` expression rather than the JSON file source —
+    Spark forbids querying a raw JSON scan's corrupt-record column on
+    its own (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN,
+    which would force a cache into this API); the expression form has
+    no such restriction, parses each line exactly once per consumer,
+    and keeps the whole split row-local.
+
+    Caveat pinned by the tests: PERMISSIVE fills the corrupt column
+    ONLY for lines that fail to parse — a well-formed JSON object
+    MISSING fields still parses (NULLs), which is schema evolution's
+    problem (`mergeSchema`, defaults), not quarantine's.
+    """
+    corrupt = "__corrupt_record"
+    lines = spark.read.text(path).where(F.length("value") > 0)
+    parsed_struct = F.from_json(
+        F.col("value"),
+        f"{schema}, {corrupt} string",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
+    )
+    df = lines.select(parsed_struct.alias("__p"), "value")
+    parsed = df.where(F.col(f"__p.{corrupt}").isNull()).select("__p.*").drop(
+        corrupt
+    )
+    quarantined = df.where(F.col(f"__p.{corrupt}").isNotNull()).select(
+        F.col("value").alias("raw")
+    )
+    return parsed, quarantined

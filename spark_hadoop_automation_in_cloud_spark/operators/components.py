@@ -520,6 +520,20 @@ def triangle_count(
     drop.  Output: node (as ``src_col``'s name), tri_count (bigint),
     top-k by (tri_count DESC, node ASC) — deterministic total order.
     """
+    per_node, _ = _node_triangles_and_degrees(edges, src_col, dst_col)
+    return (
+        per_node.select(F.col("node").alias(src_col), "tri_count")
+        .orderBy(F.col("tri_count").desc(), F.col(src_col).asc())
+        .limit(topk)
+    )
+
+
+def _node_triangles_and_degrees(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared enumeration core of :func:`triangle_count` and
+    :func:`clustering_coefficient`: (per-node triangle counts, per-node
+    degrees) over the normalized undirected graph."""
     u, v = F.col(src_col), F.col(dst_col)
     e = (
         edges.where(u != v)
@@ -556,11 +570,109 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tri_count"))
     )
+    return per_node, deg
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    topk: int = 50,
+    min_degree: int = 2,
+) -> DataFrame:
+    """Local clustering coefficient, top-k: ``2·triangles(v) /
+    (d(v)·(d(v)−1))`` — how close each node's neighborhood is to a
+    clique, the community-core metric that normalizes q161's raw
+    triangle counts by opportunity (a degree-100 node in 10 triangles
+    is loose; a degree-5 node in 10 is a clique).
+
+    Same enumeration core as :func:`triangle_count` (degree-oriented,
+    O(m^1.5) wedges — TRIANGLES.json has the A/B); the coefficient adds
+    one left join back to the degree table (nodes in no triangle score
+    0, not absent) and one row-local division of exact bigints.  Nodes
+    below ``min_degree`` drop (coefficient undefined).  Deterministic
+    order: (coefficient DESC, degree DESC, node ASC).
+
+    Output: node (as ``src_col``), degree, tri_count (bigint),
+    clustering_coef (double 6dp).
+    """
+    per_node, deg = _node_triangles_and_degrees(edges, src_col, dst_col)
+    joined = deg.where(F.col("d") >= min_degree).join(per_node, "node", "left")
+    tri = F.coalesce(F.col("tri_count"), F.lit(0)).cast("bigint")
+    coef = F.round(
+        (2.0 * tri.cast("double"))
+        / (F.col("d").cast("double") * (F.col("d").cast("double") - 1.0)),
+        6,
+    )
     return (
-        per_node.select(F.col("node").alias(src_col), "tri_count")
-        .orderBy(F.col("tri_count").desc(), F.col(src_col).asc())
+        joined.select(
+            F.col("node").alias(src_col),
+            F.col("d").cast("bigint").alias("degree"),
+            tri.alias("tri_count"),
+            (coef + F.lit(0.0)).alias("clustering_coef"),
+        )
+        .orderBy(
+            F.col("clustering_coef").desc(),
+            F.col("degree").desc(),
+            F.col(src_col).asc(),
+        )
         .limit(topk)
     )
+
+
+def sql_clustering_coefficient(
+    edges_sql: str,
+    src_col: str,
+    dst_col: str,
+    topk: int = 50,
+    min_degree: int = 2,
+) -> str:
+    """DuckDB twin of :func:`clustering_coefficient`: the q161 CTE chain
+    plus the degree left-join and the identical division/order."""
+    return f"""
+WITH e AS (
+  SELECT DISTINCT least({src_col}, {dst_col}) AS u,
+                  greatest({src_col}, {dst_col}) AS v
+  FROM ({edges_sql}) WHERE {src_col} <> {dst_col}
+),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS a,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS b,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND e.u < e.v)
+              THEN db.d ELSE da.d END AS bd
+  FROM e JOIN deg da ON da.node = e.u JOIN deg db ON db.node = e.v
+),
+wedges AS (
+  SELECT o1.a, o1.b AS x, o2.b AS y
+  FROM o o1 JOIN o o2 ON o1.a = o2.a
+  WHERE o1.bd < o2.bd OR (o1.bd = o2.bd AND o1.b < o2.b)
+),
+tri AS (
+  SELECT w.a, w.x, w.y FROM wedges w JOIN o ON o.a = w.x AND o.b = w.y
+),
+per_node AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_count
+  FROM (SELECT a AS node FROM tri UNION ALL SELECT x FROM tri
+        UNION ALL SELECT y FROM tri)
+  GROUP BY node
+)
+SELECT d.node AS {src_col},
+       CAST(d.d AS BIGINT) AS degree,
+       CAST(COALESCE(p.tri_count, 0) AS BIGINT) AS tri_count,
+       round(2.0 * CAST(COALESCE(p.tri_count, 0) AS DOUBLE)
+             / (CAST(d.d AS DOUBLE) * (CAST(d.d AS DOUBLE) - 1.0)), 6) + 0.0
+         AS clustering_coef
+FROM deg d LEFT JOIN per_node p ON p.node = d.node
+WHERE d.d >= {min_degree}
+ORDER BY clustering_coef DESC, degree DESC, {src_col} ASC
+LIMIT {topk}
+"""
 
 
 def sql_triangle_count(edges_sql: str, src_col: str, dst_col: str, topk: int = 50) -> str:

@@ -465,3 +465,83 @@ WITH ranked AS (
 SELECT {strata}, {id_col}, {tickets_alias}, sample_rank
 FROM ranked WHERE sample_rank <= {k}
 """
+
+
+def correlated_sample(
+    root: DataFrame,
+    key_col: str,
+    children: dict[str, tuple[DataFrame, str]],
+    rate_num: int = 1,
+    rate_den: int = 10,
+    salt: str = ":corr",
+) -> dict[str, DataFrame]:
+    """Referential-integrity-preserving sampling: hash-gate the ROOT
+    entity (keep keys whose 60-bit sample key falls in the lowest
+    ``rate_num/rate_den`` slice) and keep EVERY child row belonging to
+    a kept root — the dev-dataset cut that row-independent sampling
+    cannot give (independent 10% samples of customers and their orders
+    share ~1% of joinable pairs; this keeps 10% of customers WITH 100%
+    of their orders, so every downstream join still works).
+
+    ``children`` maps a name to (DataFrame, fk_col).  The gate is
+    row-local on the root (the :func:`sample_key` md5 slice — no RNG
+    state, replayable on any engine); children filter by semi-join on
+    the kept keys (shuffle on the FK — at 100 TB the kept-key side is
+    rate × |roots| and broadcast-eligible at practical rates).
+
+    Deterministic: same salt → same sample, run over run — the property
+    a refreshable dev snapshot needs.  Returns ``{"root": kept_root,
+    **{name: kept_child}}``.
+    """
+    dec = "decimal(38,0)"
+    gate = sample_key(F.col(key_col), salt).cast(dec) * rate_den < F.lit(
+        rate_num
+    ).cast(dec) * F.lit(1 << 60).cast(dec)
+    kept_root = root.where(gate)
+    keys = kept_root.select(key_col).distinct()
+    out = {"root": kept_root}
+    for name, (child, fk) in children.items():
+        out[name] = child.join(
+            keys.select(F.col(key_col).alias(fk)), fk, "left_semi"
+        )
+    return out
+
+
+def sql_correlated_sample_counts(
+    root_src: str,
+    key_expr: str,
+    children: dict[str, tuple[str, str]],
+    rate_num: int = 1,
+    rate_den: int = 10,
+    salt: str = ":corr",
+) -> str:
+    """DuckDB twin of the :func:`correlated_sample` AUDIT frame (one row
+    per table: kept/total counts and the kept share) — children given
+    as ``{name: (src_sql, fk_expr)}``."""
+    gate = (
+        f"CAST({sql_sample_key(key_expr, salt)} AS HUGEINT) * {rate_den} "
+        f"< {rate_num} * (CAST(1 AS HUGEINT) << 60)"
+    )
+    parts = [
+        f"""
+SELECT 'root' AS tbl,
+       CAST(SUM(CASE WHEN {gate} THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       CAST(COUNT(*) AS BIGINT) AS total
+FROM ({root_src})"""
+    ]
+    keys = f"SELECT {key_expr} AS k FROM ({root_src}) WHERE {gate}"
+    for name, (src, fk) in children.items():
+        parts.append(
+            f"""
+SELECT '{name}' AS tbl,
+       CAST(SUM(CASE WHEN {fk} IN ({keys}) THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept,
+       CAST(COUNT(*) AS BIGINT) AS total
+FROM ({src})"""
+        )
+    u = "\nUNION ALL\n".join(parts)
+    return f"""
+SELECT tbl, kept, total,
+       round(CAST(kept AS DOUBLE) / total, 6) AS kept_share
+FROM ({u}) ORDER BY tbl
+"""

@@ -97,18 +97,20 @@ def register(name: str, sql: str | None, doc: str = ""):
 #     (two-proportion A/B z-test), q174 (streaming volume monitor —
 #     shares q170's oracle verbatim), q175 (KS drift on the sketch
 #     grid — q155's stated 100 TB form), q176 (TPC-H Q11-shape global
-#     revenue share), q177 (TPC-H Q22-shape dormant-rich anti-join):
+#     revenue share), q177 (TPC-H Q22-shape dormant-rich anti-join),
+#     q178 (correlated dev-dataset sampling), q179 (JSON dead-letter
+#     quarantine ingest), q180 (local clustering coefficient):
 #     registered AFTER this window
 #     was
 #     allocated and verified — they ride r08's never-stamped block per
 #     the standing rule (each parity-green at sf0.001/0.01 at
 #     registration, swept by tests/test_oracle_parity.py every run);
 #   - the remaining 11 r04 rows — q82, q84, q85, q86, q87, q88, q90,
-#     q91, q92, q97, q101 — MUST lead the r08 window alongside the 25
+#     q91, q92, q97, q101 — MUST lead the r08 window alongside the 28
 #     never-stamped rows above and the 41 r05-stamped rows that reach
-#     the age-2 bound during r07 (25 + 11 + 41 = 77 — r08 is
-#     oversubscribed by 27, so per the standing order (changed kernels,
-#     then never-stamped, then oldest-stamp-first) the 27
+#     the age-2 bound during r07 (28 + 11 + 41 = 80 — r08 is
+#     oversubscribed by 30, so per the standing order (changed kernels,
+#     then never-stamped, then oldest-stamp-first) the 30
 #     freshest-registered r05 rows spill to r09; re-derive from
 #     tools/stamps.py when allocating);
 #   - q105: its oracle-SQL helper (_q105_sql) grew an optional
@@ -7584,3 +7586,173 @@ def q177_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.sampling import (  # noqa: E402
+    correlated_sample,
+    sql_correlated_sample_counts,
+)
+
+
+@register(
+    "q178_correlated_sample_audit",
+    f"""
+WITH base AS (
+{sql_correlated_sample_counts(
+    "SELECT c_custkey FROM customer",
+    "c_custkey",
+    {"orders": ("SELECT o_custkey, o_orderkey FROM orders", "o_custkey")},
+)}
+),
+li AS (
+  SELECT 'lineitem' AS tbl,
+         CAST(SUM(CASE WHEN l_orderkey IN (
+           SELECT o_orderkey FROM orders WHERE o_custkey IN (
+             SELECT c_custkey FROM customer
+             WHERE {{gate}}
+           )
+         ) THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+         CAST(COUNT(*) AS BIGINT) AS total
+  FROM lineitem
+)
+SELECT tbl, kept, total, round(CAST(kept AS DOUBLE) / total, 6) AS kept_share
+FROM (SELECT tbl, kept, total FROM base UNION ALL SELECT tbl, kept, total FROM li)
+ORDER BY tbl
+""".replace(
+        "{gate}",
+        "CAST("
+        + sampling.sql_sample_key("c_custkey", ":corr")
+        + " AS HUGEINT) * 10 < 1 * (CAST(1 AS HUGEINT) << 60)",
+    ),
+    doc="Referential-integrity-preserving dev-dataset sampling "
+    "(operators/sampling.py correlated_sample): hash-gate 10% of "
+    "customers and keep 100% of THEIR orders, then 100% of those "
+    "orders' lineitems — the correlated cascade row-independent "
+    "sampling cannot give (independent 10% cuts of two joined tables "
+    "share ~1% of joinable pairs; this keeps every downstream join "
+    "intact). The gate is the row-local md5 sample key shared by the "
+    "whole sampling family — deterministic run over run, replayable "
+    "by the oracle bit-for-bit; children filter by semi-join on the "
+    "kept keys (broadcast-eligible at practical rates). Output is the "
+    "per-table audit frame (kept/total/share).",
+)
+def q178_correlated_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    kept = correlated_sample(
+        c.select("c_custkey"), "c_custkey", {"orders": (o, "o_custkey")}
+    )
+    kept_li = li.join(
+        kept["orders"].select(F.col("o_orderkey").alias("l_orderkey")).distinct(),
+        "l_orderkey",
+        "left_semi",
+    )
+    rows = [
+        ("lineitem", kept_li, li),
+        ("orders", kept["orders"], o),
+        ("root", kept["root"], c),
+    ]
+    audit = None
+    for name, k, full in rows:
+        frame = k.agg(F.count(F.lit(1)).cast("bigint").alias("kept")).crossJoin(
+            full.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+        ).select(F.lit(name).alias("tbl"), "kept", "total")
+        audit = frame if audit is None else audit.unionByName(frame)
+    return audit.select(
+        "tbl",
+        "kept",
+        "total",
+        F.round(F.col("kept").cast("double") / F.col("total"), 6).alias(
+            "kept_share"
+        ),
+    ).orderBy("tbl")
+
+
+@register(
+    "q179_json_quarantine_ingest",
+    """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM documents GROUP BY source
+UNION ALL
+SELECT '__quarantined__' AS source, CAST(7 AS BIGINT) AS n_rows
+ORDER BY source
+""",
+    doc="Dead-letter JSON ingest (io.read_json_quarantine): the corpus "
+    "round-trips through JSON lines plus 7 deliberately malformed "
+    "lines; the schema-enforced PERMISSIVE read splits typed rows from "
+    "quarantined raw lines in ONE scan (null-test on the corrupt-"
+    "record column — no per-line Python, no second parse). The value "
+    "hash proves end-to-end losslessness: per-source parsed counts "
+    "equal the parquet source of truth exactly and the quarantine "
+    "count equals exactly the injected garbage — a malformed line "
+    "neither kills the job (FAILFAST) nor silently becomes an all-NULL "
+    "row (plain PERMISSIVE). Tempdir materialize-and-rmtree is the "
+    "q111/q117 idiom.",
+)
+def q179_json_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from spark_hadoop_automation_in_cloud_spark.io import read_json_quarantine
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    root = tempfile.mkdtemp(prefix="q179_")
+    try:
+        d.write.mode("overwrite").json(f"{root}/landing")
+        with open(f"{root}/landing/part-corrupt.json", "w") as f:
+            for i in range(7):
+                f.write(f'{{"doc_id": {i}, "text": BROKEN-{i}\n')
+        parsed, quarantined = read_json_quarantine(
+            spark,
+            f"{root}/landing",
+            "doc_id bigint, text string, lang string, source string",
+        )
+        out = parsed.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows")
+        ).unionByName(
+            quarantined.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows")
+            ).select(F.lit("__quarantined__").alias("source"), "n_rows")
+        ).orderBy("source")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.components import (  # noqa: E402
+    clustering_coefficient,
+    sql_clustering_coefficient,
+)
+
+
+@register(
+    "q180_clustering_coefficient",
+    sql_clustering_coefficient(_Q161_EDGES_SQL, "p1", "p2", topk=50),
+    doc="Local clustering coefficient over the q161 co-purchase graph "
+    "(operators/components.py clustering_coefficient): 2*tri / "
+    "(d*(d-1)) per node — q161's raw counts normalized by opportunity "
+    "(a degree-100 node in 10 triangles is loose; a degree-5 node in "
+    "10 is a clique core). Shares the degree-oriented enumeration "
+    "core verbatim (_node_triangles_and_degrees — TRIANGLES.json has "
+    "the orientation A/B); adds one left join back to the degree "
+    "table (triangle-free nodes score 0, not absent) and one "
+    "row-local division of exact bigints. Degree-<2 nodes drop "
+    "(undefined). Deterministic (coef DESC, degree DESC, node ASC) "
+    "top-50.",
+)
+def q180_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= 2)
+        .select("p1", "p2")
+    )
+    return clustering_coefficient(edges, "p1", "p2", topk=50)

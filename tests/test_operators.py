@@ -2815,3 +2815,65 @@ def test_two_proportion_ztest_hand_values(spark):
     assert (r["n_a"], r["s_a"], r["n_b"], r["s_b"]) == (100, 30, 100, 20)
     assert r["z"] == want
     assert r["significant_95"] == 0  # z ≈ 1.633 < 1.96
+
+
+def test_correlated_sample_preserves_referential_integrity(spark):
+    """Every child row whose root was kept survives, none whose root was
+    dropped does; the same salt reproduces the identical sample."""
+    from spark_hadoop_automation_in_cloud_spark.operators.sampling import correlated_sample
+
+    root = spark.createDataFrame([(i,) for i in range(200)], "k bigint")
+    child = spark.createDataFrame(
+        [(i % 200, i) for i in range(1000)], "fk bigint, payload bigint"
+    )
+    out = correlated_sample(root, "k", {"c": (child, "fk")}, rate_num=3, rate_den=10)
+    kept_keys = {r["k"] for r in out["root"].collect()}
+    child_keys = {r["fk"] for r in out["c"].collect()}
+    assert child_keys == {k for k in kept_keys if k in range(200)}
+    # every kept root's children ALL survive
+    per_key = out["c"].groupBy("fk").count().collect()
+    assert all(r["count"] == 5 for r in per_key)
+    # deterministic: rerun equals
+    again = correlated_sample(root, "k", {"c": (child, "fk")}, rate_num=3, rate_den=10)
+    assert {r["k"] for r in again["root"].collect()} == kept_keys
+
+
+def test_read_json_quarantine_splits_and_preserves_raw(spark, tmp_path):
+    from spark_hadoop_automation_in_cloud_spark.io import read_json_quarantine
+
+    p = tmp_path / "landing"
+    p.mkdir()
+    (p / "good.json").write_text(
+        '{"id": 1, "s": "a"}\n{"id": 2, "s": "b"}\n{"id": 3}\n'
+    )
+    (p / "bad.json").write_text('{"id": 4, "s": BROKEN\nnot json at all\n')
+    parsed, quarantined = read_json_quarantine(spark, str(p), "id bigint, s string")
+    rows = {r["id"]: r["s"] for r in parsed.collect()}
+    # missing-field line still parses (schema evolution, not quarantine)
+    assert rows == {1: "a", 2: "b", 3: None}
+    raw = sorted(r["raw"] for r in quarantined.collect())
+    assert raw == ["not json at all", '{"id": 4, "s": BROKEN']
+
+
+def test_clustering_coefficient_hand_graph(spark):
+    """K3 plus a pendant: triangle nodes score 1.0; the degree-2 bridge
+    node in no triangle scores 0; the pendant (degree 1) is absent."""
+    from spark_hadoop_automation_in_cloud_spark.operators.components import (
+        clustering_coefficient,
+    )
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5), (5, 6)]
+    # nodes 1,2: deg 2 in 1 triangle -> 1.0; 3: deg 4, 2 triangles -> 4/12
+    # 4: deg 2 in triangle {3,4,5} -> 1.0; 5: deg 3, 1 tri -> 2/6; 6: deg 1 absent
+    df = spark.createDataFrame(edges, "u bigint, v bigint")
+    got = {
+        r["u"]: (r["degree"], r["tri_count"], r["clustering_coef"])
+        for r in clustering_coefficient(df, "u", "v").collect()
+    }
+    assert got == {
+        1: (2, 1, 1.0),
+        2: (2, 1, 1.0),
+        4: (2, 1, 1.0),
+        5: (3, 1, round(1 / 3, 6)),
+        3: (4, 2, round(2 / 6, 6)),
+    }
