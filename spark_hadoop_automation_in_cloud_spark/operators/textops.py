@@ -1375,3 +1375,106 @@ FROM (
 )
 WHERE rnk <= {top_n}
 """
+
+
+# --- hash-kernel linear scoring (JVM-native model inference) -----------------
+
+#: hash-kernel geometry shared verbatim by the SQL twin
+HK_NGRAM = 3
+HK_WEIGHT_RANGE = 1000  # per-gram integer weights in [-1000, 1000]
+
+
+def hash_kernel_scores(
+    df: DataFrame, id_col: str, text_col: str, salt: str = ":hk"
+) -> DataFrame:
+    """Linear-model inference over hashed character n-gram features,
+    entirely JVM-side — the fastText-style scoring shape (hash the
+    gram, look up its weight, sum, squash) with zero Python in the
+    loop: the complement of the Arrow inference seam (q144 ships a
+    real model ACROSS the Python boundary; this shows a linear model
+    needs no boundary at all).
+
+    Weights are derived, not stored: ``w(g) = (md5_int(g‖salt) mod
+    (2·R+1)) − R`` — a deterministic hash kernel both engines replay
+    bit-for-bit, standing in for trained weights (a real deployment
+    substitutes a broadcast bucket→weight array; the plan shape is
+    identical).  Per document the gram weights sum EXACTLY (integer
+    accumulator inside one row-local ``aggregate`` — no explode, no
+    shuffle, nothing leaves the scan stage), then one double division
+    and a sigmoid.
+
+    Text is lowercased and stripped to printable ASCII first: Spark
+    indexes substrings by UTF-16 code unit, DuckDB by codepoint — the
+    same astral divergence the BPE trainer sidesteps, removed the same
+    way.  Documents with no complete n-gram after stripping drop.
+
+    Output: doc_id, n_grams (bigint), score (double 6dp, sigmoid of
+    the mean gram weight), pred (int, score > 0.5).
+    """
+    n, r = HK_NGRAM, HK_WEIGHT_RANGE
+    stripped = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_replace(F.lower(F.col(text_col)), "[^ -~]", "").alias("__t"),
+    )
+    t = F.col("__t")
+    cnt = F.length(t) - (n - 1)
+    gram = lambda i: F.substr(t, i, F.lit(n))  # noqa: E731
+    w = lambda i: (  # noqa: E731
+        md5_int_expr(F.concat(gram(i), F.lit(salt))) % (2 * r + 1) - r
+    )
+    ssum = F.aggregate(
+        F.transform(F.sequence(F.lit(1), cnt), w),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    mean = ssum.cast("double") / (float(r) * cnt.cast("double"))
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean)), 6)
+    return stripped.where(cnt.isNotNull() & (cnt >= 1)).select(
+        "doc_id",
+        cnt.cast("bigint").alias("n_grams"),
+        (score + F.lit(0.0)).alias("score"),
+        F.when(score > 0.5, 1).otherwise(0).alias("pred"),
+    )
+
+
+def md5_int_expr(c: Column) -> Column:
+    """First 8 hex chars of md5 as BIGINT — the gram-weight hash (a
+    Column-input variant of functions.hashing.md5_prefix_int, which
+    takes the id column pre-concat)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def sql_hash_kernel_scores(
+    src: str, id_col: str, text_col: str, salt: str = ":hk"
+) -> str:
+    """DuckDB twin of :func:`hash_kernel_scores`: identical strip,
+    gram hash, integer weight sum (list_transform over range — empty
+    below one gram), division and sigmoid."""
+    n, r = HK_NGRAM, HK_WEIGHT_RANGE
+    esc = salt.replace("'", "''")
+    t = f"regexp_replace(lower({text_col}), '[^ -~]', '', 'g')"
+    w = (
+        f"(CAST(('0x' || substr(md5(substr(t, i, {n}) || '{esc}'), 1, 8)) "
+        f"AS BIGINT) % {2 * r + 1}) - {r}"
+    )
+    return f"""
+WITH stripped AS (
+  SELECT {id_col} AS doc_id, {t} AS t,
+         length({t}) - {n - 1} AS cnt
+  FROM {src}
+),
+summed AS (
+  SELECT doc_id, cnt,
+         COALESCE(list_sum(list_transform(range(1, cnt + 1), i -> {w})), 0)
+           AS ssum
+  FROM stripped WHERE cnt >= 1
+)
+SELECT doc_id, CAST(cnt AS BIGINT) AS n_grams,
+       round(1.0 / (1.0 + exp(-(CAST(ssum AS DOUBLE)
+                                / ({r}.0 * CAST(cnt AS DOUBLE))))), 6) + 0.0
+         AS score,
+       CASE WHEN round(1.0 / (1.0 + exp(-(CAST(ssum AS DOUBLE)
+                / ({r}.0 * CAST(cnt AS DOUBLE))))), 6) > 0.5
+            THEN 1 ELSE 0 END AS pred
+FROM summed
+"""

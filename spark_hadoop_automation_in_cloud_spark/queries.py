@@ -99,18 +99,19 @@ def register(name: str, sql: str | None, doc: str = ""):
 #     grid — q155's stated 100 TB form), q176 (TPC-H Q11-shape global
 #     revenue share), q177 (TPC-H Q22-shape dormant-rich anti-join),
 #     q178 (correlated dev-dataset sampling), q179 (JSON dead-letter
-#     quarantine ingest), q180 (local clustering coefficient):
-#     registered AFTER this window
+#     quarantine ingest), q180 (local clustering coefficient), q181
+#     (JVM-native hash-kernel linear scoring), q182 (temperature
+#     mixture sampling): registered AFTER this window
 #     was
 #     allocated and verified — they ride r08's never-stamped block per
 #     the standing rule (each parity-green at sf0.001/0.01 at
 #     registration, swept by tests/test_oracle_parity.py every run);
 #   - the remaining 11 r04 rows — q82, q84, q85, q86, q87, q88, q90,
-#     q91, q92, q97, q101 — MUST lead the r08 window alongside the 28
+#     q91, q92, q97, q101 — MUST lead the r08 window alongside the 30
 #     never-stamped rows above and the 41 r05-stamped rows that reach
-#     the age-2 bound during r07 (28 + 11 + 41 = 80 — r08 is
-#     oversubscribed by 30, so per the standing order (changed kernels,
-#     then never-stamped, then oldest-stamp-first) the 30
+#     the age-2 bound during r07 (30 + 11 + 41 = 82 — r08 is
+#     oversubscribed by 32, so per the standing order (changed kernels,
+#     then never-stamped, then oldest-stamp-first) the 32
 #     freshest-registered r05 rows spill to r09; re-derive from
 #     tools/stamps.py when allocating);
 #   - q105: its oracle-SQL helper (_q105_sql) grew an optional
@@ -7756,3 +7757,86 @@ def q180_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p1", "p2")
     )
     return clustering_coefficient(edges, "p1", "p2", topk=50)
+
+
+@register(
+    "q181_hash_kernel_scores",
+    tx.sql_hash_kernel_scores("documents", "doc_id", "text"),
+    doc="fastText-shaped linear inference, JVM-native (operators/"
+    "textops.py hash_kernel_scores): hashed char-3-gram features -> "
+    "integer weight lookup -> exact row-local sum -> sigmoid, with "
+    "ZERO Python in the loop — the complement of the Arrow inference "
+    "seam (q144 crosses the boundary for a real model; this shows a "
+    "linear model needs no boundary). Weights derive from the gram "
+    "hash (a real deployment broadcasts a trained bucket->weight "
+    "array; identical plan shape). Everything happens inside the scan "
+    "stage: no explode, no shuffle, no UDF — the gram loop is one "
+    "aggregate() expression in whole-stage codegen. ASCII-stripped "
+    "first (UTF-16 vs codepoint indexing, the BPE note).",
+)
+def q181_hash_kernel_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    return tx.hash_kernel_scores(d, "doc_id", "text")
+
+
+@register(
+    "q182_temperature_mixture",
+    f"""
+WITH sized AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(round(sqrt(COUNT(*)) * 1000000) AS BIGINT) AS sg
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(sg) AS tsg FROM sized),
+targets AS (
+  SELECT s.source, s.n, CAST((s.sg * 200) // t.tsg AS BIGINT) AS target_k
+  FROM sized s CROSS JOIN tot t
+),
+ranked AS (
+  SELECT d.source, d.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+           ORDER BY {sampling.sql_sample_key("d.doc_id", ":temp")} ASC,
+                    d.doc_id ASC) AS rn
+  FROM documents d
+)
+SELECT r.source, r.doc_id, CAST(r.rn AS BIGINT) AS source_rank,
+       t.target_k
+FROM ranked r JOIN targets t ON t.source = r.source
+WHERE r.rn <= t.target_k
+ORDER BY r.source, source_rank
+""",
+    doc="Temperature-based mixture sampling (the Pile/LLaMA mixing "
+    "math, alpha = 0.5): per-source budgets proportional to n^alpha "
+    "flatten the source distribution — big sources down-weighted, "
+    "small ones kept — then each source contributes its "
+    "deterministically-cheapest docs by the family's md5 sample key. "
+    "Cross-engine exactness: sqrt(n) snaps to the 1e-6 grid as a "
+    "bigint BEFORE the budget split, and target_k is an exact integer "
+    "division (sg*200 DIV total — floor of a ratio of exact ints; "
+    "never floor a float share, ulp flips it). ONE aggregate for "
+    "sizes, a |sources|-row broadcast, per-source ranking windows "
+    "that parallelize (at 100 TB, the q123 oversample-trim replaces "
+    "the full window — same result, survivor-sized sort).",
+)
+def q182_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    sized = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    sg = F.round(F.sqrt(F.col("n").cast("double")) * 1_000_000).cast("bigint")
+    sized = sized.select("source", "n", sg.alias("sg"))
+    tot = sized.agg(F.sum("sg").alias("tsg"))
+    targets = sized.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr("(sg * 200) DIV tsg").cast("bigint").alias("target_k"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        sampling.sample_key(F.col("doc_id"), ":temp").asc(), F.col("doc_id").asc()
+    )
+    ranked = d.select("source", "doc_id").withColumn(
+        "source_rank", F.row_number().over(w).cast("bigint")
+    )
+    return (
+        ranked.join(F.broadcast(targets), "source")
+        .where(F.col("source_rank") <= F.col("target_k"))
+        .select("source", "doc_id", "source_rank", "target_k")
+        .orderBy("source", "source_rank")
+    )

@@ -419,6 +419,11 @@ BNLJ_INTENDED = {
     "q151_freshness_report": 1,    # 1-row max-ts anchor broadcast
     "q164_pmi_collocations": 1,    # 1-row bigram-total broadcast
     "q167_k_anonymity_audit": 1,   # 1-row row-total broadcast
+    "q172_langid_kappa": 1,        # 1-row (tot, agree) x pe_num cross
+    "q176_revenue_share_parts": 1,  # 1-row revenue-total broadcast
+    "q177_idle_rich_customers": 1,  # 1-row (sum_cents, n) broadcast
+    "q178_correlated_sample_audit": 3,  # 3x 1-row kept x total count cross
+    "q182_temperature_mixture": 1,  # 1-row sqrt-grid total broadcast
 }
 
 #: queries whose SinglePartition window sort is fed by a CALENDAR-bounded
