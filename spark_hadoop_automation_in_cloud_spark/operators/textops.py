@@ -1478,3 +1478,143 @@ SELECT doc_id, CAST(cnt AS BIGINT) AS n_grams,
             THEN 1 ELSE 0 END AS pred
 FROM summed
 """
+
+
+def jm_bigram_lm_scores(
+    docs: DataFrame,
+    train: DataFrame,
+    id_col: str,
+    text_col: str,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram LM scoring:
+    ``P(w2|w1) = lam·P_ML(w2|w1) + (1−lam)·P_add1(w2)`` — the
+    smoothing upgrade of :func:`bigram_lm_scores` (whose add-alpha
+    conditional wastes mass uniformly): an unseen PAIR backs off to
+    the unigram frequency of its second word instead of the uniform
+    floor, so 'the zzqx' scores worse than 'the cat' even when neither
+    pair was observed — the backoff behavior every production LM
+    filter (CCNet's KenLM) exhibits.
+
+    ``P_ML = c(w1,w2)/c1(w1)`` (0 when the context is unseen);
+    ``P_add1(w2) = (cu(w2)+1)/(T+V+1)`` with token total ``T`` and
+    vocab ``V`` (+1 OOV bucket) — the mixture is strictly positive,
+    so every bigram has a finite log-prob.
+
+    Distributed shape (q141's, plus one unigram join): row-local
+    bigram extraction, model = three aggregates of the train scan,
+    scoring = three left equi-joins + a 1-row stats broadcast +
+    per-doc aggregation; per-pair log-probs snap to the 1e-6 integer
+    grid and sum exactly.  Output: doc_id, n_bigrams, n_unseen_pairs
+    (bigint), avg_neg_logprob (6dp); sub-two-token docs have no row.
+    """
+    pairs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_bigram_pairs(text_col)).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    tpairs = train.select(F.explode(_bigram_pairs(text_col)).alias("p")).select(
+        "p.w1", "p.w2"
+    )
+    c2 = tpairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
+    c1 = c2.groupBy("w1").agg(F.sum("cnt2").alias("cnt1"))
+    toks = train.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).where(F.col("w") != "")
+    cu = toks.groupBy(F.col("w").alias("w2")).agg(
+        F.count(F.lit(1)).alias("cntu")
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("t_total"),
+        F.count_distinct("w").alias("v_size"),
+    )
+    p_ml = F.when(
+        F.col("cnt1").isNotNull() & F.col("cnt2").isNotNull(),
+        F.col("cnt2").cast("double") / F.col("cnt1").cast("double"),
+    ).otherwise(F.lit(0.0))
+    p_uni = (F.coalesce(F.col("cntu"), F.lit(0)).cast("double") + 1.0) / (
+        F.col("t_total").cast("double") + F.col("v_size").cast("double") + 1.0
+    )
+    q = F.round(F.log(lam * p_ml + (1.0 - lam) * p_uni) * 1_000_000).cast(
+        "bigint"
+    )
+    scored = (
+        pairs.join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .join(cu, ["w2"], "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            q.alias("__q"),
+            F.when(F.col("cnt2").isNull(), 1).otherwise(0).alias("__unseen"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("__unseen").cast("bigint").alias("n_unseen_pairs"),
+        F.round(
+            -F.sum("__q").cast("double") / (F.count(F.lit(1)) * 1_000_000.0), 6
+        ).alias("avg_neg_logprob"),
+    )
+
+
+def sql_jm_bigram_lm_scores(
+    docs_src: str,
+    train_pred: str,
+    id_col: str,
+    text_col: str,
+    lam: float = 0.7,
+) -> str:
+    """DuckDB twin of :func:`jm_bigram_lm_scores` — the q141 template
+    conventions (parameterized train CTE, list_zip bigrams, 1e-6
+    grid) with the interpolated probability."""
+
+    def bigrams(from_clause: str) -> str:
+        return (
+            f"SELECT {id_col} AS doc_id, p[1] AS w1, p[2] AS w2 FROM ("
+            f"  SELECT {id_col}, unnest(list_zip(l, l[2:])) AS p FROM ("
+            f"    SELECT {id_col}, string_split({text_col}, ' ') AS l"
+            f" FROM {from_clause}"
+            f"  )"
+            f") WHERE p[2] IS NOT NULL"
+        )
+
+    return f"""
+WITH pairs AS ({bigrams(docs_src)}),
+tpairs AS (
+  SELECT w1, w2 FROM ({bigrams(f"{docs_src} WHERE {train_pred}")})
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM tpairs GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(cnt2) AS cnt1 FROM c2 GROUP BY 1),
+toks AS (
+  SELECT unnest(string_split({text_col}, ' ')) AS w
+  FROM {docs_src} WHERE {train_pred}
+),
+toks_nz AS (SELECT w FROM toks WHERE w <> ''),
+cu AS (SELECT w AS w2, COUNT(*) AS cntu FROM toks_nz GROUP BY 1),
+stats AS (
+  SELECT COUNT(*) AS t_total, COUNT(DISTINCT w) AS v_size FROM toks_nz
+),
+scored AS (
+  SELECT p.doc_id,
+         CAST(round(ln({lam} * (CASE WHEN c1.cnt1 IS NOT NULL
+                                       AND c2.cnt2 IS NOT NULL
+                    THEN CAST(c2.cnt2 AS DOUBLE) / CAST(c1.cnt1 AS DOUBLE)
+                    ELSE 0.0 END)
+               + {1.0 - lam} * ((CAST(COALESCE(cu.cntu, 0) AS DOUBLE) + 1.0)
+                    / (CAST(s.t_total AS DOUBLE)
+                       + CAST(s.v_size AS DOUBLE) + 1.0)))
+                    * 1000000) AS BIGINT) AS q,
+         CASE WHEN c2.cnt2 IS NULL THEN 1 ELSE 0 END AS unseen
+  FROM pairs p
+  LEFT JOIN c2 ON c2.w1 = p.w1 AND c2.w2 = p.w2
+  LEFT JOIN c1 ON c1.w1 = p.w1
+  LEFT JOIN cu ON cu.w2 = p.w2
+  CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(unseen) AS BIGINT) AS n_unseen_pairs,
+       round(-CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0), 6)
+         AS avg_neg_logprob
+FROM scored GROUP BY doc_id
+"""

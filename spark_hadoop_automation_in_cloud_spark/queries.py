@@ -101,17 +101,18 @@ def register(name: str, sql: str | None, doc: str = ""):
 #     q178 (correlated dev-dataset sampling), q179 (JSON dead-letter
 #     quarantine ingest), q180 (local clustering coefficient), q181
 #     (JVM-native hash-kernel linear scoring), q182 (temperature
-#     mixture sampling): registered AFTER this window
+#     mixture sampling), q183 (rolling 7-day actives), q184
+#     (Jelinek-Mercer interpolated LM): registered AFTER this window
 #     was
 #     allocated and verified — they ride r08's never-stamped block per
 #     the standing rule (each parity-green at sf0.001/0.01 at
 #     registration, swept by tests/test_oracle_parity.py every run);
 #   - the remaining 11 r04 rows — q82, q84, q85, q86, q87, q88, q90,
-#     q91, q92, q97, q101 — MUST lead the r08 window alongside the 30
+#     q91, q92, q97, q101 — MUST lead the r08 window alongside the 32
 #     never-stamped rows above and the 41 r05-stamped rows that reach
-#     the age-2 bound during r07 (30 + 11 + 41 = 82 — r08 is
-#     oversubscribed by 32, so per the standing order (changed kernels,
-#     then never-stamped, then oldest-stamp-first) the 32
+#     the age-2 bound during r07 (32 + 11 + 41 = 84 — r08 is
+#     oversubscribed by 34, so per the standing order (changed kernels,
+#     then never-stamped, then oldest-stamp-first) the 34
 #     freshest-registered r05 rows spill to r09; re-derive from
 #     tools/stamps.py when allocating);
 #   - q105: its oracle-SQL helper (_q105_sql) grew an optional
@@ -7839,4 +7840,77 @@ def q182_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("source_rank") <= F.col("target_k"))
         .select("source", "doc_id", "source_rank", "target_k")
         .orderBy("source", "source_rank")
+    )
+
+
+@register(
+    "q183_rolling_weekly_actives",
+    """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+bounds AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM du),
+expanded AS (
+  SELECT du.user_id, unnest(generate_series(du.d, du.d + INTERVAL 6 DAY,
+                                            INTERVAL 1 DAY)) AS wd
+  FROM du
+)
+SELECT strftime(CAST(e.wd AS DATE), '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau
+FROM expanded e CROSS JOIN bounds b
+WHERE CAST(e.wd AS DATE) BETWEEN b.dmin AND b.dmax
+GROUP BY 1 ORDER BY 1
+""",
+    doc="Rolling 7-day active users (WAU per day) — the windowed "
+    "distinct count that naive SQL writes as a per-day self-join over "
+    "raw events (corpus x 7 rescans). Aggregate-first: events collapse "
+    "ONCE to the distinct (day, user) frame (map-side combined; "
+    "|days| x |users| bounded, NOT corpus-sized), each pair then "
+    "fans out row-locally to the <=7 window-days it supports, and one "
+    "count-distinct per day finishes. Days clamp to the observed "
+    "calendar so edge windows match the self-join definition. At "
+    "extreme user cardinality the same shape runs on mergeable HLL "
+    "day-sketches (q104's family) — this is the exact form, "
+    "oracle-provable.",
+)
+def q183_rolling_weekly_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    bounds = du.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    expanded = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("wd"),
+    )
+    return (
+        expanded.crossJoin(F.broadcast(bounds))
+        .where(F.col("wd").between(F.col("dmin"), F.col("dmax")))
+        .groupBy(F.date_format("wd", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "q184_jm_interpolated_lm",
+    tx.sql_jm_bigram_lm_scores(
+        "documents", "doc_id % 2 = 0", "doc_id", "text"
+    ),
+    doc="Jelinek-Mercer interpolated bigram LM scoring (operators/"
+    "textops.py jm_bigram_lm_scores): lam*P_ML(w2|w1) + "
+    "(1-lam)*P_add1(w2) — q141's smoothing upgrade: an unseen PAIR "
+    "backs off to its second word's unigram frequency instead of the "
+    "uniform floor ('the zzqx' now scores worse than 'the cat'), the "
+    "backoff behavior production LM filters (CCNet/KenLM) exhibit. "
+    "Same train-predicate contract and distributed shape as q141 "
+    "(row-local bigrams, three train aggregates, three left "
+    "equi-joins + 1-row broadcast, 1e-6-grid exact log-prob sums) "
+    "plus one unigram join. Train = even doc_ids (the q101/q141 "
+    "convention).",
+)
+def q184_jm_interpolated_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    return tx.jm_bigram_lm_scores(
+        d, d.where(F.col("doc_id") % 2 == 0), "doc_id", "text"
     )

@@ -424,6 +424,8 @@ BNLJ_INTENDED = {
     "q177_idle_rich_customers": 1,  # 1-row (sum_cents, n) broadcast
     "q178_correlated_sample_audit": 3,  # 3x 1-row kept x total count cross
     "q182_temperature_mixture": 1,  # 1-row sqrt-grid total broadcast
+    "q183_rolling_weekly_actives": 1,  # 1-row calendar-bounds broadcast
+    "q184_jm_interpolated_lm": 1,  # 1-row (T, V) stats broadcast (q141's shape)
 }
 
 #: queries whose SinglePartition window sort is fed by a CALENDAR-bounded
