@@ -920,3 +920,71 @@ def test_mmr_equals_python_greedy(spark, vecs):
         sel.append(pick)
     want = sorted((p + 1, i) for p, i in enumerate(sel))
     assert got == want
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab X.", min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_hash_kernel_scores_equal_python_reference(spark, texts):
+    """The row-local aggregate() scoring equals a direct Python rerun of
+    the same hash kernel on arbitrary (ASCII-ish) texts."""
+    import hashlib
+    import math
+
+    from spark_hadoop_automation_in_cloud_spark.operators.textops import (
+        HK_NGRAM,
+        HK_WEIGHT_RANGE,
+        hash_kernel_scores,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["score"])
+        for r in hash_kernel_scores(df, "doc_id", "text").collect()
+    }
+    want = {}
+    for i, t in rows:
+        s = "".join(ch for ch in t.lower() if " " <= ch <= "~")
+        cnt = len(s) - (HK_NGRAM - 1)
+        if cnt < 1:
+            continue
+        ssum = 0
+        for j in range(cnt):
+            g = s[j : j + HK_NGRAM] + ":hk"
+            h = int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+            ssum += h % (2 * HK_WEIGHT_RANGE + 1) - HK_WEIGHT_RANGE
+        mean = ssum / (HK_WEIGHT_RANGE * cnt)
+        want[i] = (cnt, round(1.0 / (1.0 + math.exp(-mean)), 6))
+    assert got == want
+
+
+def test_jm_lm_backoff_orders_unseen_pairs(spark):
+    """The Jelinek-Mercer property q141's add-alpha cannot have: two
+    UNSEEN pairs rank by their second word's unigram frequency — 'the
+    cat' (frequent cat) beats 'the zzqx' (absent)."""
+    from spark_hadoop_automation_in_cloud_spark.operators.textops import (
+        jm_bigram_lm_scores,
+    )
+
+    train = spark.createDataFrame(
+        [(100, "cat sat on cat mat cat and dog")], "doc_id bigint, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat"), (2, "the zzqx")], "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_unseen_pairs"], r["avg_neg_logprob"])
+        for r in jm_bigram_lm_scores(docs, train, "doc_id", "text").collect()
+    }
+    assert out[1][0] == 1 and out[2][0] == 1  # both pairs unseen
+    assert out[1][1] < out[2][1]  # frequent follower scores better
