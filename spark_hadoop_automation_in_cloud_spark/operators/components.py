@@ -716,3 +716,130 @@ per_node AS (
 SELECT node AS {src_col}, tri_count FROM per_node
 ORDER BY tri_count DESC, {src_col} ASC LIMIT {topk}
 """
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    n_iter: int = 10,
+    damping: float = 0.85,
+    per_iter_round_dp: int | None = 9,
+) -> DataFrame:
+    """Personalized PageRank: power iteration whose teleport lands on a
+    SEED SET instead of uniformly — the "related to THIS cohort /
+    item" primitive (recommendation candidates, local community
+    discovery) that global PageRank (:func:`pagerank`, q69) cannot
+    express: its scores answer "important overall", these answer
+    "important FROM HERE".
+
+    ``rank' = (1−d)·1[v∈S]/|S| + d·(inflow + dangling_mass·1[v∈S]/|S|)``
+    — dangling mass teleports back to the seeds (the standard PPR
+    convention), computed as a filter-aggregate of the rank state and
+    broadcast-crossed back: no collect, no driver math (q69's
+    discipline).  Nodes are the edge endpoints; seeds outside the graph
+    are ignored; raises if no seed is in the graph (every rank would be
+    0 — a caller bug, not a result).
+
+    Distributed shape: identical to :func:`pagerank`'s broadcast path —
+    the |nodes|-row rank frame broadcasts into one map-side hash join
+    over the checkpointed edge partitions per round, the aggregate is
+    map-side combined, the per-round rank frame localCheckpoints (and
+    this call's checkpoints release on exit, ownership-scoped).  Edges
+    are distinct-ed defensively; pass pre-distinct edges through
+    ``.distinct()`` upstream if that shuffle was already paid.  Rounds
+    snap to a 9dp grid so summation-order noise cannot accumulate
+    (the q69 oracle convention).
+
+    Output: node, rank (double, 6dp).
+    """
+    spark = edges.sparkSession
+    created: set[int] = set()
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    created |= _pinned_rdd_ids(e)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
+    base = (
+        nodes.join(seed_nodes, "node", "left_semi")
+        .select("node", F.lit(1).alias("__is_seed"))
+        .unionByName(
+            nodes.join(seed_nodes, "node", "left_anti").select(
+                "node", F.lit(0).alias("__is_seed")
+            )
+        )
+    )
+    state = (
+        base.join(deg, "node", "left")
+        .select(
+            "node",
+            "__is_seed",
+            F.coalesce(F.col("deg"), F.lit(0)).alias("deg"),
+        )
+        .localCheckpoint()
+    )
+    created |= _pinned_rdd_ids(state)
+    n_seeds = state.agg(F.sum("__is_seed")).first()[0]
+    if not n_seeds:
+        raise ValueError("personalized_pagerank: no seed is present in the graph")
+    seed_share = F.col("__is_seed").cast("double") / float(n_seeds)
+    ranks = state.select(
+        "node", "__is_seed", "deg", seed_share.alias("rank")
+    ).localCheckpoint()
+    created |= _pinned_rdd_ids(ranks)
+    d = float(damping)
+    for _ in range(n_iter):
+        inflow = (
+            e.join(
+                F.broadcast(
+                    ranks.where(F.col("deg") > 0).select(
+                        F.col("node").alias("src"),
+                        (F.col("rank") / F.col("deg")).alias("__contrib"),
+                    )
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("__contrib").alias("__inflow"))
+        )
+        dangling = ranks.where(F.col("deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+        )
+        nxt = (
+            ranks.join(F.broadcast(inflow), "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "__is_seed",
+                "deg",
+                (
+                    (1.0 - d) * seed_share
+                    + d
+                    * (
+                        F.coalesce(F.col("__inflow"), F.lit(0.0))
+                        + F.col("__dm") * seed_share
+                    )
+                ).alias("rank"),
+            )
+        )
+        if per_iter_round_dp is not None:
+            nxt = nxt.withColumn("rank", F.round("rank", per_iter_round_dp))
+        ranks = nxt.localCheckpoint()
+        created |= _pinned_rdd_ids(ranks)
+    out = ranks.select("node", (F.round("rank", 6) + F.lit(0.0)).alias("rank"))
+    res = out.localCheckpoint()
+    _unpersist_rdds(spark, created - _pinned_rdd_ids(res))
+    return res

@@ -102,17 +102,19 @@ def register(name: str, sql: str | None, doc: str = ""):
 #     quarantine ingest), q180 (local clustering coefficient), q181
 #     (JVM-native hash-kernel linear scoring), q182 (temperature
 #     mixture sampling), q183 (rolling 7-day actives), q184
-#     (Jelinek-Mercer interpolated LM): registered AFTER this window
+#     (Jelinek-Mercer interpolated LM), q185 (personalized PageRank —
+#     q69's oracle conventions, seed-share teleport): registered AFTER
+#     this window
 #     was
 #     allocated and verified — they ride r08's never-stamped block per
 #     the standing rule (each parity-green at sf0.001/0.01 at
 #     registration, swept by tests/test_oracle_parity.py every run);
 #   - the remaining 11 r04 rows — q82, q84, q85, q86, q87, q88, q90,
-#     q91, q92, q97, q101 — MUST lead the r08 window alongside the 32
+#     q91, q92, q97, q101 — MUST lead the r08 window alongside the 33
 #     never-stamped rows above and the 41 r05-stamped rows that reach
-#     the age-2 bound during r07 (32 + 11 + 41 = 84 — r08 is
-#     oversubscribed by 34, so per the standing order (changed kernels,
-#     then never-stamped, then oldest-stamp-first) the 34
+#     the age-2 bound during r07 (33 + 11 + 41 = 85 — r08 is
+#     oversubscribed by 35, so per the standing order (changed kernels,
+#     then never-stamped, then oldest-stamp-first) the 35
 #     freshest-registered r05 rows spill to r09; re-derive from
 #     tools/stamps.py when allocating);
 #   - q105: its oracle-SQL helper (_q105_sql) grew an optional
@@ -7914,3 +7916,101 @@ def q184_jm_interpolated_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.jm_bigram_lm_scores(
         d, d.where(F.col("doc_id") % 2 == 0), "doc_id", "text"
     )
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.components import (  # noqa: E402
+    personalized_pagerank,
+)
+
+
+def _ppr_oracle_sql(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Iteration-unrolled DuckDB PERSONALIZED PageRank — q69's oracle
+    conventions (explicit DOUBLE casts so no scalar ever runs as exact
+    DECIMAL, 9dp per-round snap) with the teleport landing on the seed
+    share instead of 1/n.  The q69 graph is symmetric, so the dangling
+    term is exactly 0.0 and adding it cannot change any IEEE double —
+    the oracle omits it (the operator computes it for general graphs).
+    """
+    damp = f"CAST({damping} AS DOUBLE)"
+    base = (
+        f"(CAST(1.0 AS DOUBLE) - {damp})"
+        " * (CAST(s.is_seed AS DOUBLE) / (SELECT ns FROM nn))"
+    )
+    prev = "r0"
+    rounds = []
+    for i in range(1, n_iter + 1):
+        rounds.append(
+            f"""r{i} AS (
+  SELECT s.node,
+         round({base}
+               + {damp} * COALESCE(i.inflow, CAST(0 AS DOUBLE)), 9) AS rank
+  FROM seeds s LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / d.deg) AS inflow
+    FROM e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.node = e.src
+    GROUP BY e.dst) i ON i.node = s.node
+)"""
+        )
+        prev = f"r{i}"
+    unrolled = ",\n".join(rounds)
+    return f"""
+WITH p AS (
+  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS INT) AS k, user_id
+  FROM events WHERE event_type = 'purchase'
+),
+e AS (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM p a JOIN p b USING (k) WHERE a.user_id <> b.user_id
+),
+nodes AS (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM e
+                             UNION ALL SELECT dst FROM e)
+),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
+seeds AS (
+  SELECT node, CASE WHEN node < 20 THEN 1 ELSE 0 END AS is_seed FROM nodes
+),
+nn AS (SELECT CAST(SUM(is_seed) AS DOUBLE) AS ns FROM seeds),
+r0 AS (
+  SELECT node, CAST(is_seed AS DOUBLE) / (SELECT ns FROM nn) AS rank
+  FROM seeds
+),
+{unrolled}
+SELECT node, round(rank, 6) + 0.0 AS rank FROM {prev}
+"""
+
+
+@register(
+    "q185_personalized_pagerank",
+    _ppr_oracle_sql(n_iter=10),
+    doc="Personalized PageRank from a seed cohort (operators/"
+    "components.py personalized_pagerank): q69's power iteration with "
+    "the teleport landing on users 0-19 instead of uniformly — scores "
+    "answer 'important FROM HERE', the related-items / local-community "
+    "primitive global PageRank cannot express. Same broadcast-rank "
+    "iteration shape (|nodes|-row frame into one map-side hash join "
+    "over checkpointed edges per round, ownership-scoped checkpoint "
+    "release), dangling mass teleports to the seeds via a 1-row "
+    "filter-aggregate broadcast (identically zero on this symmetric "
+    "graph — the oracle omits the exact-0.0 term, the operator keeps "
+    "it for general graphs). 9dp per-round snap; oracle = q69's "
+    "unrolled-CTE conventions with the seed-share base.",
+)
+def q185_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events", parallelize=True)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .select(k.alias("k"), "user_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = (
+        purchases.alias("a")
+        .join(purchases.alias("b"), "k")
+        .where(F.col("a.user_id") != F.col("b.user_id"))
+        .select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
+    )
+    seeds = purchases.select(F.col("user_id").alias("node")).where(
+        F.col("node") < 20
+    )
+    return personalized_pagerank(edges, seeds, n_iter=10)

@@ -2877,3 +2877,27 @@ def test_clustering_coefficient_hand_graph(spark):
         5: (3, 1, round(1 / 3, 6)),
         3: (4, 2, round(2 / 6, 6)),
     }
+
+
+def test_personalized_pagerank_localizes_mass(spark):
+    """On two disconnected triangles with seeds only in the first, all
+    rank mass stays in the seeded component; ranks sum to ~1; a
+    seedless graph raises."""
+    import pytest as _pytest
+
+    from spark_hadoop_automation_in_cloud_spark.operators.components import (
+        personalized_pagerank,
+    )
+
+    tri = lambda base: [  # noqa: E731
+        (base + a, base + b) for a, b in [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)]
+    ]
+    edges = spark.createDataFrame(tri(0) + tri(10), "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(0,)], "node bigint")
+    out = {r["node"]: r["rank"] for r in personalized_pagerank(edges, seeds).collect()}
+    assert all(out[n] == 0.0 for n in (10, 11, 12))
+    assert abs(sum(out.values()) - 1.0) < 1e-5
+    assert out[0] > out[1] == out[2] > 0  # seed highest, symmetric others tie
+    orphan = spark.createDataFrame([(99,)], "node bigint")
+    with _pytest.raises(ValueError):
+        personalized_pagerank(edges, orphan)
