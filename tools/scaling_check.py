@@ -103,6 +103,14 @@ QUERIES = [
     # ratio tracking the factor means a round regressed into rescanning
     # the corpus (q169 shares the shape and is not separately laddered)
     "q166_bpe_merge_training",
+    # hash-kernel scoring: pure row-local aggregate() in the scan — wall
+    # must track the scan exactly (any superlinearity = the gram loop
+    # stopped being row-local)
+    "q181_hash_kernel_scores",
+    # interpolated LM: replication multiplies pair/unigram counts while
+    # the vocab stays constant — all three model frames FLAT, the
+    # scoring joins' build sides constant (q141's stress, +unigrams)
+    "q184_jm_interpolated_lm",
 ]
 # q126 (heavy hitters) and q128 (incremental components) are swept by
 # their own dedicated ladders instead — HEAVY_HITTERS.json widens the
@@ -140,6 +148,10 @@ EVENTS_QUERIES = [
     # values, so the per-type window input stays FLAT while the scan
     # grows; the best case the combiner design banks on)
     "q155_ks_drift_weekend",
+    # rolling weekly actives: replication SHIFTS user ids, so the
+    # distinct (day, user) frame grows with the factor — the fan-out
+    # and count-distinct must track that frame, never the raw corpus
+    "q183_rolling_weekly_actives",
 ]
 # NOT replicated here: q16 (co-purchase pairing) — replicas share contact
 # keys, so pair density grows QUADRATICALLY with the factor; that stress
