@@ -1662,16 +1662,32 @@ def mmr_rerank(
     score, per-query row_number argmax with (score DESC, id ASC)
     tie-break.
 
-    Determinism: all similarities snap to 6dp BEFORE the greedy (the
-    similarity-family rounding rule), so scores are identical IEEE
-    doubles on both engines.  First pick is the plain top-1 (the
-    diversity term is empty — lam scaling preserves the argmax).
+    Determinism: all similarities snap to the 1e-6 integer grid BEFORE
+    the greedy and every score is the EXACT bigint numerator
+    ``lam_pct·sim_g − (100−lam_pct)·div_g`` (units of 1e-8) — argmax
+    ties and output values cannot diverge cross-engine (a float form
+    was tried first: position-1 scores are exactly 7-decimal values,
+    and round(x, 6) lands on a perfect tie that Spark's BigDecimal
+    HALF_UP and DuckDB's multiply-first round resolve differently —
+    caught by the sf0.01 sweep on a real row).  ``lam`` must be a
+    multiple of 0.01.  First pick is the plain top-1 (the diversity
+    term is empty — lam scaling preserves the argmax).
 
     Output: query_id, position (1..k_select), neighbor_id, mmr_score
-    (double 6dp).
+    (double — the exact 1e-8-grid value).
     """
-    cand = cosine_topk(corpus, queries, k_candidates, id_col, vec_col).select(
-        "query_id", "neighbor_id", "cosine_sim"
+    lam_pct = round(lam * 100)
+    if abs(lam - lam_pct / 100) > 1e-12:
+        raise ValueError(f"lam must be a multiple of 0.01, got {lam}")
+    cand = (
+        cosine_topk(corpus, queries, k_candidates, id_col, vec_col)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine_sim") * 1_000_000)
+            .cast("bigint")
+            .alias("__sg"),
+        )
     )
     vecs = corpus.select(F.col(id_col).alias("__pid"), F.col(vec_col).alias("__pv"))
     ci = cand.select("query_id", F.col("neighbor_id").alias("i")).join(
@@ -1687,11 +1703,13 @@ def mmr_rerank(
             "query_id",
             "i",
             "j",
-            F.round(cosine(F.col("__vi"), F.col("__vj")), 6).alias("s"),
+            F.round(cosine(F.col("__vi"), F.col("__vj")) * 1_000_000)
+            .cast("bigint")
+            .alias("__pg"),
         )
     ).persist()
     w1 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+        F.col("__sg").desc(), F.col("neighbor_id").asc()
     )
     sel = (
         cand.withColumn("__rn", F.row_number().over(w1))
@@ -1700,7 +1718,7 @@ def mmr_rerank(
             "query_id",
             F.lit(1).alias("position"),
             "neighbor_id",
-            (F.col("cosine_sim") * lam).alias("__score"),
+            (F.col("__sg") * lam_pct).cast("bigint").alias("__score_num"),
         )
     )
     for t in range(2, k_select + 1):
@@ -1711,27 +1729,30 @@ def mmr_rerank(
                 ["query_id", "j"],
             )
             .groupBy("query_id", "i")
-            .agg(F.max("s").alias("__div"))
+            .agg(F.max("__pg").alias("__div_g"))
         )
         remaining = cand.join(chosen, ["query_id", "neighbor_id"], "left_anti")
         scored = remaining.join(
-            div.select("query_id", F.col("i").alias("neighbor_id"), "__div"),
+            div.select("query_id", F.col("i").alias("neighbor_id"), "__div_g"),
             ["query_id", "neighbor_id"],
         ).select(
             "query_id",
             "neighbor_id",
-            (F.col("cosine_sim") * lam - F.col("__div") * (1.0 - lam)).alias(
-                "__score"
-            ),
+            (F.col("__sg") * lam_pct - F.col("__div_g") * (100 - lam_pct))
+            .cast("bigint")
+            .alias("__score_num"),
         )
         wt = Window.partitionBy("query_id").orderBy(
-            F.col("__score").desc(), F.col("neighbor_id").asc()
+            F.col("__score_num").desc(), F.col("neighbor_id").asc()
         )
         pick = (
             scored.withColumn("__rn", F.row_number().over(wt))
             .where(F.col("__rn") == 1)
             .select(
-                "query_id", F.lit(t).alias("position"), "neighbor_id", "__score"
+                "query_id",
+                F.lit(t).alias("position"),
+                "neighbor_id",
+                "__score_num",
             )
         )
         sel = sel.unionByName(pick)
@@ -1739,7 +1760,7 @@ def mmr_rerank(
         "query_id",
         "position",
         "neighbor_id",
-        (F.round(F.col("__score"), 6) + F.lit(0.0)).alias("mmr_score"),
+        (F.col("__score_num").cast("double") / 100_000_000.0).alias("mmr_score"),
     )
     # bounded (queries x k_select); materialize so the unrolled-round plan
     # is executed once and the pairs cache can be released
@@ -1758,20 +1779,28 @@ def sql_mmr_rerank(
     vec_col: str = "embedding",
 ) -> str:
     """DuckDB twin of :func:`mmr_rerank`: the same candidate top-k, the
-    same 6dp pair-similarity frame, and the greedy unrolled as one CTE
-    round per selection (the q96/q166 iterative-oracle pattern) with
-    identical (score DESC, id ASC) argmax tie-break."""
+    same 1e-6-grid pair-similarity frame, and the greedy unrolled as
+    one CTE round per selection (the q96/q166 iterative-oracle pattern)
+    — every score the identical exact BIGINT numerator with the
+    identical (score DESC, id ASC) argmax tie-break (no float ever
+    enters the greedy; see the kernel docstring for the round()-tie
+    bug the grid removes)."""
+    lam_pct = round(lam * 100)
+    if abs(lam - lam_pct / 100) > 1e-12:
+        raise ValueError(f"lam must be a multiple of 0.01, got {lam}")
     cos = _SQL_COS.format(a="ci.__vi", b="cj.__vj")
-    one_minus = 1.0 - lam
     parts = [
         f"""
 cand AS MATERIALIZED (
-  SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT query_id, neighbor_id,
+         CAST(round(cosine_sim * 1000000) AS BIGINT) AS sg
+  FROM (
     {sql_cosine_topk(corpus_src, query_pred, k_candidates, id_col, vec_col)}
   )
 ),
 pairs AS MATERIALIZED (
-  SELECT ci.query_id, ci.i, cj.j, {cos} AS s
+  SELECT ci.query_id, ci.i, cj.j,
+         CAST(round(({cos}) * 1000000) AS BIGINT) AS pg
   FROM (SELECT c.query_id, c.neighbor_id AS i, v.{vec_col} AS __vi
         FROM cand c JOIN {corpus_src} v ON v.{id_col} = c.neighbor_id) ci
   JOIN (SELECT c.query_id, c.neighbor_id AS j, v.{vec_col} AS __vj
@@ -1779,10 +1808,11 @@ pairs AS MATERIALIZED (
     ON cj.query_id = ci.query_id AND ci.i <> cj.j
 ),
 sel1 AS (
-  SELECT query_id, 1 AS position, neighbor_id, cosine_sim * {lam} AS score
-  FROM (SELECT query_id, neighbor_id, cosine_sim,
+  SELECT query_id, 1 AS position, neighbor_id,
+         CAST(sg * {lam_pct} AS BIGINT) AS score_num
+  FROM (SELECT query_id, neighbor_id, sg,
                ROW_NUMBER() OVER (PARTITION BY query_id
-                 ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+                 ORDER BY sg DESC, neighbor_id ASC) AS rn
         FROM cand) WHERE rn = 1
 ),
 all1 AS (SELECT * FROM sel1)"""
@@ -1791,14 +1821,15 @@ all1 AS (SELECT * FROM sel1)"""
         parts.append(
             f"""
 sel{t} AS (
-  SELECT query_id, {t} AS position, neighbor_id, score FROM (
+  SELECT query_id, {t} AS position, neighbor_id, score_num FROM (
     SELECT c.query_id, c.neighbor_id,
-           c.cosine_sim * {lam} - d.div * {one_minus} AS score,
+           CAST(c.sg * {lam_pct} - d.div_g * {100 - lam_pct} AS BIGINT)
+             AS score_num,
            ROW_NUMBER() OVER (PARTITION BY c.query_id
-             ORDER BY c.cosine_sim * {lam} - d.div * {one_minus} DESC,
+             ORDER BY c.sg * {lam_pct} - d.div_g * {100 - lam_pct} DESC,
                       c.neighbor_id ASC) AS rn
     FROM cand c
-    JOIN (SELECT p.query_id, p.i, MAX(p.s) AS div
+    JOIN (SELECT p.query_id, p.i, MAX(p.pg) AS div_g
           FROM pairs p JOIN all{t - 1} s
             ON s.query_id = p.query_id AND s.neighbor_id = p.j
           GROUP BY 1, 2) d
@@ -1815,7 +1846,7 @@ all{t} AS (SELECT * FROM all{t - 1} UNION ALL SELECT * FROM sel{t})"""
         + ",".join(parts)
         + f"""
 SELECT query_id, position, neighbor_id,
-       round(score, 6) + 0.0 AS mmr_score
+       CAST(score_num AS DOUBLE) / 100000000.0 AS mmr_score
 FROM all{k_select}
 """
     )

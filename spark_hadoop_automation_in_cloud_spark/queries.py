@@ -7196,9 +7196,12 @@ from spark_hadoop_automation_in_cloud_spark.operators.similarity import (  # noq
     "unshuffled corpus); the greedy runs 5 unrolled DataFrame rounds "
     "(anti-join, max-to-selected, window argmax) on frames bounded at "
     "queries x 20^2 — no driver loop state, cost independent of corpus "
-    "size. All sims snap to 6dp BEFORE the greedy so scores are "
-    "IEEE-identical cross-engine; the oracle unrolls the same 5 rounds "
-    "as CTEs.",
+    "size. All sims snap to the 1e-6 integer grid BEFORE the greedy "
+    "and every score is the exact bigint numerator 70*sim_g - "
+    "30*div_g — no float ever enters an argmax or the output (a "
+    "round(float,6) form hit a perfect HALF_UP-vs-multiply-first tie "
+    "on a real sf0.01 row); the oracle unrolls the same 5 rounds as "
+    "CTEs on the same integers.",
 )
 def q168_mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
