@@ -440,3 +440,40 @@ def read_json_quarantine(
         F.col("value").alias("raw")
     )
     return parsed, quarantined
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    sep: str = ",",
+    header: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV sibling of :func:`read_json_quarantine`: schema-enforced
+    CSV-lines read with the dead-letter split, via one text scan +
+    ``from_csv`` (same rationale — the expression form has no
+    corrupt-column-only restriction and parses once).
+
+    ``header=True`` drops lines equal to the schema's own header
+    rendering (the first line of every part file) BEFORE parsing — a
+    header line would otherwise quarantine as garbage on a numeric
+    schema.  Returns ``(parsed, quarantined)`` like the JSON form.
+    """
+    corrupt = "__corrupt_record"
+    lines = spark.read.text(path).where(F.length("value") > 0)
+    if header:
+        names = [f.split()[0] for f in schema.split(",")]
+        lines = lines.where(F.col("value") != sep.join(n.strip() for n in names))
+    parsed_struct = F.from_csv(
+        F.col("value"),
+        f"{schema}, {corrupt} string",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt, "sep": sep},
+    )
+    df = lines.select(parsed_struct.alias("__p"), "value")
+    parsed = df.where(F.col(f"__p.{corrupt}").isNull()).select("__p.*").drop(
+        corrupt
+    )
+    quarantined = df.where(F.col(f"__p.{corrupt}").isNotNull()).select(
+        F.col("value").alias("raw")
+    )
+    return parsed, quarantined

@@ -576,3 +576,22 @@ def test_bucketed_colocated_join_same_key_name(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         bk.drop_table(spark, "t_sk_docs")
         bk.drop_table(spark, "t_sk_emb")
+
+
+def test_read_csv_quarantine_splits(spark, tmp_path):
+    """Typed rows parse; malformed lines (wrong arity / bad types) land
+    in quarantine with the raw line; the header line drops, not
+    quarantines."""
+    from spark_hadoop_automation_in_cloud_spark.io import read_csv_quarantine
+
+    p = tmp_path / "landing"
+    p.mkdir()
+    (p / "a.csv").write_text("id,v\n1,2.5\n2,3.5\nnot,a,number,row\n")
+    (p / "b.csv").write_text("id,v\n3,oops\n4,1.25\n")
+    parsed, quarantined = read_csv_quarantine(
+        spark, str(p), "id bigint, v double", header=True
+    )
+    rows = {r["id"]: r["v"] for r in parsed.collect()}
+    assert rows == {1: 2.5, 2: 3.5, 4: 1.25}
+    raw = sorted(r["raw"] for r in quarantined.collect())
+    assert raw == ["3,oops", "not,a,number,row"]
