@@ -462,8 +462,12 @@ def read_csv_quarantine(
     corrupt = "__corrupt_record"
     lines = spark.read.text(path).where(F.length("value") > 0)
     if header:
-        names = [f.split()[0] for f in schema.split(",")]
-        lines = lines.where(F.col("value") != sep.join(n.strip() for n in names))
+        from pyspark.sql.types import StructType
+
+        # parse the DDL properly — a naive split(',') breaks on
+        # parameterized types like decimal(10,2)
+        names = StructType.fromDDL(schema).fieldNames()
+        lines = lines.where(F.col("value") != sep.join(names))
     parsed_struct = F.from_csv(
         F.col("value"),
         f"{schema}, {corrupt} string",

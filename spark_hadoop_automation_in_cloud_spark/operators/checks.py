@@ -530,8 +530,26 @@ def zscore_from_daily(
     the streaming-maintained daily-count index (q174) feeds the SAME
     kernel the batch monitor uses; daily counts are plain additive
     sums, so merged batch partitions are bit-identical to the one-shot
-    aggregate and the two rows share one oracle."""
+    aggregate and the two rows share one oracle.
+
+    The daily frame DENSIFIES onto each group's observed calendar
+    (min..max day, one row per day, zero-filled) before the window —
+    a dark day emits NO aggregate row, and a ROWS frame over observed
+    days only would silently skip it: the monitor could never fire on
+    the outage it exists to catch (z << 0), and gaps would stretch
+    "trailing 7 days" across arbitrary calendar spans.  The spine is
+    |groups × days| — the same bounded frame the window already
+    walks."""
     gs = list(group_cols)
+    bounds = daily.groupBy(*gs).agg(
+        F.min("__d").alias("__d0"), F.max("__d").alias("__d1")
+    )
+    spine = bounds.select(
+        *gs, F.explode(F.sequence(F.col("__d0"), F.col("__d1"))).alias("__d")
+    )
+    daily = spine.join(daily, [*gs, "__d"], "left").select(
+        *gs, "__d", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
     w = (
         Window.partitionBy(*gs)
         .orderBy(F.col("__d").asc())
@@ -573,16 +591,30 @@ def sql_rolling_volume_anomaly(
     z_threshold: float = 2.0,
 ) -> str:
     """DuckDB twin of :func:`rolling_volume_anomaly`: identical daily
-    counts, trailing-window exact moments, variance numerator, and the
-    one shared z recipe."""
+    counts, the identical per-group calendar densification (dark days
+    zero-fill — see the kernel docstring), trailing-window exact
+    moments, variance numerator, and the one shared z recipe."""
     gs = list(group_cols)
     g = ", ".join(gs)
     gp = f"{g}, " if gs else ""
+    gq = ", ".join(f"b.{c}" for c in gs)
+    gqp = f"{gq}, " if gs else ""
+    on = " AND ".join(f"o.{c} = b.{c}" for c in gs) or "TRUE"
     part = f"PARTITION BY {g}" if gs else ""
     wd = window_days
     return f"""
-WITH daily AS (
+WITH observed AS (
   SELECT {gp}{day_expr} AS d, COUNT(*) AS n FROM ({src_sql}) GROUP BY {gp}d
+),
+bounds AS (
+  SELECT {gp}MIN(d) AS d0, MAX(d) AS d1 FROM observed GROUP BY {g}
+),
+daily AS (
+  SELECT {gqp}CAST(s.sd AS DATE) AS d, COALESCE(o.n, 0) AS n
+  FROM bounds b
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS sd) s
+  LEFT JOIN observed o ON {on} AND o.d = CAST(s.sd AS DATE)
 ),
 stats AS (
   SELECT {gp}d, n,

@@ -620,17 +620,15 @@ def clustering_coefficient(
     )
 
 
-def sql_clustering_coefficient(
-    edges_sql: str,
-    src_col: str,
-    dst_col: str,
-    topk: int = 50,
-    min_degree: int = 2,
-) -> str:
-    """DuckDB twin of :func:`clustering_coefficient`: the q161 CTE chain
-    plus the degree left-join and the identical division/order."""
+def _sql_triangle_core_ctes(edges_sql: str, src_col: str, dst_col: str) -> str:
+    """The shared CTE chain of :func:`sql_triangle_count` and
+    :func:`sql_clustering_coefficient` (normalize → degrees → orient →
+    wedges → close → per-node counts) — ONE definition of the Schank
+    orientation and its (degree, node) tie-break, mirroring how the
+    kernels share :func:`_node_triangles_and_degrees` (and how bpe.py's
+    oracles share ``_sql_training_ctes``)."""
     return f"""
-WITH e AS (
+e AS (
   SELECT DISTINCT least({src_col}, {dst_col}) AS u,
                   greatest({src_col}, {dst_col}) AS v
   FROM ({edges_sql}) WHERE {src_col} <> {dst_col}
@@ -661,7 +659,21 @@ per_node AS (
   FROM (SELECT a AS node FROM tri UNION ALL SELECT x FROM tri
         UNION ALL SELECT y FROM tri)
   GROUP BY node
-)
+)"""
+
+
+def sql_clustering_coefficient(
+    edges_sql: str,
+    src_col: str,
+    dst_col: str,
+    topk: int = 50,
+    min_degree: int = 2,
+) -> str:
+    """DuckDB twin of :func:`clustering_coefficient`: the shared
+    :func:`_sql_triangle_core_ctes` chain plus the degree left-join and
+    the identical division/order."""
+    return f"""
+WITH {_sql_triangle_core_ctes(edges_sql, src_col, dst_col)}
 SELECT d.node AS {src_col},
        CAST(d.d AS BIGINT) AS degree,
        CAST(COALESCE(p.tri_count, 0) AS BIGINT) AS tri_count,
@@ -679,40 +691,10 @@ def sql_triangle_count(edges_sql: str, src_col: str, dst_col: str, topk: int = 5
     """DuckDB twin of :func:`triangle_count`: identical normalization,
     ``(degree, node)`` orientation spelled as the same explicit boolean
     (no row-value comparison, so the two engines share one tie-break
-    definition), one wedge join, one closure join, same top-k order."""
+    definition), one wedge join, one closure join, same top-k order —
+    all via the shared :func:`_sql_triangle_core_ctes` fragment."""
     return f"""
-WITH e AS (
-  SELECT DISTINCT least({src_col}, {dst_col}) AS u,
-                  greatest({src_col}, {dst_col}) AS v
-  FROM ({edges_sql}) WHERE {src_col} <> {dst_col}
-),
-deg AS (
-  SELECT node, COUNT(*) AS d
-  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node
-),
-o AS (
-  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.u < e.v)
-              THEN e.u ELSE e.v END AS a,
-         CASE WHEN da.d < db.d OR (da.d = db.d AND e.u < e.v)
-              THEN e.v ELSE e.u END AS b,
-         CASE WHEN da.d < db.d OR (da.d = db.d AND e.u < e.v)
-              THEN db.d ELSE da.d END AS bd
-  FROM e JOIN deg da ON da.node = e.u JOIN deg db ON db.node = e.v
-),
-wedges AS (
-  SELECT o1.a, o1.b AS x, o2.b AS y
-  FROM o o1 JOIN o o2 ON o1.a = o2.a
-  WHERE o1.bd < o2.bd OR (o1.bd = o2.bd AND o1.b < o2.b)
-),
-tri AS (
-  SELECT w.a, w.x, w.y FROM wedges w JOIN o ON o.a = w.x AND o.b = w.y
-),
-per_node AS (
-  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_count
-  FROM (SELECT a AS node FROM tri UNION ALL SELECT x FROM tri
-        UNION ALL SELECT y FROM tri)
-  GROUP BY node
-)
+WITH {_sql_triangle_core_ctes(edges_sql, src_col, dst_col)}
 SELECT node AS {src_col}, tri_count FROM per_node
 ORDER BY tri_count DESC, {src_col} ASC LIMIT {topk}
 """
@@ -773,15 +755,9 @@ def personalized_pagerank(
         F.count(F.lit(1)).alias("deg")
     )
     seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
-    base = (
-        nodes.join(seed_nodes, "node", "left_semi")
-        .select("node", F.lit(1).alias("__is_seed"))
-        .unionByName(
-            nodes.join(seed_nodes, "node", "left_anti").select(
-                "node", F.lit(0).alias("__is_seed")
-            )
-        )
-    )
+    base = nodes.join(
+        seed_nodes.withColumn("__sflag", F.lit(1)), "node", "left"
+    ).select("node", F.coalesce(F.col("__sflag"), F.lit(0)).alias("__is_seed"))
     state = (
         base.join(deg, "node", "left")
         .select(

@@ -60,14 +60,20 @@ def roc_auc(
     partitioning (the q140/q155 grouped-window idiom — groups
     parallelize).  No global sort, no per-row ranks over the corpus.
 
-    Groups with no positives or no negatives drop (AUC undefined; both
-    engines filter identically).  Output: group_cols..., n_pos, n_neg
+    NULL and NaN scores drop (NaN passes isNotNull, and the engines
+    disagree on casting it to the integer grid — Spark maps to 0,
+    DuckDB raises).  Groups with no positives or no negatives drop
+    (AUC undefined; both engines filter identically).  Output: group_cols..., n_pos, n_neg
     (bigint), auc (double, 6dp).
     """
     gs = list(group_cols)
     lab = F.col(label_col).cast("int")
     counts = (
-        df.where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        df.where(
+            F.col(score_col).isNotNull()
+            & ~F.isnan(F.col(score_col).cast("double"))
+            & F.col(label_col).isNotNull()
+        )
         .groupBy(*gs, _score_key(F.col(score_col)).alias("__s"))
         .agg(
             F.sum(lab).cast("bigint").alias("pos"),
@@ -130,7 +136,9 @@ WITH counts AS (
          SUM(CAST(({label_expr}) AS INT)) AS pos,
          SUM(1 - CAST(({label_expr}) AS INT)) AS neg
   FROM ({src_sql})
-  WHERE ({score_expr}) IS NOT NULL AND ({label_expr}) IS NOT NULL
+  WHERE ({score_expr}) IS NOT NULL
+        AND NOT isnan(CAST(({score_expr}) AS DOUBLE))
+        AND ({label_expr}) IS NOT NULL
   GROUP BY {gp}s
 ),
 cum AS (
@@ -182,7 +190,11 @@ def calibration_bins(
         F.lit(n_bins - 1),
     )
     return (
-        df.where(s.isNotNull() & F.col(label_col).isNotNull())
+        df.where(
+            s.isNotNull()
+            & ~F.isnan(s.cast("double"))
+            & F.col(label_col).isNotNull()
+        )
         .groupBy(*gs, b.alias("bin"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -227,7 +239,9 @@ FROM (
   SELECT *, least(greatest(CAST(floor(({score_expr}) * {n_bins}) AS INT), 0),
                   {n_bins - 1}) AS bin
   FROM ({src_sql})
-  WHERE ({score_expr}) IS NOT NULL AND ({label_expr}) IS NOT NULL
+  WHERE ({score_expr}) IS NOT NULL
+        AND NOT isnan(CAST(({score_expr}) AS DOUBLE))
+        AND ({label_expr}) IS NOT NULL
 )
 GROUP BY {gp}bin
 """

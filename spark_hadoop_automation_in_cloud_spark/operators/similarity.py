@@ -1679,6 +1679,10 @@ def mmr_rerank(
     lam_pct = round(lam * 100)
     if abs(lam - lam_pct / 100) > 1e-12:
         raise ValueError(f"lam must be a multiple of 0.01, got {lam}")
+    # persisted: the candidate frame (queries x k, tiny) feeds sel1,
+    # every round's anti-join, AND both sides of the pair build — without
+    # the cache Spark re-executes the corpus-scale cosine_topk subtree
+    # once per consumer (~k_select+3 corpus scans inside one collect)
     cand = (
         cosine_topk(corpus, queries, k_candidates, id_col, vec_col)
         .select(
@@ -1688,7 +1692,7 @@ def mmr_rerank(
             .cast("bigint")
             .alias("__sg"),
         )
-    )
+    ).persist()
     vecs = corpus.select(F.col(id_col).alias("__pid"), F.col(vec_col).alias("__pv"))
     ci = cand.select("query_id", F.col("neighbor_id").alias("i")).join(
         vecs.select(F.col("__pid").alias("i"), F.col("__pv").alias("__vi")), "i"
@@ -1766,6 +1770,7 @@ def mmr_rerank(
     # is executed once and the pairs cache can be released
     res = out.sparkSession.createDataFrame(out.collect(), out.schema)
     pairs.unpersist()
+    cand.unpersist()
     return res
 
 

@@ -6961,12 +6961,33 @@ from spark_hadoop_automation_in_cloud_spark.operators.components import (  # noq
     triangle_count,
 )
 
+#: the recurring co-purchase graph (q161 + q180): parts linked when
+#: co-ordered in >= 2 DISTINCT orders — the distinct-order count, not the
+#: lineitem row-pair count (a part listed twice in ONE order must not
+#: fake recurrence)
 _Q161_EDGES_SQL = """
 SELECT a.l_partkey AS p1, b.l_partkey AS p2
 FROM lineitem a
 JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-GROUP BY 1, 2 HAVING COUNT(*) >= 2
+GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2
 """
+
+
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """Spark side of ``_Q161_EDGES_SQL`` — the ONE edge-rule definition
+    both graph queries drive."""
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, "ok")
+        .where(F.col("p1") < F.col("p2"))
+        .select("ok", "p1", "p2")
+        .distinct()
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= 2)
+        .select("p1", "p2")
+    )
 
 
 @register(
@@ -6974,8 +6995,9 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 2
     sql_triangle_count(_Q161_EDGES_SQL, "p1", "p2", topk=50),
     doc="Per-node triangle counts over the recurring co-purchase graph "
     "(operators/components.py triangle_count): parts are linked when "
-    "co-ordered in >= 2 orders (the q85 basket join with a support "
-    "gate), and a part's triangle count is how CLIQUISH its "
+    "co-ordered in >= 2 DISTINCT orders (the q85 basket join with a "
+    "distinct-order support gate — a part listed twice in one order "
+    "must not fake recurrence), and a part's triangle count is how CLIQUISH its "
     "neighborhood is — community cores that components (q39) and "
     "PageRank (q69) both miss. Degree-ordered orientation (Schank): "
     "every edge points low->high under (degree, node), so each "
@@ -6990,17 +7012,7 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 2
 )
 def q161_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
-    edges = (
-        a.join(b, "ok")
-        .where(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .where(F.col("__n") >= 2)
-        .select("p1", "p2")
-    )
-    return triangle_count(edges, "p1", "p2", topk=50)
+    return triangle_count(_copurchase_edges(li), "p1", "p2", topk=50)
 
 
 from spark_hadoop_automation_in_cloud_spark.operators import evals  # noqa: E402
@@ -7752,17 +7764,7 @@ from spark_hadoop_automation_in_cloud_spark.operators.components import (  # noq
 )
 def q180_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
-    edges = (
-        a.join(b, "ok")
-        .where(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .where(F.col("__n") >= 2)
-        .select("p1", "p2")
-    )
-    return clustering_coefficient(edges, "p1", "p2", topk=50)
+    return clustering_coefficient(_copurchase_edges(li), "p1", "p2", topk=50)
 
 
 @register(

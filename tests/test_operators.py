@@ -2901,3 +2901,28 @@ def test_personalized_pagerank_localizes_mass(spark):
     orphan = spark.createDataFrame([(99,)], "node bigint")
     with _pytest.raises(ValueError):
         personalized_pagerank(edges, orphan)
+
+
+def test_rolling_volume_anomaly_flags_dark_days(spark):
+    """A fully dark day emits NO aggregate row — the calendar spine must
+    zero-fill it so the monitor fires z << 0 on the outage (the review
+    finding: a ROWS frame over observed days only could never catch
+    'a source going dark')."""
+    import datetime
+
+    from spark_hadoop_automation_in_cloud_spark.operators.checks import (
+        rolling_volume_anomaly,
+    )
+
+    rows = []
+    counts = [10, 11, 10, 11, 10, 11, 10, 0, 10]  # day 8 fully dark
+    for i, c in enumerate(counts):
+        d = datetime.date(2024, 2, 1) + datetime.timedelta(days=i)
+        rows += [("t", d)] * c
+    df = spark.createDataFrame(rows, "event_type string, d date")
+    out = {r["day"]: r for r in rolling_volume_anomaly(df, ["event_type"], "d").collect()}
+    assert "2024-02-08" in out
+    dark = out["2024-02-08"]
+    assert dark["n"] == 0 and dark["z"] < -2 and dark["is_anomaly"] == 1
+    # the day after the outage sees the zero INSIDE its trailing window
+    assert out["2024-02-09"]["n"] == 10

@@ -595,3 +595,22 @@ def test_read_csv_quarantine_splits(spark, tmp_path):
     assert rows == {1: 2.5, 2: 3.5, 4: 1.25}
     raw = sorted(r["raw"] for r in quarantined.collect())
     assert raw == ["3,oops", "not,a,number,row"]
+
+
+def test_read_csv_quarantine_header_with_parameterized_types(spark, tmp_path):
+    """A decimal(10,2) schema must not break header detection (the
+    naive split-on-comma bug caught in review: the header line would
+    quarantine instead of dropping)."""
+    from spark_hadoop_automation_in_cloud_spark.io import read_csv_quarantine
+
+    p = tmp_path / "landing2"
+    p.mkdir()
+    (p / "a.csv").write_text("id,amount\n1,2.50\n2,3.25\n")
+    parsed, quarantined = read_csv_quarantine(
+        spark, str(p), "id bigint, amount decimal(10,2)", header=True
+    )
+    assert quarantined.count() == 0
+    assert {(r["id"], str(r["amount"])) for r in parsed.collect()} == {
+        (1, "2.50"),
+        (2, "3.25"),
+    }
