@@ -524,6 +524,7 @@ def zscore_from_daily(
     group_cols: Sequence[str],
     window_days: int = 7,
     z_threshold: float = 2.0,
+    max_span_days: int = 3700,
 ) -> DataFrame:
     """The window half of :func:`rolling_volume_anomaly`, over an
     already-aggregated (group_cols..., __d, n) daily frame — exposed so
@@ -538,17 +539,41 @@ def zscore_from_daily(
     days only would silently skip it: the monitor could never fire on
     the outage it exists to catch (z << 0), and gaps would stretch
     "trailing 7 days" across arbitrary calendar spans.  The spine is
-    |groups × days| — the same bounded frame the window already
-    walks."""
+    |groups × calendar-span days|; because a single corrupt date (an
+    epoch-1970 default, a year-9999 sentinel) would explode that span
+    into decades of synthetic days, the kernel RAISES when any group's
+    span exceeds ``max_span_days`` — a bounded check on the |groups|
+    frame, the components-convergence fail-loud convention.  ``__d``
+    must be a DATE (``sequence`` generates the spine); NULL group keys
+    are one group (null-safe join — GROUP BY semantics, same as the
+    pre-densification window partitioning)."""
     gs = list(group_cols)
     bounds = daily.groupBy(*gs).agg(
         F.min("__d").alias("__d0"), F.max("__d").alias("__d1")
     )
+    worst = bounds.agg(
+        F.max(F.datediff(F.col("__d1"), F.col("__d0"))).alias("__span")
+    ).first()["__span"]
+    if worst is not None and worst > max_span_days:
+        raise ValueError(
+            f"zscore_from_daily: a group spans {worst} days (> "
+            f"{max_span_days}) — a corrupt date would densify into years "
+            "of synthetic rows; clean the day domain or raise max_span_days"
+        )
     spine = bounds.select(
         *gs, F.explode(F.sequence(F.col("__d0"), F.col("__d1"))).alias("__d")
     )
-    daily = spine.join(daily, [*gs, "__d"], "left").select(
-        *gs, "__d", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    cond = F.col("__sp.__d") == F.col("__ob.__d")
+    for c in gs:
+        cond = cond & F.col(f"__sp.{c}").eqNullSafe(F.col(f"__ob.{c}"))
+    daily = (
+        spine.alias("__sp")
+        .join(daily.alias("__ob"), cond, "left")
+        .select(
+            *[F.col(f"__sp.{c}").alias(c) for c in gs],
+            F.col("__sp.__d").alias("__d"),
+            F.coalesce(F.col("__ob.n"), F.lit(0)).alias("n"),
+        )
     )
     w = (
         Window.partitionBy(*gs)
@@ -599,7 +624,11 @@ def sql_rolling_volume_anomaly(
     gp = f"{g}, " if gs else ""
     gq = ", ".join(f"b.{c}" for c in gs)
     gqp = f"{gq}, " if gs else ""
-    on = " AND ".join(f"o.{c} = b.{c}" for c in gs) or "TRUE"
+    on = (
+        " AND ".join(f"o.{c} IS NOT DISTINCT FROM b.{c}" for c in gs)
+        or "TRUE"
+    )
+    group_by = f"GROUP BY {g}" if gs else ""
     part = f"PARTITION BY {g}" if gs else ""
     wd = window_days
     return f"""
@@ -607,7 +636,7 @@ WITH observed AS (
   SELECT {gp}{day_expr} AS d, COUNT(*) AS n FROM ({src_sql}) GROUP BY {gp}d
 ),
 bounds AS (
-  SELECT {gp}MIN(d) AS d0, MAX(d) AS d1 FROM observed GROUP BY {g}
+  SELECT {gp}MIN(d) AS d0, MAX(d) AS d1 FROM observed {group_by}
 ),
 daily AS (
   SELECT {gqp}CAST(s.sd AS DATE) AS d, COALESCE(o.n, 0) AS n

@@ -1767,10 +1767,13 @@ def mmr_rerank(
         (F.col("__score_num").cast("double") / 100_000_000.0).alias("mmr_score"),
     )
     # bounded (queries x k_select); materialize so the unrolled-round plan
-    # is executed once and the pairs cache can be released
-    res = out.sparkSession.createDataFrame(out.collect(), out.schema)
-    pairs.unpersist()
-    cand.unpersist()
+    # is executed once and both caches release — on EVERY path (a failed
+    # collect must not pin the candidate/pair frames for the session)
+    try:
+        res = out.sparkSession.createDataFrame(out.collect(), out.schema)
+    finally:
+        pairs.unpersist()
+        cand.unpersist()
     return res
 
 

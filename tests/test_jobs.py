@@ -398,3 +398,41 @@ def test_train_tokenizer_job_writes_artifacts(spark, sf_dir, tmp_path):
     assert job.main(["x"]) == 2
     assert job.main(["a", "b", "zero"]) == 2
     assert job.main(["a", "b", "0"]) == 2
+
+
+def test_streaming_volume_job_cli_accumulates_across_runs(spark, sf_dir, tmp_path):
+    """Two CLI runs over a growing landing dir: the merged daily counts
+    after run 2 equal counting everything ingested at once (additive
+    cells through the checkpoint); bad argv exits 2."""
+    from pyspark.sql import functions as F
+
+    from spark_hadoop_automation_in_cloud_spark.io import read_table
+    from spark_hadoop_automation_in_cloud_spark.streaming.incremental import (
+        read_daily_counts,
+    )
+
+    job = _load("streaming_volume_job")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d"), "user_id"
+    )
+    src = tmp_path / "landing"
+    src.mkdir()
+    idx, ckpt = str(tmp_path / "index"), str(tmp_path / "ckpt")
+
+    ev.where(F.col("user_id") % 2 == 0).select("event_type", "d").coalesce(
+        1
+    ).write.parquet(str(src / "b=0"))
+    assert job.main([str(src), idx, ckpt, "1"]) == 0
+    ev.where(F.col("user_id") % 2 == 1).select("event_type", "d").coalesce(
+        1
+    ).write.parquet(str(src / "b=1"))
+    assert job.main([str(src), idx, ckpt, "1"]) == 0
+
+    merged = read_daily_counts(spark, idx, ["event_type"])
+    full = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    key = lambda df: sorted(  # noqa: E731
+        (r["event_type"], str(r["d"]), int(r["n"])) for r in df.collect()
+    )
+    assert key(merged) == key(full)
+    assert job.main(["x"]) == 2
+    assert job.main(["a", "b", "c", "0"]) == 2

@@ -2926,3 +2926,34 @@ def test_rolling_volume_anomaly_flags_dark_days(spark):
     assert dark["n"] == 0 and dark["z"] < -2 and dark["is_anomaly"] == 1
     # the day after the outage sees the zero INSIDE its trailing window
     assert out["2024-02-09"]["n"] == 10
+
+
+def test_rolling_volume_anomaly_null_group_and_span_guard(spark):
+    """A NULL group key is ONE group (null-safe spine join — GROUP BY
+    semantics; a null-rejecting join silently unmonitored exactly the
+    rows with missing keys), and an absurd calendar span raises instead
+    of densifying into decades of synthetic days."""
+    import datetime
+
+    import pytest as _pytest
+
+    from spark_hadoop_automation_in_cloud_spark.operators.checks import (
+        rolling_volume_anomaly,
+    )
+
+    rows = []
+    counts = [10, 11, 10, 11, 10, 11, 10, 50]
+    for i, c in enumerate(counts):
+        d = datetime.date(2024, 3, 1) + datetime.timedelta(days=i)
+        rows += [(None, d)] * c
+    df = spark.createDataFrame(rows, "event_type string, d date")
+    out = rolling_volume_anomaly(df, ["event_type"], "d").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["event_type"] is None and r["n"] == 50 and r["is_anomaly"] == 1
+    # corrupt epoch-default date → span guard fires
+    bad = spark.createDataFrame(
+        rows + [(None, datetime.date(1970, 1, 1))], "event_type string, d date"
+    )
+    with _pytest.raises(ValueError, match="span"):
+        rolling_volume_anomaly(bad, ["event_type"], "d")
