@@ -819,3 +819,124 @@ def personalized_pagerank(
     res = out.localCheckpoint()
     _unpersist_rdds(spark, created - _pinned_rdd_ids(res))
     return res
+
+
+def k_core(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    k: int,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every node keeps degree ≥ k — the density filter that separates a
+    community's load-bearing members from its periphery (triangles/
+    coefficients score nodes, the core is the SET that survives
+    together; spam-farm detection and community-nucleus extraction
+    both start here).
+
+    Iterative peeling, the :func:`connected_components` driver
+    contract: each round is one distributed degree-aggregate + one
+    semi-join filter of the edge list (drop every edge touching a
+    node whose CURRENT degree < k); the driver only checks "did the
+    edge count move".  Peeling is monotone — the fixpoint is the
+    unique k-core regardless of round order, and EXTRA rounds past the
+    fixpoint are no-ops, which is what makes a fixed-unroll oracle
+    valid (the q39/q69 idempotent-tail convention).  Converges in at
+    most |peeled layers| rounds; RAISES past ``max_rounds`` rather
+    than returning a partially-peeled (supergraph) answer.
+
+    Each round's survivor edge list localCheckpoints (lineage would
+    otherwise double per round) and this call's checkpoints release on
+    exit, ownership-scoped.  Output: node, core_degree (bigint — the
+    node's degree WITHIN the core), empty when no k-core exists.
+    """
+    spark = edges.sparkSession
+    created: set[int] = set()
+    u, v = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.where(u != v)
+        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    created |= _pinned_rdd_ids(e)
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("node")
+        nxt = (
+            e.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        created |= _pinned_rdd_ids(nxt)
+        n_next = nxt.count()
+        e = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    else:
+        raise RuntimeError(
+            f"k_core did not reach a fixpoint in {max_rounds} rounds — "
+            "raise max_rounds; returning a partially-peeled supergraph "
+            "would be silently wrong"
+        )
+    out = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .localCheckpoint()
+    )
+    _unpersist_rdds(spark, created - _pinned_rdd_ids(out))
+    return out
+
+
+def sql_k_core(
+    edges_sql: str, src_col: str, dst_col: str, k: int, n_rounds: int = 20
+) -> str:
+    """DuckDB twin of :func:`k_core`: the peel unrolled ``n_rounds``
+    times (extra rounds past the fixpoint are no-ops — the
+    idempotent-tail convention that makes a fixed unroll equal the
+    loop-until-stable kernel), each round MATERIALIZED."""
+    parts = [
+        f"""
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least({src_col}, {dst_col}) AS u,
+                  greatest({src_col}, {dst_col}) AS v
+  FROM ({edges_sql}) WHERE {src_col} <> {dst_col}
+)"""
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f"""
+d{i} AS (
+  SELECT node FROM (
+    SELECT node, COUNT(*) AS d FROM (
+      SELECT u AS node FROM e{i - 1} UNION ALL SELECT v FROM e{i - 1}
+    ) GROUP BY node
+  ) WHERE d >= {k}
+),
+e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{i - 1} e
+  WHERE e.u IN (SELECT node FROM d{i}) AND e.v IN (SELECT node FROM d{i})
+)"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT u AS node FROM e{n_rounds} UNION ALL SELECT v FROM e{n_rounds})
+GROUP BY node
+"""
+    )

@@ -103,18 +103,19 @@ def register(name: str, sql: str | None, doc: str = ""):
 #     (JVM-native hash-kernel linear scoring), q182 (temperature
 #     mixture sampling), q183 (rolling 7-day actives), q184
 #     (Jelinek-Mercer interpolated LM), q185 (personalized PageRank —
-#     q69's oracle conventions, seed-share teleport): registered AFTER
+#     q69's oracle conventions, seed-share teleport), q186 (k-core
+#     peeling — idempotent-tail unrolled oracle): registered AFTER
 #     this window
 #     was
 #     allocated and verified — they ride r08's never-stamped block per
 #     the standing rule (each parity-green at sf0.001/0.01 at
 #     registration, swept by tests/test_oracle_parity.py every run);
 #   - the remaining 11 r04 rows — q82, q84, q85, q86, q87, q88, q90,
-#     q91, q92, q97, q101 — MUST lead the r08 window alongside the 33
+#     q91, q92, q97, q101 — MUST lead the r08 window alongside the 34
 #     never-stamped rows above and the 41 r05-stamped rows that reach
-#     the age-2 bound during r07 (33 + 11 + 41 = 85 — r08 is
-#     oversubscribed by 35, so per the standing order (changed kernels,
-#     then never-stamped, then oldest-stamp-first) the 35
+#     the age-2 bound during r07 (34 + 11 + 41 = 86 — r08 is
+#     oversubscribed by 36, so per the standing order (changed kernels,
+#     then never-stamped, then oldest-stamp-first) the 36
 #     freshest-registered r05 rows spill to r09; re-derive from
 #     tools/stamps.py when allocating);
 #   - q105: its oracle-SQL helper (_q105_sql) grew an optional
@@ -8019,3 +8020,31 @@ def q185_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node") < 20
     )
     return personalized_pagerank(edges, seeds, n_iter=10)
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.components import (  # noqa: E402
+    k_core,
+    sql_k_core,
+)
+
+
+@register(
+    "q186_kcore_members",
+    sql_k_core(_Q161_EDGES_SQL, "p1", "p2", k=3),
+    doc="The 3-core of the recurring co-purchase graph (operators/"
+    "components.py k_core): the maximal subgraph where every part "
+    "keeps >= 3 recurring co-purchase partners — the density filter "
+    "that extracts a community's load-bearing members as a SET "
+    "(triangles q161 / coefficients q180 score nodes individually; "
+    "the core is what survives TOGETHER). Iterative peeling: each "
+    "round one degree aggregate + one semi-join edge filter, the "
+    "driver only checks the edge count; peeling is monotone so the "
+    "fixpoint is unique and extra rounds are no-ops — which is why "
+    "the fixed 20-round unrolled oracle (the q39/q69 idempotent-tail "
+    "convention) equals the loop-until-stable kernel; the kernel "
+    "RAISES past max_rounds rather than returning a partially-peeled "
+    "supergraph. Output: member nodes with their within-core degree.",
+)
+def q186_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return k_core(_copurchase_edges(li), "p1", "p2", k=3)

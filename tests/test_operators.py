@@ -2957,3 +2957,22 @@ def test_rolling_volume_anomaly_null_group_and_span_guard(spark):
     )
     with _pytest.raises(ValueError, match="span"):
         rolling_volume_anomaly(bad, ["event_type"], "d")
+
+
+def test_k_core_cascading_peel_and_empty(spark):
+    """A K4 with a pendant chain: the chain peels in CASCADE (removing
+    the tail drops its neighbor below k, and so on) leaving exactly the
+    clique; k above the max density returns empty; convergence-budget
+    exhaustion raises."""
+    import pytest as _pytest
+
+    from spark_hadoop_automation_in_cloud_spark.operators.components import k_core
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(k4 + chain, "u bigint, v bigint")
+    got = {r["node"]: r["core_degree"] for r in k_core(df, "u", "v", k=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert k_core(df, "u", "v", k=4).count() == 0
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        k_core(df, "u", "v", k=3, max_rounds=1)  # chain needs 3 peels
