@@ -192,6 +192,11 @@ EMB_QUERIES = [
 #: track m: the orientation bound O(m^1.5) is per-component.
 LINEITEM_QUERIES = [
     "q161_copurchase_triangles",
+    # k-core peeling on 100 disjoint graph copies: the peel cascade per
+    # copy is identical, so rounds stay FIXED while each round's
+    # degree-aggregate + semi-join grows with the factor — wall must
+    # track m, never rounds x m
+    "q186_kcore_members",
 ]
 
 
