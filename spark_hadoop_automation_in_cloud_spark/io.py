@@ -455,9 +455,19 @@ def read_csv_quarantine(
     corrupt-column-only restriction and parses once).
 
     ``header=True`` drops lines equal to the schema's own header
-    rendering (the first line of every part file) BEFORE parsing — a
-    header line would otherwise quarantine as garbage on a numeric
-    schema.  Returns ``(parsed, quarantined)`` like the JSON form.
+    rendering BEFORE parsing — a header line would otherwise quarantine
+    as garbage on a numeric schema.  Contract (r07 ADVICE item 4): the
+    drop is an EXACT string match against ``sep.join(fieldNames)``,
+    restricted to the first file block (``input_file_block_start() ==
+    0`` — headers only exist at file start, so later blocks are never
+    screened and a legitimate mid-file data row rendering identically
+    to the header survives).  Two documented edges remain: (a) a data
+    row in the FIRST block that renders exactly as the header is
+    dropped as a header; (b) a header written with different
+    spacing/quoting than the schema's exact rendering is not dropped —
+    it fails to parse and lands in ``quarantined``, where an operator
+    inspects it (intended: a malformed header IS malformed input).
+    Returns ``(parsed, quarantined)`` like the JSON form.
     """
     corrupt = "__corrupt_record"
     lines = spark.read.text(path).where(F.length("value") > 0)
@@ -467,7 +477,12 @@ def read_csv_quarantine(
         # parse the DDL properly — a naive split(',') breaks on
         # parameterized types like decimal(10,2)
         names = StructType.fromDDL(schema).fieldNames()
-        lines = lines.where(F.col("value") != sep.join(names))
+        lines = lines.where(
+            ~(
+                (F.input_file_block_start() == 0)
+                & (F.col("value") == sep.join(names))
+            )
+        )
     parsed_struct = F.from_csv(
         F.col("value"),
         f"{schema}, {corrupt} string",

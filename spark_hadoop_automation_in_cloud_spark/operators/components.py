@@ -881,7 +881,10 @@ def k_core(
         created |= _pinned_rdd_ids(nxt)
         n_next = nxt.count()
         e = nxt
-        if n_next == n_edges:
+        # n_next == 0 IS the fixpoint (the empty graph is trivially
+        # stable) — without it, peeling to empty on the final permitted
+        # round would hit the for-else RuntimeError (r07 ADVICE item 3)
+        if n_next == n_edges or n_next == 0:
             break
         n_edges = n_next
     else:

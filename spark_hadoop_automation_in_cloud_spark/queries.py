@@ -7288,8 +7288,11 @@ def q170_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH scored AS (
   SELECT d.source, d.doc_id, round(q.quality, 6) AS quality,
+         -- rank on the SAME 6dp-rounded value the kernel ranks on: two docs
+         -- whose qualities differ only past 1e-6 must tie (-> doc_id ASC)
+         -- in BOTH engines, not just in Spark (r07 ADVICE item 1)
          ROW_NUMBER() OVER (PARTITION BY d.source
-           ORDER BY q.quality DESC, d.doc_id ASC) AS rn
+           ORDER BY round(q.quality, 6) DESC, d.doc_id ASC) AS rn
   FROM documents d
   JOIN ({tx.sql_quality_score("documents", "doc_id", "text")}) q
     ON q.doc_id = d.doc_id
@@ -7511,7 +7514,10 @@ WITH rev AS (
 ),
 total AS (SELECT SUM(r) AS t FROM rev)
 SELECT l_partkey,
-       round(CAST(r AS DOUBLE) / 10000.0, 2) AS part_revenue,
+       -- 2dp rounding done as exact integer HALF_UP on the 1e-4 grid
+       -- ((r+50)//100, r>0): r%100==50 is an exact half-cent, where
+       -- double round() diverges between engines (r07 ADVICE item 2)
+       CAST((r + 50) // 100 AS DOUBLE) / 100.0 AS part_revenue,
        round(CAST(r AS DOUBLE) / CAST(t AS DOUBLE), 6) AS revenue_share
 FROM rev CROSS JOIN total
 WHERE r * 1000 > t
@@ -7540,7 +7546,11 @@ def q176_revenue_share_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r") * 1000 > F.col("t"))
         .select(
             "l_partkey",
-            F.round(F.col("r").cast("double") / 10000.0, 2).alias("part_revenue"),
+            # exact integer HALF_UP to 2dp before the division (r > 0):
+            # half-cent grid points must not hit double round()
+            (
+                F.floor((F.col("r") + 50) / 100).cast("double") / 100.0
+            ).alias("part_revenue"),
             F.round(F.col("r").cast("double") / F.col("t").cast("double"), 6).alias(
                 "revenue_share"
             ),

@@ -2976,3 +2976,7 @@ def test_k_core_cascading_peel_and_empty(spark):
     assert k_core(df, "u", "v", k=4).count() == 0
     with _pytest.raises(RuntimeError, match="fixpoint"):
         k_core(df, "u", "v", k=3, max_rounds=1)  # chain needs 3 peels
+    # peeling to EMPTY on the final permitted round IS convergence —
+    # must return the empty core, not raise (r07 ADVICE item 3)
+    one = spark.createDataFrame([(1, 2)], "u bigint, v bigint")
+    assert k_core(one, "u", "v", k=2, max_rounds=1).count() == 0

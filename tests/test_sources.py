@@ -614,3 +614,27 @@ def test_read_csv_quarantine_header_with_parameterized_types(spark, tmp_path):
         (1, "2.50"),
         (2, "3.25"),
     }
+
+
+def test_read_csv_quarantine_header_contract(spark, tmp_path):
+    """Pin the documented header contract (r07 ADVICE item 4): the drop
+    is exact-match gated on input_file_block_start()==0 — in these
+    single-block files a first-block data row rendering as the header
+    drops (documented edge a), and a differently-spaced header is NOT
+    dropped but quarantines as malformed input (documented edge b)."""
+    from spark_hadoop_automation_in_cloud_spark.io import read_csv_quarantine
+
+    p = tmp_path / "landing3"
+    p.mkdir()
+    (p / "a.csv").write_text("id,name\n1,alpha\nid,name\n")
+    (p / "b.csv").write_text("id, name\n3,beta\n")
+    parsed, quarantined = read_csv_quarantine(
+        spark, str(p), "id bigint, name string", header=True
+    )
+    rows = {r["id"]: r["name"] for r in parsed.collect()}
+    assert rows == {1: "alpha", 3: "beta"}
+    # edge a: the mid-file exact header rendering in block 0 dropped
+    # silently (absent from BOTH outputs); edge b: the spaced header
+    # quarantined as malformed input instead of dropping
+    raw = sorted(r["raw"] for r in quarantined.collect())
+    assert raw == ["id, name"]
