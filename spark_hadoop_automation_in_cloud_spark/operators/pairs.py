@@ -216,6 +216,7 @@ def blocked_pairs_within_groups(
     group_cols: Sequence[str],
     id_col: str,
     n_blocks: int = 8,
+    auto_plain_below: int = 0,
 ) -> DataFrame:
     """All unordered within-group pairs, block-salted for parallelism.
 
@@ -240,16 +241,35 @@ def blocked_pairs_within_groups(
     Output: ``group_cols…, left struct<payload…>, right struct<payload…>``
     where payload = every non-group column of ``df`` (id included).
     ``n_blocks=1`` degenerates to the plain self-join.
+
+    ``auto_plain_below`` (rows; 0 = off) is the small-corpus dispatch
+    (r07 verdict item 4): below the crossover the replication tax beats
+    the parallelism win (BLOCKED_PAIRS.json measured blocked 14% SLOWER
+    than plain at a 6k-row corpus, 6× faster at 20k), so when set the
+    operator counts ``df`` once — an aggregate-only job, cheap next to
+    the quadratic pair join it sizes — and degenerates to ``n_blocks=1``
+    under the threshold.  The pair set is identical either way (pinned
+    by the equals-naive test); only the physical split changes.
     """
     from spark_hadoop_automation_in_cloud_spark.functions.hashing import md5_prefix_int
 
     if n_blocks < 1:
         raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
+    if auto_plain_below > 0 and n_blocks > 1 and df.count() < auto_plain_below:
+        n_blocks = 1
     group_cols = list(group_cols)
     payload = [c for c in df.columns if c not in group_cols]
     if id_col not in payload:
         raise ValueError(f"id_col {id_col!r} must be a non-group column of df")
     row = F.struct(*[F.col(c) for c in payload])
+    if n_blocks == 1:
+        # true plain self-join — no salt hash, no explode, no runtime
+        # canonicalization (id order IS canonical when nothing is split)
+        a = df.select(*group_cols, row.alias("left"))
+        b = df.select(*group_cols, row.alias("right"))
+        return a.join(b, group_cols).where(
+            F.col(f"left.{id_col}") < F.col(f"right.{id_col}")
+        )
     b = (md5_prefix_int(F.col(id_col), nhex=8, salt=":pairblk") % n_blocks).cast("int")
     base = df.select(*group_cols, row.alias("__row"), b.alias("__b"))
     left = base.withColumn(

@@ -4665,7 +4665,11 @@ def q107_semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("__v"),
         norm(F.col("embedding")).alias("__n"),
     )
-    pairs = blocked_pairs_within_groups(e, ["cluster_id"], "vec_id", n_blocks=8)
+    # 10k-row dispatch: the plain k-task self-join wins below the
+    # replication crossover (BLOCKED_PAIRS.json); pair set identical
+    pairs = blocked_pairs_within_groups(
+        e, ["cluster_id"], "vec_id", n_blocks=8, auto_plain_below=10_000
+    )
     return pairs.select(
         "cluster_id",
         F.col("left.vec_id").alias("left_id"),

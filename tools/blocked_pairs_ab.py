@@ -112,8 +112,14 @@ def main() -> None:
         e = clustered(spark, sf_dir, scale)
         try:
             t_plain, n_plain = timed_count(score(plain_pairs(e)))
+            # the q107 call shape: the 10k-row small-corpus dispatch is
+            # part of the operator under test (r07 verdict item 4)
             t_blk, n_blk = timed_count(
-                score(blocked_pairs_within_groups(e, ["cluster_id"], "vec_id", 8))
+                score(
+                    blocked_pairs_within_groups(
+                        e, ["cluster_id"], "vec_id", 8, auto_plain_below=10_000
+                    )
+                )
             )
         finally:
             e.unpersist()
