@@ -943,3 +943,154 @@ FROM (SELECT u AS node FROM e{n_rounds} UNION ALL SELECT v FROM e{n_rounds})
 GROUP BY node
 """
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    n_rounds: int = 5,
+) -> DataFrame:
+    """Synchronous label-propagation communities (LPA, Raghavan et al.):
+    every node starts as its own label, and each round adopts the most
+    frequent label among its NEIGHBORS (ties to the smallest label;
+    isolated update keeps the current label).  After a handful of rounds
+    dense regions agree on one label — the community buckets that turn
+    corpus-wide dedup/near-dup into per-community work (the pipeline use:
+    a semantic sibling of :func:`connected_components` that splits a
+    connected blob into its dense parts instead of reporting it whole).
+
+    CONTRACT — fixed trajectory, not loop-until-stable: synchronous LPA
+    can oscillate 2-cycles on bipartite-ish regions, so there is no
+    monotone fixpoint for an idempotent-tail oracle to hit (the k_core
+    situation).  Instead BOTH engines walk the identical deterministic
+    trajectory for exactly ``n_rounds`` rounds — the update rule
+    (count DESC, label ASC argmax over neighbor labels) has no ties left
+    to the engine, so round t's labels are bit-identical across engines
+    and the unrolled-CTE oracle (:func:`sql_label_propagation`) IS the
+    kernel by construction.  More rounds = coarser communities; 5 is the
+    usual near-convergence point (Raghavan et al. report >=95% of nodes
+    settled by round 5).
+
+    Scale shape: per round ONE shuffle keyed on the neighbor node — join
+    current labels (|V| rows) onto the symmetric edge list, count
+    (node, label) with map-side combine, and ``max_by(label,
+    struct(cnt, -label))`` collapses the argmax inside the same
+    aggregate; the label frame localCheckpoints per round (lineage would
+    double otherwise) with ownership-scoped release.  No driver state
+    beyond the round counter; edges checkpoint ONCE.
+
+    Output: ``node``, ``community`` (bigint; the round-``n_rounds``
+    label), ``community_size`` (bigint — members sharing the label).
+    """
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    spark = edges.sparkSession
+    created: set[int] = set()
+    u, v = F.col(src_col), F.col(dst_col)
+    sym = (
+        edges.where(u != v)
+        .select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
+        .distinct()
+    )
+    e = (
+        sym.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(sym.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint()
+    )
+    created |= _pinned_rdd_ids(e)
+    lab = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").cast("bigint").alias("lbl"))
+        .localCheckpoint()
+    )
+    created |= _pinned_rdd_ids(lab)
+    for _ in range(n_rounds):
+        nb = e.join(lab.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"), "lbl"
+        )
+        pick = (
+            nb.groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("node")
+            .agg(
+                F.expr("max_by(lbl, struct(c, -lbl))").alias("new_lbl")
+            )
+        )
+        nxt = (
+            lab.join(pick, "node", "left")
+            .select(
+                "node", F.coalesce(F.col("new_lbl"), F.col("lbl")).alias("lbl")
+            )
+            .localCheckpoint()
+        )
+        created |= _pinned_rdd_ids(nxt)
+        lab = nxt
+    out = (
+        lab.join(
+            lab.groupBy("lbl").agg(F.count(F.lit(1)).alias("community_size")),
+            "lbl",
+        )
+        .select(
+            "node",
+            F.col("lbl").cast("bigint").alias("community"),
+            F.col("community_size").cast("bigint").alias("community_size"),
+        )
+        .localCheckpoint()
+    )
+    _unpersist_rdds(spark, created - _pinned_rdd_ids(out))
+    return out
+
+
+def sql_label_propagation(
+    edges_sql: str, src_col: str, dst_col: str, n_rounds: int = 5
+) -> str:
+    """DuckDB twin of :func:`label_propagation`: the fixed trajectory
+    unrolled ``n_rounds`` times, each round MATERIALIZED; the argmax is
+    the same (count DESC, label ASC) rule via ROW_NUMBER."""
+    parts = [
+        f"""
+sym AS MATERIALIZED (
+  SELECT DISTINCT least({src_col}, {dst_col}) AS a,
+                  greatest({src_col}, {dst_col}) AS b
+  FROM ({edges_sql}) WHERE {src_col} <> {dst_col}
+),
+e AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM sym
+  UNION ALL
+  SELECT b AS src, a AS dst FROM sym
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS lbl FROM e
+)"""
+    ]
+    for t in range(1, n_rounds + 1):
+        parts.append(
+            f"""
+c{t} AS (
+  SELECT e.dst AS node, l.lbl, COUNT(*) AS c
+  FROM e JOIN l{t - 1} l ON l.node = e.src
+  GROUP BY 1, 2
+),
+p{t} AS (
+  SELECT node, lbl AS new_lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+    FROM c{t}
+  ) WHERE rn = 1
+),
+l{t} AS MATERIALIZED (
+  SELECT l.node, COALESCE(p.new_lbl, l.lbl) AS lbl
+  FROM l{t - 1} l LEFT JOIN p{t} p ON p.node = l.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT node, CAST(lbl AS BIGINT) AS community,
+       CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+FROM l{n_rounds}
+"""
+    )

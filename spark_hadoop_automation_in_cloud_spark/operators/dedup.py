@@ -1458,3 +1458,156 @@ def incremental_lsh_pairs(
         .where(F.col("est_jaccard") >= min_est_jaccard)
         .distinct()
     )
+
+
+# --- ExactSubstr output side: emit the deduplicated corpus -------------------
+
+
+def exact_substring_dedup(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, min_doc_freq: int = 2
+) -> DataFrame:
+    """The OUTPUT side of cross-document exact-substring dedup: the
+    cleaned corpus with repeated passages REMOVED, keeping exactly one
+    copy corpus-wide (Lee et al.'s ExactSubstr emits the corpus minus
+    duplicated spans; :func:`repeated_span_coverage` is the measurement
+    side of the same signal, and this reuses its gram/position
+    machinery).
+
+    Keeper rule: a repeated gram (>= ``min_doc_freq`` distinct docs)
+    stays in the doc with the MINIMUM doc id among its holders and is
+    removed from every other doc — so no passage is lost from the
+    corpus, and no passage survives twice via the repeated-gram route.
+    A position is removed when ANY non-keeper repeated gram covers it
+    (union over grams; overlapping grams with different keepers —
+    removal wins, documented).  Tokens = the q118 whitespace convention;
+    NULL text coalesces to ``''`` (1 token, no grams, kept verbatim).
+
+    Scale shape (vs the reference algorithm's global suffix-array sort):
+    grams md5-compress to int64 at the scan; doc frequency + keeper are
+    ONE map-side-combined aggregate on the gram hash; the repeated-flag
+    equi-join reuses that key with multiplicity = the gram's own doc
+    frequency (the inverted index, never a cross product).  Removal
+    positions fan out ``n``× (bounded), the keep filter is a left-anti
+    join on (doc, pos), and the document re-assembles through one
+    doc-keyed aggregate — ``array_sort(collect_list(struct))``, the q11
+    deterministic-collect idiom.  Everything is linear in corpus tokens
+    with shuffles keyed on gram hash / doc id; nothing is ever
+    corpus-global on the driver.
+
+    Output: ``doc_id``, ``n_tokens``, ``n_kept`` (bigints), ``clean_text``
+    (kept tokens joined by one space; ``''`` when everything was
+    removed).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    k = F.size(toks) - (n - 1)
+    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.struct(
+                i.alias("pos"),
+                md5_int60(F.concat_ws(" ", *parts(i))).alias("gh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gh:bigint>>"))
+    g = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    keepers = (
+        g.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(
+            F.count(F.lit(1)).alias("gram_df"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .where(F.col("gram_df") >= min_doc_freq)
+        .select("gh", "keeper")
+    )
+    removed = (
+        g.join(keepers, "gh")
+        .where(F.col("doc_id") != F.col("keeper"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+    )
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tok.join(removed, ["doc_id", "pos"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    docs = df.select(F.col(id_col).alias("doc_id"), F.size(toks).alias("n_tokens"))
+    return docs.join(cleaned, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+def sql_exact_substring_dedup(
+    src: str, id_col: str, text_col: str, n: int = 3, min_doc_freq: int = 2
+) -> str:
+    """DuckDB oracle twin of :func:`exact_substring_dedup` — identical
+    gram hashing, keeper rule, and position union."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    gh = sql_md5_int60(f"({gram})")
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, string_split(COALESCE({text_col}, ''), ' ') AS t
+  FROM {src}
+),
+g AS (
+  SELECT doc_id, i AS pos, {gh} AS gh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {n - 1})) AS i
+        FROM toks)
+),
+keepers AS (
+  SELECT gh, keeper FROM (
+    SELECT gh, COUNT(DISTINCT doc_id) AS gram_df, MIN(doc_id) AS keeper
+    FROM g GROUP BY 1
+  ) WHERE gram_df >= {min_doc_freq}
+),
+removed AS (
+  SELECT DISTINCT r.doc_id, r.pos + j.j AS pos
+  FROM (SELECT g.doc_id, g.pos FROM g JOIN keepers USING (gh)
+        WHERE g.doc_id <> keepers.keeper) r,
+       generate_series(0, {n - 1}) j(j)
+),
+tok AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)
+),
+kept AS (
+  SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+  WHERE NOT EXISTS (SELECT 1 FROM removed
+                    WHERE removed.doc_id = tok.doc_id
+                      AND removed.pos = tok.pos)
+),
+cl AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY 1
+),
+d AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+SELECT d.doc_id,
+       CAST(d.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(cl.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(cl.clean_text, '') AS clean_text
+FROM d LEFT JOIN cl USING (doc_id)
+"""

@@ -8062,3 +8062,52 @@ from spark_hadoop_automation_in_cloud_spark.operators.components import (  # noq
 def q186_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     return k_core(_copurchase_edges(li), "p1", "p2", k=3)
+
+
+@register(
+    "q187_exact_substring_dedup",
+    dd.sql_exact_substring_dedup("documents", "doc_id", "text", n=3, min_doc_freq=2),
+    doc="ExactSubstr OUTPUT side (operators/dedup.py "
+    "exact_substring_dedup): the cleaned corpus with cross-document "
+    "repeated passages REMOVED, one copy kept corpus-wide (minimum "
+    "doc id holds the keeper) — q109 counts repeated grams, q118 "
+    "measures covered positions, this row EMITS the deduplicated "
+    "text a training run would actually consume (Lee et al.'s "
+    "ExactSubstr deliverable, re-expressed without the global suffix "
+    "array: gram-hash doc-frequency + keeper in one aggregate, "
+    "removal positions by bounded n-times fan-out, keep filter as a "
+    "(doc, pos) anti-join, re-assembly through the q11 deterministic "
+    "array_sort(collect_list) idiom). Linear in corpus tokens, "
+    "shuffles keyed on gram hash / doc id only.",
+)
+def q187_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    return dd.exact_substring_dedup(d, "doc_id", "text", n=3, min_doc_freq=2)
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.components import (  # noqa: E402
+    label_propagation,
+    sql_label_propagation,
+)
+
+
+@register(
+    "q188_copurchase_communities",
+    sql_label_propagation(_Q161_EDGES_SQL, "p1", "p2", n_rounds=5),
+    doc="Label-propagation communities over the recurring co-purchase "
+    "graph (operators/components.py label_propagation): each part "
+    "adopts its neighbors' majority label for 5 synchronous rounds — "
+    "the density-aware community buckets that split a connected blob "
+    "into parts (q39's components report it whole), giving "
+    "community-level dedup/curation buckets. FIXED-TRAJECTORY "
+    "contract: synchronous LPA can 2-cycle, so instead of a fixpoint "
+    "both engines walk the identical deterministic 5-round trajectory "
+    "(count DESC, label ASC argmax — no ties left to the engine; the "
+    "unrolled-CTE oracle IS the kernel by construction, the "
+    "trajectory sibling of q186's idempotent-tail convention). Per "
+    "round ONE shuffle keyed on the neighbor node; labels "
+    "localCheckpoint per round with ownership-scoped release.",
+)
+def q188_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return label_propagation(_copurchase_edges(li), "p1", "p2", n_rounds=5)

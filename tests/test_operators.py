@@ -2980,3 +2980,69 @@ def test_k_core_cascading_peel_and_empty(spark):
     # must return the empty core, not raise (r07 ADVICE item 3)
     one = spark.createDataFrame([(1, 2)], "u bigint, v bigint")
     assert k_core(one, "u", "v", k=2, max_rounds=1).count() == 0
+
+
+def test_label_propagation_two_triangles_bridge(spark):
+    """Two triangles joined by one bridge edge: LPA must split the
+    (single connected) blob into its two dense parts.  The expected
+    labels follow the deterministic 5-round trajectory by hand —
+    count DESC / label ASC argmax, neighbors only (round 1: every
+    triangle member adopts its smallest neighbor; by round 3 the left
+    triangle agrees on 1 and the right on 3, and rounds 4-5 are
+    stable)."""
+    from spark_hadoop_automation_in_cloud_spark.operators.components import (
+        label_propagation,
+    )
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    df = spark.createDataFrame(edges, "u bigint, v bigint")
+    got = {
+        r["node"]: (r["community"], r["community_size"])
+        for r in label_propagation(df, "u", "v", n_rounds=5).collect()
+    }
+    assert got == {
+        1: (1, 3),
+        2: (1, 3),
+        3: (1, 3),
+        4: (3, 3),
+        5: (3, 3),
+        6: (3, 3),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_rounds"):
+        label_propagation(df, "u", "v", n_rounds=0)
+
+
+def test_exact_substring_dedup_keeper_semantics(spark):
+    """A 3-gram passage shared by two docs survives in the minimum doc
+    id and is removed from the other; unique text is untouched; a doc
+    that is ALL boilerplate cleans to ''; NULL text behaves as the
+    1-token empty doc."""
+    from spark_hadoop_automation_in_cloud_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "intro words the quick brown fox closing"),
+        (3, "the quick brown"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["clean_text"])
+        for r in exact_substring_dedup(
+            df, "doc_id", "text", n=3, min_doc_freq=2
+        ).collect()
+    }
+    # doc 1 is the keeper of every shared gram -> untouched
+    assert got[1] == (5, 5, "the quick brown fox jumps")
+    # doc 2 (7 tokens) loses 'the quick brown fox' (grams 'the quick
+    # brown' + 'quick brown fox' both keep doc 1, covering positions
+    # 3-6), keeps its unique frame
+    assert got[2] == (7, 3, "intro words closing")
+    # doc 3 is nothing but the shared gram -> cleans to ''
+    assert got[3] == (3, 0, "")
+    # NULL text = the 1-token empty doc, kept verbatim
+    assert got[4] == (1, 1, "")

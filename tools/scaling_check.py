@@ -51,6 +51,12 @@ QUERIES = [
     # interval-union window sees the maximal repeated-start stream —
     # worst case for the per-doc lead() pass on top of q109's join shape
     "q118_repeated_span_coverage",
+    # ExactSubstr output: replication makes EVERY gram repeated with one
+    # replica-0 keeper, so every non-keeper doc hits the maximal removal
+    # fan-out (n x starts) AND the full-token anti-join + reassembly run
+    # on the whole corpus — the worst case for the emit side on top of
+    # q118's measurement shape
+    "q187_exact_substring_dedup",
     # shard layout: pure shuffle + per-shard window, should track input
     "q110_training_shards",
     # budget selection: per-source windows grow with the factor while the
@@ -197,6 +203,12 @@ LINEITEM_QUERIES = [
     # degree-aggregate + semi-join grows with the factor — wall must
     # track m, never rounds x m
     "q186_kcore_members",
+    # label propagation on the same disjoint copies: the 5-round
+    # trajectory per copy is identical, so the round count is fixed by
+    # contract while each round's neighbor join + (node, label) count
+    # grows with the factor — wall must track m x rounds, never anything
+    # label-cardinality-shaped (labels stay within each copy)
+    "q188_copurchase_communities",
 ]
 
 

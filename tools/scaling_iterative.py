@@ -128,7 +128,43 @@ def main() -> None:
         "sublinear": t10 / t1 < scale,
     }
 
-    release(spark, purchases, edges, edges_rep)
+    # --- personalized PageRank over the same disjoint replicas ----------
+    # q185's kernel (r07 verdict item 2: the only iterative-graph family
+    # member without its own wall receipt).  Each replica carries its own
+    # shifted copy of the seed cohort (node < 20), so seed COUNT grows
+    # with the factor while per-replica personalization stays identical —
+    # the organic shape for "one PPR run per tenant/community".  Per
+    # round the work is the same edge join as plain pagerank plus the
+    # 1-row dangling aggregate; wall must track edges.
+    from spark_hadoop_automation_in_cloud_spark.operators.components import (
+        personalized_pagerank,
+    )
+
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .where(F.col("node") % shift < 20)
+        .localCheckpoint()
+    )
+    seeds_rep = (
+        seeds.crossJoin(spark.range(scale).withColumnRenamed("id", "__rep"))
+        .select((F.col("node") + F.col("__rep") * shift).alias("node"))
+        .localCheckpoint()
+    )
+    t1 = timed(lambda: personalized_pagerank(edges, seeds, n_iter=10))
+    t10 = timed(lambda: personalized_pagerank(edges_rep, seeds_rep, n_iter=10))
+    out["personalized_pagerank_10_rounds"] = {
+        "n_edges_base": n_edges,
+        "n_seeds_base": seeds.count(),
+        f"n_edges_{scale}x": n_edges_rep,
+        "base_sec": t1,
+        f"{scale}x_sec": t10,
+        "wall_ratio": round(t10 / t1, 2),
+        "sublinear": t10 / t1 < scale,
+    }
+
+    release(spark, purchases, edges, edges_rep, seeds, seeds_rep)
 
     # --- k-means over a replicated corpus -------------------------------
     emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
