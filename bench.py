@@ -161,6 +161,17 @@ HEADLINE = [
     "q161_copurchase_triangles",
     "q164_pmi_collocations",
     "q166_bpe_merge_training",
+    # round-11 additions (r07 verdict item 2): the remaining iterative
+    # graph walls.  q185 = personalized PageRank (q69's edge join per
+    # round + the 1-row dangling aggregate — benching it directly
+    # removes the last receipts gap in the costliest family); q186 =
+    # k-core peeling (degree aggregate + semi-join per peel round; a
+    # regression that stops converging shows up as rounds x m).  q188
+    # (LPA) shares q186's per-round join/aggregate shape on the same
+    # graph at a FIXED 5 rounds, so it is laddered (SCALING_100x) but
+    # not separately benched.
+    "q185_personalized_pagerank",
+    "q186_kcore_members",
 ]
 
 #: Pinned machine-factor kernels (VERDICT r5 item 5): code-independent

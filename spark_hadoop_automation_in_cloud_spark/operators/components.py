@@ -1094,3 +1094,153 @@ SELECT node, CAST(lbl AS BIGINT) AS community,
 FROM l{n_rounds}
 """
     )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src_col: str,
+    dst_col: str,
+    node_col: str = "node",
+    label_col: str = "community",
+) -> DataFrame:
+    """Exact Newman modularity of a community assignment, per community —
+    the evaluation side of :func:`label_propagation` (did LPA actually
+    find dense parts?) and the standard quality gate before community
+    buckets feed downstream dedup/curation.
+
+    For each community c: ``contribution_c = (4·m·m_c − D_c²) / (4·m²)``
+    where ``m`` = undirected edge count, ``m_c`` = edges internal to c,
+    ``D_c`` = degree sum of c's members; ``Q = Σ_c contribution_c``.
+    The numerator stays an EXACT integer (DECIMAL(38,0) / HUGEINT) and
+    the division happens ONCE on two exactly-derived doubles — the same
+    IEEE conversion + single divide in both engines, so no rounding is
+    needed (the q155 numerator discipline applied to a quotient).
+
+    Scale shape: one canonicalize+distinct of the edge list, one degree
+    aggregate, two label equi-joins keyed on the edge endpoints (the
+    inverted-index multiplicity — never a cross product), a 1-row edge
+    count broadcast, and per-community aggregates.  Labels for nodes
+    absent from ``labels`` would drop edges silently, so the operator
+    inner-joins and the caller owns completeness (LPA labels every
+    endpoint by construction).
+
+    Output: ``community``, ``n_members``, ``internal_edges``,
+    ``degree_sum`` (bigints), ``contribution`` (double).  The canonical
+    edge list is localCheckpoint'd (it feeds the count, the degree
+    aggregate AND the two label joins — lazy it would recompute the
+    caller's edge derivation per subtree) and the result checkpoints
+    with ownership-scoped release, the iterative-family contract: one
+    pinned frame per call, the returned one.
+    """
+    spark = edges.sparkSession
+    created: set[int] = set()
+    dec = "decimal(38,0)"
+    u, v = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.where(u != v)
+        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    created |= _pinned_rdd_ids(e)
+    lab = labels.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("community")
+    )
+    m = e.agg(F.count(F.lit(1)).cast(dec).alias("m"))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dc = (
+        lab.join(deg, "node")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("d").cast(dec)).alias("degree_sum"),
+        )
+    )
+    mc = (
+        e.join(lab.select(F.col("node").alias("u"), F.col("community").alias("ca")), "u")
+        .join(lab.select(F.col("node").alias("v"), F.col("community").alias("cb")), "v")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast(dec).alias("internal_edges"))
+    )
+    num = (
+        F.lit(4).cast(dec) * F.col("m") * F.coalesce(F.col("internal_edges"), F.lit(0).cast(dec))
+        - F.col("degree_sum") * F.col("degree_sum")
+    )
+    den = F.lit(4).cast(dec) * F.col("m") * F.col("m")
+    out = (
+        dc.join(mc, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.coalesce(F.col("internal_edges"), F.lit(0))
+            .cast("bigint")
+            .alias("internal_edges"),
+            F.col("degree_sum").cast("bigint").alias("degree_sum"),
+            (num.cast("double") / den.cast("double")).alias("contribution"),
+        )
+        .localCheckpoint()
+    )
+    _unpersist_rdds(spark, created - _pinned_rdd_ids(out))
+    return out
+
+
+def sql_modularity(
+    edges_sql: str,
+    labels_sql: str,
+    src_col: str,
+    dst_col: str,
+    node_col: str = "node",
+    label_col: str = "community",
+) -> str:
+    """DuckDB twin of :func:`modularity`; ``labels_sql`` is any query
+    yielding (node, community) — e.g. :func:`sql_label_propagation`
+    wrapped as a subquery."""
+    # CTE names are mq_-prefixed: labels_sql is typically the unrolled
+    # LPA trajectory, whose own CTEs (e, sym, l0…) would otherwise
+    # collide with these at the top level (DuckDB flattens the scopes —
+    # "Duplicate alias" binder error, hit on the first q189 run)
+    return f"""
+WITH mq_e AS MATERIALIZED (
+  SELECT DISTINCT least({src_col}, {dst_col}) AS u,
+                  greatest({src_col}, {dst_col}) AS v
+  FROM ({edges_sql}) WHERE {src_col} <> {dst_col}
+),
+mq_lab AS MATERIALIZED (
+  SELECT {node_col} AS node, {label_col} AS community FROM ({labels_sql})
+),
+mq_m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM mq_e),
+mq_deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM mq_e UNION ALL SELECT v FROM mq_e
+  ) GROUP BY node
+),
+mq_dc AS (
+  SELECT community, COUNT(*) AS n_members,
+         SUM(CAST(d AS HUGEINT)) AS degree_sum
+  FROM mq_lab JOIN mq_deg USING (node) GROUP BY 1
+),
+mq_mc AS (
+  SELECT la.community, CAST(COUNT(*) AS HUGEINT) AS internal_edges
+  FROM mq_e
+  JOIN mq_lab la ON la.node = mq_e.u
+  JOIN mq_lab lb ON lb.node = mq_e.v
+  WHERE la.community = lb.community
+  GROUP BY 1
+)
+SELECT mq_dc.community,
+       CAST(mq_dc.n_members AS BIGINT) AS n_members,
+       CAST(COALESCE(mq_mc.internal_edges, 0) AS BIGINT) AS internal_edges,
+       CAST(mq_dc.degree_sum AS BIGINT) AS degree_sum,
+       CAST(4 * mq_m.m * COALESCE(mq_mc.internal_edges, 0)
+            - mq_dc.degree_sum * mq_dc.degree_sum AS DOUBLE)
+         / CAST(4 * mq_m.m * mq_m.m AS DOUBLE) AS contribution
+FROM mq_dc LEFT JOIN mq_mc USING (community) CROSS JOIN mq_m
+"""

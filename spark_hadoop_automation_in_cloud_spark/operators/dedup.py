@@ -1540,7 +1540,13 @@ def exact_substring_dedup(
     tok = df.select(
         F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    kept = tok.join(removed, ["doc_id", "pos"], "left_anti")
+    # merge hints on both corpus-sized joins: `removed` and `cleaned` are
+    # corpus-scale frames whose STATIC size estimates come out tiny
+    # (post-join / post-aggregate), so the planner picks broadcast — at a
+    # 100x pile-on the attempted broadcast of the text-carrying build
+    # side OOM'd the driver (observed; AQE cannot undo a statically
+    # planned BHJ).  SMJ keyed on (doc, pos) / doc is the 100 TB shape.
+    kept = tok.join(removed.hint("merge"), ["doc_id", "pos"], "left_anti")
     cleaned = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.concat_ws(
@@ -1552,7 +1558,7 @@ def exact_substring_dedup(
         ).alias("clean_text"),
     )
     docs = df.select(F.col(id_col).alias("doc_id"), F.size(toks).alias("n_tokens"))
-    return docs.join(cleaned, "doc_id", "left").select(
+    return docs.join(cleaned.hint("merge"), "doc_id", "left").select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),

@@ -54,79 +54,50 @@ def register(name: str, sql: str | None, doc: str = ""):
 # WINDOW NOTE FIRST — read this before touching _ROTATE_FIRST.
 #
 # ROUND NUMBERING: the driver's counter restarted after r05 (see
-# memory/driver-round-numbering): CORRECTNESS_r06 landed 2026-08-15,
-# 50/50 tri-green, exactly on the previous window (q126–q132 + refreshed
-# kernels + the whole 21-row r03 backlog — that allocation's rationale
-# is in git history, commit a5fb37f and earlier).  This file now
-# allocates the NEXT verification, CORRECTNESS_r07.
+# memory/driver-round-numbering).  CORRECTNESS_r07 landed 2026-08-15,
+# 50/50 tri-green, exactly on the previous allocation (q133-q152 + the
+# oldest 30 of the 41 r04 rows — rationale in git history, commit
+# 26d00f3).  This file now allocates the NEXT verification,
+# CORRECTNESS_r08.
 #
-# The r07 ledger (tools/stamps.py after the r06 stamps) is
-# OVERSUBSCRIBED: 20 never-stamped rows (q133–q152) + the 41 r04-stamped
-# rows the previous note promised would lead r07 = 61 mandatory
-# candidates for 50 slots.  The r06 verdict (Next round 1) resolves the
-# conflict explicitly: changed kernels first, then the 20 never-stamped,
-# then the OLDEST 30 of the 41 r04 rows; the remaining 11 r04 rows lead
-# r08.  This window's 50 slots are therefore 20 + 30:
-#   - 20 never-stamped rows (q133–q152 — BM25, hybrid RRF, covariance,
-#     PC projection, vocab coverage, centroid cosine, grouped OLS,
-#     calibrated quality, bigram LM, streaming count-min, dedup audit,
-#     model rerank, sketch deciles, PSI drift, HLL join estimate,
-#     lang-ID confusion, ANN recall, shard rebalance, freshness SLA,
-#     streaming covariance).  This block ALSO covers every kernel
-#     changed in round 7, all of which live in this family: the BM25
-#     row-local dl (q133/q134/q144), the power-iteration max-row seed +
-#     its SQL twin (q135/q136), the NULL-group centroid contract
-#     (q138), the parameterized bigram-LM train CTE (q141 —
-#     byte-identical generated SQL), the bounded ≤types×200 audit probe
-#     (q142), and the fake-scorer NULL-key guard (q144);
-#   - the oldest 30 of the 41 r04-stamped rows, in registration order:
-#     q12, q13, q15, q18, q21, q23, q24, q28, q32, q37, q39, q42, q46,
-#     q47, q48, q49, q54, q55, q56, q58, q60, q61, q62, q63, q64, q68,
-#     q75, q76, q78, q81.
+# The r08 ledger (tools/stamps.py after the r07 stamps) is
+# OVERSUBSCRIBED: 37 never-stamped rows (q153-q189) + 52 rows at the
+# age-2 bound (the 11 remaining r04 rows + the 41 r05 rows that aged
+# out during r07) = 89 mandatory candidates for 50 slots.  The r07
+# verdict (Next round 1) prescribes the standing order — changed
+# kernels first, then never-stamped, then oldest-stamp-first — so this
+# window's 50 slots are 1 + 37 + 12:
+#   - q107 (semantic cluster dedup): its pair stage gained the
+#     small-corpus dispatch this round (pairs.py auto_plain_below —
+#     the r07 verdict item 4), so the kernel changed and must
+#     re-stamp even though its r06 stamp is only age 1;
+#   - the 37 never-stamped rows q153-q189 (bucketed join, quality
+#     rules, exact + sketched KS, PQ/IVF-PQ/filtered ANN, streaming
+#     ANN maintenance, triangles, AUC, calibration, PMI, Zipf, BPE +
+#     tokenizer fit, k-anonymity, MMR, volume anomaly + streaming
+#     monitor, curriculum interleave, kappa, z-test, Q11/Q22 shapes,
+#     correlated sampling, JSON quarantine, clustering coefficient,
+#     hash-kernel scores, temperature mixture, rolling actives, JM LM,
+#     personalized PageRank, k-core, exact-substring dedup output,
+#     LPA communities, community modularity).  This block ALSO covers every other kernel
+#     changed in round 8: the q171 oracle rank-on-rounded fix, the
+#     q176 integer-grid half-cent fix, the k_core empty-graph
+#     fixpoint (q186), and the two NEW registrations q187/q188;
+#   - the oldest 12 stamped rows in (stamp age, registration) order:
+#     the 11 remaining r04 rows — q82, q84, q85, q86, q87, q88, q90,
+#     q91, q92, q97, q101 — plus the oldest r05 row, q01.
 # Left out, and why:
-#   - q153 (bucketed co-located join), q154 (quality rule flags), q155
-#     (exact KS drift), q156 (PQ codes), q157 (PQ asymmetric-distance
-#     search), q158 (metadata-filtered ANN), q159 (IVF-PQ search), q160
-#     (streaming ANN index maintenance — shares q159's oracle verbatim),
-#     and the round-7 build block q161 (co-purchase triangles), q162
-#     (quality ROC-AUC), q163 (quality calibration bins), q164 (PMI
-#     collocations), q165 (Zipf slope), q166 (BPE merge training), q167
-#     (k-anonymity audit), q168 (MMR diversified rerank), q169
-#     (tokenizer-fit compression), q170 (volume anomaly), q171
-#     (curriculum interleave), q172 (lang-ID Cohen's kappa), q173
-#     (two-proportion A/B z-test), q174 (streaming volume monitor —
-#     shares q170's oracle verbatim), q175 (KS drift on the sketch
-#     grid — q155's stated 100 TB form), q176 (TPC-H Q11-shape global
-#     revenue share), q177 (TPC-H Q22-shape dormant-rich anti-join),
-#     q178 (correlated dev-dataset sampling), q179 (JSON dead-letter
-#     quarantine ingest), q180 (local clustering coefficient), q181
-#     (JVM-native hash-kernel linear scoring), q182 (temperature
-#     mixture sampling), q183 (rolling 7-day actives), q184
-#     (Jelinek-Mercer interpolated LM), q185 (personalized PageRank —
-#     q69's oracle conventions, seed-share teleport), q186 (k-core
-#     peeling — idempotent-tail unrolled oracle): registered AFTER
-#     this window
-#     was
-#     allocated and verified — they ride r08's never-stamped block per
-#     the standing rule (each parity-green at sf0.001/0.01 at
-#     registration, swept by tests/test_oracle_parity.py every run);
-#   - the remaining 11 r04 rows — q82, q84, q85, q86, q87, q88, q90,
-#     q91, q92, q97, q101 — MUST lead the r08 window alongside the 34
-#     never-stamped rows above and the 41 r05-stamped rows that reach
-#     the age-2 bound during r07 (34 + 11 + 41 = 86 — r08 is
-#     oversubscribed by 36, so per the standing order (changed kernels,
-#     then never-stamped, then oldest-stamp-first) the 36
-#     freshest-registered r05 rows spill to r09; re-derive from
-#     tools/stamps.py when allocating);
-#   - q105: its oracle-SQL helper (_q105_sql) grew an optional
-#     probe_per_type parameter for q142; the q105 call passes None and
-#     the generated SQL is semantically identical (two empty format
-#     slots add whitespace only) — the same displacement precedent as
-#     r06's signature-only sketches.py change.  q105 is r05-stamped and
-#     leads r08 with its cohort;
-#   - everything else is r05/r06-stamped (age ≤ 1) and untouched.
+#   - the 40 remaining r05 rows (q02-q106 registration order, minus
+#     the ones above) stay at age 2 and MUST lead r09 alongside the
+#     50 r06-stamped rows that reach the bound during r08 (40 + 50 =
+#     90 candidates for 50 slots — r09 allocates per the same
+#     standing order: r09-changed kernels, then any never-stamped,
+#     then the 40 r05 rows, then the oldest-registered r06 rows up to
+#     50; re-derive from tools/stamps.py when allocating);
+#   - everything else is r06/r07-stamped (age <= 1) and untouched.
 # All left-out rows are sf0.001-parity-green on HEAD via
-# tests/test_oracle_parity.py (153 rows, every run).
+# tests/test_oracle_parity.py (every run) and sf0.01-green in the
+# round-8 full sweep.
 #
 # The driver's CORRECTNESS run verifies a bounded window (50 entries)
 # taken in registration order, so queries() exposes the registry ROTATED
@@ -134,60 +105,61 @@ def register(name: str, sql: str | None, doc: str = ""):
 # (tests/test_oracle_parity.py) still covers every registered query
 # regardless of position.
 _ROTATE_FIRST: tuple[str, ...] = (
-    # --- never stamped (registered after the r06 window filled); includes
-    #     every round-7-changed kernel — see WINDOW NOTE
-    "q133_bm25_retrieval",
-    "q134_hybrid_rrf_retrieval",
-    "q135_embedding_covariance",
-    "q136_pc_projection",
-    "q137_vocab_coverage",
-    "q138_source_centroid_cosine",
-    "q139_revenue_trend_ols",
-    "q140_source_calibrated_quality",
-    "q141_bigram_lm_quality",
-    "q142_streaming_countmin",
-    "q143_dedup_audit",
-    "q144_model_rerank",
-    "q145_sketch_quality_deciles",
-    "q146_value_psi_weekend",
-    "q147_join_size_estimate",
-    "q148_langid_confusion",
-    "q149_ann_recall_eval",
-    "q150_shard_rebalance_plan",
-    "q151_freshness_report",
-    "q152_streaming_covariance",
-    # --- the oldest 30 of the 41-row r04 backlog (registration order);
-    #     the remaining 11 lead r08
-    "q12_active_user_segments",
-    "q13_order_priority_sets",
-    "q15_top_parts_global",
-    "q18_zone_activity",
-    "q21_minhash_lsh_pairs",
-    "q23_simhash",
-    "q24_cosine_topk",
-    "q28_token_stats",
-    "q32_streaming_weekly_rollup",
-    "q37_value_quantiles",
-    "q39_neardup_clusters",
-    "q42_hash_split",
-    "q46_pivot",
-    "q47_unpivot",
-    "q48_ranking_functions",
-    "q49_cube",
-    "q54_repetition_ratio",
-    "q55_stratified_sample",
-    "q56_full_outer_reconciliation",
-    "q58_training_sequences",
-    "q60_decontamination",
-    "q61_pii_scrub",
-    "q62_embedding_quantize",
-    "q63_tfidf_top_terms",
-    "q64_document_chunking",
-    "q68_trimmed_mean",
-    "q75_weighted_sample",
-    "q76_mad_outliers",
-    "q78_pareto_abc",
-    "q81_transition_matrix",
+    # --- changed kernel (r08: the blocked-pairs small-corpus dispatch)
+    "q107_semantic_cluster_dedup",
+    # --- never stamped (registered after the r07 window filled); also
+    #     covers every other round-8-changed kernel — see WINDOW NOTE
+    "q153_bucketed_colocated_join",
+    "q154_quality_rule_flags",
+    "q155_ks_drift_weekend",
+    "q156_pq_codes",
+    "q157_pq_adc_topk",
+    "q158_filtered_cosine_topk",
+    "q159_ivf_pq_search",
+    "q160_streaming_ann_maintenance",
+    "q161_copurchase_triangles",
+    "q162_quality_auc_by_source",
+    "q163_quality_calibration",
+    "q164_pmi_collocations",
+    "q165_zipf_slope_by_source",
+    "q166_bpe_merge_training",
+    "q167_k_anonymity_audit",
+    "q168_mmr_diverse_rerank",
+    "q169_tokenizer_fit_by_source",
+    "q170_volume_anomaly",
+    "q171_curriculum_interleave",
+    "q172_langid_kappa",
+    "q173_purchase_ab_ztest",
+    "q174_streaming_volume_monitor",
+    "q175_ks_drift_sketched",
+    "q176_revenue_share_parts",
+    "q177_idle_rich_customers",
+    "q178_correlated_sample_audit",
+    "q179_json_quarantine_ingest",
+    "q180_clustering_coefficient",
+    "q181_hash_kernel_scores",
+    "q182_temperature_mixture",
+    "q183_rolling_weekly_actives",
+    "q184_jm_interpolated_lm",
+    "q185_personalized_pagerank",
+    "q186_kcore_members",
+    "q187_exact_substring_dedup",
+    "q188_copurchase_communities",
+    "q189_community_modularity",
+    # --- the oldest 12 stamped rows: the 11 remaining r04 rows, then
+    #     the oldest r05 row
+    "q82_linear_regression",
+    "q84_event_entropy",
+    "q85_basket_pairs",
+    "q86_price_skyline",
+    "q87_salted_priority_revenue",
+    "q88_rfm_segments",
+    "q90_weighted_median",
+    "q91_mixture_sampling",
+    "q92_sequence_packing",
+    "q97_point_in_time_state",
+    "q101_unigram_lm_quality",
+    "q01_pricing_summary",
 )
 
 
@@ -8111,3 +8083,48 @@ from spark_hadoop_automation_in_cloud_spark.operators.components import (  # noq
 def q188_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     return label_propagation(_copurchase_edges(li), "p1", "p2", n_rounds=5)
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.components import (  # noqa: E402
+    modularity,
+    sql_modularity,
+)
+
+
+@register(
+    "q189_community_modularity",
+    sql_modularity(
+        _Q161_EDGES_SQL,
+        f"({sql_label_propagation(_Q161_EDGES_SQL, 'p1', 'p2', n_rounds=5)})",
+        "p1",
+        "p2",
+    ),
+    doc="Exact Newman modularity of q188's LPA communities (operators/"
+    "components.py modularity): per community the (4·m·m_c − D_c²)/"
+    "(4·m²) contribution — the quality gate that says whether the "
+    "label-propagation buckets are actually denser than chance before "
+    "they feed per-community dedup. Numerators stay exact integers "
+    "(DECIMAL(38,0)/HUGEINT) and the output is ONE IEEE division of "
+    "two exactly-derived doubles — no rounding, both engines perform "
+    "the identical conversion+divide (the q155 numerator discipline "
+    "applied to a quotient). Plan: the LPA trajectory + one degree "
+    "aggregate, two endpoint label joins, a 1-row edge-count "
+    "broadcast, per-community aggregates.",
+)
+def q189_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_hadoop_automation_in_cloud_spark.operators.components import (
+        _pinned_rdd_ids,
+        _unpersist_rdds,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(li)
+    labels = label_propagation(edges, "p1", "p2", n_rounds=5).select(
+        "node", "community"
+    )
+    out = modularity(edges, labels, "p1", "p2")
+    # modularity checkpointed its result, so the LPA label frame is fully
+    # consumed — release it (iterative-family contract: ONE pinned frame
+    # survives a queries() call, the returned one)
+    _unpersist_rdds(spark, _pinned_rdd_ids(labels))
+    return out

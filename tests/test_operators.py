@@ -3046,3 +3046,38 @@ def test_exact_substring_dedup_keeper_semantics(spark):
     assert got[3] == (3, 0, "")
     # NULL text = the 1-token empty doc, kept verbatim
     assert got[4] == (1, 1, "")
+
+
+def test_modularity_two_triangles_bridge(spark):
+    """Closed-form check on the two-triangles-plus-bridge graph: m = 7,
+    each triangle community has 3 internal edges and degree sum 7, so
+    each contributes (4·7·3 − 49)/(4·49) = 35/196; a degenerate
+    one-community-per-node partition of the same graph scores every
+    singleton negative (no internal edges)."""
+    from spark_hadoop_automation_in_cloud_spark.operators.components import (
+        label_propagation,
+        modularity,
+    )
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    df = spark.createDataFrame(edges, "u bigint, v bigint")
+    labels = label_propagation(df, "u", "v", n_rounds=5).select(
+        "node", "community"
+    )
+    got = {
+        r["community"]: (
+            r["n_members"],
+            r["internal_edges"],
+            r["degree_sum"],
+            r["contribution"],
+        )
+        for r in modularity(df, labels, "u", "v").collect()
+    }
+    assert got == {
+        1: (3, 3, 7, 35.0 / 196.0),
+        3: (3, 3, 7, 35.0 / 196.0),
+    }
+    singletons = df.selectExpr("u AS node").union(df.selectExpr("v AS node")) \
+        .distinct().selectExpr("node", "node AS community")
+    per = modularity(df, singletons, "u", "v").collect()
+    assert all(r["internal_edges"] == 0 and r["contribution"] < 0 for r in per)

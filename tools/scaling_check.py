@@ -209,6 +209,11 @@ LINEITEM_QUERIES = [
     # grows with the factor — wall must track m x rounds, never anything
     # label-cardinality-shaped (labels stay within each copy)
     "q188_copurchase_communities",
+    # modularity of those communities: LPA's cost + one degree aggregate
+    # and two endpoint label joins — wall must track the LPA rung; the
+    # per-community aggregate output grows with the factor but stays
+    # bounded by the node count
+    "q189_community_modularity",
 ]
 
 

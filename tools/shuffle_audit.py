@@ -80,8 +80,12 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
     fns = {s.name: s.fn for s in q.specs()}
 
+    # laddered-but-not-benched rows that still need shuffle receipts
+    # (r07 verdict item 5: the graph family; q180/q188 share q161/q186's
+    # graph but not their bench slots)
+    extra = ["q180_clustering_coefficient", "q188_copurchase_communities"]
     out: dict[str, dict[str, int]] = {}
-    for name in bench.HEADLINE:
+    for name in bench.HEADLINE + extra:
         before = stage_totals(ui, app_id)
         fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         after = stage_totals(ui, app_id)
