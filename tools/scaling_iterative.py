@@ -43,7 +43,8 @@ from spark_hadoop_automation_in_cloud_spark.session import get_test_session
 # At SPARK_GRAFT_SCALE=100 the pagerank block alone pins ~180M
 # checkpointed edge rows; the default 8g test-session JVM hits
 # AGGREGATE_OUT_OF_MEMORY mid-block (observed) — run deep sweeps with
-# SPARK_GRAFT_DRIVER_MEM=32g (the machine has headroom; a real cluster
+# SPARK_GRAFT_DRIVER_MEM=64g (32g fit in round 7 but OOMed on the round-8 VM
+# mid-pagerank — the 178M-edge pin is borderline at 32g; a real cluster
 # sizes executors to the edge partition, which is the documented rule).
 
 

@@ -111,43 +111,26 @@ def derived_ratios(lo_dir: str, hi_dir: str) -> dict[str, dict]:
               FROM p a JOIN p b USING (k) WHERE a.user_id <> b.user_id)
             """
         ).fetchone()[0]
-    # the co-purchase graph (q161/q180/q186/q188): DISTINCT part pairs
-    # co-ordered in >= 2 distinct orders (_Q161_EDGES_SQL).  Items per
-    # order are bounded so edge growth is tamer than the contact graph's
-    # quadratic, but it is still the query's true input — judging the
-    # closure join against lineitem bytes would mis-scale the slope.
-    co = {}
-    for tag, d in (("lo", lo_dir), ("hi", hi_dir)):
-        co[tag] = con.sql(
-            f"""
-            WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
-                       FROM '{os.path.join(d, "lineitem.parquet")}')
-            SELECT count(*) FROM (
-              SELECT a.p, c.p FROM b a JOIN b c USING (ok) WHERE a.p < c.p
-              GROUP BY 1, 2 HAVING count(*) >= 2)
-            """
-        ).fetchone()[0]
     contact = {
         "derived_input": "contact-graph edges",
         "derived_lo": counts["lo"],
         "derived_hi": counts["hi"],
         "derived_ratio": round(counts["hi"] / counts["lo"], 3),
     }
-    copurchase = {
-        "derived_input": "recurring co-purchase edges",
-        "derived_lo": co["lo"],
-        "derived_hi": co["hi"],
-        "derived_ratio": round(co["hi"] / co["lo"], 3),
-    }
+    # The co-purchase graph family (q161/q180/q186/q188) deliberately has
+    # NO derived override: its recurring-pair edge set barely grows with
+    # sf in this generator (support >= 2 DISTINCT orders; measured 1.04x
+    # edges for 10.4x lineitem bytes), so the dominant shuffle in those
+    # queries is the EDGE-DERIVATION basket self-join, which tracks
+    # lineitem — the right denominator IS the table ratio, and a
+    # 1.04x-edges denominator would misread a scan-linear plan as a
+    # 10x blowup.  The graph-PHASE shuffle component is bounded by the
+    # edge set (flat here), which the NOTES entries record.
     return {
         "q69_pagerank": contact,
         # q185 personalizes the SAME contact graph (seed teleport adds a
         # 1-row aggregate, no new input)
         "q185_personalized_pagerank": contact,
-        "q161_copurchase_triangles": copurchase,
-        "q180_clustering_coefficient": copurchase,
-        "q186_kcore_members": copurchase,
-        "q188_copurchase_communities": copurchase,
     }
 
 
@@ -168,6 +151,24 @@ NOTES = {
         "dictionary-encoded parquet."
     ),
 }
+
+_COPURCHASE_NOTE = (
+    "two-phase query: the edge-derivation basket self-join dominates the "
+    "shuffle and tracks lineitem (this slope, ~= 1), while the graph-phase "
+    "shuffle is bounded by the recurring co-purchase edge set — measured "
+    "~1.04x edges across this sf pair (support >= 2 distinct orders keeps "
+    "the graph nearly constant in this generator), so the graph rounds "
+    "contribute almost nothing to the growth; the per-m graph-phase "
+    "scaling is receipted by the disjoint-copy ladders instead "
+    "(SCALING_100x / SCALING_ITER_100x)."
+)
+for _q in (
+    "q161_copurchase_triangles",
+    "q180_clustering_coefficient",
+    "q186_kcore_members",
+    "q188_copurchase_communities",
+):
+    NOTES[_q] = _COPURCHASE_NOTE
 
 
 def main() -> None:
