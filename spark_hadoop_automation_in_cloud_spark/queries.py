@@ -87,6 +87,11 @@ def register(name: str, sql: str | None, doc: str = ""):
 #     the 11 remaining r04 rows — q82, q84, q85, q86, q87, q88, q90,
 #     q91, q92, q97, q101 — plus the oldest r05 row, q01.
 # Left out, and why:
+#   - q190 (TPC-H Q15-shape top-revenue supplier) and q191 (ordered
+#     24h-window funnel conversion): registered AFTER this window was
+#     allocated — they ride r09's never-stamped block per the standing
+#     rule (each parity-green at sf0.001/0.01 at registration, swept by
+#     tests/test_oracle_parity.py every run);
 #   - the 40 remaining r05 rows (q02-q106 registration order, minus
 #     the ones above) stay at age 2 and MUST lead r09 alongside the
 #     50 r06-stamped rows that reach the bound during r08 (40 + 50 =
@@ -8128,3 +8133,173 @@ def q189_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survives a queries() call, the returned one)
     _unpersist_rdds(spark, _pinned_rdd_ids(labels))
     return out
+
+
+@register(
+    "q190_top_revenue_supplier",
+    """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS HUGEINT))
+           AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+),
+mx AS (SELECT MAX(r) AS m FROM rev)
+SELECT s.s_suppkey, s.s_name,
+       CAST(rev.r AS DOUBLE) / 10000.0 AS total_revenue
+FROM rev CROSS JOIN mx
+JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE rev.r = mx.m
+ORDER BY s.s_suppkey
+""",
+    doc="TPC-H Q15's decorrelated shape on the available tables: the "
+    "supplier(s) with MAXIMUM quarterly shipped revenue — the "
+    "correlated 'revenue = (SELECT MAX(...))' view decorrelates into "
+    "one per-supplier aggregate + a 1-row MAX broadcast, and the "
+    "argmax keeps ALL tied suppliers (exact integer equality on the "
+    "1e-4 revenue grid — ties are decidable, unlike a double sum). "
+    "Revenue emits as ONE IEEE division of the exact grid integer "
+    "(no rounding; both engines perform the identical "
+    "conversion+divide). Plan: filter-pushed lineitem scan, one "
+    "map-side-combined aggregate, 1-row broadcast, broadcast supplier "
+    "dim join.",
+)
+def q190_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    dec = "decimal(38,0)"
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast(dec)
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(cents).alias("r"))
+    )
+    mx = rev.agg(F.max("r").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("r") == F.col("m"))
+        .join(F.broadcast(s.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("r").cast("double") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q191_funnel_conversion",
+    """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+),
+s1 AS (
+  SELECT user_id, MIN(t) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT ev.user_id, MIN(ev.t) AS t2
+  FROM ev JOIN s1 ON s1.user_id = ev.user_id
+  WHERE ev.event_type = 'click'
+    AND ev.t > s1.t1 AND ev.t <= s1.t1 + 86400000000
+  GROUP BY 1
+),
+s3 AS (
+  SELECT ev.user_id, MIN(ev.t) AS t3
+  FROM ev JOIN s2 ON s2.user_id = ev.user_id
+  WHERE ev.event_type = 'purchase'
+    AND ev.t > s2.t2 AND ev.t <= s2.t2 + 86400000000
+  GROUP BY 1
+),
+counts AS (
+  SELECT 1 AS step, 'view' AS funnel_step, COUNT(*) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'view>click', COUNT(*) FROM s2
+  UNION ALL
+  SELECT 3, 'view>click>purchase', COUNT(*) FROM s3
+),
+base AS (SELECT n_users AS n1 FROM counts WHERE step = 1)
+SELECT CAST(step AS INT) AS step, funnel_step,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_users AS DOUBLE) / CAST(n1 AS DOUBLE) AS conversion
+FROM counts CROSS JOIN base
+ORDER BY step
+""",
+    doc="Ordered funnel conversion (view -> click -> purchase, 24h step "
+    "windows): users counted at step k only if the steps happened IN "
+    "TIME ORDER — first view, then the first click STRICTLY after it "
+    "and within 24h, then the first purchase strictly after that and "
+    "within 24h (set-intersection funnels "
+    "overcount users who purchased before ever viewing; the "
+    "event-sequencing shape every product-analytics engine ships). "
+    "Each step is one conditional min-aggregate keyed on user_id + an "
+    "equi-join back — three user-keyed shuffles that reuse one "
+    "partitioning, no windows over the raw stream, no collect. "
+    "Conversion emits as one IEEE division of two exact counts. "
+    "Timestamps compare as exact integer epoch-micros "
+    "(functions/timeutils.epoch_us — encoding-safe on every events "
+    "parquet vintage).",
+)
+def q191_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    ev = e.select("user_id", "event_type", epoch_us(F.col("ts")).alias("t"))
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    day_us = 86_400_000_000
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where((F.col("t") > F.col("t1")) & (F.col("t") <= F.col("t1") + day_us))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where((F.col("t") > F.col("t2")) & (F.col("t") <= F.col("t2") + day_us))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit(1).alias("step"), F.lit("view").alias("funnel_step"), "n_users")
+        .unionAll(
+            s2.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).alias("step"),
+                F.lit("view>click").alias("funnel_step"),
+                "n_users",
+            )
+        )
+        .unionAll(
+            s3.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).alias("step"),
+                F.lit("view>click>purchase").alias("funnel_step"),
+                "n_users",
+            )
+        )
+    )
+    base = counts.where(F.col("step") == 1).select(F.col("n_users").alias("n1"))
+    return (
+        counts.crossJoin(F.broadcast(base))
+        .select(
+            F.col("step").cast("int").alias("step"),
+            "funnel_step",
+            F.col("n_users").cast("bigint").alias("n_users"),
+            (F.col("n_users").cast("double") / F.col("n1").cast("double")).alias(
+                "conversion"
+            ),
+        )
+        .orderBy("step")
+    )

@@ -3081,3 +3081,54 @@ def test_modularity_two_triangles_bridge(spark):
         .distinct().selectExpr("node", "node AS community")
     per = modularity(df, singletons, "u", "v").collect()
     assert all(r["internal_edges"] == 0 and r["contribution"] < 0 for r in per)
+
+
+def test_funnel_conversion_requires_time_order_and_window(spark):
+    """Pin q191's ordering contract on a crafted frame: a user who
+    purchased BEFORE ever viewing does not convert (set-intersection
+    funnels would count them); a click exactly AT the first view's
+    timestamp does not count (strictly after); a next step outside the
+    24h window does not count."""
+    import datetime as dt
+
+    from spark_hadoop_automation_in_cloud_spark import queries as q
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: clean view -> click -> purchase within windows
+        (1, "view", ts(0)), (1, "click", ts(5)), (1, "purchase", ts(10)),
+        # user 2: purchase BEFORE view — reaches step 1 only
+        (2, "purchase", ts(0)), (2, "view", ts(5)), (2, "click", ts(10)),
+        # user 3: click exactly at the first view's ts — not strictly after
+        (3, "view", ts(0)), (3, "click", ts(0)),
+        # user 4: click 25h after view — outside the 24h window
+        (4, "view", ts(0)), (4, "click", ts(25 * 60)),
+        # user 5: never views — not even step 1
+        (5, "click", ts(0)), (5, "purchase", ts(1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, event_type string, ts timestamp")
+    df.createOrReplaceTempView("__funnel_events")
+
+    # drive the registered kernel body on the crafted frame via monkey-read
+    from unittest import mock
+
+    with mock.patch(
+        "spark_hadoop_automation_in_cloud_spark.queries.read_table",
+        side_effect=lambda sp, d, t, **kw: sp.table("__funnel_events"),
+    ):
+        out = {
+            r["step"]: (r["n_users"], r["conversion"])
+            for r in q.q191_funnel_conversion(spark, "unused").collect()
+        }
+    # step 1: users 1-4 viewed; step 2: only users 1 and 2
+    # (user 2's click IS after their first view); step 3: only user 1
+    # (user 2 purchased before viewing)
+    assert out == {
+        1: (4, 1.0),
+        2: (2, 0.5),
+        3: (1, 0.25),
+    }
