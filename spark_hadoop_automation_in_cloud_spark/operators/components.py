@@ -113,67 +113,75 @@ def connected_components(
     """
     spark = pairs.sparkSession
     created: set[int] = set()
-    edges = (
-        pairs.select(F.col(left_col).alias("a"), F.col(right_col).alias("b"))
-        .unionByName(
-            pairs.select(F.col(right_col).alias("a"), F.col(left_col).alias("b"))
-        )
-        .distinct()
-        .localCheckpoint()
-    )
-    created |= _pinned_rdd_ids(edges)
-    labels = edges.select(F.col("a").alias("node")).distinct().select(
-        "node", F.col("node").alias("component_id")
-    ).localCheckpoint()
-    created |= _pinned_rdd_ids(labels)
-
-    changed = 1
-    for _ in range(max_rounds):
-        # candidate label per node: min over (own label, neighbors' labels)
-        neighbor_labels = (
-            edges.join(labels, edges.b == labels.node)
-            .select(F.col("a").alias("node"), "component_id")
-        )
-        propagated = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("node")
-            .agg(F.min("component_id").alias("component_id"))
-        )
-        # pointer jump: component_id is itself a labeled node, so replace
-        # each label by that node's (never larger) label — chain depth
-        # halves per round, giving O(log diameter) convergence where pure
-        # propagation is O(diameter)
-        parent = propagated.select(
-            F.col("node").alias("__lbl"), F.col("component_id").alias("__lbl_comp")
-        )
-        new_labels = (
-            propagated.join(parent, propagated.component_id == parent.__lbl)
-            .select("node", F.col("__lbl_comp").alias("component_id"))
+    # any failure (a raise below, or a Spark action dying mid-round)
+    # must not strand this call's localCheckpoint blocks — the
+    # r11 review finding: the error path leaked `created` (the same
+    # degradation _unpersist_rdds documents for the success path)
+    try:
+        edges = (
+            pairs.select(F.col(left_col).alias("a"), F.col(right_col).alias("b"))
+            .unionByName(
+                pairs.select(F.col(right_col).alias("a"), F.col(left_col).alias("b"))
+            )
+            .distinct()
             .localCheckpoint()
         )
-        created |= _pinned_rdd_ids(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component_id") != F.col("o.component_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    if changed != 0:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_rounds} rounds; "
-            "labels would be wrong — raise max_rounds or check the pair "
-            "generator for unbounded chains"
-        )
-    # re-checkpoint the result, then release the edge frame and every
-    # per-round label snapshot THIS call pinned (its own ids, never a
-    # concurrent caller's) — see _unpersist_rdds
-    out = labels.localCheckpoint()
-    _unpersist_rdds(spark, created - _pinned_rdd_ids(out))
-    return out
+        created |= _pinned_rdd_ids(edges)
+        labels = edges.select(F.col("a").alias("node")).distinct().select(
+            "node", F.col("node").alias("component_id")
+        ).localCheckpoint()
+        created |= _pinned_rdd_ids(labels)
+
+        changed = 1
+        for _ in range(max_rounds):
+            # candidate label per node: min over (own label, neighbors' labels)
+            neighbor_labels = (
+                edges.join(labels, edges.b == labels.node)
+                .select(F.col("a").alias("node"), "component_id")
+            )
+            propagated = (
+                labels.unionByName(neighbor_labels)
+                .groupBy("node")
+                .agg(F.min("component_id").alias("component_id"))
+            )
+            # pointer jump: component_id is itself a labeled node, so replace
+            # each label by that node's (never larger) label — chain depth
+            # halves per round, giving O(log diameter) convergence where pure
+            # propagation is O(diameter)
+            parent = propagated.select(
+                F.col("node").alias("__lbl"), F.col("component_id").alias("__lbl_comp")
+            )
+            new_labels = (
+                propagated.join(parent, propagated.component_id == parent.__lbl)
+                .select("node", F.col("__lbl_comp").alias("component_id"))
+                .localCheckpoint()
+            )
+            created |= _pinned_rdd_ids(new_labels)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.component_id") != F.col("o.component_id"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        if changed != 0:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_rounds} rounds; "
+                "labels would be wrong — raise max_rounds or check the pair "
+                "generator for unbounded chains"
+            )
+        # re-checkpoint the result, then release the edge frame and every
+        # per-round label snapshot THIS call pinned (its own ids, never a
+        # concurrent caller's) — see _unpersist_rdds
+        out = labels.localCheckpoint()
+        _unpersist_rdds(spark, created - _pinned_rdd_ids(out))
+        return out
+    except BaseException:
+        _unpersist_rdds(spark, created)
+        raise
 
 
 def neardup_clusters(
@@ -301,78 +309,86 @@ def pagerank(
         )
     spark = edges.sparkSession
     created: set[int] = set()
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    if not assume_distinct_edges:
-        e = e.distinct()
-    # edge construction may be expensive; it feeds 2 setup frames + the loop
-    e = e.localCheckpoint()
-    created |= _pinned_rdd_ids(e)
-    # node state: (node, deg) — deg NULL marks a dangling node.  Carrying
-    # deg inside the rank frame removes both per-round joins the old shape
-    # paid (rank⋈degree for contributions, rank⋈dangling for the mass).
-    # Built in ONE map-side-combined aggregation over the edge endpoints
-    # (src endpoints count toward degree, dst endpoints only assert node
-    # existence) — the previous distinct-union ⋈ degree-aggregate shape
-    # paid two exchanges and a join for the identical (node, deg) rows.
-    nd = (
-        e.select(F.col("src").alias("node"), F.lit(1).alias("__is_src"))
-        .unionByName(e.select(F.col("dst").alias("node"), F.lit(0).alias("__is_src")))
-        .groupBy("node")
-        .agg(F.sum("__is_src").alias("__deg_raw"))
-        .select(
-            "node",
-            F.when(F.col("__deg_raw") > 0, F.col("__deg_raw")).alias("deg"),
-        )
-        .localCheckpoint()
-    )
-    created |= _pinned_rdd_ids(nd)
-    n = nd.count()  # one scalar the driver legitimately needs
-    # one-time scalar: a graph with no dangling nodes (e.g. any symmetric
-    # graph) skips the per-round dangling-mass job entirely; adding the
-    # exact-zero dm/n term was a no-op in IEEE arithmetic anyway
-    has_dangling = bool(nd.where(F.col("deg").isNull()).head(1))
-    small = n <= broadcast_nodes_max
-    ranks = nd.select("node", "deg", F.lit(1.0 / n).alias("rank"))
-    if small:
-        ranks = ranks.localCheckpoint()
-        created |= _pinned_rdd_ids(ranks)
-
-    for i in range(n_iter):
-        r = F.broadcast(ranks) if small else ranks
-        contribs = (
-            r.join(e, r.node == e.src)
-            .select(F.col("dst").alias("node"), (r.rank / r.deg).alias("c"))
+    # any failure (a raise below, or a Spark action dying mid-round)
+    # must not strand this call's localCheckpoint blocks — the
+    # r11 review finding: the error path leaked `created` (the same
+    # degradation _unpersist_rdds documents for the success path)
+    try:
+        e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        if not assume_distinct_edges:
+            e = e.distinct()
+        # edge construction may be expensive; it feeds 2 setup frames + the loop
+        e = e.localCheckpoint()
+        created |= _pinned_rdd_ids(e)
+        # node state: (node, deg) — deg NULL marks a dangling node.  Carrying
+        # deg inside the rank frame removes both per-round joins the old shape
+        # paid (rank⋈degree for contributions, rank⋈dangling for the mass).
+        # Built in ONE map-side-combined aggregation over the edge endpoints
+        # (src endpoints count toward degree, dst endpoints only assert node
+        # existence) — the previous distinct-union ⋈ degree-aggregate shape
+        # paid two exchanges and a join for the identical (node, deg) rows.
+        nd = (
+            e.select(F.col("src").alias("node"), F.lit(1).alias("__is_src"))
+            .unionByName(e.select(F.col("dst").alias("node"), F.lit(0).alias("__is_src")))
             .groupBy("node")
-            .agg(F.sum("c").alias("inflow"))
+            .agg(F.sum("__is_src").alias("__deg_raw"))
+            .select(
+                "node",
+                F.when(F.col("__deg_raw") > 0, F.col("__deg_raw")).alias("deg"),
+            )
+            .localCheckpoint()
         )
-        inflow = F.coalesce(F.col("inflow"), F.lit(0.0))
-        # contribs is at most |nodes| rows post-aggregate — on the small
-        # path broadcast it too, so the rank update never exchanges nd
-        nxt = nd.join(F.broadcast(contribs) if small else contribs, "node", "left")
-        if has_dangling:
-            dangling = (
-                ranks.where(F.col("deg").isNull())
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-            )
-            nxt = nxt.crossJoin(F.broadcast(dangling))
-            new_rank = F.lit((1.0 - damping) / n) + damping * (
-                inflow + F.col("dm") / n
-            )
-        else:
-            new_rank = F.lit((1.0 - damping) / n) + damping * inflow
-        if per_iter_round_dp is not None:
-            new_rank = F.round(new_rank, per_iter_round_dp)
-        ranks = nxt.select("node", "deg", new_rank.alias("rank"))
-        if small or (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
+        created |= _pinned_rdd_ids(nd)
+        n = nd.count()  # one scalar the driver legitimately needs
+        # one-time scalar: a graph with no dangling nodes (e.g. any symmetric
+        # graph) skips the per-round dangling-mass job entirely; adding the
+        # exact-zero dm/n term was a no-op in IEEE arithmetic anyway
+        has_dangling = bool(nd.where(F.col("deg").isNull()).head(1))
+        small = n <= broadcast_nodes_max
+        ranks = nd.select("node", "deg", F.lit(1.0 / n).alias("rank"))
+        if small:
             ranks = ranks.localCheckpoint()
             created |= _pinned_rdd_ids(ranks)
-    # materialize the returned frame into its OWN checkpoint, then release
-    # every intermediate one THIS call pinned (edge frame, node state, the
-    # per-round rank snapshots — its own ids, never a concurrent
-    # caller's) — see _unpersist_rdds
-    out = ranks.select("node", F.round("rank", 6).alias("rank")).localCheckpoint()
-    _unpersist_rdds(spark, created - _pinned_rdd_ids(out))
-    return out
+
+        for i in range(n_iter):
+            r = F.broadcast(ranks) if small else ranks
+            contribs = (
+                r.join(e, r.node == e.src)
+                .select(F.col("dst").alias("node"), (r.rank / r.deg).alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("inflow"))
+            )
+            inflow = F.coalesce(F.col("inflow"), F.lit(0.0))
+            # contribs is at most |nodes| rows post-aggregate — on the small
+            # path broadcast it too, so the rank update never exchanges nd
+            nxt = nd.join(F.broadcast(contribs) if small else contribs, "node", "left")
+            if has_dangling:
+                dangling = (
+                    ranks.where(F.col("deg").isNull())
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+                )
+                nxt = nxt.crossJoin(F.broadcast(dangling))
+                new_rank = F.lit((1.0 - damping) / n) + damping * (
+                    inflow + F.col("dm") / n
+                )
+            else:
+                new_rank = F.lit((1.0 - damping) / n) + damping * inflow
+            if per_iter_round_dp is not None:
+                new_rank = F.round(new_rank, per_iter_round_dp)
+            ranks = nxt.select("node", "deg", new_rank.alias("rank"))
+            if small or (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
+                ranks = ranks.localCheckpoint()
+                created |= _pinned_rdd_ids(ranks)
+        # materialize the returned frame into its OWN checkpoint, then release
+        # every intermediate one THIS call pinned (edge frame, node state, the
+        # per-round rank snapshots — its own ids, never a concurrent
+        # caller's) — see _unpersist_rdds
+        out = ranks.select("node", F.round("rank", 6).alias("rank")).localCheckpoint()
+        _unpersist_rdds(spark, created - _pinned_rdd_ids(out))
+        return out
+    except BaseException:
+        _unpersist_rdds(spark, created)
+        raise
 
 
 def incremental_components(
@@ -739,86 +755,94 @@ def personalized_pagerank(
     """
     spark = edges.sparkSession
     created: set[int] = set()
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-        .localCheckpoint()
-    )
-    created |= _pinned_rdd_ids(e)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    deg = e.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
-    seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
-    base = nodes.join(
-        seed_nodes.withColumn("__sflag", F.lit(1)), "node", "left"
-    ).select("node", F.coalesce(F.col("__sflag"), F.lit(0)).alias("__is_seed"))
-    state = (
-        base.join(deg, "node", "left")
-        .select(
-            "node",
-            "__is_seed",
-            F.coalesce(F.col("deg"), F.lit(0)).alias("deg"),
+    # any failure (a raise below, or a Spark action dying mid-round)
+    # must not strand this call's localCheckpoint blocks — the
+    # r11 review finding: the error path leaked `created` (the same
+    # degradation _unpersist_rdds documents for the success path)
+    try:
+        e = (
+            edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+            .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .distinct()
+            .localCheckpoint()
         )
-        .localCheckpoint()
-    )
-    created |= _pinned_rdd_ids(state)
-    n_seeds = state.agg(F.sum("__is_seed")).first()[0]
-    if not n_seeds:
-        raise ValueError("personalized_pagerank: no seed is present in the graph")
-    seed_share = F.col("__is_seed").cast("double") / float(n_seeds)
-    ranks = state.select(
-        "node", "__is_seed", "deg", seed_share.alias("rank")
-    ).localCheckpoint()
-    created |= _pinned_rdd_ids(ranks)
-    d = float(damping)
-    for _ in range(n_iter):
-        inflow = (
-            e.join(
-                F.broadcast(
-                    ranks.where(F.col("deg") > 0).select(
-                        F.col("node").alias("src"),
-                        (F.col("rank") / F.col("deg")).alias("__contrib"),
-                    )
-                ),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("__contrib").alias("__inflow"))
+        created |= _pinned_rdd_ids(e)
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
         )
-        dangling = ranks.where(F.col("deg") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+        deg = e.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
         )
-        nxt = (
-            ranks.join(F.broadcast(inflow), "node", "left")
-            .crossJoin(F.broadcast(dangling))
+        seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
+        base = nodes.join(
+            seed_nodes.withColumn("__sflag", F.lit(1)), "node", "left"
+        ).select("node", F.coalesce(F.col("__sflag"), F.lit(0)).alias("__is_seed"))
+        state = (
+            base.join(deg, "node", "left")
             .select(
                 "node",
                 "__is_seed",
-                "deg",
-                (
-                    (1.0 - d) * seed_share
-                    + d
-                    * (
-                        F.coalesce(F.col("__inflow"), F.lit(0.0))
-                        + F.col("__dm") * seed_share
-                    )
-                ).alias("rank"),
+                F.coalesce(F.col("deg"), F.lit(0)).alias("deg"),
             )
+            .localCheckpoint()
         )
-        if per_iter_round_dp is not None:
-            nxt = nxt.withColumn("rank", F.round("rank", per_iter_round_dp))
-        ranks = nxt.localCheckpoint()
+        created |= _pinned_rdd_ids(state)
+        n_seeds = state.agg(F.sum("__is_seed")).first()[0]
+        if not n_seeds:
+            raise ValueError("personalized_pagerank: no seed is present in the graph")
+        seed_share = F.col("__is_seed").cast("double") / float(n_seeds)
+        ranks = state.select(
+            "node", "__is_seed", "deg", seed_share.alias("rank")
+        ).localCheckpoint()
         created |= _pinned_rdd_ids(ranks)
-    out = ranks.select("node", (F.round("rank", 6) + F.lit(0.0)).alias("rank"))
-    res = out.localCheckpoint()
-    _unpersist_rdds(spark, created - _pinned_rdd_ids(res))
-    return res
+        d = float(damping)
+        for _ in range(n_iter):
+            inflow = (
+                e.join(
+                    F.broadcast(
+                        ranks.where(F.col("deg") > 0).select(
+                            F.col("node").alias("src"),
+                            (F.col("rank") / F.col("deg")).alias("__contrib"),
+                        )
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("__contrib").alias("__inflow"))
+            )
+            dangling = ranks.where(F.col("deg") == 0).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+            )
+            nxt = (
+                ranks.join(F.broadcast(inflow), "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    "__is_seed",
+                    "deg",
+                    (
+                        (1.0 - d) * seed_share
+                        + d
+                        * (
+                            F.coalesce(F.col("__inflow"), F.lit(0.0))
+                            + F.col("__dm") * seed_share
+                        )
+                    ).alias("rank"),
+                )
+            )
+            if per_iter_round_dp is not None:
+                nxt = nxt.withColumn("rank", F.round("rank", per_iter_round_dp))
+            ranks = nxt.localCheckpoint()
+            created |= _pinned_rdd_ids(ranks)
+        out = ranks.select("node", (F.round("rank", 6) + F.lit(0.0)).alias("rank"))
+        res = out.localCheckpoint()
+        _unpersist_rdds(spark, created - _pinned_rdd_ids(res))
+        return res
+    except BaseException:
+        _unpersist_rdds(spark, created)
+        raise
 
 
 def k_core(
@@ -853,55 +877,63 @@ def k_core(
     """
     spark = edges.sparkSession
     created: set[int] = set()
-    u, v = F.col(src_col), F.col(dst_col)
-    e = (
-        edges.where(u != v)
-        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
-        .distinct()
-        .localCheckpoint()
-    )
-    created |= _pinned_rdd_ids(e)
-    n_edges = e.count()
-    for _ in range(max_rounds):
-        if n_edges == 0:
-            break
-        deg = (
+    # any failure (a raise below, or a Spark action dying mid-round)
+    # must not strand this call's localCheckpoint blocks — the
+    # r11 review finding: the error path leaked `created` (the same
+    # degradation _unpersist_rdds documents for the success path)
+    try:
+        u, v = F.col(src_col), F.col(dst_col)
+        e = (
+            edges.where(u != v)
+            .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        created |= _pinned_rdd_ids(e)
+        n_edges = e.count()
+        for _ in range(max_rounds):
+            if n_edges == 0:
+                break
+            deg = (
+                e.select(F.col("u").alias("node"))
+                .unionAll(e.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            keep = deg.where(F.col("d") >= k).select("node")
+            nxt = (
+                e.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
+                .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+                .select("u", "v")
+                .localCheckpoint()
+            )
+            created |= _pinned_rdd_ids(nxt)
+            n_next = nxt.count()
+            e = nxt
+            # n_next == 0 IS the fixpoint (the empty graph is trivially
+            # stable) — without it, peeling to empty on the final permitted
+            # round would hit the for-else RuntimeError (r07 ADVICE item 3)
+            if n_next == n_edges or n_next == 0:
+                break
+            n_edges = n_next
+        else:
+            raise RuntimeError(
+                f"k_core did not reach a fixpoint in {max_rounds} rounds — "
+                "raise max_rounds; returning a partially-peeled supergraph "
+                "would be silently wrong"
+            )
+        out = (
             e.select(F.col("u").alias("node"))
             .unionAll(e.select(F.col("v").alias("node")))
             .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        keep = deg.where(F.col("d") >= k).select("node")
-        nxt = (
-            e.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
-            .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
-            .select("u", "v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
             .localCheckpoint()
         )
-        created |= _pinned_rdd_ids(nxt)
-        n_next = nxt.count()
-        e = nxt
-        # n_next == 0 IS the fixpoint (the empty graph is trivially
-        # stable) — without it, peeling to empty on the final permitted
-        # round would hit the for-else RuntimeError (r07 ADVICE item 3)
-        if n_next == n_edges or n_next == 0:
-            break
-        n_edges = n_next
-    else:
-        raise RuntimeError(
-            f"k_core did not reach a fixpoint in {max_rounds} rounds — "
-            "raise max_rounds; returning a partially-peeled supergraph "
-            "would be silently wrong"
-        )
-    out = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
-        .localCheckpoint()
-    )
-    _unpersist_rdds(spark, created - _pinned_rdd_ids(out))
-    return out
+        _unpersist_rdds(spark, created - _pinned_rdd_ids(out))
+        return out
+    except BaseException:
+        _unpersist_rdds(spark, created)
+        raise
 
 
 def sql_k_core(
@@ -987,60 +1019,68 @@ def label_propagation(
         raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
     spark = edges.sparkSession
     created: set[int] = set()
-    u, v = F.col(src_col), F.col(dst_col)
-    sym = (
-        edges.where(u != v)
-        .select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
-        .distinct()
-    )
-    e = (
-        sym.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionAll(sym.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .localCheckpoint()
-    )
-    created |= _pinned_rdd_ids(e)
-    lab = (
-        e.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").cast("bigint").alias("lbl"))
-        .localCheckpoint()
-    )
-    created |= _pinned_rdd_ids(lab)
-    for _ in range(n_rounds):
-        nb = e.join(lab.withColumnRenamed("node", "src"), "src").select(
-            F.col("dst").alias("node"), "lbl"
+    # any failure (a raise below, or a Spark action dying mid-round)
+    # must not strand this call's localCheckpoint blocks — the
+    # r11 review finding: the error path leaked `created` (the same
+    # degradation _unpersist_rdds documents for the success path)
+    try:
+        u, v = F.col(src_col), F.col(dst_col)
+        sym = (
+            edges.where(u != v)
+            .select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
+            .distinct()
         )
-        pick = (
-            nb.groupBy("node", "lbl")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .groupBy("node")
-            .agg(
-                F.expr("max_by(lbl, struct(c, -lbl))").alias("new_lbl")
+        e = (
+            sym.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionAll(sym.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .localCheckpoint()
+        )
+        created |= _pinned_rdd_ids(e)
+        lab = (
+            e.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.col("node").cast("bigint").alias("lbl"))
+            .localCheckpoint()
+        )
+        created |= _pinned_rdd_ids(lab)
+        for _ in range(n_rounds):
+            nb = e.join(lab.withColumnRenamed("node", "src"), "src").select(
+                F.col("dst").alias("node"), "lbl"
             )
-        )
-        nxt = (
-            lab.join(pick, "node", "left")
+            pick = (
+                nb.groupBy("node", "lbl")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .groupBy("node")
+                .agg(
+                    F.expr("max_by(lbl, struct(c, -lbl))").alias("new_lbl")
+                )
+            )
+            nxt = (
+                lab.join(pick, "node", "left")
+                .select(
+                    "node", F.coalesce(F.col("new_lbl"), F.col("lbl")).alias("lbl")
+                )
+                .localCheckpoint()
+            )
+            created |= _pinned_rdd_ids(nxt)
+            lab = nxt
+        out = (
+            lab.join(
+                lab.groupBy("lbl").agg(F.count(F.lit(1)).alias("community_size")),
+                "lbl",
+            )
             .select(
-                "node", F.coalesce(F.col("new_lbl"), F.col("lbl")).alias("lbl")
+                "node",
+                F.col("lbl").cast("bigint").alias("community"),
+                F.col("community_size").cast("bigint").alias("community_size"),
             )
             .localCheckpoint()
         )
-        created |= _pinned_rdd_ids(nxt)
-        lab = nxt
-    out = (
-        lab.join(
-            lab.groupBy("lbl").agg(F.count(F.lit(1)).alias("community_size")),
-            "lbl",
-        )
-        .select(
-            "node",
-            F.col("lbl").cast("bigint").alias("community"),
-            F.col("community_size").cast("bigint").alias("community_size"),
-        )
-        .localCheckpoint()
-    )
-    _unpersist_rdds(spark, created - _pinned_rdd_ids(out))
-    return out
+        _unpersist_rdds(spark, created - _pinned_rdd_ids(out))
+        return out
+    except BaseException:
+        _unpersist_rdds(spark, created)
+        raise
 
 
 def sql_label_propagation(
@@ -1135,61 +1175,69 @@ def modularity(
     """
     spark = edges.sparkSession
     created: set[int] = set()
-    dec = "decimal(38,0)"
-    u, v = F.col(src_col), F.col(dst_col)
-    e = (
-        edges.where(u != v)
-        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
-        .distinct()
-        .localCheckpoint()
-    )
-    created |= _pinned_rdd_ids(e)
-    lab = labels.select(
-        F.col(node_col).alias("node"), F.col(label_col).alias("community")
-    )
-    m = e.agg(F.count(F.lit(1)).cast(dec).alias("m"))
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    dc = (
-        lab.join(deg, "node")
-        .groupBy("community")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.sum(F.col("d").cast(dec)).alias("degree_sum"),
+    # any failure (a raise below, or a Spark action dying mid-round)
+    # must not strand this call's localCheckpoint blocks — the
+    # r11 review finding: the error path leaked `created` (the same
+    # degradation _unpersist_rdds documents for the success path)
+    try:
+        dec = "decimal(38,0)"
+        u, v = F.col(src_col), F.col(dst_col)
+        e = (
+            edges.where(u != v)
+            .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+            .distinct()
+            .localCheckpoint()
         )
-    )
-    mc = (
-        e.join(lab.select(F.col("node").alias("u"), F.col("community").alias("ca")), "u")
-        .join(lab.select(F.col("node").alias("v"), F.col("community").alias("cb")), "v")
-        .where(F.col("ca") == F.col("cb"))
-        .groupBy(F.col("ca").alias("community"))
-        .agg(F.count(F.lit(1)).cast(dec).alias("internal_edges"))
-    )
-    num = (
-        F.lit(4).cast(dec) * F.col("m") * F.coalesce(F.col("internal_edges"), F.lit(0).cast(dec))
-        - F.col("degree_sum") * F.col("degree_sum")
-    )
-    den = F.lit(4).cast(dec) * F.col("m") * F.col("m")
-    out = (
-        dc.join(mc, "community", "left")
-        .crossJoin(F.broadcast(m))
-        .select(
-            "community",
-            F.col("n_members").cast("bigint").alias("n_members"),
-            F.coalesce(F.col("internal_edges"), F.lit(0))
-            .cast("bigint")
-            .alias("internal_edges"),
-            F.col("degree_sum").cast("bigint").alias("degree_sum"),
-            (num.cast("double") / den.cast("double")).alias("contribution"),
+        created |= _pinned_rdd_ids(e)
+        lab = labels.select(
+            F.col(node_col).alias("node"), F.col(label_col).alias("community")
         )
-        .localCheckpoint()
-    )
-    _unpersist_rdds(spark, created - _pinned_rdd_ids(out))
-    return out
+        m = e.agg(F.count(F.lit(1)).cast(dec).alias("m"))
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        dc = (
+            lab.join(deg, "node")
+            .groupBy("community")
+            .agg(
+                F.count(F.lit(1)).alias("n_members"),
+                F.sum(F.col("d").cast(dec)).alias("degree_sum"),
+            )
+        )
+        mc = (
+            e.join(lab.select(F.col("node").alias("u"), F.col("community").alias("ca")), "u")
+            .join(lab.select(F.col("node").alias("v"), F.col("community").alias("cb")), "v")
+            .where(F.col("ca") == F.col("cb"))
+            .groupBy(F.col("ca").alias("community"))
+            .agg(F.count(F.lit(1)).cast(dec).alias("internal_edges"))
+        )
+        num = (
+            F.lit(4).cast(dec) * F.col("m") * F.coalesce(F.col("internal_edges"), F.lit(0).cast(dec))
+            - F.col("degree_sum") * F.col("degree_sum")
+        )
+        den = F.lit(4).cast(dec) * F.col("m") * F.col("m")
+        out = (
+            dc.join(mc, "community", "left")
+            .crossJoin(F.broadcast(m))
+            .select(
+                "community",
+                F.col("n_members").cast("bigint").alias("n_members"),
+                F.coalesce(F.col("internal_edges"), F.lit(0))
+                .cast("bigint")
+                .alias("internal_edges"),
+                F.col("degree_sum").cast("bigint").alias("degree_sum"),
+                (num.cast("double") / den.cast("double")).alias("contribution"),
+            )
+            .localCheckpoint()
+        )
+        _unpersist_rdds(spark, created - _pinned_rdd_ids(out))
+        return out
+    except BaseException:
+        _unpersist_rdds(spark, created)
+        raise
 
 
 def sql_modularity(

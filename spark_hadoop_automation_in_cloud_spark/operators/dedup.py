@@ -1125,6 +1125,54 @@ GROUP BY 1
 """
 
 
+def _positional_grams(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> tuple[F.Column, DataFrame]:
+    """The q118 positional-gram convention, shared by the measurement
+    (:func:`repeated_span_coverage`) and emit (:func:`exact_substring_dedup`)
+    sides so the tokenization / gram-hash contract cannot silently diverge
+    between them: tokens = whitespace split of ``coalesce(text, '')``;
+    grams = md5-int60 of the space-joined n-token window, 1-based start
+    positions.  Returns ``(toks_column, grams_frame)`` where the frame is
+    ``doc_id, pos (int), gh (bigint)`` — one row per gram occurrence."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    k = F.size(toks) - (n - 1)
+    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.struct(
+                i.alias("pos"),
+                md5_int60(F.concat_ws(" ", *parts(i))).alias("gh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gh:bigint>>"))
+    g = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    return toks, g
+
+
+def _sql_positional_grams(src: str, id_col: str, text_col: str, n: int) -> str:
+    """DuckDB twin of :func:`_positional_grams`: the ``toks`` + ``g`` CTE
+    pair (byte-identical to the fragment both oracles previously inlined)."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    gh = sql_md5_int60(f"({gram})")
+    return f"""
+toks AS (
+  SELECT {id_col} AS doc_id, string_split(COALESCE({text_col}, ''), ' ') AS t
+  FROM {src}
+),
+g AS (
+  SELECT doc_id, i AS pos, {gh} AS gh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {n - 1})) AS i
+        FROM toks)
+)"""
+
+
 def repeated_span_coverage(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, min_doc_freq: int = 2
 ) -> DataFrame:
@@ -1154,24 +1202,7 @@ def repeated_span_coverage(
     never a cross product.  NULL text coalesces to '' (the
     :func:`content_hash` convention): 1 token, zero grams, coverage 0.
     """
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
-    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
-    k = F.size(toks) - (n - 1)
-    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
-    grams = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.struct(
-                i.alias("pos"),
-                md5_int60(F.concat_ws(" ", *parts(i))).alias("gh"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,gh:bigint>>"))
-    g = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
-    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    toks, g = _positional_grams(df, id_col, text_col, n)
     dfreq = (
         g.select("gh", "doc_id")
         .distinct()
@@ -1208,18 +1239,8 @@ def sql_repeated_span_coverage(
 ) -> str:
     """DuckDB oracle twin of :func:`repeated_span_coverage` — identical
     gram hashing, identical lead()-window interval union."""
-    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
-    gh = sql_md5_int60(f"({gram})")
     return f"""
-WITH toks AS (
-  SELECT {id_col} AS doc_id, string_split(COALESCE({text_col}, ''), ' ') AS t
-  FROM {src}
-),
-g AS (
-  SELECT doc_id, i AS pos, {gh} AS gh
-  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {n - 1})) AS i
-        FROM toks)
-),
+WITH {_sql_positional_grams(src, id_col, text_col, n)},
 dfq AS (
   SELECT gh FROM (SELECT gh, COUNT(DISTINCT doc_id) AS c FROM g GROUP BY 1)
   WHERE c >= {min_doc_freq}
@@ -1475,12 +1496,19 @@ def exact_substring_dedup(
 
     Keeper rule: a repeated gram (>= ``min_doc_freq`` distinct docs)
     stays in the doc with the MINIMUM doc id among its holders and is
-    removed from every other doc — so no passage is lost from the
-    corpus, and no passage survives twice via the repeated-gram route.
-    A position is removed when ANY non-keeper repeated gram covers it
-    (union over grams; overlapping grams with different keepers —
-    removal wins, documented).  Tokens = the q118 whitespace convention;
-    NULL text coalesces to ``''`` (1 token, no grams, kept verbatim).
+    removed from every other doc.  A position is removed when ANY
+    non-keeper repeated gram covers it (union over grams) — REMOVAL
+    WINS, which makes the retention guarantee per-GRAM, not per-passage:
+    when overlapping repeated grams have different keepers, a keeper's
+    positions can still be removed by the OTHER gram and that passage
+    then survives nowhere (e.g. n=2, docs ``'a b'`` / ``'a b c'`` /
+    ``'b c'``: ``'a b'`` keeps doc 1, but ``'b c'``'s keeper doc 2 loses
+    its ``b`` to the non-keeper copy of ``'a b'``).  This is the same
+    aggressive-side trade Lee et al. accept for overlapping duplicate
+    spans; callers needing lossless retention should gate on q118's
+    coverage instead of emitting.  Tokens = the q118 whitespace
+    convention; NULL text coalesces to ``''`` (1 token, no grams, kept
+    verbatim).
 
     Scale shape (vs the reference algorithm's global suffix-array sort):
     grams md5-compress to int64 at the scan; doc frequency + keeper are
@@ -1498,24 +1526,7 @@ def exact_substring_dedup(
     (kept tokens joined by one space; ``''`` when everything was
     removed).
     """
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
-    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
-    k = F.size(toks) - (n - 1)
-    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
-    grams = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.struct(
-                i.alias("pos"),
-                md5_int60(F.concat_ws(" ", *parts(i))).alias("gh"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,gh:bigint>>"))
-    g = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
-    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    toks, g = _positional_grams(df, id_col, text_col, n)
     keepers = (
         g.select("gh", "doc_id")
         .distinct()
@@ -1571,18 +1582,8 @@ def sql_exact_substring_dedup(
 ) -> str:
     """DuckDB oracle twin of :func:`exact_substring_dedup` — identical
     gram hashing, keeper rule, and position union."""
-    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
-    gh = sql_md5_int60(f"({gram})")
     return f"""
-WITH toks AS (
-  SELECT {id_col} AS doc_id, string_split(COALESCE({text_col}, ''), ' ') AS t
-  FROM {src}
-),
-g AS (
-  SELECT doc_id, i AS pos, {gh} AS gh
-  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {n - 1})) AS i
-        FROM toks)
-),
+WITH {_sql_positional_grams(src, id_col, text_col, n)},
 keepers AS (
   SELECT gh, keeper FROM (
     SELECT gh, COUNT(DISTINCT doc_id) AS gram_df, MIN(doc_id) AS keeper

@@ -246,16 +246,24 @@ def blocked_pairs_within_groups(
     (r07 verdict item 4): below the crossover the replication tax beats
     the parallelism win (BLOCKED_PAIRS.json measured blocked 14% SLOWER
     than plain at a 6k-row corpus, 6× faster at 20k), so when set the
-    operator counts ``df`` once — an aggregate-only job, cheap next to
-    the quadratic pair join it sizes — and degenerates to ``n_blocks=1``
-    under the threshold.  The pair set is identical either way (pinned
-    by the equals-naive test); only the physical split changes.
+    operator probes ``df`` with a BOUNDED ``limit(threshold).count()`` —
+    the decision only needs "are there at least `threshold` rows", so
+    the probe short-circuits after `threshold` rows instead of running
+    the full upstream lineage (an unbounded count() here re-executed the
+    caller's whole derivation once per call — the r11 review finding) —
+    and degenerates to ``n_blocks=1`` under the threshold.  The pair set
+    is identical either way (pinned by the equals-naive test); only the
+    physical split changes.
     """
     from spark_hadoop_automation_in_cloud_spark.functions.hashing import md5_prefix_int
 
     if n_blocks < 1:
         raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
-    if auto_plain_below > 0 and n_blocks > 1 and df.count() < auto_plain_below:
+    if (
+        auto_plain_below > 0
+        and n_blocks > 1
+        and df.limit(auto_plain_below).count() < auto_plain_below
+    ):
         n_blocks = 1
     group_cols = list(group_cols)
     payload = [c for c in df.columns if c not in group_cols]

@@ -8046,8 +8046,8 @@ def q186_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd.sql_exact_substring_dedup("documents", "doc_id", "text", n=3, min_doc_freq=2),
     doc="ExactSubstr OUTPUT side (operators/dedup.py "
     "exact_substring_dedup): the cleaned corpus with cross-document "
-    "repeated passages REMOVED, one copy kept corpus-wide (minimum "
-    "doc id holds the keeper) — q109 counts repeated grams, q118 "
+    "repeated passages REMOVED under a per-GRAM min-doc-id keeper "
+    "(removal wins on overlaps — see the operator docstring) — q109 counts repeated grams, q118 "
     "measures covered positions, this row EMITS the deduplicated "
     "text a training run would actually consume (Lee et al.'s "
     "ExactSubstr deliverable, re-expressed without the global suffix "
@@ -8123,15 +8123,18 @@ def q189_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = read_table(spark, sf_dir, "lineitem")
-    edges = _copurchase_edges(li)
+    # checkpoint the basket self-join ONCE: lazily it would re-run inside
+    # BOTH label_propagation and modularity (the family's dominant cost —
+    # shuffle_slope NOTES; r11 review finding)
+    edges = _copurchase_edges(li).localCheckpoint()
     labels = label_propagation(edges, "p1", "p2", n_rounds=5).select(
         "node", "community"
     )
     out = modularity(edges, labels, "p1", "p2")
-    # modularity checkpointed its result, so the LPA label frame is fully
-    # consumed — release it (iterative-family contract: ONE pinned frame
-    # survives a queries() call, the returned one)
-    _unpersist_rdds(spark, _pinned_rdd_ids(labels))
+    # modularity checkpointed its result, so the edge frame and the LPA
+    # label frame are fully consumed — release both (iterative-family
+    # contract: ONE pinned frame survives a queries() call, the returned)
+    _unpersist_rdds(spark, _pinned_rdd_ids(edges) | _pinned_rdd_ids(labels))
     return out
 
 

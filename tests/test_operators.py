@@ -3132,3 +3132,30 @@ def test_funnel_conversion_requires_time_order_and_window(spark):
         2: (2, 0.5),
         3: (1, 0.25),
     }
+
+
+def test_exact_substring_dedup_overlap_removal_wins(spark):
+    """Pin the documented per-GRAM keeper contract on the overlap edge:
+    with n=2, docs 'a b' / 'a b c' / 'b c', gram 'a b' keeps doc 1 and
+    gram 'b c' keeps doc 2 — but doc 2's 'b' is removed by its
+    NON-keeper copy of 'a b' (removal wins), so the passage 'b c'
+    survives nowhere.  Aggressive-side trade, documented in the
+    docstring; this test exists so the behavior is pinned, not
+    accidental."""
+    from spark_hadoop_automation_in_cloud_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    rows = [(1, "a b"), (2, "a b c"), (3, "b c")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_kept"], r["clean_text"])
+        for r in exact_substring_dedup(
+            df, "doc_id", "text", n=2, min_doc_freq=2
+        ).collect()
+    }
+    assert got == {
+        1: (2, "a b"),     # keeper of 'a b': untouched
+        2: (1, "c"),       # loses 'a b' (non-keeper) which covers its 'b'
+        3: (0, ""),        # non-keeper of 'b c': fully removed
+    }

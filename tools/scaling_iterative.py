@@ -65,14 +65,23 @@ def release(spark, *frames) -> None:
 def timed(df_fn, n: int = 3) -> float:
     """Median of n runs after a warmup — same protocol as bench.py (min-of-N
     chases the lucky tail; a ratio of two minima can flip the sublinear
-    verdict on one outlier run)."""
-    df_fn().write.format("noop").mode("overwrite").save()  # warm
-    samples = []
-    for _ in range(n):
+    verdict on one outlier run).  Each run's RETURNED frame is released
+    before the next: the iterative operators hand back a localCheckpoint'd
+    result the caller owns, and discarding (warm + n) of them per scale
+    rung stacked |V|-row pins into the later blocks — the cross-block
+    storage pressure the 64g note blames (r11 review finding)."""
+
+    def run() -> float:
         t0 = time.perf_counter()
-        df_fn().write.format("noop").mode("overwrite").save()
-        samples.append(time.perf_counter() - t0)
-    return round(sorted(samples)[n // 2], 3)
+        df = df_fn()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        _unpersist_rdds(df.sparkSession, _pinned_rdd_ids(df))
+        return dt
+
+    run()  # warm
+    samples = sorted(run() for _ in range(n))
+    return round(samples[n // 2], 3)
 
 
 def main() -> None:
