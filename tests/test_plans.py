@@ -426,6 +426,8 @@ BNLJ_INTENDED = {
     "q182_temperature_mixture": 1,  # 1-row sqrt-grid total broadcast
     "q183_rolling_weekly_actives": 1,  # 1-row calendar-bounds broadcast
     "q184_jm_interpolated_lm": 1,  # 1-row (T, V) stats broadcast (q141's shape)
+    "q190_top_revenue_supplier": 1,  # 1-row MAX-revenue broadcast (Q15 argmax)
+    "q191_funnel_conversion": 1,   # 1-row step-1 denominator broadcast
 }
 
 #: queries whose SinglePartition window sort is fed by a CALENDAR-bounded
@@ -517,3 +519,25 @@ def test_q118_span_coverage_equi_joins_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_q187_corpus_joins_stay_sort_merge(spark, sf_dir):
+    """q187's removal anti-join and assembly join must NEVER broadcast:
+    both build sides are corpus-scale frames whose static size estimates
+    come out tiny (post-join / post-aggregate), and the attempted
+    broadcast of the text-carrying build side OOM'd the 100x pile-on run
+    (AQE cannot undo a statically planned BHJ — the merge hints are the
+    fix this test pins).  The single remaining BHJ is the bounded
+    repeated-gram dictionary, the q109/q118 family precedent."""
+    from spark_hadoop_automation_in_cloud_spark.queries import (
+        q187_exact_substring_dedup,
+    )
+
+    plan = (
+        q187_exact_substring_dedup(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("SortMergeJoin") >= 2, plan[:2000]
+    assert plan.count("BroadcastHashJoin") <= 1, plan[:2000]
