@@ -87,8 +87,9 @@ def register(name: str, sql: str | None, doc: str = ""):
 #     the 11 remaining r04 rows — q82, q84, q85, q86, q87, q88, q90,
 #     q91, q92, q97, q101 — plus the oldest r05 row, q01.
 # Left out, and why:
-#   - q190 (TPC-H Q15-shape top-revenue supplier) and q191 (ordered
-#     24h-window funnel conversion): registered AFTER this window was
+#   - q190 (TPC-H Q15-shape top-revenue supplier), q191 (ordered
+#     24h-window funnel conversion), q192 (last-touch attribution) and
+#     q193 (weekly retention cohorts): registered AFTER this window was
 #     allocated — they ride r09's never-stamped block per the standing
 #     rule (each parity-green at sf0.001/0.01 at registration, swept by
 #     tests/test_oracle_parity.py every run);
@@ -8305,4 +8306,182 @@ def q191_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("step")
+    )
+
+
+@register(
+    "q192_last_touch_attribution",
+    f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t, value FROM events
+  WHERE event_type IN ('purchase', 'view', 'click')
+),
+tagged AS (
+  SELECT user_id, t, value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+         CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind,
+         CASE WHEN event_type = 'purchase' THEN NULL
+              ELSE struct_pack(tt := t, typ := event_type) END AS touch
+  FROM ev
+),
+attrib AS (
+  SELECT user_id, t, value, is_p,
+         last_value(touch IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, kind, CASE WHEN touch IS NULL
+             THEN '' ELSE touch.typ END
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS lt
+  FROM tagged
+),
+purchases AS (
+  SELECT CASE WHEN lt IS NULL OR lt.tt < t - 604800000000
+              THEN 'direct' ELSE lt.typ END AS touch_type,
+         value
+  FROM attrib WHERE is_p = 1
+)
+SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       {sql_dsum("value")} AS attributed_value
+FROM purchases GROUP BY 1 ORDER BY 1
+""",
+    doc="Last-touch marketing attribution: every purchase credited to "
+    "the user's most recent view/click STRICTLY before it and within a "
+    "7-day lookback, else 'direct' — the standard conversion-credit "
+    "query every product-analytics engine ships, and the carry-forward "
+    "sibling of q191's ordered funnel. ONE user-keyed shuffle total: "
+    "purchases and touches union into one per-user ordered stream and "
+    "last(touch, ignorenulls) over rows-to-1-preceding carries the "
+    "latest touch forward (the q35 as-of union-and-window shape — no "
+    "range join, no per-purchase touch fan-out). Strictness by sort "
+    "construction: at equal ts a purchase sorts BEFORE its touches "
+    "(kind 0 < 1) so a same-instant touch never credits; ties between "
+    "same-ts touches resolve to the lexicographically last type in "
+    "BOTH engines. Value sums are exact integer cents (dsum); the "
+    "7-day gate compares exact epoch-micros.",
+)
+def q192_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    ev = e.where(F.col("event_type").isin("purchase", "view", "click")).select(
+        "user_id",
+        "event_type",
+        epoch_us(F.col("ts")).alias("t"),
+        "value",
+    )
+    tagged = ev.select(
+        "user_id",
+        "t",
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("kind"),
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(F.col("t").alias("tt"), F.col("event_type").alias("typ")),
+        ).alias("touch"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            "t",
+            "kind",
+            F.coalesce(F.col("touch.typ"), F.lit("")),
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attrib = tagged.withColumn("lt", F.last("touch", ignorenulls=True).over(w))
+    day7_us = 7 * 86_400_000_000
+    purchases = attrib.where(F.col("is_p") == 1).select(
+        F.when(
+            F.col("lt").isNull() | (F.col("lt.tt") < F.col("t") - day7_us),
+            F.lit("direct"),
+        )
+        .otherwise(F.col("lt.typ"))
+        .alias("touch_type"),
+        "value",
+    )
+    return (
+        purchases.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            dsum("value").alias("attributed_value"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+@register(
+    "q193_weekly_retention_cohorts",
+    """
+WITH wk AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+  FROM events WHERE user_id IS NOT NULL
+),
+cohort AS (
+  SELECT user_id, MIN(w) AS c FROM wk GROUP BY 1
+),
+aged AS (
+  SELECT cohort.c AS cohort_week,
+         CAST(date_diff('day', cohort.c, wk.w) // 7 AS INT) AS age,
+         wk.user_id
+  FROM wk JOIN cohort USING (user_id)
+  WHERE date_diff('day', cohort.c, wk.w) // 7 BETWEEN 0 AND 8
+),
+cells AS (
+  SELECT cohort_week, age, COUNT(*) AS n_active
+  FROM aged GROUP BY 1, 2
+),
+base AS (SELECT cohort_week, n_active AS n0 FROM cells WHERE age = 0)
+SELECT strftime(cells.cohort_week, '%Y-%m-%d') AS cohort_week, cells.age,
+       CAST(cells.n_active AS BIGINT) AS n_active,
+       CAST(cells.n_active AS DOUBLE) / CAST(base.n0 AS DOUBLE) AS retention
+FROM cells JOIN base USING (cohort_week)
+ORDER BY 1, 2
+""",
+    doc="Weekly retention cohort matrix: users grouped by their "
+    "first-activity week, each cohort's share still active at ages "
+    "0-8 weeks — THE activation/retention readout, and the cohort "
+    "refinement of q79's month-level growth accounting / q183's "
+    "rolling actives. Scale shape: the corpus collapses ONCE to "
+    "distinct (user, week) pairs (map-side combined — never a per-week "
+    "rescan); the cohort assignment is a min-aggregate + equi-join on "
+    "user_id reusing that frame; the matrix is calendar-bounded "
+    "(weeks x 9 ages) however large the corpus. Retention emits as "
+    "one IEEE division of two exact counts (joined to the cohort's own "
+    "age-0 cell, never a window); week truncation is Monday-start in "
+    "both engines and ages compare on exact day arithmetic (the "
+    "7-multiple makes integer DIV exact).",
+)
+def q193_weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    wk = (
+        e.where(F.col("user_id").isNotNull())
+        .select(
+            "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
+        )
+        .distinct()
+    )
+    cohort = wk.groupBy("user_id").agg(F.min("w").alias("c"))
+    age = (F.datediff(F.col("w"), F.col("c")) / 7).cast("int")
+    aged = (
+        wk.join(cohort, "user_id")
+        .select(F.col("c").alias("cohort_week"), age.alias("age"), "user_id")
+        .where((F.col("age") >= 0) & (F.col("age") <= 8))
+    )
+    cells = aged.groupBy("cohort_week", "age").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    base = cells.where(F.col("age") == 0).select(
+        "cohort_week", F.col("n_active").alias("n0")
+    )
+    return (
+        cells.join(base, "cohort_week")
+        .select(
+            # string-typed day, the checks.py day convention (pandas
+            # renders DATE as datetime64 and the hash would diverge)
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "age",
+            F.col("n_active").cast("bigint").alias("n_active"),
+            (F.col("n_active").cast("double") / F.col("n0").cast("double")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "age")
     )

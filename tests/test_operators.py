@@ -3159,3 +3159,34 @@ def test_exact_substring_dedup_overlap_removal_wins(spark):
         2: (1, "c"),       # loses 'a b' (non-keeper) which covers its 'b'
         3: (0, ""),        # non-keeper of 'b c': fully removed
     }
+
+
+def test_iterative_operators_release_checkpoints_on_error(spark):
+    """The r11 guard: a convergence RuntimeError must not strand the
+    call's localCheckpoint blocks.  k_core with an impossible round
+    budget raises — and the session's persisted-RDD table must return
+    to its pre-call size (the success path's contract extended to the
+    error path)."""
+    import pytest as _pytest
+
+    from spark_hadoop_automation_in_cloud_spark.operators.components import (
+        _persistent_rdd_ids,
+        connected_components,
+        k_core,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(k4 + chain, "u bigint, v bigint")
+    base = len(_persistent_rdd_ids(spark))
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        k_core(df, "u", "v", k=3, max_rounds=1)
+    assert len(_persistent_rdd_ids(spark)) == base
+
+    long_chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "a bigint, b bigint"
+    )
+    base = len(_persistent_rdd_ids(spark))
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(long_chain, "a", "b", max_rounds=2)
+    assert len(_persistent_rdd_ids(spark)) == base
