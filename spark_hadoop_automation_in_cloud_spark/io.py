@@ -461,7 +461,13 @@ def read_csv_quarantine(
     restricted to the first file block (``input_file_block_start() ==
     0`` — headers only exist at file start, so later blocks are never
     screened and a legitimate mid-file data row rendering identically
-    to the header survives).  Two documented edges remain: (a) a data
+    to the header survives — FOR SPLITTABLE INPUT.  Non-splittable
+    files (gzip and friends) arrive as ONE block whose start is 0, so
+    there the "first block" is the whole file and a header-identical
+    data row ANYWHERE in a compressed file is dropped (r08 ADVICE
+    item 2); if compressed CSV landings are in scope, pre-decompress
+    or disable ``header`` and let the header row quarantine.  Two
+    documented edges remain: (a) a data
     row in the FIRST block that renders exactly as the header is
     dropped as a header; (b) a header written with different
     spacing/quoting than the schema's exact rendering is not dropped —

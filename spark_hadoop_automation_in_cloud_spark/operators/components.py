@@ -1014,9 +1014,29 @@ def label_propagation(
 
     Output: ``node``, ``community`` (bigint; the round-``n_rounds``
     label), ``community_size`` (bigint — members sharing the label).
+
+    Node ids MUST be an integral type: initial labels are the node ids
+    cast to bigint, and a silent Spark cast of non-numeric ids would
+    yield NULL labels (garbage communities) while the DuckDB twin's
+    ``CAST(... AS BIGINT)`` raises — divergent failure modes for the
+    same misuse (r08 ADVICE item 3).  The operator validates and raises
+    instead; pre-assign dense ids (e.g. ``xxhash64`` is NOT enough —
+    collisions would merge labels — use ``zipWithIndex``-style
+    ``row_number`` over distinct nodes) for string-keyed graphs.
     """
     if n_rounds < 1:
         raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    _integral = {"tinyint", "smallint", "int", "bigint"}
+    dtypes = dict(edges.dtypes)
+    for c in (src_col, dst_col):
+        dt = dtypes.get(c)
+        if dt not in _integral:
+            raise TypeError(
+                f"label_propagation requires integral node ids; column "
+                f"{c!r} is {dt!r}. Initial labels are node ids cast to "
+                "bigint — a non-numeric id would silently become a NULL "
+                "label. Map string keys to dense bigint ids first."
+            )
     spark = edges.sparkSession
     created: set[int] = set()
     # any failure (a raise below, or a Spark action dying mid-round)
@@ -1172,6 +1192,17 @@ def modularity(
     caller's edge derivation per subtree) and the result checkpoints
     with ownership-scoped release, the iterative-family contract: one
     pinned frame per call, the returned one.
+
+    Overflow bound (r08 ADVICE item 4): the exact numerators live in
+    Spark DECIMAL(38,0), where multiplication overflow under the
+    default non-ANSI mode yields NULL silently while the DuckDB twin's
+    HUGEINT (128-bit) keeps going.  The widest product is ``4·m²``
+    (``D_c ≤ 2m`` and ``m_c ≤ m`` keep every other term under it), so
+    the contract holds for ``m < 5·10^18`` undirected edges — beyond
+    any realizable corpus (100 TB of 8-byte edge pairs is ~6·10^12).
+    Past that bound the engines diverge (Spark NULL contribution vs
+    DuckDB exact) rather than fail loudly; enable ANSI mode
+    (``spark.sql.ansi.enabled``) to turn the overflow into an error.
     """
     spark = edges.sparkSession
     created: set[int] = set()

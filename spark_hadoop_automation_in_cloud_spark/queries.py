@@ -8128,14 +8128,24 @@ def q189_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BOTH label_propagation and modularity (the family's dominant cost —
     # shuffle_slope NOTES; r11 review finding)
     edges = _copurchase_edges(li).localCheckpoint()
-    labels = label_propagation(edges, "p1", "p2", n_rounds=5).select(
-        "node", "community"
-    )
-    out = modularity(edges, labels, "p1", "p2")
+    # caller-level checkpoints need the operator-level error-path
+    # discipline too: if label_propagation or modularity raises mid-run,
+    # the edges (and labels, if it exists yet) blocks must not outlive
+    # this call (r08 ADVICE item 1)
+    created = _pinned_rdd_ids(edges)
+    try:
+        labels = label_propagation(edges, "p1", "p2", n_rounds=5).select(
+            "node", "community"
+        )
+        created |= _pinned_rdd_ids(labels)
+        out = modularity(edges, labels, "p1", "p2")
+    except BaseException:
+        _unpersist_rdds(spark, created)
+        raise
     # modularity checkpointed its result, so the edge frame and the LPA
     # label frame are fully consumed — release both (iterative-family
     # contract: ONE pinned frame survives a queries() call, the returned)
-    _unpersist_rdds(spark, _pinned_rdd_ids(edges) | _pinned_rdd_ids(labels))
+    _unpersist_rdds(spark, created - _pinned_rdd_ids(out))
     return out
 
 

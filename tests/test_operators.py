@@ -3012,6 +3012,11 @@ def test_label_propagation_two_triangles_bridge(spark):
 
     with _pytest.raises(ValueError, match="n_rounds"):
         label_propagation(df, "u", "v", n_rounds=0)
+    # non-integral node ids raise loudly (r08 ADVICE item 3) instead of
+    # silently casting to NULL labels while the DuckDB twin errors
+    strs = spark.createDataFrame([("a", "b")], "u string, v string")
+    with _pytest.raises(TypeError, match="integral node ids"):
+        label_propagation(strs, "u", "v")
 
 
 def test_exact_substring_dedup_keeper_semantics(spark):
