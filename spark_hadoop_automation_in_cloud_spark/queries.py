@@ -6958,14 +6958,26 @@ GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2
 
 def _copurchase_edges(li: DataFrame) -> DataFrame:
     """Spark side of ``_Q161_EDGES_SQL`` — the ONE edge-rule definition
-    both graph queries drive."""
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    both graph queries drive.
+
+    The distinct-order support gate dedupes (orderkey, partkey) BEFORE
+    the self-join rather than distincting the pair rows after it: with
+    deduped inputs every (order, p1, p2) triple appears exactly once,
+    so a plain COUNT(*) per pair IS the distinct-order count.  Pairs
+    per order grow as k²/2 in basket size k, so the post-join distinct
+    the r08 receipt caught (it doubled q161's shuffle records —
+    ARTIFACTS.md provenance note) shuffled the ~6× larger pair stream;
+    the pre-join dedup shuffles only lineitem-sized (ok, pk) rows and
+    the pair stream goes straight to the (p1, p2) aggregate.
+    """
+    keyed = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = keyed.select("ok", F.col("pk").alias("p1"))
+    b = keyed.select("ok", F.col("pk").alias("p2"))
     return (
         a.join(b, "ok")
         .where(F.col("p1") < F.col("p2"))
-        .select("ok", "p1", "p2")
-        .distinct()
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("__n"))
         .where(F.col("__n") >= 2)
