@@ -172,6 +172,16 @@ HEADLINE = [
     # not separately benched.
     "q185_personalized_pagerank",
     "q186_kcore_members",
+    # round-12 additions (r08 verdict item 6): the two heaviest rows
+    # that were laddered but not benched.  q187 = exact-substring dedup
+    # OUTPUT (gram doc-frequency + min-doc keeper aggregate, (doc, pos)
+    # anti-join, collect_list reassembly — its corpus joins are
+    # hint-pinned to SMJ and a regression back to a static broadcast is
+    # THE failure its 100x rung caught); q189 = community modularity
+    # (the LPA trajectory + two endpoint label joins + exact integer
+    # aggregates — the whole community wing's wall in one number).
+    "q187_exact_substring_dedup",
+    "q189_community_modularity",
 ]
 
 #: Pinned machine-factor kernels (VERDICT r5 item 5): code-independent

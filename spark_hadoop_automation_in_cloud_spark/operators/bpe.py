@@ -71,18 +71,14 @@ def _pair_counts(seqs: DataFrame) -> DataFrame:
     )
 
 
-def _apply_merge(
-    seqs: DataFrame,
-    left: str,
-    right: str,
-    keep_cols: list[str] | None = None,
-) -> DataFrame:
-    """One greedy left-to-right merge pass: row-local fold over each
-    word's symbol array (JVM-side ``aggregate`` — no UDF)."""
+def _merge_fold(left: str, right: str) -> F.Column:
+    """The greedy left-to-right merge pass over the ``seq`` column as a
+    row-local fold (JVM-side ``aggregate`` — no UDF): a symbol equal to
+    ``right`` fuses iff the accumulator's last symbol equals ``left``."""
     l, r = F.lit(left), F.lit(right)
     arr = F.split(F.col("seq"), " ")
     tail = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
-    folded = F.aggregate(
+    return F.aggregate(
         tail,
         F.element_at(arr, 1),
         lambda acc, x: F.when(
@@ -90,7 +86,18 @@ def _apply_merge(
             F.concat(acc, x),
         ).otherwise(F.concat(acc, F.lit(" "), x)),
     )
-    return seqs.select(folded.alias("seq"), "freq", *(keep_cols or []))
+
+
+def _apply_merge(
+    seqs: DataFrame,
+    left: str,
+    right: str,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """One merge pass over a (seq, freq, *keep) frame."""
+    return seqs.select(
+        _merge_fold(left, right).alias("seq"), "freq", *(keep_cols or [])
+    )
 
 
 def bpe_merges(
@@ -327,5 +334,170 @@ SELECT {gs},
          AS compression
 FROM g{n_merges}
 GROUP BY {gs}
+"""
+    )
+
+
+def token_id_map(rules: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic token-id assignment for a learned merge table: the
+    base alphabet is printable ASCII (char c → ``ord(c) − 32``, ids
+    0–94 — fixed, no corpus pass), and each merge's concatenated symbol
+    takes the next id (95, 96, …) IN TRAINING ORDER, first occurrence
+    wins (two merges can emit the same string — ``(a, bc)`` and
+    ``(ab, c)`` both yield ``abc`` — and a vocab maps strings, so the
+    duplicate reuses the earlier id; the standard insert-if-absent of
+    every BPE vocab builder)."""
+    ids: dict[str, int] = {}
+    for left, right in rules:
+        merged = left + right
+        if merged not in ids:
+            ids[merged] = 95 + len(ids)
+    return ids
+
+
+def bpe_encode(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    rules: list[tuple[str, str]],
+) -> DataFrame:
+    """Encode the corpus to token-id arrays under a learned merge table
+    — the production artifact of the BPE family (training emits rules,
+    q166; fit reporting scores them, q169; THIS emits what a trainer
+    actually consumes: per-document ``array<int>`` token ids).
+
+    100 TB shape — the merge folds run VOCAB-sized, never corpus-sized:
+    the corpus explodes once to positioned words, collapses to DISTINCT
+    words, each distinct word replays the ``n_merges`` greedy folds
+    (row-local JVM ``aggregate``, the q181 idiom) and maps symbols to
+    ids (single codepoint → ``ascii−32``; merged symbol → the bounded
+    :func:`token_id_map` literal).  The corpus is then touched by one
+    equi-join on word and one per-doc re-assembly aggregate
+    (``array_sort(collect_list(struct(pos, ids)))`` → flatten — q187's
+    re-assembly idiom), so per-occurrence work is O(1) regardless of
+    ``n_merges``.  Words failing the training vocab gates (empty, >30
+    chars, non-printable-ASCII) are untokenizable under this alphabet
+    and drop from the stream; documents with NO encodable word drop
+    entirely (both engines agree — inner join + group by).
+
+    Output: doc_id, n_tokens (bigint), token_ids (array<int>, document
+    order).
+    """
+    ids = token_id_map(rules)
+    w = F.col("word")
+    words = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+                "pos", "word"
+            ),
+        )
+        .where((w != "") & (F.length(w) <= MAX_WORD_LEN) & w.rlike(WORD_RE))
+    )
+    vocab = (
+        words.select("word")
+        .distinct()
+        .select("word", _spaced(F.col("word")).alias("seq"))
+    )
+    for left, right in rules:
+        vocab = vocab.select("word", _merge_fold(left, right).alias("seq"))
+    if ids:
+        id_map = F.create_map(
+            *[F.lit(x) for kv in ids.items() for x in (kv[0], kv[1])]
+        )
+        merged_id = lambda s: F.element_at(id_map, s)  # noqa: E731
+    else:
+        merged_id = lambda s: F.lit(None)  # noqa: E731
+    word_ids = vocab.select(
+        "word",
+        F.transform(
+            F.split(F.col("seq"), " "),
+            lambda s: F.when(F.length(s) == 1, F.ascii(s) - 32)
+            .otherwise(merged_id(s))
+            .cast("int"),
+        ).alias("ids"),
+    )
+    assembled = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "ids"))),
+            lambda x: x["ids"],
+        )
+    )
+    return (
+        words.join(word_ids, "word")
+        .groupBy("doc_id")
+        .agg(assembled.alias("token_ids"))
+        .select(
+            "doc_id",
+            F.size("token_ids").cast("bigint").alias("n_tokens"),
+            "token_ids",
+        )
+    )
+
+
+def sql_bpe_encode(src: str, id_col: str, text_col: str, n_merges: int = 4) -> str:
+    """DuckDB twin of :func:`bpe_encode` for rules learned by
+    :func:`bpe_merges` on the SAME source: the shared training CTE
+    chain derives t1..tn, a word-keyed rewrite chain replays the folds
+    on the distinct vocab, merged symbols take ids by first-training-
+    step order (95 + dense first-step rank — :func:`token_id_map`'s
+    insert-if-absent in SQL), and per-doc streams re-assemble in word
+    order."""
+    rewrite = [
+        """
+v0 AS MATERIALIZED (
+  SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq FROM w
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        rewrite.append(
+            f"""
+v{i} AS MATERIALIZED (
+  SELECT v.word, {_sql_fold("v.seq", "t")} AS seq
+  FROM v{i - 1} v CROSS JOIN t{i} t
+)"""
+        )
+    step_union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, lft || rgt AS merged FROM t{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + _sql_training_ctes(src, text_col, n_merges)
+        + ","
+        + ",".join(rewrite)
+        + f""",
+mv AS (
+  SELECT merged,
+         94 + ROW_NUMBER() OVER (ORDER BY first_step) AS tok_id
+  FROM (SELECT merged, MIN(step) AS first_step FROM ({step_union})
+        GROUP BY merged)
+),
+sym AS (
+  SELECT word, ord,
+         CASE WHEN length(s) = 1 THEN ascii(s) - 32 ELSE mv.tok_id END AS tid
+  FROM (SELECT word, unnest(string_split(seq, ' ')) AS s,
+               generate_subscripts(string_split(seq, ' '), 1) AS ord
+        FROM v{n_merges})
+  LEFT JOIN mv ON mv.merged = s AND length(s) > 1
+),
+word_ids AS (
+  SELECT word, list(CAST(tid AS INT) ORDER BY ord) AS ids
+  FROM sym GROUP BY word
+),
+doc_words AS (
+  SELECT doc_id, pos, word FROM (
+    SELECT {id_col} AS doc_id,
+           unnest(string_split(lower({text_col}), ' ')) AS word,
+           generate_subscripts(string_split(lower({text_col}), ' '), 1) AS pos
+    FROM {src}
+  ) WHERE word <> '' AND length(word) <= {MAX_WORD_LEN}
+        AND regexp_matches(word, '{WORD_RE}')
+)
+SELECT doc_id,
+       CAST(SUM(len(ids)) AS BIGINT) AS n_tokens,
+       flatten(list(ids ORDER BY pos)) AS token_ids
+FROM doc_words JOIN word_ids USING (word)
+GROUP BY doc_id
 """
     )

@@ -737,9 +737,15 @@ def personalized_pagerank(
     — dangling mass teleports back to the seeds (the standard PPR
     convention), computed as a filter-aggregate of the rank state and
     broadcast-crossed back: no collect, no driver math (q69's
-    discipline).  Nodes are the edge endpoints; seeds outside the graph
-    are ignored; raises if no seed is in the graph (every rank would be
-    0 — a caller bug, not a result).
+    discipline).  Like :func:`pagerank`, a one-time setup scalar
+    (``has_dangling``) skips that per-round 1-row job entirely on
+    graphs with no dangling nodes — any symmetric graph, e.g. q185's
+    contact graph — where the term is exactly 0.0 in IEEE arithmetic
+    anyway (r08 verdict item 5: the skipped job was ~1/3 of q185's
+    per-round job count).  Nodes are the edge endpoints; seeds outside
+    the graph are ignored (the seed frame is assumed cohort-sized and
+    broadcasts into the setup join); raises if no seed is in the graph
+    (every rank would be 0 — a caller bug, not a result).
 
     Distributed shape: identical to :func:`pagerank`'s broadcast path —
     the |nodes|-row rank frame broadcasts into one map-side hash join
@@ -767,24 +773,30 @@ def personalized_pagerank(
             .localCheckpoint()
         )
         created |= _pinned_rdd_ids(e)
-        nodes = (
-            e.select(F.col("src").alias("node"))
-            .unionByName(e.select(F.col("dst").alias("node")))
-            .distinct()
-        )
-        deg = e.groupBy(F.col("src").alias("node")).agg(
-            F.count(F.lit(1)).alias("deg")
+        # node state in ONE map-side-combined aggregate over the edge
+        # endpoints (src endpoints count toward out-degree, dst endpoints
+        # only assert existence) — pagerank's nd shape; the previous
+        # distinct-union ⋈ degree-aggregate chain paid two extra
+        # exchanges and a join for the identical (node, deg) rows
+        nd = (
+            e.select(F.col("src").alias("node"), F.lit(1).alias("__is_src"))
+            .unionByName(
+                e.select(F.col("dst").alias("node"), F.lit(0).alias("__is_src"))
+            )
+            .groupBy("node")
+            .agg(F.sum("__is_src").alias("deg"))
         )
         seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
-        base = nodes.join(
-            seed_nodes.withColumn("__sflag", F.lit(1)), "node", "left"
-        ).select("node", F.coalesce(F.col("__sflag"), F.lit(0)).alias("__is_seed"))
         state = (
-            base.join(deg, "node", "left")
+            nd.join(
+                F.broadcast(seed_nodes.withColumn("__sflag", F.lit(1))),
+                "node",
+                "left",
+            )
             .select(
                 "node",
-                "__is_seed",
-                F.coalesce(F.col("deg"), F.lit(0)).alias("deg"),
+                F.coalesce(F.col("__sflag"), F.lit(0)).alias("__is_seed"),
+                "deg",
             )
             .localCheckpoint()
         )
@@ -792,6 +804,10 @@ def personalized_pagerank(
         n_seeds = state.agg(F.sum("__is_seed")).first()[0]
         if not n_seeds:
             raise ValueError("personalized_pagerank: no seed is present in the graph")
+        # one-time scalar: no dangling nodes (any symmetric graph) ⇒ the
+        # per-round dangling-mass job is skipped and the exactly-0.0
+        # dm·seed_share term drops (a no-op in IEEE arithmetic)
+        has_dangling = bool(state.where(F.col("deg") == 0).head(1))
         seed_share = F.col("__is_seed").cast("double") / float(n_seeds)
         ranks = state.select(
             "node", "__is_seed", "deg", seed_share.alias("rank")
@@ -812,25 +828,19 @@ def personalized_pagerank(
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum("__contrib").alias("__inflow"))
             )
-            dangling = ranks.where(F.col("deg") == 0).agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
-            )
-            nxt = (
-                ranks.join(F.broadcast(inflow), "node", "left")
-                .crossJoin(F.broadcast(dangling))
-                .select(
-                    "node",
-                    "__is_seed",
-                    "deg",
-                    (
-                        (1.0 - d) * seed_share
-                        + d
-                        * (
-                            F.coalesce(F.col("__inflow"), F.lit(0.0))
-                            + F.col("__dm") * seed_share
-                        )
-                    ).alias("rank"),
+            nxt = ranks.join(F.broadcast(inflow), "node", "left")
+            damped = F.coalesce(F.col("__inflow"), F.lit(0.0))
+            if has_dangling:
+                dangling = ranks.where(F.col("deg") == 0).agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
                 )
+                nxt = nxt.crossJoin(F.broadcast(dangling))
+                damped = damped + F.col("__dm") * seed_share
+            nxt = nxt.select(
+                "node",
+                "__is_seed",
+                "deg",
+                ((1.0 - d) * seed_share + d * damped).alias("rank"),
             )
             if per_iter_round_dp is not None:
                 nxt = nxt.withColumn("rank", F.round("rank", per_iter_round_dp))

@@ -48,6 +48,30 @@ def pack_sequences(
     Columns out: ``part_col``, ``doc_id``, ``n_tok``, ``bin_id``,
     ``tok_start``, ``tok_end`` (slice of the doc in that bin, half-open).
     """
+    return pack_token_counts(
+        docs.select(
+            F.col(part_col),
+            F.col(id_col),
+            F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("__nt"),
+        ),
+        part_col,
+        id_col,
+        "__nt",
+        capacity,
+    )
+
+
+def pack_token_counts(
+    docs: DataFrame,
+    part_col: str,
+    id_col: str,
+    n_tok_col: str,
+    capacity: int = 2048,
+) -> DataFrame:
+    """The packing core over PRECOMPUTED per-document token counts —
+    what a real tokenizer feeds it (``bpe_encode``'s n_tokens, q195);
+    :func:`pack_sequences` is this with the whitespace approximation
+    inlined.  Same output contract."""
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
     # Explicit ROWS frame: orderBy without one defaults to RANGE, which
@@ -61,7 +85,7 @@ def pack_sequences(
     t = docs.select(
         F.col(part_col),
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tok"),
+        F.col(n_tok_col).cast("bigint").alias("n_tok"),
     )
     o = t.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
     cap = F.lit(capacity).cast("bigint")
@@ -96,11 +120,25 @@ def sql_pack_sequences(
 ) -> str:
     """DuckDB oracle for :func:`pack_sequences` (generate_series is
     inclusive on both ends, matching Spark's ``sequence``)."""
+    return sql_pack_token_counts(
+        src,
+        part_col,
+        id_col,
+        f"len(string_split({text_col}, ' '))",
+        capacity,
+    )
+
+
+def sql_pack_token_counts(
+    src: str, part_col: str, id_col: str, n_tok_expr: str, capacity: int = 2048
+) -> str:
+    """DuckDB oracle for :func:`pack_token_counts` — the packing core
+    over an arbitrary token-count expression."""
     return f"""
 WITH t AS (
   SELECT {part_col},
          {id_col} AS doc_id,
-         CAST(len(string_split({text_col}, ' ')) AS BIGINT) AS n_tok
+         CAST({n_tok_expr} AS BIGINT) AS n_tok
   FROM {src}
 ),
 o AS (

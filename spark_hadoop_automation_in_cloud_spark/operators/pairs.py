@@ -217,6 +217,7 @@ def blocked_pairs_within_groups(
     id_col: str,
     n_blocks: int = 8,
     auto_plain_below: int = 0,
+    auto_plain_max_group: int = 0,
 ) -> DataFrame:
     """All unordered within-group pairs, block-salted for parallelism.
 
@@ -254,6 +255,21 @@ def blocked_pairs_within_groups(
     and degenerates to ``n_blocks=1`` under the threshold.  The pair set
     is identical either way (pinned by the equals-naive test); only the
     physical split changes.
+
+    ``auto_plain_max_group`` (members; 0 = off) is the dispatch for
+    MANY-SMALL-GROUPS bucketings (LPA communities, q196): total row
+    count is the wrong decision variable there — a corpus of thousands
+    of 7-member communities already has thousands of independent
+    shuffle keys, so salting is pure replication tax (BLOCKED_PAIRS
+    ``community_runs``: plain beat blocked 0.41×–0.92× at every rung
+    while the k-means cells, few and giant, need the salt).  The real
+    variable is the LARGEST group's pair work vs one task: when set,
+    one map-side-combined ``groupBy(group).count().max()`` probe (full
+    scan of ``df``'s lineage — cheaper than the pair join it sizes)
+    picks plain while the largest group stays under the threshold.
+    Crossover from the k-means receipts: blocked won 6× at ~2.5k-member
+    groups, lost at ~750 — 1000-2000 is the honest band.  Both
+    dispatches may be set; plain wins if either fires.
     """
     from spark_hadoop_automation_in_cloud_spark.functions.hashing import md5_prefix_int
 
@@ -265,6 +281,15 @@ def blocked_pairs_within_groups(
         and df.limit(auto_plain_below).count() < auto_plain_below
     ):
         n_blocks = 1
+    if auto_plain_max_group > 0 and n_blocks > 1:
+        largest = (
+            df.groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(F.max("__n"))
+            .first()[0]
+        )
+        if largest is None or largest < auto_plain_max_group:
+            n_blocks = 1
     group_cols = list(group_cols)
     payload = [c for c in df.columns if c not in group_cols]
     if id_col not in payload:

@@ -54,56 +54,39 @@ def register(name: str, sql: str | None, doc: str = ""):
 # WINDOW NOTE FIRST — read this before touching _ROTATE_FIRST.
 #
 # ROUND NUMBERING: the driver's counter restarted after r05 (see
-# memory/driver-round-numbering).  CORRECTNESS_r07 landed 2026-08-15,
-# 50/50 tri-green, exactly on the previous allocation (q133-q152 + the
-# oldest 30 of the 41 r04 rows — rationale in git history, commit
-# 26d00f3).  This file now allocates the NEXT verification,
-# CORRECTNESS_r08.
+# memory/driver-round-numbering).  CORRECTNESS_r08 landed 2026-08-16,
+# 50/50 tri-green, exactly on the previous allocation (q107 + the 37
+# never-stamped q153-q189 + the oldest 12).  This file now allocates
+# the NEXT verification, CORRECTNESS_r09.
 #
-# The r08 ledger (tools/stamps.py after the r07 stamps) is
-# OVERSUBSCRIBED: 37 never-stamped rows (q153-q189) + 52 rows at the
-# age-2 bound (the 11 remaining r04 rows + the 41 r05 rows that aged
-# out during r07) = 89 mandatory candidates for 50 slots.  The r07
-# verdict (Next round 1) prescribes the standing order — changed
-# kernels first, then never-stamped, then oldest-stamp-first — so this
-# window's 50 slots are 1 + 37 + 12:
-#   - q107 (semantic cluster dedup): its pair stage gained the
-#     small-corpus dispatch this round (pairs.py auto_plain_below —
-#     the r07 verdict item 4), so the kernel changed and must
-#     re-stamp even though its r06 stamp is only age 1;
-#   - the 37 never-stamped rows q153-q189 (bucketed join, quality
-#     rules, exact + sketched KS, PQ/IVF-PQ/filtered ANN, streaming
-#     ANN maintenance, triangles, AUC, calibration, PMI, Zipf, BPE +
-#     tokenizer fit, k-anonymity, MMR, volume anomaly + streaming
-#     monitor, curriculum interleave, kappa, z-test, Q11/Q22 shapes,
-#     correlated sampling, JSON quarantine, clustering coefficient,
-#     hash-kernel scores, temperature mixture, rolling actives, JM LM,
-#     personalized PageRank, k-core, exact-substring dedup output,
-#     LPA communities, community modularity).  This block ALSO covers every other kernel
-#     changed in round 8: the q171 oracle rank-on-rounded fix, the
-#     q176 integer-grid half-cent fix, the k_core empty-graph
-#     fixpoint (q186), and the two NEW registrations q187/q188;
-#   - the oldest 12 stamped rows in (stamp age, registration) order:
-#     the 11 remaining r04 rows — q82, q84, q85, q86, q87, q88, q90,
-#     q91, q92, q97, q101 — plus the oldest r05 row, q01.
-# Left out, and why:
-#   - q190 (TPC-H Q15-shape top-revenue supplier), q191 (ordered
-#     24h-window funnel conversion), q192 (last-touch attribution) and
-#     q193 (weekly retention cohorts): registered AFTER this window was
-#     allocated — they ride r09's never-stamped block per the standing
-#     rule (each parity-green at sf0.001/0.01 at registration, swept by
-#     tests/test_oracle_parity.py every run);
-#   - the 40 remaining r05 rows (q02-q106 registration order, minus
-#     the ones above) stay at age 2 and MUST lead r09 alongside the
-#     50 r06-stamped rows that reach the bound during r08 (40 + 50 =
-#     90 candidates for 50 slots — r09 allocates per the same
-#     standing order: r09-changed kernels, then any never-stamped,
-#     then the 40 r05 rows, then the oldest-registered r06 rows up to
-#     50; re-derive from tools/stamps.py when allocating);
-#   - everything else is r06/r07-stamped (age <= 1) and untouched.
+# SINCE r09 THE ALLOCATION IS GENERATED, NOT HAND-TRANSCRIBED (the r08
+# verdict item 1): the tuple below is the verbatim output of
+#
+#   python tools/stamps.py --emit q92_sequence_packing,\
+#     q107_semantic_cluster_dedup,q161_copurchase_triangles,\
+#     q180_clustering_coefficient,q185_personalized_pagerank,\
+#     q188_copurchase_communities,q189_community_modularity
+#
+# where the --emit argument is the round's CHANGED-KERNEL list — the
+# one input not derivable from artifacts.  Round 9's changed kernels:
+#   - q161/q180/q188/q189: _copurchase_edges moved the distinct-order
+#     dedup BEFORE the basket self-join (the q161 shuffle-receipt
+#     provenance fix — ARTIFACTS.md);
+#   - q185: personalized_pagerank gained pagerank's one-aggregate node
+#     state + the has_dangling gate (r08 verdict item 5);
+#   - q92: pack_sequences now delegates to pack_token_counts (the q195
+#     refactor — behavior-identical, re-stamped on principle);
+#   - q107: blocked_pairs_within_groups gained the max-group dispatch
+#     (no-op for q107's call, re-stamped on the same principle).
+# The ledger is OVERSUBSCRIBED (4 + 3 never-stamped + 89 age-2 rows for
+# 50 slots), so the window is 7 changed + 7 never-stamped (q190-q193
+# from round 8, q194-q196 registered this round) + the oldest 36 (r05
+# rows in registration order); the remaining 4 r05 rows (q106, q109,
+# q110, q114) and the 49 r06 rows spill and MUST lead r10 alongside the
+# 50 r07 rows reaching the bound — re-run stamps.py --emit then.
 # All left-out rows are sf0.001-parity-green on HEAD via
 # tests/test_oracle_parity.py (every run) and sf0.01-green in the
-# round-8 full sweep.
+# round-9 full sweep.
 #
 # The driver's CORRECTNESS run verifies a bounded window (50 entries)
 # taken in registration order, so queries() exposes the registry ROTATED
@@ -111,61 +94,59 @@ def register(name: str, sql: str | None, doc: str = ""):
 # (tests/test_oracle_parity.py) still covers every registered query
 # regardless of position.
 _ROTATE_FIRST: tuple[str, ...] = (
-    # --- changed kernel (r08: the blocked-pairs small-corpus dispatch)
-    "q107_semantic_cluster_dedup",
-    # --- never stamped (registered after the r07 window filled); also
-    #     covers every other round-8-changed kernel — see WINDOW NOTE
-    "q153_bucketed_colocated_join",
-    "q154_quality_rule_flags",
-    "q155_ks_drift_weekend",
-    "q156_pq_codes",
-    "q157_pq_adc_topk",
-    "q158_filtered_cosine_topk",
-    "q159_ivf_pq_search",
-    "q160_streaming_ann_maintenance",
-    "q161_copurchase_triangles",
-    "q162_quality_auc_by_source",
-    "q163_quality_calibration",
-    "q164_pmi_collocations",
-    "q165_zipf_slope_by_source",
-    "q166_bpe_merge_training",
-    "q167_k_anonymity_audit",
-    "q168_mmr_diverse_rerank",
-    "q169_tokenizer_fit_by_source",
-    "q170_volume_anomaly",
-    "q171_curriculum_interleave",
-    "q172_langid_kappa",
-    "q173_purchase_ab_ztest",
-    "q174_streaming_volume_monitor",
-    "q175_ks_drift_sketched",
-    "q176_revenue_share_parts",
-    "q177_idle_rich_customers",
-    "q178_correlated_sample_audit",
-    "q179_json_quarantine_ingest",
-    "q180_clustering_coefficient",
-    "q181_hash_kernel_scores",
-    "q182_temperature_mixture",
-    "q183_rolling_weekly_actives",
-    "q184_jm_interpolated_lm",
-    "q185_personalized_pagerank",
-    "q186_kcore_members",
-    "q187_exact_substring_dedup",
-    "q188_copurchase_communities",
-    "q189_community_modularity",
-    # --- the oldest 12 stamped rows: the 11 remaining r04 rows, then
-    #     the oldest r05 row
-    "q82_linear_regression",
-    "q84_event_entropy",
-    "q85_basket_pairs",
-    "q86_price_skyline",
-    "q87_salted_priority_revenue",
-    "q88_rfm_segments",
-    "q90_weighted_median",
-    "q91_mixture_sampling",
-    "q92_sequence_packing",
-    "q97_point_in_time_state",
-    "q101_unigram_lm_quality",
-    "q01_pricing_summary",
+    # --- changed kernel this round
+    "q92_sequence_packing",  # r08
+    "q107_semantic_cluster_dedup",  # r08
+    "q161_copurchase_triangles",  # r08
+    "q180_clustering_coefficient",  # r08
+    "q185_personalized_pagerank",  # r08
+    "q188_copurchase_communities",  # r08
+    "q189_community_modularity",  # r08
+    # --- never stamped (registration order)
+    "q190_top_revenue_supplier",
+    "q191_funnel_conversion",
+    "q192_last_touch_attribution",
+    "q193_weekly_retention_cohorts",
+    "q194_bpe_token_ids",
+    "q195_bpe_packed_sequences",
+    "q196_community_name_neardup",
+    # --- oldest stamped rows (stamp round asc, registration order)
+    "q02_regional_revenue",  # r05
+    "q03_top_order_per_customer",  # r05
+    "q04_customers_without_orders",  # r05
+    "q05_nearest_city",  # r05
+    "q06_event_rollup",  # r05
+    "q07_event_dedup",  # r05
+    "q08_conditional_enrichment",  # r05
+    "q09_user_sessions",  # r05
+    "q10_first_last_value",  # r05
+    "q11_travel_history",  # r05
+    "q16_friend_recommendations",  # r05
+    "q17_user_demographics",  # r05
+    "q22_ngram_jaccard_dups",  # r05
+    "q25_ann_lsh_topk",  # r05
+    "q19_embedding_neardup",  # r05
+    "q29_fingerprint",  # r05
+    "q31_multimodal_features",  # r05
+    "q33_stateful_sessions",  # r05
+    "q35_asof_join",  # r05
+    "q36_interval_join",  # r05
+    "q41_streaming_sliding_window",  # r05
+    "q52_above_group_average",  # r05
+    "q59_upsert_merge",  # r05
+    "q66_grouped_moments",  # r05
+    "q69_pagerank",  # r05
+    "q77_value_histogram",  # r05
+    "q83_modal_event_type",  # r05
+    "q93_countmin_heavy_hitters",  # r05
+    "q94_benford_first_digit",  # r05
+    "q98_mom_revenue_growth",  # r05
+    "q99_text_normalize",  # r05
+    "q100_waiting_suppliers",  # r05
+    "q102_price_quantile_sketch",  # r05
+    "q103_salted_full_outer_parts",  # r05
+    "q104_hll_distinct_rollup",  # r05
+    "q105_countmin_persist_merge",  # r05
 )
 
 
@@ -8507,3 +8488,163 @@ def q193_weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("cohort_week", "age")
     )
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.bpe import (  # noqa: E402
+    bpe_encode,
+    sql_bpe_encode,
+)
+from spark_hadoop_automation_in_cloud_spark.operators.packing import (  # noqa: E402
+    pack_token_counts,
+    sql_pack_token_counts,
+)
+
+
+@register(
+    "q194_bpe_token_ids",
+    f"""
+SELECT doc_id, n_tokens,
+       array_to_string(token_ids, ',') AS token_ids
+FROM (
+{sql_bpe_encode("documents", "doc_id", "text", n_merges=4)}
+)
+""",
+    doc="BPE encode-to-ids (operators/bpe.py bpe_encode): the production "
+    "artifact of the tokenizer family — per-document token-id arrays "
+    "under the 4 merge rules q166 trains on the same corpus. Ids are "
+    "deterministic with no corpus pass: printable-ASCII base alphabet "
+    "(char -> ascii-32, ids 0-94) plus one id per merge in training "
+    "order, insert-if-absent (token_id_map). The merge folds run "
+    "VOCAB-sized (distinct words replay the greedy folds as row-local "
+    "JVM aggregates, then map symbols through a bounded map literal); "
+    "the corpus pays one positioned explode, one equi-join on word, "
+    "and one per-doc re-assembly (array_sort(collect_list(struct)) -> "
+    "flatten, q187's idiom) — per-occurrence cost independent of "
+    "n_merges. The oracle reuses the training CTE chain verbatim and "
+    "replays the identical fold + id assignment. The id array emits "
+    "comma-joined (the q58 serialization convention: no registered "
+    "row ships a raw array column through the driver hash).",
+)
+def q194_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    rules = [
+        (r["lhs"], r["rhs"]) for r in bpe_merges(d, "text", n_merges=4).collect()
+    ]
+    enc = bpe_encode(d, "doc_id", "text", rules)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(F.col("token_ids"), ",").alias("token_ids"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q195_bpe_packed_sequences",
+    sql_pack_token_counts(
+        f"""(
+{sql_bpe_encode("documents", "doc_id", "text", n_merges=4)}
+) enc JOIN (SELECT doc_id, source FROM documents) ds USING (doc_id)""",
+        "source",
+        "doc_id",
+        "n_tokens",
+        capacity=256,
+    ),
+    doc="Sequence packing on REAL tokenizer counts (operators/packing.py "
+    "pack_token_counts): q92's concat-then-chunk layout driven by "
+    "bpe_encode's n_tokens instead of the whitespace approximation — "
+    "bin fills now match what the trained tokenizer will actually "
+    "emit, so no bin silently over/under-fills when BPE compression "
+    "varies by source (q169's finding made load-bearing). Plan: the "
+    "q194 encode (vocab-sized folds + one corpus join) feeding the "
+    "same per-source prefix-sum window + bounded bin explode; no new "
+    "corpus-scale stage beyond q194's. Docs with no encodable word "
+    "have no token stream and drop on both engines.",
+)
+def q195_bpe_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    rules = [
+        (r["lhs"], r["rhs"]) for r in bpe_merges(d, "text", n_merges=4).collect()
+    ]
+    counted = bpe_encode(d, "doc_id", "text", rules).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    return pack_token_counts(counted, "source", "doc_id", "n_tokens", capacity=256)
+
+
+@register(
+    "q196_community_name_neardup",
+    f"""
+WITH np_lab AS MATERIALIZED (
+{sql_label_propagation(_Q161_EDGES_SQL, "p1", "p2", n_rounds=5)}
+),
+np_pt AS (
+  SELECT p_partkey AS node,
+         list_distinct(string_split(p_name, ' ')) AS toks
+  FROM part
+),
+np_e AS MATERIALIZED (
+  SELECT np_lab.node, np_lab.community, np_pt.toks
+  FROM np_lab JOIN np_pt USING (node)
+)
+SELECT x.community,
+       x.node AS left_id, y.node AS right_id,
+       CAST(len(list_intersect(x.toks, y.toks)) AS BIGINT) AS shared_tokens,
+       CAST(len(x.toks) + len(y.toks) - len(list_intersect(x.toks, y.toks))
+            AS BIGINT) AS union_tokens,
+       CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
+         / CAST(len(x.toks) + len(y.toks) - len(list_intersect(x.toks, y.toks))
+                AS DOUBLE) AS name_jaccard
+FROM np_e x JOIN np_e y ON x.community = y.community AND x.node < y.node
+WHERE CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
+        / CAST(len(x.toks) + len(y.toks) - len(list_intersect(x.toks, y.toks))
+               AS DOUBLE) >= 0.5
+""",
+    doc="Community-bucketed near-duplicate detection — q188's stated "
+    "purpose wired in: LPA communities over the recurring co-purchase "
+    "graph become the dedup buckets (q107's shape with learned GRAPH "
+    "structure instead of k-means geometry), and part-name token "
+    "Jaccard is scored ONLY within each community via the same "
+    "pair generator (operators/pairs.py blocked_pairs_within_groups, "
+    "max-group-size dispatch: many tiny communities parallelize "
+    "natively, so salting is pure tax until one community exceeds "
+    "1500 members — BLOCKED_PAIRS community_runs is the receipt). The "
+    "quadratic comparison is bounded by the largest community, not "
+    "the corpus; this is also the first row that consumes q188's "
+    "output as an INPUT. Jaccard keeps exact integer numerators "
+    "(shared/union token counts) and emits ONE IEEE division — the "
+    "threshold compares that same division on both engines, no "
+    "rounding anywhere. Plan: the LPA trajectory, one broadcast-able "
+    "part join, block-salted pairs, row-local set arithmetic.",
+)
+def q196_community_name_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_hadoop_automation_in_cloud_spark.operators.pairs import (
+        blocked_pairs_within_groups,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    labels = label_propagation(_copurchase_edges(li), "p1", "p2", n_rounds=5)
+    toks = F.array_distinct(F.split(F.col("p_name"), " "))
+    e = labels.select("node", "community").join(
+        p.select(F.col("p_partkey").alias("node"), toks.alias("toks")), "node"
+    )
+    # many-small-groups dispatch: LPA communities are numerous and tiny
+    # (largest = 7 members at sf0.1), so the group-size probe picks the
+    # plain self-join — thousands of community keys already parallelize
+    # — and only a giant community (>1500 members ⇒ >1M pairs in one
+    # task) would flip it to the salted split (BLOCKED_PAIRS
+    # community_runs measured the tax: blocked 0.41× at 3×)
+    pairs = blocked_pairs_within_groups(
+        e, ["community"], "node", n_blocks=8, auto_plain_max_group=1_500
+    )
+    inter = F.size(F.array_intersect(F.col("left.toks"), F.col("right.toks")))
+    union = F.size(F.col("left.toks")) + F.size(F.col("right.toks")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    return pairs.select(
+        "community",
+        F.col("left.node").alias("left_id"),
+        F.col("right.node").alias("right_id"),
+        inter.cast("bigint").alias("shared_tokens"),
+        union.cast("bigint").alias("union_tokens"),
+        jac.alias("name_jaccard"),
+    ).where(F.col("name_jaccard") >= 0.5)

@@ -38,6 +38,8 @@ def _norm_cell(v):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
+    if hasattr(v, "ndim") and getattr(v, "ndim", 0) > 0:  # numpy arrays
+        return tuple(_norm_cell(x) for x in v.tolist())
     if hasattr(v, "item"):  # numpy scalars
         return _norm_cell(v.item())
     return v

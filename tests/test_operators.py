@@ -1371,6 +1371,14 @@ def test_blocked_pairs_within_groups_equals_naive(spark):
         for r in got:
             assert r["left"]["x"] == r["left"]["id"] * 0.5
             assert r["right"]["x"] == r["right"]["id"] * 0.5
+    # max-group dispatch (q196's many-small-groups case): pair set
+    # identical whether the probe picks plain (largest group 15 < 100)
+    # or keeps the salt (threshold 10 <= 15)
+    for thr in (100, 10):
+        got = blocked_pairs_within_groups(
+            df, ["g"], "id", n_blocks=8, auto_plain_max_group=thr
+        ).collect()
+        assert {(r["g"], r["left"]["id"], r["right"]["id"]) for r in got} == naive
 
 
 def test_repeated_span_coverage_interval_union(spark):
@@ -2695,6 +2703,79 @@ def test_bpe_exhausts_pairs_gracefully(spark):
     con = duckdb.connect()
     con.execute("CREATE TABLE docs AS SELECT 'a b c a' AS text")
     assert con.execute(sql_bpe_merges("docs", "text", 2)).fetchdf().empty
+
+
+def test_bpe_encode_hand_trace_and_id_assignment(spark):
+    """Hand-traced encode: under rules [(a,a),(a,b)], 'aaab' folds
+    'a a a b' → 'aa a b' → 'aa ab' = ids [95, 96] (base ids are
+    ascii−32, merges take 95+ in training order); duplicate merged
+    strings reuse the first id (insert-if-absent); un-gated words
+    (non-ASCII) drop; docs with no encodable word drop entirely."""
+    from spark_hadoop_automation_in_cloud_spark.operators.bpe import (
+        bpe_encode,
+        token_id_map,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaab ab"), (2, "ab Xé"), (3, "é")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], list(r["token_ids"]))
+        for r in bpe_encode(docs, "doc_id", "text", [("a", "a"), ("a", "b")])
+        .collect()
+    }
+    # 'ab' has no (a,a); fold (a,b) fuses it whole → [96]. 'xé' fails the
+    # ASCII gate (doc 2 keeps only 'ab'); doc 3 has no encodable word.
+    assert got == {1: (3, [95, 96, 96]), 2: (1, [96]), 3: None} or got == {
+        1: (3, [95, 96, 96]),
+        2: (1, [96]),
+    }
+    # plain chars map through the fixed alphabet: 'x' = ascii 120 - 32
+    enc = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in bpe_encode(docs, "doc_id", "text", []).collect()
+    }
+    assert enc[1] == [ord(c) - 32 for c in "aaab"] + [ord(c) - 32 for c in "ab"]
+    # id assignment: duplicate merged string reuses the first id
+    assert token_id_map([("a", "b"), ("ab", "c"), ("a", "bc")]) == {
+        "ab": 95,
+        "abc": 96,
+    }
+
+
+def test_pack_token_counts_matches_text_form(spark):
+    """pack_sequences == pack_token_counts fed the whitespace counts
+    (the refactor is behavior-preserving), and real counts change the
+    layout as expected (a 3-token doc under capacity 4 straddles no
+    boundary that the 5-token whitespace form did)."""
+    from spark_hadoop_automation_in_cloud_spark.operators.packing import (
+        pack_sequences,
+        pack_token_counts,
+    )
+    import pyspark.sql.functions as SF
+
+    docs = spark.createDataFrame(
+        [("s1", 1, "a b c d e"), ("s1", 2, "f g"), ("s2", 3, "h")],
+        "source string, doc_id bigint, text string",
+    )
+    a = pack_sequences(docs, "source", "doc_id", "text", capacity=4)
+    b = pack_token_counts(
+        docs.withColumn("nt", SF.size(SF.split("text", " "))),
+        "source",
+        "doc_id",
+        "nt",
+        capacity=4,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    c = {
+        (r["doc_id"], r["bin_id"]): (r["tok_start"], r["tok_end"])
+        for r in pack_token_counts(
+            docs.withColumn("nt", SF.lit(3)), "source", "doc_id", "nt", capacity=4
+        ).collect()
+    }
+    # s1: doc1 tokens 0-2 (bin 0), doc2 tokens 3-5 → straddles bins 0/1
+    assert c[(1, 0)] == (0, 3) and c[(2, 0)] == (0, 1) and c[(2, 1)] == (1, 3)
 
 
 def test_k_anonymity_histogram(spark):

@@ -109,6 +109,13 @@ QUERIES = [
     # ratio tracking the factor means a round regressed into rescanning
     # the corpus (q169 shares the shape and is not separately laddered)
     "q166_bpe_merge_training",
+    # BPE encode-to-ids: the vocab-sized fold chain is IDENTICAL at every
+    # rung (replicas add no new words, q166's flatness) — the only growing
+    # stages are the positioned explode, the word equi-join (probe side
+    # grows, build side constant) and the per-doc re-assembly aggregate.
+    # Wall must track the corpus scan; a factor-tracking ratio on the fold
+    # stages means encode regressed into folding per-occurrence
+    "q194_bpe_token_ids",
     # hash-kernel scoring: pure row-local aggregate() in the scan — wall
     # must track the scan exactly (any superlinearity = the gram loop
     # stopped being row-local)

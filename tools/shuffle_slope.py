@@ -167,6 +167,12 @@ for _q in (
     "q180_clustering_coefficient",
     "q186_kcore_members",
     "q188_copurchase_communities",
+    # q189 scores q188's communities on the same graph (the modularity
+    # aggregates are edge/community-bounded); q196 pairs within those
+    # communities (pair volume bounded by the near-constant edge set's
+    # community sizes) — both dominated by the same basket derivation
+    "q189_community_modularity",
+    "q196_community_name_neardup",
 ):
     NOTES[_q] = _COPURCHASE_NOTE
 

@@ -12,11 +12,20 @@ derives it from the artifacts, so the allocation can be checked (or
 written) mechanically:
 
   python tools/stamps.py            # ledger + next-window obligation
+  python tools/stamps.py --emit q161,q185   # print _ROTATE_FIRST verbatim
 
 Output: per-query last-stamp round and age (current round = max round
 seen + 1, i.e. "the window being planned"), the obligated lead set,
 unstamped rows (registered but never in any window), and a window
 feasibility check (obligated + unstamped <= 50).
+
+``--emit`` takes the round's CHANGED-KERNEL list (comma-separated names
+or unambiguous q-number prefixes — the one input that cannot be derived
+from artifacts) and prints the 50-slot ``_ROTATE_FIRST`` tuple per the
+standing order — changed kernels, then never-stamped (registration
+order), then oldest-stamp-first (stamp round asc, registration order) —
+ready to paste into queries.py, so the allocation is generated, not
+hand-transcribed (r08 verdict item 1).
 """
 
 from __future__ import annotations
@@ -60,7 +69,56 @@ def stamp_table(root: str) -> tuple[dict[str, int], int]:
     return last, max_round
 
 
+def emit_rotation(changed: list[str]) -> None:
+    """Print the next window's ``_ROTATE_FIRST`` tuple per the standing
+    order.  ``changed`` = this round's changed-kernel query names."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last, max_round = stamp_table(root)
+    names = [s.name for s in q.specs()]
+    resolved: list[str] = []
+    for c in changed:
+        hits = [n for n in names if n == c or n.startswith(c + "_") or n.startswith(c)]
+        exact = [n for n in hits if n == c]
+        if exact:
+            resolved.append(exact[0])
+        elif len(hits) == 1:
+            resolved.append(hits[0])
+        else:
+            raise SystemExit(f"changed-kernel name {c!r} ambiguous/unknown: {hits}")
+    unstamped = [n for n in names if n not in last and n not in resolved]
+    rest = sorted(
+        (n for n in names if n not in resolved and n in last),
+        key=lambda n: (last[n], names.index(n)),
+    )
+    window = (resolved + unstamped + rest)[:WINDOW]
+    obligated = {n for n in names if n in last and max_round - last[n] >= 2}
+    spill = sorted(obligated - set(window))
+    print(f"# window for round {max_round + 1}: {len(resolved)} changed + "
+          f"{len(unstamped)} never-stamped + "
+          f"{WINDOW - len(resolved) - len(unstamped)} oldest "
+          f"({len(spill)} age>=2 obligated rows spill to the round after)")
+    print("_ROTATE_FIRST: tuple[str, ...] = (")
+    cursor = 0
+    for n in window:
+        if cursor == 0 and resolved:
+            print("    # --- changed kernel this round")
+        if cursor == len(resolved) and unstamped:
+            print("    # --- never stamped (registration order)")
+        if cursor == len(resolved) + len(unstamped):
+            print("    # --- oldest stamped rows (stamp round asc, registration order)")
+        stamp = f"  # r{last[n]:02d}" if n in last else ""
+        print(f'    "{n}",{stamp}')
+        cursor += 1
+    print(")")
+
+
 def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--emit":
+        emit_rotation([c.strip() for c in sys.argv[2].split(",") if c.strip()])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--emit":
+        emit_rotation([])
+        return
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last, max_round = stamp_table(root)
     planning = max_round + 1  # the window being planned next
