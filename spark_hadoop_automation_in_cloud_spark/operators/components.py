@@ -725,6 +725,7 @@ def personalized_pagerank(
     n_iter: int = 10,
     damping: float = 0.85,
     per_iter_round_dp: int | None = 9,
+    assume_distinct_edges: bool = False,
 ) -> DataFrame:
     """Personalized PageRank: power iteration whose teleport lands on a
     SEED SET instead of uniformly — the "related to THIS cohort /
@@ -752,8 +753,10 @@ def personalized_pagerank(
     over the checkpointed edge partitions per round, the aggregate is
     map-side combined, the per-round rank frame localCheckpoints (and
     this call's checkpoints release on exit, ownership-scoped).  Edges
-    are distinct-ed defensively; pass pre-distinct edges through
-    ``.distinct()`` upstream if that shuffle was already paid.  Rounds
+    are distinct-ed defensively unless ``assume_distinct_edges``
+    (:func:`pagerank`'s contract verbatim: a duplicated edge would
+    double-count its contribution, so True is the CALLER's promise that
+    the dedup shuffle was already paid).  Rounds
     snap to a 9dp grid so summation-order noise cannot accumulate
     (the q69 oracle convention).
 
@@ -766,12 +769,12 @@ def personalized_pagerank(
     # r11 review finding: the error path leaked `created` (the same
     # degradation _unpersist_rdds documents for the success path)
     try:
-        e = (
-            edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-            .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-            .distinct()
-            .localCheckpoint()
-        )
+        e = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        if not assume_distinct_edges:
+            e = e.distinct()
+        e = e.localCheckpoint()
         created |= _pinned_rdd_ids(e)
         # node state in ONE map-side-combined aggregate over the edge
         # endpoints (src endpoints count toward out-degree, dst endpoints

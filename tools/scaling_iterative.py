@@ -162,8 +162,16 @@ def main() -> None:
         .select((F.col("node") + F.col("__rep") * shift).alias("node"))
         .localCheckpoint()
     )
-    t1 = timed(lambda: personalized_pagerank(edges, seeds, n_iter=10))
-    t10 = timed(lambda: personalized_pagerank(edges_rep, seeds_rep, n_iter=10))
+    t1 = timed(
+        lambda: personalized_pagerank(
+            edges, seeds, n_iter=10, assume_distinct_edges=True
+        )
+    )
+    t10 = timed(
+        lambda: personalized_pagerank(
+            edges_rep, seeds_rep, n_iter=10, assume_distinct_edges=True
+        )
+    )
     out["personalized_pagerank_10_rounds"] = {
         "n_edges_base": n_edges,
         "n_seeds_base": seeds.count(),
