@@ -398,6 +398,22 @@ def test_train_tokenizer_job_writes_artifacts(spark, sf_dir, tmp_path):
     assert job.main(["x"]) == 2
     assert job.main(["a", "b", "zero"]) == 2
     assert job.main(["a", "b", "0"]) == 2
+    # encode mode: apply the persisted merge table; output matches
+    # driving bpe_encode with the same rules, and the id arrays are
+    # flat ints (the trainer-facing artifact)
+    from spark_hadoop_automation_in_cloud_spark.operators.bpe import bpe_encode
+
+    enc_out = str(tmp_path / "ids")
+    assert job.main(["encode", f"{sf_dir}/documents.parquet",
+                     f"{out}/merges.parquet", enc_out]) == 0
+    got = spark.read.parquet(enc_out)
+    rules = [(r["lhs"], r["rhs"]) for r in sorted(want.collect(),
+                                                  key=lambda r: r["step"])]
+    ref = bpe_encode(
+        read_table(spark, sf_dir, "documents"), "doc_id", "text", rules
+    )
+    assert key(got) == key(ref)
+    assert job.main(["encode", "a", "b"]) == 2
 
 
 def test_streaming_volume_job_cli_accumulates_across_runs(spark, sf_dir, tmp_path):
