@@ -501,3 +501,48 @@ FROM doc_words JOIN word_ids USING (word)
 GROUP BY doc_id
 """
     )
+
+
+def decode_token_ids(
+    encoded: DataFrame,
+    rules: list[tuple[str, str]],
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """Invert :func:`bpe_encode`: token-id arrays back to text — the
+    inspection/debug side of the tokenizer family (spot-check what the
+    trainer actually sees).  Row-local: one JVM ``transform`` through
+    the inverted :func:`token_id_map` literal (base ids 0–94 →
+    ``chr(id+32)``, merge ids → their concatenated symbol) and an
+    ``array_join``.
+
+    LOSSY BY DESIGN at the word level: the encode scheme emits no
+    word-boundary token, so decode returns the CONCATENATION of the
+    document's gated words with no separators (``decoded ==
+    concat(gated_words)`` — the round-trip contract
+    tests/test_operators.py pins).  Unknown ids (not base, not in the
+    merge vocab) decode to NULL for the whole document rather than
+    silently skipping — a wrong-vocab mistake should be loud.
+    """
+    inv = {v: k for k, v in token_id_map(rules).items()}
+    inv_map = (
+        F.create_map(*[F.lit(x) for kv in inv.items() for x in (kv[0], kv[1])])
+        if inv
+        else None
+    )
+
+    def sym(t: F.Column) -> F.Column:
+        merged = (
+            F.element_at(inv_map, t) if inv_map is not None
+            else F.lit(None).cast("string")
+        )
+        return F.when((t >= 0) & (t <= 94), F.char(t + 32)).otherwise(merged)
+
+    # array_join with no null_replacement drops nulls, which would decode
+    # a wrong-vocab stream to a silently-shorter string — aggregate with
+    # concat instead so ONE unknown id nulls the whole decode (loud)
+    decoded = F.aggregate(
+        F.transform(F.col(ids_col), sym),
+        F.lit("").cast("string"),
+        lambda acc, s: F.concat(acc, s),
+    )
+    return encoded.select("*", decoded.alias("decoded"))

@@ -2744,6 +2744,55 @@ def test_bpe_encode_hand_trace_and_id_assignment(spark):
     }
 
 
+def test_bpe_decode_roundtrip_and_unknown_id(spark):
+    """decode(encode(x)) == the concatenation of x's gated lowercase
+    words (the encode scheme carries no word boundary — documented
+    lossiness), under rules LEARNED from the same corpus; an id outside
+    the vocab decodes the whole document to NULL, never to a silently
+    shorter string."""
+    from spark_hadoop_automation_in_cloud_spark.operators.bpe import (
+        MAX_WORD_LEN,
+        bpe_encode,
+        bpe_merges,
+        decode_token_ids,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the theme The THE themes"),
+            (2, "ababab ab ba"),
+            (3, "mixed Xé gate " + "w" * (MAX_WORD_LEN + 1)),
+        ],
+        "doc_id bigint, text string",
+    )
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merges(docs, "text", n_merges=4).collect()
+    ]
+    got = {
+        r["doc_id"]: r["decoded"]
+        for r in decode_token_ids(
+            bpe_encode(docs, "doc_id", "text", rules), rules
+        ).collect()
+    }
+
+    def gated_concat(text):
+        return "".join(
+            w
+            for w in text.lower().split(" ")
+            if w and len(w) <= MAX_WORD_LEN and all(" " <= c <= "~" for c in w)
+        )
+
+    assert got == {
+        1: gated_concat("the theme The THE themes"),
+        2: gated_concat("ababab ab ba"),
+        # doc 3: 'xé' and the overlong word are un-gated; 'mixed gate' remain
+        3: "mixedgate",
+    }
+    bad = spark.createDataFrame([(9, [999])], "doc_id bigint, token_ids array<int>")
+    assert decode_token_ids(bad, rules).collect()[0]["decoded"] is None
+
+
 def test_pack_token_counts_matches_text_form(spark):
     """pack_sequences == pack_token_counts fed the whitespace counts
     (the refactor is behavior-preserving), and real counts change the

@@ -863,6 +863,47 @@ def test_bpe_merges_equal_python_reference(spark, words, n_merges):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+    n_merges=st.integers(0, 4),
+)
+def test_bpe_encode_decode_roundtrip(spark, words, n_merges):
+    """decode(encode(corpus)) recovers the gated-word concatenation for
+    ANY corpus and any rules trained on it — ids are total over the
+    trained vocab (no word can reach a symbol outside base+merges), so
+    the round-trip never hits the unknown-id NULL path."""
+    from spark_hadoop_automation_in_cloud_spark.operators.bpe import (
+        bpe_encode,
+        bpe_merges,
+        decode_token_ids,
+    )
+
+    text = " ".join(words)
+    docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merges(docs, "text", n_merges=n_merges).collect()
+    ]
+    rows = decode_token_ids(
+        bpe_encode(docs, "doc_id", "text", rules), rules
+    ).collect()
+    want = "".join(w for w in words if w)
+    if not want:
+        assert rows == []  # no encodable word -> doc drops (documented)
+    else:
+        assert rows[0]["decoded"] == want
+        assert rows[0]["n_tokens"] == len(rows[0]["token_ids"])
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
     vecs=st.lists(
         st.tuples(
             st.integers(-4, 4), st.integers(-4, 4), st.integers(-4, 4)
