@@ -452,7 +452,11 @@ def read_csv_quarantine(
     """CSV sibling of :func:`read_json_quarantine`: schema-enforced
     CSV-lines read with the dead-letter split, via one text scan +
     ``from_csv`` (same rationale — the expression form has no
-    corrupt-column-only restriction and parses once).
+    corrupt-column-only restriction and parses once).  CALLER-FACING
+    EDGE (details below): with ``header=True`` a first-block data row
+    that renders exactly as the header is dropped, and for
+    non-splittable (compressed) files "first block" means the whole
+    file.
 
     ``header=True`` drops lines equal to the schema's own header
     rendering BEFORE parsing — a header line would otherwise quarantine
