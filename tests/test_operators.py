@@ -2793,6 +2793,34 @@ def test_bpe_decode_roundtrip_and_unknown_id(spark):
     assert decode_token_ids(bad, rules).collect()[0]["decoded"] is None
 
 
+def test_logistic_fit_separable_and_report_shape(spark):
+    """On a linearly separable set the fitted filter classifies every
+    row (accuracy 1.0) with the right weight sign; the report emits one
+    row per weight (intercept + features, feature-name order) sharing
+    the accuracy; n_iter < 1 raises."""
+    import pytest as _pytest
+
+    from spark_hadoop_automation_in_cloud_spark.operators.logistic import (
+        logistic_fit,
+        logistic_train_report,
+    )
+
+    rows = [(1.0, 1.0 + 0.1 * i) for i in range(10)] + [
+        (0.0, -1.0 - 0.1 * i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "y double, x double")
+    w = logistic_fit(df, ["x"], "y", n_iter=10, lr=5.0)
+    assert len(w) == 2 and w[1] > 0  # positive slope separates
+    rep = {
+        r["feature"]: (r["weight"], r["train_accuracy"])
+        for r in logistic_train_report(df, ["x"], "y", n_iter=10, lr=5.0).collect()
+    }
+    assert set(rep) == {"intercept", "x"}
+    assert rep["x"][0] == w[1] and rep["x"][1] == 1.0 == rep["intercept"][1]
+    with _pytest.raises(ValueError, match="n_iter"):
+        logistic_fit(df, ["x"], "y", n_iter=0)
+
+
 def test_pack_token_counts_matches_text_form(spark):
     """pack_sequences == pack_token_counts fed the whitespace counts
     (the refactor is behavior-preserving), and real counts change the
