@@ -120,6 +120,11 @@ QUERIES = [
     # must track the scan exactly (any superlinearity = the gram loop
     # stopped being row-local)
     "q181_hash_kernel_scores",
+    # logistic distillation: 10 fixed GD rounds, each ONE gradient
+    # aggregate over the feature scan with broadcast-literal weights —
+    # wall must track rounds x scan with a constant model; any growth
+    # beyond the scan means the fit stopped being a pure aggregate
+    "q197_quality_filter_distillation",
     # interpolated LM: replication multiplies pair/unigram counts while
     # the vocab stays constant — all three model frames FLAT, the
     # scoring joins' build sides constant (q141's stress, +unigrams)
