@@ -121,25 +121,29 @@ def logistic_train_report(
     return out.orderBy("feature")
 
 
-def sql_logistic_train_report(
+def sql_dot(alias: str, feature_cols: list[str]) -> str:
+    """The dot product as SQL, same left-associated tree as :func:`_dot`."""
+    terms = [f"{alias}.w0"] + [
+        f"{alias}.w{j} * {c}" for j, c in enumerate(feature_cols, start=1)
+    ]
+    return " + ".join(terms)
+
+
+def sql_gd_ctes(
     features_sql: str,
     feature_cols: list[str],
     n_iter: int = 10,
     lr: float = 5.0,
     per_iter_round_dp: int = 7,
 ) -> str:
-    """DuckDB twin of :func:`logistic_train_report`: the GD trajectory
-    unrolled as one CTE chain per round (the q96/q69 iterative-oracle
-    pattern), identical dot/sigmoid/update spelling, same 7dp snap.
-    ``features_sql`` must yield a ``y`` column plus ``feature_cols``."""
+    """The GD trajectory as a CTE-chain fragment (``lgf``, ``lw0``,
+    then per round ``lg{i}``/``lw{i}``) — shared by
+    :func:`sql_logistic_train_report` and any consumer of the fitted
+    weights (q198's per-source filter rates), so both oracles train on
+    ONE definition.  ``features_sql`` must yield ``y`` plus
+    ``feature_cols`` (extra columns ride along in ``lgf`` untouched —
+    the gradient sums never reference them)."""
     d = len(feature_cols)
-
-    def dot(alias: str) -> str:
-        terms = [f"{alias}.w0"] + [
-            f"{alias}.w{j} * {c}" for j, c in enumerate(feature_cols, start=1)
-        ]
-        return " + ".join(terms)
-
     parts = [
         f"lgf AS MATERIALIZED (\n{features_sql}\n)",
         "lw0 AS (SELECT "
@@ -147,7 +151,7 @@ def sql_logistic_train_report(
         + ")",
     ]
     for i in range(1, n_iter + 1):
-        sig = f"(1.0 / (1.0 + exp(-({dot('w')}))) - y)"
+        sig = f"(1.0 / (1.0 + exp(-({sql_dot('w', feature_cols)}))) - y)"
         gsums = [f"SUM({sig}) AS g0"] + [
             f"SUM({sig} * {c}) AS g{j}"
             for j, c in enumerate(feature_cols, start=1)
@@ -170,11 +174,27 @@ def sql_logistic_train_report(
             )
             + f" FROM lw{i - 1} w CROSS JOIN lg{i} g)"
         )
-    parts.append(
+    return ",\n".join(parts)
+
+
+def sql_logistic_train_report(
+    features_sql: str,
+    feature_cols: list[str],
+    n_iter: int = 10,
+    lr: float = 5.0,
+    per_iter_round_dp: int = 7,
+) -> str:
+    """DuckDB twin of :func:`logistic_train_report`: the GD trajectory
+    unrolled as one CTE chain per round (the q96/q69 iterative-oracle
+    pattern), identical dot/sigmoid/update spelling, same 7dp snap.
+    ``features_sql`` must yield a ``y`` column plus ``feature_cols``."""
+    dot = sql_dot("w", feature_cols)
+    parts = [
+        sql_gd_ctes(features_sql, feature_cols, n_iter, lr, per_iter_round_dp),
         "lacc AS (SELECT CAST(SUM(CASE WHEN "
-        f"(({dot('w')}) >= 0) = (y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)"
-        f" / CAST(COUNT(*) AS DOUBLE) AS a FROM lgf CROSS JOIN lw{n_iter} w)"
-    )
+        f"(({dot}) >= 0) = (y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" / CAST(COUNT(*) AS DOUBLE) AS a FROM lgf CROSS JOIN lw{n_iter} w)",
+    ]
     unions = "\nUNION ALL\n".join(
         ["SELECT 'intercept' AS feature, w.w0 AS weight, a.a AS train_accuracy"
          f" FROM lw{n_iter} w CROSS JOIN lacc a"]

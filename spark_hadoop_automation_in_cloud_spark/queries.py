@@ -78,12 +78,13 @@ def register(name: str, sql: str | None, doc: str = ""):
 #     refactor — behavior-identical, re-stamped on principle);
 #   - q107: blocked_pairs_within_groups gained the max-group dispatch
 #     (no-op for q107's call, re-stamped on the same principle).
-# The ledger is OVERSUBSCRIBED (8 never-stamped + 89 age-2 rows for 50
-# slots), so the window is 7 changed + 8 never-stamped (q190-q193 from
-# round 8, q194-q197 registered this round) + the oldest 35 (r05 rows
-# in registration order); the remaining 5 r05 rows (q105, q106, q109,
-# q110, q114) and the 49 r06 rows spill and MUST lead r10 alongside the
-# 50 r07 rows reaching the bound — re-run stamps.py --emit then.
+# The ledger is OVERSUBSCRIBED (9 never-stamped + 89 age-2 rows for 50
+# slots), so the window is 7 changed + 9 never-stamped (q190-q193 from
+# round 8, q194-q198 registered this round) + the oldest 34 (r05 rows
+# in registration order); the remaining 6 r05 rows (q104, q105, q106,
+# q109, q110, q114) and the 49 r06 rows spill and MUST lead r10
+# alongside the 50 r07 rows reaching the bound — re-run stamps.py
+# --emit then.
 # All left-out rows are sf0.001-parity-green on HEAD via
 # tests/test_oracle_parity.py (every run) and sf0.01-green in the
 # round-9 full sweep.
@@ -111,6 +112,7 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q195_bpe_packed_sequences",
     "q196_community_name_neardup",
     "q197_quality_filter_distillation",
+    "q198_distilled_filter_rates",
     # --- oldest stamped rows (stamp round asc, registration order)
     "q02_regional_revenue",  # r05
     "q03_top_order_per_customer",  # r05
@@ -146,7 +148,6 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q100_waiting_suppliers",  # r05
     "q102_price_quantile_sketch",  # r05
     "q103_salted_full_outer_parts",  # r05
-    "q104_hll_distinct_rollup",  # r05
 )
 
 
@@ -8711,3 +8712,83 @@ def q197_quality_filter_distillation(spark: SparkSession, sf_dir: str) -> DataFr
         .alias("has_the"),
     )
     return logistic_train_report(feat, _Q197_FEATS, n_iter=10, lr=5.0)
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.logistic import (  # noqa: E402
+    logistic_fit,
+    sql_dot,
+    sql_gd_ctes,
+)
+
+#: q198's feature SQL: q197's frame with `source` riding along (extra
+#: columns never enter the gradient sums — sql_gd_ctes' contract), so
+#: both rows train the IDENTICAL trajectory on one definition
+_Q198_FEATURES_SQL = _Q197_FEATURES_SQL.replace(
+    "SELECT CASE WHEN q.quality >= 0.93",
+    "SELECT d.source, CASE WHEN q.quality >= 0.93",
+    1,
+)
+
+
+@register(
+    "q198_distilled_filter_rates",
+    f"""
+WITH {sql_gd_ctes(_Q198_FEATURES_SQL, _Q197_FEATS, n_iter=10, lr=5.0)}
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN ({sql_dot('w', _Q197_FEATS)}) >= 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(SUM(CASE WHEN ({sql_dot('w', _Q197_FEATS)}) >= 0
+                THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS keep_rate
+FROM lgf CROSS JOIN lw10 w
+GROUP BY source
+ORDER BY source
+""",
+    doc="Deploy the distilled quality filter (q197's trained weights) "
+    "over the corpus and report per-source keep rates — the policy "
+    "readout a mixture decision actually consumes (which sources "
+    "would the cheap linear gate cut, and by how much). Train and "
+    "apply happen in ONE definition: the same GD trajectory as q197 "
+    "(sql_gd_ctes — extra columns ride the feature frame without "
+    "entering the gradient sums), then one row-local linear score per "
+    "document (dot >= 0, no exp) and a per-source count aggregate. "
+    "Scale shape: the fit's 10 scan-aggregates + one scoring scan "
+    "into |sources| cells; keep_rate is one IEEE division of exact "
+    "counts. At 100 TB the scoring pass is a pure filter-free scan — "
+    "pushdown-friendly, no shuffle beyond the cell aggregate.",
+)
+def q198_distilled_filter_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    e = tx.quality_exprs(F.col("text"))
+    feat = d.where(F.length("text") > 0).select(
+        "source",
+        F.when(e["quality"] >= 0.93, 1.0).otherwise(0.0).alias("y"),
+        (F.col("n_chars").cast("double") / 1000.0).alias("len_k"),
+        e["alpha_ratio"].alias("alpha_ratio"),
+        F.when(F.col("n_chars") < 100, 1.0).otherwise(0.0).alias("short_doc"),
+        F.when(
+            F.instr(F.concat(F.lit(" "), F.col("text"), F.lit(" ")), " the ")
+            > 0,
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("has_the"),
+    )
+    w = logistic_fit(feat, _Q197_FEATS, n_iter=10, lr=5.0)
+    dot = F.lit(w[0])
+    for j, c in enumerate(_Q197_FEATS, start=1):
+        dot = dot + F.lit(w[j]) * F.col(c)
+    keep = F.when(dot >= 0, 1).otherwise(0)
+    return (
+        feat.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(keep).cast("bigint").alias("n_keep"),
+            (
+                F.sum(keep).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
