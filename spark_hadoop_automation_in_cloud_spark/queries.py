@@ -8728,6 +8728,10 @@ _Q198_FEATURES_SQL = _Q197_FEATURES_SQL.replace(
     "SELECT d.source, CASE WHEN q.quality >= 0.93",
     1,
 )
+# the textual derivation must actually have fired — a q197 SQL edit that
+# breaks the anchor would otherwise train q198 on a source-less frame
+# and fail only at oracle time with a missing-column error
+assert "d.source" in _Q198_FEATURES_SQL
 
 
 @register(
