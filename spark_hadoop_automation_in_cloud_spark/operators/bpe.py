@@ -100,12 +100,12 @@ def _apply_merge(
     )
 
 
-def bpe_merges(
-    docs: DataFrame,
-    text_col: str,
-    n_merges: int = 4,
-) -> DataFrame:
-    """Learn the first ``n_merges`` BPE merge rules from the corpus.
+def _greedy_merge_loop(
+    seqs: DataFrame,
+    n_merges: int,
+    checkpoint_every: int = 16,
+) -> list[tuple[int, str, str, str, int]]:
+    """The shared greedy trainer core over a ``(seq, freq)`` frame.
 
     Per round: pair counts (vocab-sized aggregate) → argmax by
     (pair_count DESC, left ASC, right ASC) — one row to the driver —
@@ -113,36 +113,139 @@ def bpe_merges(
     is cached per round and released after the next round's counts
     materialize (bounded: two vocab-sized caches in flight).
 
+    LINEAGE CONTROL for realistic merge counts: each round nests another
+    fold expression over the previous frame, and persist truncates only
+    COMPUTE — the logical plan still deepens per round, so at hundreds
+    of rounds Catalyst analysis/codegen cost grows quadratically and the
+    generated fold expression outgrows codegen limits.  Every
+    ``checkpoint_every`` rounds the frame ``localCheckpoint``s (cutting
+    the plan back to a block scan, ≤ ``checkpoint_every`` folds deep);
+    the pinned blocks are released with the components-module
+    ownership-scoped discipline, including on error paths.
+    """
+    from spark_hadoop_automation_in_cloud_spark.operators.components import (
+        _pinned_rdd_ids,
+        _unpersist_rdds,
+    )
+
+    spark = seqs.sparkSession
+    rules: list[tuple[int, str, str, str, int]] = []
+    prev = None
+    pinned: set[int] = set()
+    try:
+        for step in range(1, n_merges + 1):
+            if step % checkpoint_every == 0:
+                seqs = seqs.localCheckpoint()
+                _unpersist_rdds(spark, pinned)
+                pinned = _pinned_rdd_ids(seqs)
+                if prev is not None:
+                    prev.unpersist()
+                prev = None
+            else:
+                seqs = seqs.persist()
+            top = (
+                _pair_counts(seqs)
+                .orderBy(F.col("pair_count").desc(), "left", "right")
+                .limit(1)
+                .collect()
+            )
+            if prev is not None:
+                prev.unpersist()
+            prev = seqs if step % checkpoint_every != 0 else None
+            if not top:
+                break
+            l, r, cnt = top[0]["left"], top[0]["right"], int(top[0]["pair_count"])
+            rules.append((step, l, r, l + r, cnt))
+            seqs = _apply_merge(seqs, l, r)
+    finally:
+        if prev is not None:
+            prev.unpersist()
+        _unpersist_rdds(spark, pinned)
+    return rules
+
+
+def bpe_merges(
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int = 4,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules from the corpus
+    (greedy loop: :func:`_greedy_merge_loop`).
+
     Output: step (int, 1-based), lhs, rhs, merged (string),
     pair_count (bigint) — the merge table, ``n_merges`` rows (fewer iff
     the vocabulary runs out of adjacent pairs).
     """
-    spark = docs.sparkSession
     seqs = word_freqs(docs, text_col).select(
         _spaced(F.col("word")).alias("seq"), "freq"
     )
-    rules: list[tuple[int, str, str, str, int]] = []
-    prev = None
-    for step in range(1, n_merges + 1):
-        seqs = seqs.persist()
-        top = (
-            _pair_counts(seqs)
-            .orderBy(F.col("pair_count").desc(), "left", "right")
-            .limit(1)
-            .collect()
-        )
-        if prev is not None:
-            prev.unpersist()
-        prev = seqs
-        if not top:
-            break
-        l, r, cnt = top[0]["left"], top[0]["right"], int(top[0]["pair_count"])
-        rules.append((step, l, r, l + r, cnt))
-        seqs = _apply_merge(seqs, l, r)
-    if prev is not None:
-        prev.unpersist()
-    return spark.createDataFrame(
-        rules, "step int, lhs string, rhs string, merged string, pair_count bigint"
+    return docs.sparkSession.createDataFrame(
+        _greedy_merge_loop(seqs, n_merges),
+        "step int, lhs string, rhs string, merged string, pair_count bigint",
+    )
+
+
+#: the sampled-training hash salt — ONE constant shared by the Spark
+#: gate and the SQL twin (decorrelates this use of `word` from any other
+#: md5-bucket use of the same column)
+SAMPLE_SALT = ":bpesample"
+
+
+def sampled_word_freqs(
+    docs: DataFrame, text_col: str, sample_mod: int
+) -> DataFrame:
+    """:func:`word_freqs` restricted to a deterministic 1/``sample_mod``
+    hash-sample of the VOCABULARY (``md5(word || salt) % mod == 0``) —
+    bounded, engine-portable, exactly replayable in SQL.  Sampling by
+    word (not by document) keeps every surviving word's frequency EXACT:
+    the pair statistics are the true corpus statistics of a vocabulary
+    subset, not a noisy estimate of the full vocabulary's."""
+    if sample_mod < 1:
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+    from spark_hadoop_automation_in_cloud_spark.functions.hashing import (
+        md5_prefix_int,
+    )
+
+    wf = word_freqs(docs, text_col)
+    if sample_mod == 1:
+        return wf
+    gate = md5_prefix_int(F.col("word"), nhex=15, salt=SAMPLE_SALT)
+    return wf.where(gate % sample_mod == 0)
+
+
+def bpe_merges_sampled(
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int = 4,
+    sample_mod: int = 16,
+    checkpoint_every: int = 16,
+) -> DataFrame:
+    """Learn merge rules on a hash-sampled vocabulary — the production
+    shape for REALISTIC merge counts (10³–10⁵): :func:`bpe_merges` pays
+    one vocab-sized pair aggregate + fold rewrite PER ROUND, so at 32k
+    merges the serial round structure is the wall and the per-round
+    frame size is the only lever.  Public pretraining pipelines train
+    tokenizer rules on a corpus sample and encode the full corpus; here
+    the sample is a deterministic 1/``sample_mod`` hash-slice of the
+    word-frequency table (:func:`sampled_word_freqs` — surviving words
+    keep EXACT corpus frequencies), so every round's aggregate + fold
+    runs on ``vocab/sample_mod`` rows while the learned rules remain
+    exactly replayable by the SQL twin.  ``sample_mod=1`` degenerates to
+    :func:`bpe_merges` exactly (parity-pinned in tests).
+
+    Full-corpus encode then applies the learned rules via
+    :func:`bpe_encode` unchanged — encode cost never depended on where
+    the rules came from (its folds run on the full DISTINCT-word table
+    either way).
+
+    Same output contract as :func:`bpe_merges`.
+    """
+    seqs = sampled_word_freqs(docs, text_col, sample_mod).select(
+        _spaced(F.col("word")).alias("seq"), "freq"
+    )
+    return docs.sparkSession.createDataFrame(
+        _greedy_merge_loop(seqs, n_merges, checkpoint_every=checkpoint_every),
+        "step int, lhs string, rhs string, merged string, pair_count bigint",
     )
 
 
@@ -156,11 +259,47 @@ def _sql_fold(seq_expr: str, t_alias: str) -> str:
     )
 
 
-def _sql_training_ctes(src: str, text_col: str, n_merges: int) -> str:
+def _sql_fold_round(seq_expr: str, t_alias: str) -> str:
+    """One rewrite round, robust to PAIR EXHAUSTION: when training runs
+    out of adjacent pairs before ``n_merges``, ``t{i}`` is EMPTY — a
+    CROSS JOIN would empty the whole frame (and every later round with
+    it), while Spark simply applies the shorter rule list.  The twin
+    therefore joins the 1-or-0-row winner with ``LEFT JOIN ... ON TRUE``
+    and makes the fold a no-op on the NULL row, so an exhausted round
+    passes sequences through unchanged — exactly what 'no rule this
+    round' means.  (``lft`` is never NULL in a real winner row: symbols
+    come from splitting non-empty gated words.)"""
+    return (
+        f"CASE WHEN {t_alias}.lft IS NULL THEN {seq_expr}"
+        f" ELSE {_sql_fold(seq_expr, t_alias)} END"
+    )
+
+
+def _sql_sample_gate(sample_mod: int | None) -> str:
+    """The vocabulary hash-sample predicate of
+    :func:`sampled_word_freqs` as SQL ('' when unsampled)."""
+    from spark_hadoop_automation_in_cloud_spark.functions.hashing import (
+        sql_md5_prefix_int,
+    )
+
+    if sample_mod is None or sample_mod == 1:
+        return ""
+    return (
+        f" AND ({sql_md5_prefix_int('word', 15, SAMPLE_SALT)})"
+        f" % {sample_mod} = 0"
+    )
+
+
+def _sql_training_ctes(
+    src: str, text_col: str, n_merges: int, sample_mod: int | None = None
+) -> str:
     """The training trajectory as a CTE-chain fragment (``w``, ``s0``,
     then per round ``p{i}``/``t{i}``/``s{i}``), shared by
     :func:`sql_bpe_merges` and :func:`sql_segmentation_stats` so both
-    oracles train on ONE definition."""
+    oracles train on ONE definition.  ``sample_mod`` restricts ``w`` to
+    the :func:`sampled_word_freqs` hash-slice (the gate is a pure
+    function of ``word``, so filtering pre-GROUP BY equals filtering
+    the grouped table)."""
 
     def pair_cte(seq_src: str) -> str:
         return (
@@ -176,7 +315,7 @@ w AS MATERIALIZED (
   SELECT word, COUNT(*) AS freq FROM (
     SELECT unnest(string_split(lower({text_col}), ' ')) AS word FROM {src}
   ) WHERE word <> '' AND length(word) <= {MAX_WORD_LEN}
-        AND regexp_matches(word, '{WORD_RE}')
+        AND regexp_matches(word, '{WORD_RE}'){_sql_sample_gate(sample_mod)}
   GROUP BY word
 ),
 s0 AS MATERIALIZED (
@@ -192,21 +331,24 @@ t{i} AS MATERIALIZED (
   ORDER BY pair_count DESC, lft ASC, rgt ASC LIMIT 1
 ),
 s{i} AS MATERIALIZED (
-  SELECT {_sql_fold("s.seq", "t")} AS seq,
+  SELECT {_sql_fold_round("s.seq", "t")} AS seq,
          s.freq
-  FROM s{i - 1} s CROSS JOIN t{i} t
+  FROM s{i - 1} s LEFT JOIN t{i} t ON TRUE
 )"""
         )
     return ",".join(parts)
 
 
-def sql_bpe_merges(src: str, text_col: str, n_merges: int = 4) -> str:
+def sql_bpe_merges(
+    src: str, text_col: str, n_merges: int = 4, sample_mod: int | None = None
+) -> str:
     """DuckDB twin of :func:`bpe_merges`: the full greedy trajectory
     unrolled as one CTE chain per round (the q96/q156 iterative-oracle
     pattern, MATERIALIZED so each round computes once) — identical
     vocab gates, pair counting, (count, left, right) argmax, and the
-    same last-symbol-guarded left fold via ``list_reduce`` (the 1-row
-    winner CROSS JOINs into the rewrite; lambdas cannot hold
+    same last-symbol-guarded left fold via ``list_reduce`` (the
+    1-or-0-row winner LEFT JOINs into the rewrite — see
+    :func:`_sql_fold_round` — because lambdas cannot hold
     subqueries)."""
     unions = "\nUNION ALL\n".join(
         f"SELECT {i} AS step, lft AS lhs, rgt AS rhs, lft || rgt AS merged,"
@@ -215,7 +357,7 @@ def sql_bpe_merges(src: str, text_col: str, n_merges: int = 4) -> str:
     )
     return (
         "WITH "
-        + _sql_training_ctes(src, text_col, n_merges)
+        + _sql_training_ctes(src, text_col, n_merges, sample_mod=sample_mod)
         + f"\nSELECT * FROM ({unions}) ORDER BY step"
     )
 
@@ -314,8 +456,8 @@ g0 AS MATERIALIZED (
         group_parts.append(
             f"""
 g{i} AS MATERIALIZED (
-  SELECT {gs}, {_sql_fold("g.seq", "t")} AS seq, g.freq, g.lw
-  FROM g{i - 1} g CROSS JOIN t{i} t
+  SELECT {gs}, {_sql_fold_round("g.seq", "t")} AS seq, g.freq, g.lw
+  FROM g{i - 1} g LEFT JOIN t{i} t ON TRUE
 )"""
         )
     return (
@@ -355,6 +497,21 @@ def token_id_map(rules: list[tuple[str, str]]) -> dict[str, int]:
     return ids
 
 
+def gated_words(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The positioned encodable-word stream — ``(doc_id, pos, word)``
+    under the training vocab gates.  The corpus-facing first step of
+    :func:`bpe_encode`, exposed so the decode round-trip can derive its
+    expected value (``concat of gated words``) from the SAME gate
+    definition."""
+    w = F.col("word")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+            "pos", "word"
+        ),
+    ).where((w != "") & (F.length(w) <= MAX_WORD_LEN) & w.rlike(WORD_RE))
+
+
 def bpe_encode(
     docs: DataFrame,
     id_col: str,
@@ -384,16 +541,7 @@ def bpe_encode(
     order).
     """
     ids = token_id_map(rules)
-    w = F.col("word")
-    words = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
-                "pos", "word"
-            ),
-        )
-        .where((w != "") & (F.length(w) <= MAX_WORD_LEN) & w.rlike(WORD_RE))
-    )
+    words = gated_words(docs, id_col, text_col)
     vocab = (
         words.select("word")
         .distinct()
@@ -435,35 +583,96 @@ def bpe_encode(
     )
 
 
-def sql_bpe_encode(src: str, id_col: str, text_col: str, n_merges: int = 4) -> str:
+def sql_bpe_encode(
+    src: str,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 4,
+    sample_mod: int | None = None,
+) -> str:
     """DuckDB twin of :func:`bpe_encode` for rules learned by
-    :func:`bpe_merges` on the SAME source: the shared training CTE
-    chain derives t1..tn, a word-keyed rewrite chain replays the folds
-    on the distinct vocab, merged symbols take ids by first-training-
-    step order (95 + dense first-step rank — :func:`token_id_map`'s
-    insert-if-absent in SQL), and per-doc streams re-assemble in word
-    order."""
-    rewrite = [
-        """
+    :func:`bpe_merges` (or, with ``sample_mod``,
+    :func:`bpe_merges_sampled`) on the SAME source: the shared training
+    CTE chain derives t1..tn, a word-keyed rewrite chain replays the
+    folds on the distinct vocab, merged symbols take ids by first-
+    training-step order (95 + dense first-step rank —
+    :func:`token_id_map`'s insert-if-absent in SQL), and per-doc
+    streams re-assemble in word order.
+
+    With ``sample_mod``, training runs on the hash-sampled vocabulary
+    but the ENCODE-side fold chain (``v0``…) runs on the FULL corpus
+    vocab — mirroring :func:`bpe_encode`, whose distinct-word table
+    never depended on where the rules came from."""
+    return (
+        "WITH "
+        + _sql_encode_ctes(src, id_col, text_col, n_merges, sample_mod)
+        + "\n"
+        + _SQL_ENCODE_SELECT
+    )
+
+
+def _sql_rewrite_ctes(
+    src: str, text_col: str, n_merges: int, sample_mod: int | None
+) -> list[str]:
+    """The encode-side fold chain ``v0..v{n}`` (full-corpus vocab when
+    training is sampled — see :func:`sql_bpe_encode`)."""
+    if sample_mod is None or sample_mod == 1:
+        v0 = """
 v0 AS MATERIALIZED (
   SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq FROM w
 )"""
-    ]
+    else:
+        v0 = f"""
+encw AS MATERIALIZED (
+  SELECT word FROM (
+    SELECT unnest(string_split(lower({text_col}), ' ')) AS word FROM {src}
+  ) WHERE word <> '' AND length(word) <= {MAX_WORD_LEN}
+        AND regexp_matches(word, '{WORD_RE}')
+  GROUP BY word
+),
+v0 AS MATERIALIZED (
+  SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq FROM encw
+)"""
+    rewrite = [v0]
     for i in range(1, n_merges + 1):
         rewrite.append(
             f"""
 v{i} AS MATERIALIZED (
-  SELECT v.word, {_sql_fold("v.seq", "t")} AS seq
-  FROM v{i - 1} v CROSS JOIN t{i} t
+  SELECT v.word, {_sql_fold_round("v.seq", "t")} AS seq
+  FROM v{i - 1} v LEFT JOIN t{i} t ON TRUE
 )"""
         )
+    return rewrite
+
+
+#: the encode result projection shared by :func:`sql_bpe_encode` (as the
+#: top-level SELECT) and :func:`sql_bpe_decode_roundtrip` (as the `enc`
+#: CTE body)
+_SQL_ENCODE_SELECT = """SELECT doc_id,
+       CAST(SUM(len(ids)) AS BIGINT) AS n_tokens,
+       flatten(list(ids ORDER BY pos)) AS token_ids
+FROM doc_words JOIN word_ids USING (word)
+GROUP BY doc_id
+"""
+
+
+def _sql_encode_ctes(
+    src: str,
+    id_col: str,
+    text_col: str,
+    n_merges: int,
+    sample_mod: int | None = None,
+) -> str:
+    """Everything of the encode twin up to (and including) ``doc_words``
+    as a CTE fragment — the base both :func:`sql_bpe_encode` and the
+    decode round-trip build on."""
+    rewrite = _sql_rewrite_ctes(src, text_col, n_merges, sample_mod)
     step_union = "\nUNION ALL\n".join(
         f"SELECT {i} AS step, lft || rgt AS merged FROM t{i}"
         for i in range(1, n_merges + 1)
     )
     return (
-        "WITH "
-        + _sql_training_ctes(src, text_col, n_merges)
+        _sql_training_ctes(src, text_col, n_merges, sample_mod=sample_mod)
         + ","
         + ",".join(rewrite)
         + f""",
@@ -493,13 +702,7 @@ doc_words AS (
     FROM {src}
   ) WHERE word <> '' AND length(word) <= {MAX_WORD_LEN}
         AND regexp_matches(word, '{WORD_RE}')
-)
-SELECT doc_id,
-       CAST(SUM(len(ids)) AS BIGINT) AS n_tokens,
-       flatten(list(ids ORDER BY pos)) AS token_ids
-FROM doc_words JOIN word_ids USING (word)
-GROUP BY doc_id
-"""
+)"""
     )
 
 
@@ -507,6 +710,7 @@ def decode_token_ids(
     encoded: DataFrame,
     rules: list[tuple[str, str]],
     ids_col: str = "token_ids",
+    out_col: str = "decoded",
 ) -> DataFrame:
     """Invert :func:`bpe_encode`: token-id arrays back to text — the
     inspection/debug side of the tokenizer family (spot-check what the
@@ -545,4 +749,64 @@ def decode_token_ids(
         F.lit("").cast("string"),
         lambda acc, s: F.concat(acc, s),
     )
-    return encoded.select("*", decoded.alias("decoded"))
+    return encoded.select("*", decoded.alias(out_col))
+
+
+def sql_bpe_decode_roundtrip(
+    src: str, id_col: str, text_col: str, n_merges: int = 4
+) -> str:
+    """DuckDB twin of the encode→decode round-trip readout (q199): the
+    shared encode CTE chain, then per-document decode through the SAME
+    inverse map (base ids → ``chr(id+32)``, merge ids → ``mv.merged``),
+    compared against ``concat(gated_words)`` — and a second decode with
+    ONE appended out-of-vocab id (9999) proving the loud-NULL path (the
+    whole document nulls, never a silently shorter string).  The long
+    decoded string ships as its md5 (the q58 serialization convention,
+    applied to unbounded strings)."""
+
+    def decode_ctes(prefix: str, ids_expr: str) -> str:
+        return f"""
+{prefix}ids AS (
+  SELECT doc_id, unnest({ids_expr}) AS tid,
+         generate_subscripts({ids_expr}, 1) AS ord
+  FROM enc
+),
+{prefix}syms AS (
+  SELECT doc_id, ord,
+         CASE WHEN tid >= 0 AND tid <= 94 THEN chr(tid + 32)
+              ELSE mv.merged END AS s
+  FROM {prefix}ids LEFT JOIN mv ON mv.tok_id = tid
+),
+{prefix}dec AS (
+  SELECT doc_id,
+         CASE WHEN bool_or(s IS NULL) THEN NULL
+              ELSE string_agg(s, '' ORDER BY ord) END AS decoded
+  FROM {prefix}syms GROUP BY doc_id
+)"""
+
+    return (
+        "WITH "
+        + _sql_encode_ctes(src, id_col, text_col, n_merges)
+        + f""",
+enc AS MATERIALIZED (
+{_SQL_ENCODE_SELECT}),"""
+        + decode_ctes("", "token_ids")
+        + ","
+        + decode_ctes("b", "list_append(token_ids, 9999)")
+        + """,
+expd AS (
+  SELECT doc_id, string_agg(word, '' ORDER BY pos) AS expected
+  FROM doc_words GROUP BY doc_id
+)
+SELECT e.doc_id,
+       e.n_tokens,
+       md5(d.decoded) AS decoded_md5,
+       d.decoded = x.expected AS roundtrip_ok,
+       b.decoded IS NULL AS bad_is_null
+FROM enc e
+JOIN dec d USING (doc_id)
+JOIN bdec b USING (doc_id)
+JOIN expd x USING (doc_id)
+ORDER BY doc_id
+"""
+    )

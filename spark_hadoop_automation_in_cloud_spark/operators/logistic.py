@@ -11,7 +11,9 @@ round is ONE map-side-combined aggregate over the feature frame — the
 current weights are inlined as literals into the sigmoid expression, so
 the corpus is scanned once per round with no shuffle beyond the 1-row
 gradient aggregate.  Nothing is ever collected except the ``d+2``
-gradient sums per round.  At 100 TB each round costs exactly one scan;
+gradient sums per round.  At 100 TB each round costs exactly one scan
+of the NARROW persisted feature frame — the raw-text feature derivation
+runs once, not per round (see :func:`logistic_fit`'s materialize seam);
 rounds are fixed (deterministic, comparable runs — the q69 convention).
 
 Cross-engine determinism (the PageRank/PPR trajectory discipline):
@@ -54,12 +56,43 @@ def logistic_fit(
     n_iter: int = 10,
     lr: float = 5.0,
     per_iter_round_dp: int = 7,
+    materialize: bool = True,
 ) -> list[float]:
     """Fit weights ``[w0 (intercept), w1..wd]`` on a frame of double
     features and a 0.0/1.0 double label.  Driver state = the weight
-    vector; one aggregate job per round (see module docstring)."""
+    vector; one aggregate job per round (see module docstring).
+
+    MATERIALIZE-ONCE: the feature frame is usually derived from raw text
+    by regex-heavy expressions — re-deriving it every round would make
+    ``n_iter`` text scans out of what is mathematically ``n_iter`` scans
+    of d+1 doubles per row (~10⁻⁴ of the text bytes at 100 TB).  By
+    default the frame is persisted for the loop (memory-and-disk: spill,
+    don't recompute) and released before return — round 1 pays the one
+    text derivation, rounds 2..n read the narrow cached frame.  Callers
+    that already hold their own persist/checkpoint of ``features`` (or
+    want to keep reading it after the fit, q198) pass
+    ``materialize=False`` and own the lifecycle."""
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if materialize:
+        features = features.persist()
+    try:
+        return _gd_loop(
+            features, feature_cols, label_col, n_iter, lr, per_iter_round_dp
+        )
+    finally:
+        if materialize:
+            features.unpersist()
+
+
+def _gd_loop(
+    features: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_iter: int,
+    lr: float,
+    per_iter_round_dp: int,
+) -> list[float]:
     w = [0.0] * (len(feature_cols) + 1)
     y = F.col(label_col)
     n = F.count(F.lit(1)).cast("double").alias("n")
@@ -99,16 +132,25 @@ def logistic_train_report(
     """Fit + report: one row per weight (``intercept`` first, then the
     feature columns by name) with the shared training accuracy —
     ``dot ≥ 0`` vs the label, exact counts, ONE IEEE division."""
-    w = logistic_fit(features, feature_cols, label_col, n_iter=n_iter, lr=lr)
-    y = F.col(label_col)
-    hit = F.when((_dot(w, feature_cols) >= 0) == (y == 1.0), 1).otherwise(0)
-    acc = (
-        features.agg(
-            (F.sum(hit).cast("double") / F.count(F.lit(1)).cast("double")).alias(
-                "a"
-            )
-        ).first()["a"]
-    )
+    # one persist scope covers the fit's n_iter rounds AND the accuracy
+    # pass — the feature frame derives from text exactly once
+    features = features.persist()
+    try:
+        w = logistic_fit(
+            features, feature_cols, label_col, n_iter=n_iter, lr=lr,
+            materialize=False,
+        )
+        y = F.col(label_col)
+        hit = F.when((_dot(w, feature_cols) >= 0) == (y == 1.0), 1).otherwise(0)
+        acc = (
+            features.agg(
+                (
+                    F.sum(hit).cast("double") / F.count(F.lit(1)).cast("double")
+                ).alias("a")
+            ).first()["a"]
+        )
+    finally:
+        features.unpersist()
     spark = features.sparkSession
     rows = [("intercept", w[0], float(acc))] + [
         (c, w[j], float(acc)) for j, c in enumerate(feature_cols, start=1)

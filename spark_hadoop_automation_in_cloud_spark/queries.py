@@ -54,40 +54,37 @@ def register(name: str, sql: str | None, doc: str = ""):
 # WINDOW NOTE FIRST — read this before touching _ROTATE_FIRST.
 #
 # ROUND NUMBERING: the driver's counter restarted after r05 (see
-# memory/driver-round-numbering).  CORRECTNESS_r08 landed 2026-08-16,
-# 50/50 tri-green, exactly on the previous allocation (q107 + the 37
-# never-stamped q153-q189 + the oldest 12).  This file now allocates
-# the NEXT verification, CORRECTNESS_r09.
+# memory/driver-round-numbering).  CORRECTNESS_r09 landed 2026-08-16,
+# 50/50 tri-green, exactly on the previous allocation (7 changed +
+# q190-q198 + the oldest 34 r05 rows).  This file now allocates the
+# NEXT verification, CORRECTNESS_r10.
 #
-# SINCE r09 THE ALLOCATION IS GENERATED, NOT HAND-TRANSCRIBED (the r08
-# verdict item 1): the tuple below is the verbatim output of
+# THE ALLOCATION IS GENERATED, NOT HAND-TRANSCRIBED (r08 verdict item
+# 1): the tuple below is the verbatim output of
 #
-#   python tools/stamps.py --emit q92_sequence_packing,\
-#     q107_semantic_cluster_dedup,q161_copurchase_triangles,\
-#     q180_clustering_coefficient,q185_personalized_pagerank,\
-#     q188_copurchase_communities,q189_community_modularity
+#   python tools/stamps.py --emit q166_bpe_merge_training,\
+#     q169_tokenizer_fit_by_source,q194_bpe_token_ids,\
+#     q195_bpe_packed_sequences,q197_quality_filter_distillation,\
+#     q198_distilled_filter_rates
 #
 # where the --emit argument is the round's CHANGED-KERNEL list — the
-# one input not derivable from artifacts.  Round 9's changed kernels:
-#   - q161/q180/q188/q189: _copurchase_edges moved the distinct-order
-#     dedup BEFORE the basket self-join (the q161 shuffle-receipt
-#     provenance fix — ARTIFACTS.md);
-#   - q185: personalized_pagerank gained pagerank's one-aggregate node
-#     state + the has_dangling gate (r08 verdict item 5);
-#   - q92: pack_sequences now delegates to pack_token_counts (the q195
-#     refactor — behavior-identical, re-stamped on principle);
-#   - q107: blocked_pairs_within_groups gained the max-group dispatch
-#     (no-op for q107's call, re-stamped on the same principle).
-# The ledger is OVERSUBSCRIBED (9 never-stamped + 89 age-2 rows for 50
-# slots), so the window is 7 changed + 9 never-stamped (q190-q193 from
-# round 8, q194-q198 registered this round) + the oldest 34 (r05 rows
-# in registration order); the remaining 6 r05 rows (q104, q105, q106,
-# q109, q110, q114) and the 49 r06 rows spill and MUST lead r10
-# alongside the 50 r07 rows reaching the bound — re-run stamps.py
-# --emit then.
+# one input not derivable from artifacts.  Round 10's changed kernels:
+#   - q166/q169/q194/q195: every BPE SQL rewrite round is now a no-op
+#     when t{i} is empty (_sql_fold_round LEFT JOIN guard — the r09
+#     ADVICE pair-exhaustion fix; Spark kernels byte-unchanged but the
+#     oracles changed, so the rows re-stamp);
+#   - q197/q198: logistic_fit/logistic_train_report gained the
+#     materialize-once persist seam and q198 moved to the shared
+#     _quality_feature_frame + bounded-collect shape (same trajectory,
+#     same oracle SQL — byte-checked — re-stamped on principle).
+# The ledger remains OVERSUBSCRIBED (64 age>=2 rows after this window's
+# 41-oldest block), so the window is 6 changed + 3 never-stamped
+# (q199-q201, registered this round) + the oldest 41 (the 6 remaining
+# r05 rows, then r06 rows in registration order); the leftover r06/r07
+# rows spill and MUST lead r11 — re-run stamps.py --emit then.
 # All left-out rows are sf0.001-parity-green on HEAD via
 # tests/test_oracle_parity.py (every run) and sf0.01-green in the
-# round-9 full sweep.
+# round-10 full sweep.
 #
 # The driver's CORRECTNESS run verifies a bounded window (50 entries)
 # taken in registration order, so queries() exposes the registry ROTATED
@@ -96,58 +93,58 @@ def register(name: str, sql: str | None, doc: str = ""):
 # regardless of position.
 _ROTATE_FIRST: tuple[str, ...] = (
     # --- changed kernel this round
-    "q92_sequence_packing",  # r08
-    "q107_semantic_cluster_dedup",  # r08
-    "q161_copurchase_triangles",  # r08
-    "q180_clustering_coefficient",  # r08
-    "q185_personalized_pagerank",  # r08
-    "q188_copurchase_communities",  # r08
-    "q189_community_modularity",  # r08
+    "q166_bpe_merge_training",  # r08
+    "q169_tokenizer_fit_by_source",  # r08
+    "q194_bpe_token_ids",  # r09
+    "q195_bpe_packed_sequences",  # r09
+    "q197_quality_filter_distillation",  # r09
+    "q198_distilled_filter_rates",  # r09
     # --- never stamped (registration order)
-    "q190_top_revenue_supplier",
-    "q191_funnel_conversion",
-    "q192_last_touch_attribution",
-    "q193_weekly_retention_cohorts",
-    "q194_bpe_token_ids",
-    "q195_bpe_packed_sequences",
-    "q196_community_name_neardup",
-    "q197_quality_filter_distillation",
-    "q198_distilled_filter_rates",
+    "q199_bpe_decode_roundtrip",
+    "q200_sampled_bpe_token_ids",
+    "q201_curated_mix_funnel",
     # --- oldest stamped rows (stamp round asc, registration order)
-    "q02_regional_revenue",  # r05
-    "q03_top_order_per_customer",  # r05
-    "q04_customers_without_orders",  # r05
-    "q05_nearest_city",  # r05
-    "q06_event_rollup",  # r05
-    "q07_event_dedup",  # r05
-    "q08_conditional_enrichment",  # r05
-    "q09_user_sessions",  # r05
-    "q10_first_last_value",  # r05
-    "q11_travel_history",  # r05
-    "q16_friend_recommendations",  # r05
-    "q17_user_demographics",  # r05
-    "q22_ngram_jaccard_dups",  # r05
-    "q25_ann_lsh_topk",  # r05
-    "q19_embedding_neardup",  # r05
-    "q29_fingerprint",  # r05
-    "q31_multimodal_features",  # r05
-    "q33_stateful_sessions",  # r05
-    "q35_asof_join",  # r05
-    "q36_interval_join",  # r05
-    "q41_streaming_sliding_window",  # r05
-    "q52_above_group_average",  # r05
-    "q59_upsert_merge",  # r05
-    "q66_grouped_moments",  # r05
-    "q69_pagerank",  # r05
-    "q77_value_histogram",  # r05
-    "q83_modal_event_type",  # r05
-    "q93_countmin_heavy_hitters",  # r05
-    "q94_benford_first_digit",  # r05
-    "q98_mom_revenue_growth",  # r05
-    "q99_text_normalize",  # r05
-    "q100_waiting_suppliers",  # r05
-    "q102_price_quantile_sketch",  # r05
-    "q103_salted_full_outer_parts",  # r05
+    "q104_hll_distinct_rollup",  # r05
+    "q105_countmin_persist_merge",  # r05
+    "q106_bloom_pruned_revenue",  # r05
+    "q109_repeated_ngram_flags",  # r05
+    "q110_training_shards",  # r05
+    "q114_hard_negatives",  # r05
+    "q14_local_time",  # r06
+    "q20_exact_dedup",  # r06
+    "q30_ann_ivf_topk",  # r06
+    "q26_language_id",  # r06
+    "q27_quality_score",  # r06
+    "q34_raw_event_flatten",  # r06
+    "q38_moving_average",  # r06
+    "q40_corpus_curation",  # r06
+    "q43_session_windows",  # r06
+    "q44_streaming_geo_rollup",  # r06
+    "q45_distinct_aggregates",  # r06
+    "q50_fuzzy_name_pairs",  # r06
+    "q51_data_quality_profile",  # r06
+    "q53_time_range_average",  # r06
+    "q57_streaming_dedup",  # r06
+    "q65_stream_stream_join",  # r06
+    "q67_stream_static_join",  # r06
+    "q70_resample_forward_fill",  # r06
+    "q71_map_explode",  # r06
+    "q72_conversion_funnel",  # r06
+    "q73_retention_cohorts",  # r06
+    "q74_scd2_intervals",  # r06
+    "q79_growth_accounting",  # r06
+    "q80_next_event_features",  # r06
+    "q89_session_intervals",  # r06
+    "q95_containment_dups",  # r06
+    "q96_kmeans_clusters",  # r06
+    "q108_incremental_dedup",  # r06
+    "q111_streaming_incremental_dedup",  # r06
+    "q112_token_budget_selection",  # r06
+    "q113_incremental_minhash_dedup",  # r06
+    "q115_frame_sampling",  # r06
+    "q116_cluster_canonicals_by_quality",  # r06
+    "q117_upsert_replay",  # r06
+    "q118_repeated_span_coverage",  # r06
 )
 
 
@@ -8659,8 +8656,17 @@ from spark_hadoop_automation_in_cloud_spark.operators.logistic import (  # noqa:
 #: q197 feature ORDER is load-bearing: the GD trajectory iterates the
 #: weight vector in this order on both engines
 _Q197_FEATS = ["len_k", "alpha_ratio", "short_doc", "has_the"]
-_Q197_FEATURES_SQL = f"""
-SELECT CASE WHEN q.quality >= 0.93 THEN 1.0 ELSE 0.0 END AS y,
+
+
+def _quality_features_sql(extra_cols: tuple[str, ...] = ()) -> str:
+    """The ONE feature-frame definition q197 trains on and q198 deploys,
+    parameterized by ride-along columns (``sql_gd_ctes``' contract:
+    extras ride ``lgf`` untouched — the gradient sums never reference
+    them).  A builder, not textual surgery on a sibling's SQL: a
+    reworded SELECT here changes BOTH rows together or neither."""
+    extras = "".join(f"{c}, " for c in extra_cols)
+    return f"""
+SELECT {extras}CASE WHEN q.quality >= 0.93 THEN 1.0 ELSE 0.0 END AS y,
        CAST(d.n_chars AS DOUBLE) / 1000.0 AS len_k,
        q.alpha_ratio AS alpha_ratio,
        CASE WHEN d.n_chars < 100 THEN 1.0 ELSE 0.0 END AS short_doc,
@@ -8670,6 +8676,31 @@ FROM ({tx.sql_quality_score("documents", "doc_id", "text")}) q
 JOIN documents d USING (doc_id)
 WHERE length(d.text) > 0
 """
+
+
+def _quality_feature_frame(
+    d: DataFrame, extra_cols: list[str] | None = None
+) -> DataFrame:
+    """Spark twin of :func:`_quality_features_sql` — q197 and q198 build
+    their training frames through this one definition too."""
+    e = tx.quality_exprs(F.col("text"))
+    return d.where(F.length("text") > 0).select(
+        *(extra_cols or []),
+        F.when(e["quality"] >= 0.93, 1.0).otherwise(0.0).alias("y"),
+        (F.col("n_chars").cast("double") / 1000.0).alias("len_k"),
+        e["alpha_ratio"].alias("alpha_ratio"),
+        F.when(F.col("n_chars") < 100, 1.0).otherwise(0.0).alias("short_doc"),
+        F.when(
+            F.instr(F.concat(F.lit(" "), F.col("text"), F.lit(" ")), " the ")
+            > 0,
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("has_the"),
+    )
+
+
+_Q197_FEATURES_SQL = _quality_features_sql()
 
 
 @register(
@@ -8697,20 +8728,7 @@ WHERE length(d.text) > 0
 )
 def q197_quality_filter_distillation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", parallelize=True)
-    e = tx.quality_exprs(F.col("text"))
-    feat = d.where(F.length("text") > 0).select(
-        F.when(e["quality"] >= 0.93, 1.0).otherwise(0.0).alias("y"),
-        (F.col("n_chars").cast("double") / 1000.0).alias("len_k"),
-        e["alpha_ratio"].alias("alpha_ratio"),
-        F.when(F.col("n_chars") < 100, 1.0).otherwise(0.0).alias("short_doc"),
-        F.when(
-            F.instr(F.concat(F.lit(" "), F.col("text"), F.lit(" ")), " the ")
-            > 0,
-            1.0,
-        )
-        .otherwise(0.0)
-        .alias("has_the"),
-    )
+    feat = _quality_feature_frame(d)
     return logistic_train_report(feat, _Q197_FEATS, n_iter=10, lr=5.0)
 
 
@@ -8723,15 +8741,7 @@ from spark_hadoop_automation_in_cloud_spark.operators.logistic import (  # noqa:
 #: q198's feature SQL: q197's frame with `source` riding along (extra
 #: columns never enter the gradient sums — sql_gd_ctes' contract), so
 #: both rows train the IDENTICAL trajectory on one definition
-_Q198_FEATURES_SQL = _Q197_FEATURES_SQL.replace(
-    "SELECT CASE WHEN q.quality >= 0.93",
-    "SELECT d.source, CASE WHEN q.quality >= 0.93",
-    1,
-)
-# the textual derivation must actually have fired — a q197 SQL edit that
-# breaks the anchor would otherwise train q198 on a source-less frame
-# and fail only at oracle time with a missing-column error
-assert "d.source" in _Q198_FEATURES_SQL
+_Q198_FEATURES_SQL = _quality_features_sql(("d.source",))
 
 
 @register(
@@ -8764,35 +8774,331 @@ ORDER BY source
 )
 def q198_distilled_filter_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", parallelize=True)
-    e = tx.quality_exprs(F.col("text"))
-    feat = d.where(F.length("text") > 0).select(
-        "source",
-        F.when(e["quality"] >= 0.93, 1.0).otherwise(0.0).alias("y"),
-        (F.col("n_chars").cast("double") / 1000.0).alias("len_k"),
-        e["alpha_ratio"].alias("alpha_ratio"),
-        F.when(F.col("n_chars") < 100, 1.0).otherwise(0.0).alias("short_doc"),
-        F.when(
-            F.instr(F.concat(F.lit(" "), F.col("text"), F.lit(" ")), " the ")
-            > 0,
-            1.0,
+    # materialize-once: the fit's 10 rounds AND the scoring pass read the
+    # persisted 6-column frame — ONE derivation of the regex-heavy
+    # features from raw text (logistic_fit skips its own persist because
+    # this caller already holds one)
+    feat = _quality_feature_frame(d, ["source"]).persist()
+    try:
+        w = logistic_fit(
+            feat, _Q197_FEATS, n_iter=10, lr=5.0, materialize=False
         )
-        .otherwise(0.0)
-        .alias("has_the"),
+        dot = F.lit(w[0])
+        for j, c in enumerate(_Q197_FEATS, start=1):
+            dot = dot + F.lit(w[j]) * F.col(c)
+        keep = F.when(dot >= 0, 1).otherwise(0)
+        # |sources| cells — bounded model-state output, so materialize it
+        # INSIDE the cache scope (the q96 convention): the whole call is
+        # one text derivation + 11 narrow cached scans, and no pinned
+        # blocks outlive the call
+        rows = (
+            feat.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum(keep).cast("bigint").alias("n_keep"),
+                (
+                    F.sum(keep).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("keep_rate"),
+            )
+            .orderBy("source")
+            .collect()
+        )
+    finally:
+        feat.unpersist()
+    return spark.createDataFrame(
+        rows, "source string, n_docs bigint, n_keep bigint, keep_rate double"
+    ).orderBy("source")
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.bpe import (  # noqa: E402
+    bpe_merges_sampled,
+    decode_token_ids,
+    gated_words,
+    sql_bpe_decode_roundtrip,
+)
+
+
+@register(
+    "q199_bpe_decode_roundtrip",
+    sql_bpe_decode_roundtrip("documents", "doc_id", "text", n_merges=4),
+    doc="Tokenizer round-trip audit (operators/bpe.py decode_token_ids): "
+    "encode the corpus under the q166-trained rules, decode the id "
+    "arrays back through the inverted vocab, and verify per document "
+    "that decoded == concat(gated_words) — the documented lossiness "
+    "contract (the scheme carries no word-boundary token) — plus a "
+    "second decode with ONE appended out-of-vocab id (9999) proving "
+    "the loud-NULL path: a wrong-vocab stream nulls the WHOLE "
+    "document (aggregate-concat, not array_join's silent null drop). "
+    "Row-local decode: one JVM transform through the bounded inverse "
+    "map literal + a fold concat; the only corpus-scale stages are "
+    "q194's encode and one expected-value re-assembly on the shared "
+    "gated_words stream. The unbounded decoded string ships as its "
+    "md5 (the q58 serialization convention).",
+)
+def q199_bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    rules = [
+        (r["lhs"], r["rhs"]) for r in bpe_merges(d, "text", n_merges=4).collect()
+    ]
+    enc = bpe_encode(d, "doc_id", "text", rules).withColumn(
+        "bad_ids", F.concat(F.col("token_ids"), F.array(F.lit(9999).cast("int")))
     )
-    w = logistic_fit(feat, _Q197_FEATS, n_iter=10, lr=5.0)
-    dot = F.lit(w[0])
-    for j, c in enumerate(_Q197_FEATS, start=1):
-        dot = dot + F.lit(w[j]) * F.col(c)
-    keep = F.when(dot >= 0, 1).otherwise(0)
-    return (
-        feat.groupBy("source")
+    dec = decode_token_ids(
+        decode_token_ids(enc, rules),
+        rules,
+        ids_col="bad_ids",
+        out_col="bad_decoded",
+    )
+    expected = (
+        gated_words(d, "doc_id", "text")
+        .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum(keep).cast("bigint").alias("n_keep"),
-            (
-                F.sum(keep).cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("keep_rate"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda x: x["word"],
+                ),
+                "",
+            ).alias("expected")
         )
-        .orderBy("source")
     )
+    return (
+        dec.join(expected, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.md5("decoded").alias("decoded_md5"),
+            (F.col("decoded") == F.col("expected")).alias("roundtrip_ok"),
+            F.col("bad_decoded").isNull().alias("bad_is_null"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q200_sampled_bpe_token_ids",
+    f"""
+SELECT doc_id, n_tokens,
+       array_to_string(token_ids, ',') AS token_ids
+FROM (
+{sql_bpe_encode("documents", "doc_id", "text", n_merges=8, sample_mod=4)}
+)
+""",
+    doc="BPE at realistic merge counts — the 100 TB training shape "
+    "(operators/bpe.py bpe_merges_sampled): rules are learned on a "
+    "deterministic 1/4 hash-slice of the word-frequency table "
+    "(md5(word||salt) % 4 = 0 — surviving words keep EXACT corpus "
+    "frequencies, so the pair statistics are true statistics of a "
+    "vocabulary subset, not noisy estimates), then the FULL corpus "
+    "encodes under those rules via the unchanged q194 path. Every "
+    "training round's aggregate + fold runs on vocab/4 rows; the "
+    "greedy loop localCheckpoints every 16 rounds so hundreds of "
+    "rounds never deepen the Catalyst plan past the checkpoint "
+    "window (BPE_LADDER.json measures wall vs n_merges at 4/64/256). "
+    "8 merges here — twice q194's — so the sampled trajectory "
+    "actually diverges from the full one at sf0.01 and the oracle "
+    "proves the sampled chain, not a coincidence. Pair exhaustion "
+    "before round 8 is a no-op round on both engines (the "
+    "_sql_fold_round LEFT JOIN guard).",
+)
+def q200_sampled_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merges_sampled(
+            d, "text", n_merges=8, sample_mod=4
+        ).collect()
+    ]
+    enc = bpe_encode(d, "doc_id", "text", rules)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(F.col("token_ids"), ",").alias("token_ids"),
+    ).orderBy("doc_id")
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.bpe import (  # noqa: E402
+    _SQL_ENCODE_SELECT,
+    _sql_encode_ctes,
+)
+from spark_hadoop_automation_in_cloud_spark.operators.packing import (  # noqa: E402
+    sql_token_budget_selection,
+    token_budget_selection,
+)
+
+#: q201's total token budget — a fixed constant so the cut binds at every
+#: sf (the corpus always holds far more kept tokens than this)
+_Q201_BUDGET = 20_000
+_Q201_FEATURES_SQL = f"""
+SELECT f.*, e.n_tokens
+FROM ({_quality_features_sql(("d.doc_id", "d.source"))}) f
+JOIN enc e ON e.doc_id = f.doc_id
+"""
+_Q201_SQL = (
+    "WITH "
+    + _sql_encode_ctes("documents", "doc_id", "text", 4)
+    + f""",
+enc AS MATERIALIZED (
+{_SQL_ENCODE_SELECT}),
+"""
+    + sql_gd_ctes(_Q201_FEATURES_SQL, _Q197_FEATS, n_iter=10, lr=5.0)
+    + f""",
+scored AS MATERIALIZED (
+  SELECT lgf.*, {sql_dot("w", _Q197_FEATS)} AS score
+  FROM lgf CROSS JOIN lw10 w
+),
+kept AS (SELECT * FROM scored WHERE score >= 0),
+base AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM lgf GROUP BY source
+),
+keeps AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_keep FROM kept GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_keep) AS BIGINT) AS total_keep FROM keeps),
+budg AS (
+  SELECT k.source,
+         CASE WHEN t.total_keep = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(({_Q201_BUDGET} * k.n_keep) // t.total_keep AS BIGINT)
+         END AS source_budget
+  FROM keeps k CROSS JOIN tot t
+),
+sel AS MATERIALIZED (
+{sql_token_budget_selection(
+    "SELECT kt.*, b.source_budget FROM kept kt JOIN budg b USING (source)",
+    "source", "doc_id", "score", "n_tokens", "source_budget",
+)}),
+packed AS (
+{sql_pack_token_counts("sel", "source", "doc_id", "n_tokens", capacity=256)})
+SELECT b.source,
+       b.n_docs,
+       COALESCE(k.n_keep, 0) AS n_keep,
+       COALESCE(g.source_budget, 0) AS source_budget,
+       COALESCE(s.n_selected, 0) AS n_selected,
+       COALESCE(s.tokens_selected, 0) AS tokens_selected,
+       COALESCE(p.n_bins, 0) AS n_bins
+FROM base b
+LEFT JOIN keeps k USING (source)
+LEFT JOIN budg g USING (source)
+LEFT JOIN (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_selected,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected
+  FROM sel GROUP BY source
+) s USING (source)
+LEFT JOIN (
+  SELECT source, CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins
+  FROM packed GROUP BY source
+) p USING (source)
+ORDER BY source
+"""
+)
+
+
+@register(
+    "q201_curated_mix_funnel",
+    _Q201_SQL,
+    doc="The full curated-pretraining-mix readout — every stage of the "
+    "pipeline composed end-to-end with zero new kernels: (1) q194's "
+    "BPE encode supplies REAL per-document token counts; (2) q197's "
+    "distilled quality gate trains on the encodable docs (the shared "
+    "sql_gd_ctes trajectory, token counts riding along); (3) the "
+    "gate's per-source keep counts DERIVE the per-source token "
+    "budgets — budget_s = total * n_keep_s DIV total_keep, exact "
+    "integer arithmetic, so the mixture follows what the gate kept "
+    "rather than hand weights (q198's readout made load-bearing); "
+    "(4) q112's budget selection takes best-scoring docs first "
+    "(linear score DESC — bit-identical IEEE dot on both engines — "
+    "doc_id tiebreak) until each source's budget is spent; (5) q195's "
+    "packing lays the selection into capacity-256 bins. Output: one "
+    "funnel row per source (n_docs -> n_keep -> budget -> n_selected "
+    "-> tokens_selected -> n_bins), the q127 receipt shape. Scale: "
+    "each stage keeps its own proven plan; the composition adds one "
+    "broadcast of the |sources|-row budget table and bounded-state "
+    "aggregates only.",
+)
+def q201_curated_mix_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    rules = [
+        (r["lhs"], r["rhs"]) for r in bpe_merges(d, "text", n_merges=4).collect()
+    ]
+    enc = bpe_encode(d, "doc_id", "text", rules).select("doc_id", "n_tokens")
+    feat = _quality_feature_frame(d, ["doc_id", "source"]).join(enc, "doc_id")
+    feat = feat.persist()
+    try:
+        w = logistic_fit(
+            feat, _Q197_FEATS, n_iter=10, lr=5.0, materialize=False
+        )
+        dot = F.lit(w[0])
+        for j, c in enumerate(_Q197_FEATS, start=1):
+            dot = dot + F.lit(w[j]) * F.col(c)
+        scored = feat.withColumn("score", dot)
+        kept = scored.where(F.col("score") >= 0)
+        base = {
+            r["source"]: int(r["n"])
+            for r in feat.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        keeps = {
+            r["source"]: int(r["n"])
+            for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # |sources| cells of driver state; the budget derivation is exact
+        # integer arithmetic spelled identically in the oracle
+        total_keep = sum(keeps.values())
+        budgets = {
+            s: (0 if total_keep == 0 else (_Q201_BUDGET * n) // total_keep)
+            for s, n in keeps.items()
+        }
+        budg = spark.createDataFrame(
+            [(s, b) for s, b in budgets.items()],
+            "source string, source_budget bigint",
+        )
+        sel = token_budget_selection(
+            kept.join(F.broadcast(budg), "source"),
+            "source",
+            "doc_id",
+            "score",
+            "n_tokens",
+            budget=F.col("source_budget"),
+        ).persist()
+        try:
+            sel_stats = {
+                r["source"]: (int(r["n"]), int(r["t"]))
+                for r in sel.groupBy("source")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("n_tokens").alias("t"),
+                )
+                .collect()
+            }
+            bins = {
+                r["source"]: int(r["b"])
+                for r in pack_token_counts(
+                    sel, "source", "doc_id", "n_tokens", capacity=256
+                )
+                .groupBy("source")
+                .agg(F.countDistinct("bin_id").alias("b"))
+                .collect()
+            }
+        finally:
+            sel.unpersist()
+    finally:
+        feat.unpersist()
+    rows = [
+        (
+            s,
+            base[s],
+            keeps.get(s, 0),
+            budgets.get(s, 0),
+            sel_stats.get(s, (0, 0))[0],
+            sel_stats.get(s, (0, 0))[1],
+            bins.get(s, 0),
+        )
+        for s in sorted(base)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "source string, n_docs bigint, n_keep bigint, source_budget bigint, "
+        "n_selected bigint, tokens_selected bigint, n_bins bigint",
+    ).orderBy("source")

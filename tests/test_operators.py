@@ -2705,6 +2705,123 @@ def test_bpe_exhausts_pairs_gracefully(spark):
     assert con.execute(sql_bpe_merges("docs", "text", 2)).fetchdf().empty
 
 
+def test_bpe_sql_twins_survive_pair_exhaustion(spark):
+    """When training exhausts distinct pairs BEFORE n_merges (here: 3
+    learnable merges, n_merges=4), the exhausted round's empty t{i} must
+    be a NO-OP in every SQL rewrite chain — not empty the frame.  Spark
+    applies the shorter rule list and encodes every document; the twins
+    (encode, merges, segmentation) must agree row-for-row."""
+    import duckdb
+
+    from spark_hadoop_automation_in_cloud_spark.operators.bpe import (
+        bpe_encode,
+        bpe_merges,
+        segmentation_stats,
+        sql_bpe_encode,
+        sql_bpe_merges,
+        sql_segmentation_stats,
+    )
+    from tests.oracle import compare
+
+    # 'abab' exhausts after 3 merges: (a,b)→ab, (ab,ab)→abab, then the
+    # leftover 'abab ab'-style pairs run out once every word is 1 symbol
+    rows = [(1, "s1", "abab abab"), (2, "s1", "ab"), (3, "s2", "abab")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    rules = [
+        (r["lhs"], r["rhs"]) for r in bpe_merges(docs, "text", n_merges=4).collect()
+    ]
+    assert len(rules) < 4  # the premise: exhaustion actually happened
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{s}', '{t}')" for i, s, t in rows)
+        + ") v(doc_id, source, text)"
+    )
+    enc = bpe_encode(docs, "doc_id", "text", rules).select(
+        "doc_id", "n_tokens", F.array_join("token_ids", ",").alias("token_ids")
+    )
+    assert enc.count() == 3  # every doc still encodes on Spark
+    for sp_df, sql in (
+        (
+            enc,
+            "SELECT doc_id, n_tokens, array_to_string(token_ids, ',') AS token_ids"
+            f" FROM ({sql_bpe_encode('documents', 'doc_id', 'text', 4)})",
+        ),
+        (
+            bpe_merges(docs, "text", n_merges=4),
+            sql_bpe_merges("documents", "text", 4),
+        ),
+        (
+            segmentation_stats(docs, ["source"], "text", rules),
+            sql_segmentation_stats("documents", ["source"], "text", 4),
+        ),
+    ):
+        assert compare(sp_df, con, sql, "bpe_exhaustion_parity") == []
+
+
+def test_bpe_sampled_rules_match_full_when_sample_is_whole_vocab(spark):
+    """bpe_merges_sampled with sample_mod=1 IS bpe_merges (the parity
+    contract sampled training rests on), and with a real modulus the
+    sampled trajectory equals full training on the surviving vocabulary
+    — rule counts are exact corpus frequencies of the sampled words."""
+    from spark_hadoop_automation_in_cloud_spark.operators.bpe import (
+        bpe_merges,
+        bpe_merges_sampled,
+        sampled_word_freqs,
+        word_freqs,
+    )
+
+    docs = spark.createDataFrame(
+        [("abab abab abab aaa aaa zq zq xyxy",)], "text string"
+    )
+    full = [tuple(r) for r in bpe_merges(docs, "text", n_merges=3).collect()]
+    degenerate = [
+        tuple(r)
+        for r in bpe_merges_sampled(
+            docs, "text", n_merges=3, sample_mod=1
+        ).collect()
+    ]
+    assert degenerate == full
+    # a real modulus keeps a strict, deterministic subset with exact freqs
+    wf = {r["word"]: r["freq"] for r in word_freqs(docs, "text").collect()}
+    sf = {
+        r["word"]: r["freq"]
+        for r in sampled_word_freqs(docs, "text", 2).collect()
+    }
+    assert set(sf) <= set(wf) and all(wf[w] == f for w, f in sf.items())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampled_word_freqs(docs, "text", 0)
+
+
+def test_bpe_greedy_loop_checkpoint_rounds_match_persist_rounds(spark):
+    """The lineage-control path (checkpoint_every smaller than n_merges)
+    learns byte-identical rules to the pure-persist path — checkpoints
+    must never perturb the trajectory."""
+    from spark_hadoop_automation_in_cloud_spark.operators.bpe import (
+        bpe_merges_sampled,
+    )
+
+    docs = spark.createDataFrame(
+        [("abab abab abab aaa aaa cdcd cdcd dd",)], "text string"
+    )
+    a = [
+        tuple(r)
+        for r in bpe_merges_sampled(
+            docs, "text", n_merges=5, sample_mod=1, checkpoint_every=2
+        ).collect()
+    ]
+    b = [
+        tuple(r)
+        for r in bpe_merges_sampled(
+            docs, "text", n_merges=5, sample_mod=1, checkpoint_every=100
+        ).collect()
+    ]
+    assert a == b and len(a) >= 4
+
+
 def test_bpe_encode_hand_trace_and_id_assignment(spark):
     """Hand-traced encode: under rules [(a,a),(a,b)], 'aaab' folds
     'a a a b' → 'aa a b' → 'aa ab' = ids [95, 96] (base ids are
@@ -2726,11 +2843,9 @@ def test_bpe_encode_hand_trace_and_id_assignment(spark):
         .collect()
     }
     # 'ab' has no (a,a); fold (a,b) fuses it whole → [96]. 'xé' fails the
-    # ASCII gate (doc 2 keeps only 'ab'); doc 3 has no encodable word.
-    assert got == {1: (3, [95, 96, 96]), 2: (1, [96]), 3: None} or got == {
-        1: (3, [95, 96, 96]),
-        2: (1, [96]),
-    }
+    # ASCII gate (doc 2 keeps only 'ab'); doc 3 has no encodable word and
+    # DROPS (inner join + group by — it must be absent, not NULL-valued)
+    assert got == {1: (3, [95, 96, 96]), 2: (1, [96])}
     # plain chars map through the fixed alphabet: 'x' = ascii 120 - 32
     enc = {
         r["doc_id"]: list(r["token_ids"])

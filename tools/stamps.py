@@ -90,6 +90,15 @@ def emit_rotation(changed: list[str]) -> None:
         (n for n in names if n not in resolved and n in last),
         key=lambda n: (last[n], names.index(n)),
     )
+    if len(resolved) + len(unstamped) > WINDOW:
+        # never slice silently: dropping never-stamped rows from the tuple
+        # would violate the standing rule that new registrations ride the
+        # NEXT window, and the header's 'N oldest' count would go negative
+        raise SystemExit(
+            f"window overflow: {len(resolved)} changed + {len(unstamped)} "
+            f"never-stamped > {WINDOW} slots — split the changed-kernel "
+            "list across rounds (never-stamped rows cannot be deferred)"
+        )
     window = (resolved + unstamped + rest)[:WINDOW]
     obligated = {n for n in names if n in last and max_round - last[n] >= 2}
     spill = sorted(obligated - set(window))
