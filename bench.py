@@ -182,6 +182,24 @@ HEADLINE = [
     # aggregates — the whole community wing's wall in one number).
     "q187_exact_substring_dedup",
     "q189_community_modularity",
+    # round-13 additions (r09 verdict item 8): the heaviest previously
+    # unbenched rows.  q194 = BPE encode-to-ids (vocab-sized folds + ONE
+    # corpus equi-join + per-doc re-assembly; a regression that folds
+    # per-occurrence instead of per-distinct-word multiplies the wall by
+    # the occurrence/vocab ratio); q195 = packing on those counts (adds
+    # the per-source prefix-sum window — its delta over q194 IS the
+    # packing cost); q196 = LPA-community-bucketed name near-dup (the
+    # group-size-gated pair generator; a regression to the salted path
+    # on tiny communities shows as the measured ~2x salting tax);
+    # q197 = logistic distillation (10 GD rounds over the PERSISTED
+    # feature frame since r13 — a regression that re-derives regex
+    # features per round multiplies the wall by n_iter); q198 = the
+    # distilled gate deployed (same trajectory + one scoring scan).
+    "q194_bpe_token_ids",
+    "q195_bpe_packed_sequences",
+    "q196_community_name_neardup",
+    "q197_quality_filter_distillation",
+    "q198_distilled_filter_rates",
 ]
 
 #: Pinned machine-factor kernels (VERDICT r5 item 5): code-independent

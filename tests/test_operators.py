@@ -2934,6 +2934,16 @@ def test_logistic_fit_separable_and_report_shape(spark):
     assert rep["x"][0] == w[1] and rep["x"][1] == 1.0 == rep["intercept"][1]
     with _pytest.raises(ValueError, match="n_iter"):
         logistic_fit(df, ["x"], "y", n_iter=0)
+    # the materialize-once persist seam must not perturb the trajectory
+    # (it only changes WHERE rounds 2..n read the features from): the
+    # no-persist path fits identical weights, and the default path
+    # releases its cache registration before returning (count compared
+    # to pre-call — the session is shared across tests)
+    assert logistic_fit(df, ["x"], "y", n_iter=10, lr=5.0, materialize=False) == w
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    assert logistic_fit(df, ["x"], "y", n_iter=10, lr=5.0) == w
+    assert jsc.getPersistentRDDs().size() == before
 
 
 def test_pack_token_counts_matches_text_form(spark):

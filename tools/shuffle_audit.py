@@ -82,8 +82,17 @@ def main() -> None:
 
     # laddered-but-not-benched rows that still need shuffle receipts
     # (r07 verdict item 5: the graph family; q180/q188 share q161/q186's
-    # graph but not their bench slots)
-    extra = ["q180_clustering_coefficient", "q188_copurchase_communities"]
+    # graph but not their bench slots; r10 adds the tokenizer/funnel
+    # rows registered this round — q200's receipt vs q194's shows the
+    # sampled-training delta, q201's shows the composition tax over its
+    # constituent stages)
+    extra = [
+        "q180_clustering_coefficient",
+        "q188_copurchase_communities",
+        "q199_bpe_decode_roundtrip",
+        "q200_sampled_bpe_token_ids",
+        "q201_curated_mix_funnel",
+    ]
     out: dict[str, dict[str, int]] = {}
     for name in bench.HEADLINE + extra:
         before = stage_totals(ui, app_id)
