@@ -129,6 +129,18 @@ QUERIES = [
     # the vocab stays constant — all three model frames FLAT, the
     # scoring joins' build sides constant (q141's stress, +unigrams)
     "q184_jm_interpolated_lm",
+    # sampled BPE training + full encode: replication adds no new words,
+    # so BOTH the sampled training rounds (vocab/4 input) and the encode
+    # fold chain are IDENTICAL at every rung — only the corpus explode/
+    # join/re-assembly grow (q194's flatness with 8 sampled-trained
+    # rounds in front)
+    "q200_sampled_bpe_token_ids",
+    # the curated-mix funnel: every constituent stage is laddered on its
+    # own (q194 encode, q197 GD, q112 budget windows, q92 packing) —
+    # this row pins that the COMPOSITION stays sublinear too (the
+    # failure it guards: a stage boundary silently re-deriving the
+    # corpus-scale frame instead of reading the persisted one)
+    "q201_curated_mix_funnel",
 ]
 # q126 (heavy hitters) and q128 (incremental components) are swept by
 # their own dedicated ladders instead — HEAVY_HITTERS.json widens the
