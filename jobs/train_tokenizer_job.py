@@ -4,7 +4,7 @@ learned artifacts), plus the apply side — encode a corpus to token-id
 arrays under a persisted merge table:
 
     spark-submit jobs/train_tokenizer_job.py \
-        <docs_parquet> <out_dir> [n_merges]
+        <docs_parquet> <out_dir> [n_merges] [sample_mod]
 
     spark-submit jobs/train_tokenizer_job.py encode \
         <docs_parquet> <merges_parquet> <out_dir>
@@ -20,6 +20,13 @@ Train mode:
   (``operators.bpe.segmentation_stats``) — the mixture-decision report.
 - ``n_merges`` (optional, default 8): merge rounds; the merge table is
   the driver-bounded model state (one row per round).
+- ``sample_mod`` (optional, default 1 = full vocabulary): train the
+  rules on a deterministic 1/``sample_mod`` hash-slice of the
+  word-frequency table (``operators.bpe.bpe_merges_sampled``) — the
+  production shape for realistic merge counts, where per-round cost is
+  the wall and the sample divides it (BPE_LADDER.json).  The fit report
+  still scores the FULL corpus under the sampled rules — exactly the
+  readout that says whether the sample was too thin.
 
 Encode mode (the production artifact a trainer consumes):
 - ``merges_parquet``: a train-mode ``merges.parquet`` (or any table with
@@ -46,12 +53,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from spark_hadoop_automation_in_cloud_spark.operators.bpe import (
     bpe_encode,
     bpe_merges,
+    bpe_merges_sampled,
     segmentation_stats,
 )
 from spark_hadoop_automation_in_cloud_spark.session import session_scope
 
 USAGE = (
-    "usage: train_tokenizer_job.py <docs_parquet> <out_dir> [n_merges]\n"
+    "usage: train_tokenizer_job.py <docs_parquet> <out_dir> [n_merges]"
+    " [sample_mod]\n"
     "       train_tokenizer_job.py encode <docs_parquet> <merges_parquet> <out_dir>"
 )
 
@@ -77,23 +86,31 @@ def _encode(argv: list[str]) -> int:
 def main(argv: list[str]) -> int:
     if argv and argv[0] == "encode":
         return _encode(argv[1:])
-    if not 2 <= len(argv) <= 3:
+    if not 2 <= len(argv) <= 4:
         print(USAGE, file=sys.stderr)
         return 2
     docs_path, out_dir = argv[:2]
-    n_merges = 8
-    if len(argv) == 3:
-        try:
+    n_merges, sample_mod = 8, 1
+    try:
+        if len(argv) >= 3:
             n_merges = int(argv[2])
-        except ValueError:
-            print(USAGE, file=sys.stderr)
-            return 2
-        if n_merges < 1:
-            print(USAGE, file=sys.stderr)
-            return 2
+        if len(argv) == 4:
+            sample_mod = int(argv[3])
+    except ValueError:
+        print(USAGE, file=sys.stderr)
+        return 2
+    if n_merges < 1 or sample_mod < 1:
+        print(USAGE, file=sys.stderr)
+        return 2
     with session_scope() as spark:
         docs = spark.read.parquet(docs_path)
-        merges = bpe_merges(docs, "text", n_merges=n_merges)
+        merges = (
+            bpe_merges(docs, "text", n_merges=n_merges)
+            if sample_mod == 1
+            else bpe_merges_sampled(
+                docs, "text", n_merges=n_merges, sample_mod=sample_mod
+            )
+        )
         merges.write.mode("overwrite").parquet(f"{out_dir}/merges.parquet")
         rules = [
             (r["lhs"], r["rhs"])

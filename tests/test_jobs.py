@@ -398,6 +398,19 @@ def test_train_tokenizer_job_writes_artifacts(spark, sf_dir, tmp_path):
     assert job.main(["x"]) == 2
     assert job.main(["a", "b", "zero"]) == 2
     assert job.main(["a", "b", "0"]) == 2
+    assert job.main(["a", "b", "3", "0"]) == 2
+    # sampled training mode writes the bpe_merges_sampled rules
+    from spark_hadoop_automation_in_cloud_spark.operators.bpe import (
+        bpe_merges_sampled,
+    )
+
+    sout = str(tmp_path / "tok_sampled")
+    assert job.main([f"{sf_dir}/documents.parquet", sout, "3", "2"]) == 0
+    smerges = spark.read.parquet(f"{sout}/merges.parquet")
+    swant = bpe_merges_sampled(
+        read_table(spark, sf_dir, "documents"), "text", n_merges=3, sample_mod=2
+    )
+    assert key(smerges) == key(swant)
     # encode mode: apply the persisted merge table; output matches
     # driving bpe_encode with the same rules, and the id arrays are
     # flat ints (the trainer-facing artifact)
