@@ -77,9 +77,9 @@ def register(name: str, sql: str | None, doc: str = ""):
 #     materialize-once persist seam and q198 moved to the shared
 #     _quality_feature_frame + bounded-collect shape (same trajectory,
 #     same oracle SQL — byte-checked — re-stamped on principle).
-# The ledger remains OVERSUBSCRIBED (64 age>=2 rows after this window's
-# 41-oldest block), so the window is 6 changed + 3 never-stamped
-# (q199-q201, registered this round) + the oldest 41 (the 6 remaining
+# The ledger remains OVERSUBSCRIBED (65 age>=2 rows after this window's
+# 40-oldest block), so the window is 6 changed + 4 never-stamped
+# (q199-q202, registered this round) + the oldest 40 (the 6 remaining
 # r05 rows, then r06 rows in registration order); the leftover r06/r07
 # rows spill and MUST lead r11 — re-run stamps.py --emit then.
 # All left-out rows are sf0.001-parity-green on HEAD via
@@ -103,6 +103,7 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q199_bpe_decode_roundtrip",
     "q200_sampled_bpe_token_ids",
     "q201_curated_mix_funnel",
+    "q202_doremi_mixture_weights",
     # --- oldest stamped rows (stamp round asc, registration order)
     "q104_hll_distinct_rollup",  # r05
     "q105_countmin_persist_merge",  # r05
@@ -144,7 +145,6 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q115_frame_sampling",  # r06
     "q116_cluster_canonicals_by_quality",  # r06
     "q117_upsert_replay",  # r06
-    "q118_repeated_span_coverage",  # r06
 )
 
 
@@ -9101,4 +9101,86 @@ def q201_curated_mix_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "source string, n_docs bigint, n_keep bigint, source_budget bigint, "
         "n_selected bigint, tokens_selected bigint, n_bins bigint",
+    ).orderBy("source")
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.reweight import (  # noqa: E402
+    exp_gradient_weights,
+    sql_reweight_ctes,
+    sql_reweight_select,
+)
+
+_Q202_CELLS_SQL = f"""
+lcell AS MATERIALIZED (
+  SELECT source AS domain,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         round(SUM(GREATEST(0.0, -({sql_dot("w", _Q197_FEATS)})))
+               / CAST(COUNT(*) AS DOUBLE), 7) AS mean_loss
+  FROM lgf CROSS JOIN lw10 w
+  GROUP BY source
+)"""
+
+
+@register(
+    "q202_doremi_mixture_weights",
+    "WITH "
+    + sql_gd_ctes(_Q198_FEATURES_SQL, _Q197_FEATS, n_iter=10, lr=5.0)
+    + ","
+    + _Q202_CELLS_SQL
+    + ",\n"
+    + sql_reweight_ctes("lcell", n_rounds=5, eta=0.5)
+    + sql_reweight_select("lcell", n_rounds=5, total_budget=20_000),
+    doc="DoReMi-shaped LEARNED mixture weights (operators/reweight.py): "
+    "instead of hand weights (q125) or a one-shot keep-rate readout "
+    "(q198/q201), learn per-source weights by exponentiated gradient "
+    "against a moving weighted baseline — domains the distilled gate "
+    "finds HARDEST (mean hinge of the linear score, max(0, -dot)) "
+    "gain weight each round, the Group-DRO direction of the public "
+    "method. 100 TB shape: the gate trains on the shared sql_gd_ctes "
+    "trajectory (10 scan-aggregates over the persisted feature "
+    "frame), the per-domain loss cells distill in ONE more aggregate, "
+    "and the 5 weight rounds are |domains|-sized arithmetic — "
+    "driver-bounded, no further corpus contact. Cross-engine: Spark "
+    "executes the SAME sql_reweight_ctes fragment the oracle unrolls "
+    "(spelling drift impossible by construction), with a 7dp "
+    "per-round snap absorbing exp/summation ulp wobble (the q69/q197 "
+    "trajectory discipline). Budgets are floor(total * w) — one IEEE "
+    "multiply+floor per domain.",
+)
+def q202_doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    feat = _quality_feature_frame(d, ["source"]).persist()
+    try:
+        w = logistic_fit(
+            feat, _Q197_FEATS, n_iter=10, lr=5.0, materialize=False
+        )
+        dot = F.lit(w[0])
+        for j, c in enumerate(_Q197_FEATS, start=1):
+            dot = dot + F.lit(w[j]) * F.col(c)
+        loss = F.greatest(F.lit(0.0), -dot)
+        cells = (
+            feat.groupBy(F.col("source").alias("domain"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.round(
+                    F.sum(loss) / F.count(F.lit(1)).cast("double"), 7
+                ).alias("mean_loss"),
+            )
+            # |domains| cells — bounded model state; materialize inside
+            # the persist scope (the q96 convention), then walk the
+            # weight trajectory on the tiny local frame
+            .collect()
+        )
+    finally:
+        feat.unpersist()
+    cells_df = spark.createDataFrame(
+        cells, "domain string, n_docs bigint, mean_loss double"
+    )
+    rows = exp_gradient_weights(
+        spark, cells_df, n_rounds=5, eta=0.5, total_budget=20_000
+    ).collect()
+    return spark.createDataFrame(
+        rows,
+        "source string, n_docs bigint, mean_loss double, weight double, "
+        "token_budget bigint",
     ).orderBy("source")

@@ -2946,6 +2946,46 @@ def test_logistic_fit_separable_and_report_shape(spark):
     assert jsc.getPersistentRDDs().size() == before
 
 
+def test_exp_gradient_weights_hand_trace(spark):
+    """Two domains, losses 1.0 and 0.0, eta=0.5, one round:
+    b = 0.5, u = (0.5·e^0.25, 0.5·e^-0.25), w = softmax-ish —
+    w_hard = e^0.25/(e^0.25+e^-0.25) = 1/(1+e^-0.5) ≈ 0.6224593 —
+    the HARD domain gains weight (the DoReMi direction); weights sum
+    to ~1 and budgets floor(total·w).  n_rounds < 1 raises."""
+    import math
+
+    import pytest as _pytest
+
+    from spark_hadoop_automation_in_cloud_spark.operators.reweight import (
+        exp_gradient_weights,
+        sql_reweight_ctes,
+    )
+
+    cells = spark.createDataFrame(
+        [("hard", 10, 1.0), ("easy", 10, 0.0)],
+        "domain string, n_docs bigint, mean_loss double",
+    )
+    got = {
+        r["source"]: (r["weight"], r["token_budget"])
+        for r in exp_gradient_weights(
+            spark, cells, n_rounds=1, eta=0.5, total_budget=1000
+        ).collect()
+    }
+    want_hard = round(1.0 / (1.0 + math.exp(-0.5)), 7)
+    assert got["hard"][0] == want_hard
+    assert got["easy"][0] == round(1.0 - want_hard, 7)
+    assert got["hard"][1] == math.floor(1000 * want_hard)
+    assert abs(got["hard"][0] + got["easy"][0] - 1.0) < 2e-7
+    # more rounds move further in the same direction, monotonically
+    w5 = {
+        r["source"]: r["weight"]
+        for r in exp_gradient_weights(spark, cells, n_rounds=5).collect()
+    }
+    assert w5["hard"] > got["hard"][0]
+    with _pytest.raises(ValueError, match="n_rounds"):
+        sql_reweight_ctes("cells", n_rounds=0)
+
+
 def test_pack_token_counts_matches_text_form(spark):
     """pack_sequences == pack_token_counts fed the whitespace counts
     (the refactor is behavior-preserving), and real counts change the
