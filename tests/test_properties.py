@@ -899,6 +899,75 @@ def test_bpe_encode_decode_roundtrip(spark, words, n_merges):
 
 
 @settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=4),
+            min_size=1,
+            max_size=6,
+        ).map(" ".join),
+        min_size=1,
+        max_size=4,
+    ),
+    n_merges=st.integers(1, 6),
+)
+def test_bpe_cross_engine_parity_any_corpus(spark, texts, n_merges):
+    """Spark and DuckDB agree on merges AND encode for ANY random corpus
+    and ANY requested n_merges — including past pair exhaustion, where
+    the SQL twin's empty-winner rounds must be no-ops (the r09 ADVICE
+    bug class: a 2-letter alphabet exhausts fast, so most examples here
+    request more merges than are learnable)."""
+    import duckdb
+
+    from spark_hadoop_automation_in_cloud_spark.operators.bpe import (
+        bpe_encode,
+        bpe_merges,
+        sql_bpe_encode,
+        sql_bpe_merges,
+    )
+    from tests.oracle import compare, normalize
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") v(doc_id, text)"
+    )
+    assert (
+        compare(
+            bpe_merges(docs, "text", n_merges=n_merges),
+            con,
+            sql_bpe_merges("documents", "text", n_merges),
+            "prop_merges",
+        )
+        == []
+    )
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merges(docs, "text", n_merges=n_merges).collect()
+    ]
+    enc = bpe_encode(docs, "doc_id", "text", rules).select(
+        "doc_id", "n_tokens", F.array_join("token_ids", ",").alias("ids")
+    )
+    sql = (
+        "SELECT doc_id, n_tokens, array_to_string(token_ids, ',') AS ids"
+        f" FROM ({sql_bpe_encode('documents', 'doc_id', 'text', n_merges)})"
+    )
+    if enc.count() == 0:
+        # no encodable word anywhere (e.g. all-empty texts): both sides
+        # must be empty rather than erroring
+        assert normalize(con.execute(sql).fetchdf()) == []
+    else:
+        assert compare(enc, con, sql, "prop_encode") == []
+
+
+@settings(
     max_examples=3,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -1029,3 +1098,68 @@ def test_jm_lm_backoff_orders_unseen_pairs(spark):
     }
     assert out[1][0] == 1 and out[2][0] == 1  # both pairs unseen
     assert out[1][1] < out[2][1]  # frequent follower scores better
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["a", "b", "cc", "d e", ""]),
+                min_size=0,
+                max_size=5,
+            ).map(" ".join),
+            st.integers(0, 2),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_q204_kl_cross_engine_and_nonnegative(spark, docs):
+    """q204's quantized KL agrees across engines on ANY corpus —
+    including degenerate ones (single source, empty texts, ''-only
+    token streams) — and is never materially negative (true KL >= 0;
+    the 1e-6 log grid can push a source a few grid cells below zero,
+    never more than n_tokens ulps)."""
+    import duckdb
+
+    from spark_hadoop_automation_in_cloud_spark.queries import (
+        q204_source_kl_divergence,
+        specs,
+    )
+    from tests.oracle import compare
+
+    import shutil
+    import tempfile
+
+    rows = [
+        (i, text, "en", f"s{srci}", len(text))
+        for i, (text, srci) in enumerate(docs)
+    ]
+    root = tempfile.mkdtemp(prefix="q204prop_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{root}/documents.parquet"
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{root}/documents.parquet/*.parquet'"
+        )
+        sql = next(
+            s.sql for s in specs() if s.name == "q204_source_kl_divergence"
+        )
+        df = q204_source_kl_divergence(spark, root)
+        assert compare(df, con, sql, "prop_kl") == []
+        for r in df.collect():
+            assert r["kl_to_corpus"] >= -1e-5, r
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

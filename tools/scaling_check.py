@@ -141,6 +141,17 @@ QUERIES = [
     # failure it guards: a stage boundary silently re-deriving the
     # corpus-scale frame instead of reading the persisted one)
     "q201_curated_mix_funnel",
+    # learned mixture weights: gate training + ONE loss-cell aggregate
+    # touch the corpus; the 5 weight rounds are |domains|-sized — wall
+    # must track q197's (the gate is the whole cost)
+    "q202_doremi_mixture_weights",
+    # tokenizer fertility: q194's encode chain + one more gated-words
+    # aggregate — wall must track q194's (the encode is the whole cost)
+    "q203_tokenizer_fertility",
+    # per-source KL: one map-side-combined corpus shuffle, everything
+    # after vocab-sized — replication grows token counts 10x but adds
+    # no new (source, token) keys, the best case for the combine
+    "q204_source_kl_divergence",
 ]
 # q126 (heavy hitters) and q128 (incremental components) are swept by
 # their own dedicated ladders instead — HEAVY_HITTERS.json widens the

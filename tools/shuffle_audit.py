@@ -89,6 +89,7 @@ def main() -> None:
     extra = [
         "q180_clustering_coefficient",
         "q188_copurchase_communities",
+        "q198_distilled_filter_rates",
         "q199_bpe_decode_roundtrip",
         "q200_sampled_bpe_token_ids",
         "q201_curated_mix_funnel",
