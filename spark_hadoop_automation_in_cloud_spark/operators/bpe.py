@@ -39,6 +39,16 @@ from pyspark.sql import functions as F
 MAX_WORD_LEN = 30
 WORD_RE = "^[ -~]+$"  # printable ASCII only (see module docstring)
 
+#: the SQL spelling of the vocab gate, defined ONCE so every twin (the
+#: training `w`, the per-group `gw`, the encode-side `encw`, the corpus
+#: `doc_words`, and external consumers via :func:`sql_gated_doc_words`)
+#: is the same byte string — a reworded copy in one CTE would silently
+#: split the vocabulary between training and encode
+_SQL_WORD_GATE = (
+    f"word <> '' AND length(word) <= {MAX_WORD_LEN}\n"
+    f"        AND regexp_matches(word, '{WORD_RE}')"
+)
+
 
 def word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
     """The ONE corpus-sized step: lowercase space-tokens → (word, freq).
@@ -314,8 +324,7 @@ def _sql_training_ctes(
 w AS MATERIALIZED (
   SELECT word, COUNT(*) AS freq FROM (
     SELECT unnest(string_split(lower({text_col}), ' ')) AS word FROM {src}
-  ) WHERE word <> '' AND length(word) <= {MAX_WORD_LEN}
-        AND regexp_matches(word, '{WORD_RE}'){_sql_sample_gate(sample_mod)}
+  ) WHERE {_SQL_WORD_GATE}{_sql_sample_gate(sample_mod)}
   GROUP BY word
 ),
 s0 AS MATERIALIZED (
@@ -442,8 +451,7 @@ def sql_segmentation_stats(
 gw AS MATERIALIZED (
   SELECT {gs}, word, COUNT(*) AS freq FROM (
     SELECT {gs}, unnest(string_split(lower({text_col}), ' ')) AS word FROM {src}
-  ) WHERE word <> '' AND length(word) <= {MAX_WORD_LEN}
-        AND regexp_matches(word, '{WORD_RE}')
+  ) WHERE {_SQL_WORD_GATE}
   GROUP BY {gs}, word
 ),
 g0 AS MATERIALIZED (
@@ -510,6 +518,20 @@ def gated_words(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "pos", "word"
         ),
     ).where((w != "") & (F.length(w) <= MAX_WORD_LEN) & w.rlike(WORD_RE))
+
+
+def sql_gated_doc_words(src: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`gated_words` — the positioned encodable-word
+    stream ``(doc_id, pos, word)`` as a SQL fragment (a full SELECT, no
+    trailing newline) so oracles that need the corpus word stream under
+    the SAME vocab gates (the encode chain's ``doc_words``, q203's
+    per-source char/word totals) spell the gate exactly once."""
+    return f"""SELECT doc_id, pos, word FROM (
+    SELECT {id_col} AS doc_id,
+           unnest(string_split(lower({text_col}), ' ')) AS word,
+           generate_subscripts(string_split(lower({text_col}), ' '), 1) AS pos
+    FROM {src}
+  ) WHERE {_SQL_WORD_GATE}"""
 
 
 def bpe_encode(
@@ -626,8 +648,7 @@ v0 AS MATERIALIZED (
 encw AS MATERIALIZED (
   SELECT word FROM (
     SELECT unnest(string_split(lower({text_col}), ' ')) AS word FROM {src}
-  ) WHERE word <> '' AND length(word) <= {MAX_WORD_LEN}
-        AND regexp_matches(word, '{WORD_RE}')
+  ) WHERE {_SQL_WORD_GATE}
   GROUP BY word
 ),
 v0 AS MATERIALIZED (
@@ -695,13 +716,7 @@ word_ids AS (
   FROM sym GROUP BY word
 ),
 doc_words AS (
-  SELECT doc_id, pos, word FROM (
-    SELECT {id_col} AS doc_id,
-           unnest(string_split(lower({text_col}), ' ')) AS word,
-           generate_subscripts(string_split(lower({text_col}), ' '), 1) AS pos
-    FROM {src}
-  ) WHERE word <> '' AND length(word) <= {MAX_WORD_LEN}
-        AND regexp_matches(word, '{WORD_RE}')
+  {sql_gated_doc_words(src, id_col, text_col)}
 )"""
     )
 
