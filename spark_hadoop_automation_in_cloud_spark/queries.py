@@ -9184,3 +9184,380 @@ def q202_doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source string, n_docs bigint, mean_loss double, weight double, "
         "token_budget bigint",
     ).orderBy("source")
+
+
+from spark_hadoop_automation_in_cloud_spark.operators.bpe import (  # noqa: E402
+    sql_bpe_encode as _sql_bpe_encode_203,
+    sql_gated_doc_words,
+)
+
+_Q203_SQL = f"""
+WITH enc AS (
+{_sql_bpe_encode_203("documents", "doc_id", "text", n_merges=4)}
+),
+gw AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(length(word)) AS BIGINT) AS n_chars
+  FROM ({sql_gated_doc_words("documents", "doc_id", "text")})
+  GROUP BY doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(enc.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(gw.n_words) AS BIGINT) AS total_words,
+       CAST(SUM(gw.n_chars) AS BIGINT) AS total_chars,
+       round(CAST(CAST(SUM(enc.n_tokens) AS BIGINT) AS DOUBLE)
+             / CAST(SUM(gw.n_words) AS BIGINT), 6) AS fertility,
+       round(CAST(CAST(SUM(gw.n_chars) AS BIGINT) AS DOUBLE)
+             / CAST(SUM(enc.n_tokens) AS BIGINT), 6) AS chars_per_token
+FROM enc
+JOIN gw USING (doc_id)
+JOIN documents d ON d.doc_id = enc.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@register(
+    "q203_tokenizer_fertility",
+    _Q203_SQL,
+    doc="Per-source tokenizer fertility/compression readout — the "
+    "standard tokenizer-quality diagnostic (tokens-per-word fertility "
+    "and chars-per-token compression, the numbers tokenizer papers "
+    "report per language/domain): encode the corpus under the "
+    "q166-trained rules (the unchanged q194 path), total tokens vs "
+    "gated words vs gated chars per source. A domain whose fertility "
+    "runs high is one the merge table serves badly — the "
+    "retrain-or-resample signal for that source. 100 TB shape: two "
+    "corpus passes (the encode chain's positioned explode + one "
+    "gated-words aggregate sharing the SAME sql_gated_doc_words gate "
+    "definition), a doc-keyed join, then a |sources|-cell aggregate; "
+    "exact bigint totals, one IEEE division each at the end (the q189 "
+    "division discipline).",
+)
+def q203_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    rules = [
+        (r["lhs"], r["rhs"]) for r in bpe_merges(d, "text", n_merges=4).collect()
+    ]
+    enc = bpe_encode(d, "doc_id", "text", rules).select("doc_id", "n_tokens")
+    gw = (
+        gated_words(d, "doc_id", "text")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+        )
+    )
+    per_doc = enc.join(gw, "doc_id").join(d.select("doc_id", "source"), "doc_id")
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    return (
+        agg.withColumn(
+            "fertility",
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("total_words"), 6
+            ),
+        )
+        .withColumn(
+            "chars_per_token",
+            F.round(
+                F.col("total_chars").cast("double") / F.col("total_tokens"), 6
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_Q204_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+sc AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt_sw
+  FROM toks GROUP BY source, token
+),
+w AS (
+  SELECT source, cnt_sw,
+         CAST(round(ln(CAST(cnt_sw AS DOUBLE)) * 1000000) AS BIGINT)
+         - CAST(round(ln(CAST(SUM(cnt_sw) OVER (PARTITION BY token)
+                             AS DOUBLE)) * 1000000) AS BIGINT) AS qd
+  FROM sc
+),
+st AS (
+  SELECT source,
+         CAST(SUM(CAST(cnt_sw AS HUGEINT) * qd) AS HUGEINT) AS sum_q,
+         CAST(SUM(cnt_sw) AS BIGINT) AS tot_s,
+         CAST(COUNT(*) AS BIGINT) AS vocab_s
+  FROM w GROUP BY source
+),
+stt AS (
+  SELECT source, sum_q, tot_s, vocab_s,
+         CAST(SUM(tot_s) OVER () AS BIGINT) AS tot
+  FROM st
+)
+SELECT source, tot_s AS n_tokens, vocab_s AS vocab_size,
+       round(CAST(sum_q
+                  + CAST(tot_s AS HUGEINT)
+                    * (CAST(round(ln(CAST(tot AS DOUBLE)) * 1000000)
+                            AS BIGINT)
+                       - CAST(round(ln(CAST(tot_s AS DOUBLE)) * 1000000)
+                              AS BIGINT)) AS DOUBLE)
+             / (CAST(tot_s AS DOUBLE) * 1000000.0), 6) AS kl_to_corpus
+FROM stt
+ORDER BY source
+"""
+
+
+@register(
+    "q204_source_kl_divergence",
+    _Q204_SQL,
+    doc="Per-source domain-shift readout: KL(P_source || P_corpus) over "
+    "the unigram token distributions — the drift/contamination-triage "
+    "number an ingestion pipeline watches per feed (a source whose KL "
+    "jumps changed register or language; KL 0 = indistinguishable "
+    "from the mix). Same raw-space-token convention as q101's LM. "
+    "100 TB shape — ONE linear pipeline, no self-join, no repeated "
+    "corpus scan: corpus -> (source, token) counts (the only "
+    "corpus-sized, map-side-combined shuffle) -> corpus-wide token "
+    "count as a WINDOW over token on that vocab-sized frame -> "
+    "per-source aggregate; the corpus-total terms factor out "
+    "algebraically (sum_w cnt_sw * ln(tot/tot_s) = tot_s * "
+    "ln(tot/tot_s)) so they fold into |sources|-sized arithmetic "
+    "instead of a broadcast onto every row. Determinism: each ln "
+    "snaps to the integer 1e-6 grid (the q101 quantized-log idiom), "
+    "per-source sums are exact integer arithmetic "
+    "(HUGEINT/decimal(38,0); per-term bigint products bound corpus "
+    "size at ~2^53 tokens, the q189 modularity note), ONE IEEE "
+    "division at the end. Support(P_s) is a subset of support(P), so "
+    "no smoothing is needed: every term has cnt_w >= cnt_sw >= 1.",
+)
+def q204_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    toks = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    sc = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_sw")
+    )
+
+    def qln(c: F.Column) -> F.Column:
+        return F.round(F.log(c.cast("double")) * 1_000_000).cast("bigint")
+
+    cnt_w = F.sum("cnt_sw").over(Window.partitionBy("token"))
+    w = sc.select(
+        "source",
+        "cnt_sw",
+        (qln(F.col("cnt_sw")) - qln(cnt_w)).alias("qd"),
+    )
+    st = w.groupBy("source").agg(
+        F.sum((F.col("cnt_sw") * F.col("qd")).cast("decimal(38,0)")).alias(
+            "sum_q"
+        ),
+        F.sum("cnt_sw").cast("bigint").alias("tot_s"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_s"),
+    )
+    # the corpus total rides a global window over the |sources|-sized
+    # frame (trivial single partition of ~|sources| rows) — NOT a
+    # re-aggregation branch, which would re-derive the corpus scan
+    stt = st.withColumn(
+        "tot", F.sum("tot_s").over(Window.partitionBy()).cast("bigint")
+    )
+    kl_q = F.col("sum_q") + (
+        F.col("tot_s") * (qln(F.col("tot")) - qln(F.col("tot_s")))
+    ).cast("decimal(38,0)")
+    return (
+        stt.select(
+            "source",
+            F.col("tot_s").alias("n_tokens"),
+            F.col("vocab_s").alias("vocab_size"),
+            F.round(
+                kl_q.cast("double")
+                / (F.col("tot_s").cast("double") * 1_000_000.0),
+                6,
+            ).alias("kl_to_corpus"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q205_CELLS_SQL = """
+lcell AS MATERIALIZED (
+  SELECT source AS domain,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         round(SUM(GREATEST(0.0, -score))
+               / CAST(COUNT(*) AS DOUBLE), 7) AS mean_loss
+  FROM scored
+  GROUP BY source
+)"""
+
+_Q205_SQL = (
+    "WITH "
+    + _sql_encode_ctes("documents", "doc_id", "text", 4)
+    + f""",
+enc AS MATERIALIZED (
+{_SQL_ENCODE_SELECT}),
+"""
+    + sql_gd_ctes(_Q201_FEATURES_SQL, _Q197_FEATS, n_iter=10, lr=5.0)
+    + f""",
+scored AS MATERIALIZED (
+  SELECT lgf.*, {sql_dot("w", _Q197_FEATS)} AS score
+  FROM lgf CROSS JOIN lw10 w
+),"""
+    + _Q205_CELLS_SQL
+    + ",\n"
+    + sql_reweight_ctes("lcell", n_rounds=5, eta=0.5)
+    + f""",
+budg AS (
+  SELECT c.domain AS source,
+         CAST(FLOOR({_Q201_BUDGET} * r.w) AS BIGINT) AS source_budget
+  FROM lcell c JOIN rw5 r USING (domain)
+),
+kept AS (SELECT * FROM scored WHERE score >= 0),
+sel AS MATERIALIZED (
+{sql_token_budget_selection(
+    "SELECT kt.*, b.source_budget FROM kept kt JOIN budg b USING (source)",
+    "source", "doc_id", "score", "n_tokens", "source_budget",
+)}),
+packed AS (
+{sql_pack_token_counts("sel", "source", "doc_id", "n_tokens", capacity=256)})
+SELECT c.domain AS source,
+       c.n_docs,
+       c.mean_loss,
+       r.w AS weight,
+       b.source_budget,
+       COALESCE(s.n_selected, 0) AS n_selected,
+       COALESCE(s.tokens_selected, 0) AS tokens_selected,
+       COALESCE(p.n_bins, 0) AS n_bins
+FROM lcell c
+JOIN rw5 r USING (domain)
+JOIN budg b ON b.source = c.domain
+LEFT JOIN (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_selected,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected
+  FROM sel GROUP BY source
+) s ON s.source = c.domain
+LEFT JOIN (
+  SELECT source, CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins
+  FROM packed GROUP BY source
+) p ON p.source = c.domain
+ORDER BY source
+"""
+)
+
+
+@register(
+    "q205_learned_mix_funnel",
+    _Q205_SQL,
+    doc="The curated-mix funnel under LEARNED mixture weights — q201's "
+    "composition with stage 3 swapped: instead of keep-rate-derived "
+    "budgets, the per-source token budgets come from q202's "
+    "exponentiated-gradient trajectory (floor(total * w) over the "
+    "per-domain mean-hinge cells of the SAME gate the selection "
+    "scores with), so the budget flows toward the domains the gate "
+    "finds hardest — the Group-DRO allocation deployed end-to-end: "
+    "encode -> gate -> loss cells -> learned weights -> budgets -> "
+    "budget selection -> packing. Cells here are over ENCODABLE docs "
+    "(the feature frame joins enc), unlike q202's all-docs cells: a "
+    "budget must allocate tokens the packer can actually pack. "
+    "Scale: q201's story — every stage keeps its proven plan; the "
+    "weight trajectory adds |domains|-sized arithmetic and the "
+    "budget table broadcasts.",
+)
+def q205_learned_mix_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    rules = [
+        (r["lhs"], r["rhs"]) for r in bpe_merges(d, "text", n_merges=4).collect()
+    ]
+    enc = bpe_encode(d, "doc_id", "text", rules).select("doc_id", "n_tokens")
+    feat = _quality_feature_frame(d, ["doc_id", "source"]).join(enc, "doc_id")
+    feat = feat.persist()
+    try:
+        w = logistic_fit(
+            feat, _Q197_FEATS, n_iter=10, lr=5.0, materialize=False
+        )
+        dot = F.lit(w[0])
+        for j, c in enumerate(_Q197_FEATS, start=1):
+            dot = dot + F.lit(w[j]) * F.col(c)
+        scored = feat.withColumn("score", dot)
+        cells = (
+            scored.groupBy(F.col("source").alias("domain"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.round(
+                    F.sum(F.greatest(F.lit(0.0), -F.col("score")))
+                    / F.count(F.lit(1)).cast("double"),
+                    7,
+                ).alias("mean_loss"),
+            )
+            # |domains| cells — bounded model state (the q202 shape)
+            .collect()
+        )
+        cells_df = spark.createDataFrame(
+            cells, "domain string, n_docs bigint, mean_loss double"
+        )
+        wrows = {
+            r["source"]: (float(r["weight"]), int(r["token_budget"]))
+            for r in exp_gradient_weights(
+                spark, cells_df, n_rounds=5, eta=0.5, total_budget=_Q201_BUDGET
+            ).collect()
+        }
+        budg = spark.createDataFrame(
+            [(s, b) for s, (_, b) in wrows.items()],
+            "source string, source_budget bigint",
+        )
+        kept = scored.where(F.col("score") >= 0)
+        sel = token_budget_selection(
+            kept.join(F.broadcast(budg), "source"),
+            "source",
+            "doc_id",
+            "score",
+            "n_tokens",
+            budget=F.col("source_budget"),
+        ).persist()
+        try:
+            sel_stats = {
+                r["source"]: (int(r["n"]), int(r["t"]))
+                for r in sel.groupBy("source")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("n_tokens").alias("t"),
+                )
+                .collect()
+            }
+            bins = {
+                r["source"]: int(r["b"])
+                for r in pack_token_counts(
+                    sel, "source", "doc_id", "n_tokens", capacity=256
+                )
+                .groupBy("source")
+                .agg(F.countDistinct("bin_id").alias("b"))
+                .collect()
+            }
+        finally:
+            sel.unpersist()
+    finally:
+        feat.unpersist()
+    rows = [
+        (
+            r["domain"],
+            int(r["n_docs"]),
+            float(r["mean_loss"]),
+            wrows[r["domain"]][0],
+            wrows[r["domain"]][1],
+            sel_stats.get(r["domain"], (0, 0))[0],
+            sel_stats.get(r["domain"], (0, 0))[1],
+            bins.get(r["domain"], 0),
+        )
+        for r in sorted(cells, key=lambda x: x["domain"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "source string, n_docs bigint, mean_loss double, weight double, "
+        "source_budget bigint, n_selected bigint, tokens_selected bigint, "
+        "n_bins bigint",
+    ).orderBy("source")

@@ -3518,3 +3518,118 @@ def test_iterative_operators_release_checkpoints_on_error(spark):
     with _pytest.raises(RuntimeError, match="converge"):
         connected_components(long_chain, "a", "b", max_rounds=2)
     assert len(_persistent_rdd_ids(spark)) == base
+
+
+def test_q203_fertility_hand_trace(spark):
+    """Corpus engineered so n_merges=4 leaves one word multi-token: five
+    distinct pairs (ab cd ef gh ij) — the four winners by (count DESC,
+    left ASC) are ab/cd/ef/gh, so 'ij' stays 2 tokens.  Also pins the
+    gate edges: a 31-char word drops from words/chars/tokens alike, and
+    a document with NO encodable word (non-ASCII) drops from n_docs."""
+    import shutil
+    import tempfile
+
+    from spark_hadoop_automation_in_cloud_spark.queries import (
+        q203_tokenizer_fertility,
+    )
+
+    root = tempfile.mkdtemp(prefix="q203_")
+    try:
+        spark.createDataFrame(
+            [
+                (1, "ab ab", "en", "s1", 5),
+                (2, "ij", "en", "s1", 2),
+                (3, "cd ef gh", "en", "s2", 8),
+                (4, "cd " + "x" * 31, "en", "s2", 34),
+                (5, "é", "en", "s2", 1),
+            ],
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{root}/documents.parquet"
+        )
+        got = {
+            r["source"]: (
+                r["n_docs"],
+                r["total_tokens"],
+                r["total_words"],
+                r["total_chars"],
+                r["fertility"],
+                r["chars_per_token"],
+            )
+            for r in q203_tokenizer_fertility(spark, root).collect()
+        }
+        assert got == {
+            # doc1: ab,ab -> 1 token each; doc2: ij -> 2 tokens
+            "s1": (2, 4, 3, 6, 1.333333, 1.5),
+            # doc3: cd/ef/gh -> 1 token each; doc4: only 'cd' survives
+            # the gate; doc5 has no encodable word at all
+            "s2": (2, 4, 4, 8, 1.0, 2.0),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_q204_kl_hand_trace(spark):
+    """Quantized-KL arithmetic pinned against hand math: identical
+    per-source distributions give EXACTLY 0.0 (the grid terms cancel),
+    and the asymmetric case reproduces closed-form KL at 6dp
+    (s1 = 3/4 a + 1/4 b vs corpus 3/5 a + 2/5 b -> 0.049857;
+    s2 = all-b vs corpus -> ln(2.5) -> 0.916291)."""
+    import shutil
+    import tempfile
+
+    from spark_hadoop_automation_in_cloud_spark.queries import (
+        q204_source_kl_divergence,
+    )
+
+    root = tempfile.mkdtemp(prefix="q204_")
+    try:
+
+        def run(rows):
+            spark.createDataFrame(
+                rows,
+                "doc_id bigint, text string, lang string, source string, "
+                "n_chars bigint",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{root}/documents.parquet"
+            )
+            return {
+                r["source"]: (
+                    r["n_tokens"],
+                    r["vocab_size"],
+                    r["kl_to_corpus"],
+                )
+                for r in q204_source_kl_divergence(spark, root).collect()
+            }
+
+        same = run([(1, "a b", "en", "s1", 3), (2, "a b", "en", "s2", 3)])
+        assert same == {"s1": (2, 2, 0.0), "s2": (2, 2, 0.0)}
+
+        skew = run([(1, "a a a b", "en", "s1", 7), (2, "b", "en", "s2", 1)])
+        assert skew == {"s1": (4, 2, 0.049857), "s2": (1, 1, 0.916291)}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_q205_learned_mix_invariants(spark):
+    """Contract invariants of the learned-mixture funnel: snapped weights
+    still sum to ~1, floor budgets never exceed the total, a zero budget
+    selects nothing (the keep rule is cum - tokens < budget, so 0 admits
+    no document), selection stays within the domain's catalog, and bins
+    exist exactly when something was selected."""
+    from spark_hadoop_automation_in_cloud_spark.queries import (
+        _Q201_BUDGET,
+        q205_learned_mix_funnel,
+    )
+
+    rows = q205_learned_mix_funnel(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < len(rows) * 1e-7
+    assert sum(r["source_budget"] for r in rows) <= _Q201_BUDGET
+    for r in rows:
+        assert r["weight"] > 0
+        assert 0 <= r["n_selected"] <= r["n_docs"]
+        if r["source_budget"] == 0:
+            assert r["n_selected"] == 0 and r["tokens_selected"] == 0
+        assert (r["n_bins"] >= 1) == (r["n_selected"] >= 1)

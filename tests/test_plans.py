@@ -440,6 +440,10 @@ SP_WINDOW_BOUNDED = {
     "q86_price_skyline",       # day-level max staircase
     "q98_mom_revenue_growth",  # month-level revenue lag
     "q171_curriculum_interleave",  # position window on the top-50 head
+    # corpus-total window over the already-aggregated |sources| frame —
+    # chosen precisely so the corpus total does NOT become a second
+    # aggregation branch re-deriving the corpus scan
+    "q204_source_kl_divergence",
 }
 
 
