@@ -17,12 +17,21 @@ per-domain losses are fixed, every round after the one corpus aggregate
 is |domains|-sized arithmetic — the correct 100 TB shape: one scan, then
 a driver-bounded trajectory.  The iteration is still genuine (the
 baseline moves with the weights, so no closed form reproduces the
-snapped trajectory), and both engines walk it on the IDENTICAL spelling:
-the weight rounds are one SQL fragment (:func:`sql_reweight_ctes`)
-executed by Spark over the materialized cell table and unrolled verbatim
-in the DuckDB oracle — the q69/q197 trajectory discipline.  The 7dp
-per-round snap re-synchronizes the engines' exp/summation ulp wobble
-(~k·1e−16 per round, nine orders under the grid).
+snapped trajectory), and both engines walk it on the IDENTICAL per-round
+spelling (:func:`_sql_round`): the DuckDB oracle unrolls the rounds as
+one CTE chain (:func:`sql_reweight_ctes`), Spark executes them ONE ROUND
+PER QUERY over the re-materialized |domains|-row weight state
+(:func:`exp_gradient_weights`) — the q69/q197 trajectory discipline.
+The 7dp per-round snap re-synchronizes the engines' exp/summation ulp
+wobble (~k·1e−16 per round, nine orders under the grid).
+
+Why Spark does NOT execute the unrolled chain directly: Spark inlines a
+CTE at every reference site (no ``AS MATERIALIZED``), and each round
+references the previous round's weights twice and the cell table twice —
+so the chained plan grows ~4× per round, 4^n subtrees with their own
+exchanges.  Measured: 117 s for 5 rounds over a TWENTY-row cell table as
+one query; ~1 s executed round-per-query.  DuckDB has the same inlining
+hazard, which is why the oracle chain emits ``AS MATERIALIZED``.
 
 Direction note: hard domains gain weight (excess loss > 0 ⇒ multiplier
 > 1) — DoReMi's Group-DRO direction, which spends budget where the
@@ -31,6 +40,35 @@ quality-seeking variant.
 """
 
 from __future__ import annotations
+
+
+def _sql_round(
+    cells_src: str, i: int, prev: str, eta: float, dp: int, m: str
+) -> list[str]:
+    """ONE weight round (``rb{i}``/``ru{i}``/``rz{i}``/``rw{i}``) as CTE
+    parts over ``prev`` = the previous round's ``(domain, w)`` relation —
+    the single spelling of the round arithmetic that both the unrolled
+    oracle chain and Spark's round-per-query executor emit."""
+    return [
+        f"rb{i} AS{m} (SELECT SUM(w.w * c.mean_loss) AS b"
+        f" FROM {prev} w JOIN {cells_src} c USING (domain))",
+        f"ru{i} AS{m} (SELECT c.domain,"
+        f" w.w * exp({eta!r} * (c.mean_loss - rb.b)) AS uw"
+        f" FROM {cells_src} c JOIN {prev} w USING (domain)"
+        f" CROSS JOIN rb{i} rb)",
+        f"rz{i} AS{m} (SELECT SUM(uw) AS z FROM ru{i})",
+        f"rw{i} AS{m} (SELECT domain, round(uw / z, {dp}) AS w"
+        f" FROM ru{i} CROSS JOIN rz{i})",
+    ]
+
+
+def _sql_init(cells_src: str, m: str) -> list[str]:
+    """Round 0: uniform weights — shared by the chain and the executor."""
+    return [
+        f"rk AS{m} (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM {cells_src})",
+        f"rw0 AS{m} (SELECT domain, 1.0 / rk.k AS w"
+        f" FROM {cells_src} CROSS JOIN rk)",
+    ]
 
 
 def sql_reweight_ctes(
@@ -45,32 +83,16 @@ def sql_reweight_ctes(
     table exposing ``domain`` and ``mean_loss``.  ``materialized``
     emits DuckDB's ``AS MATERIALIZED`` (load-bearing for unrolled
     iterative oracles — un-materialized 1-row round CTEs inline
-    exponentially); Spark SQL has no such attribute, so its executor
-    passes False.  The ARITHMETIC is byte-identical either way."""
+    exponentially); Spark SQL has no such attribute AND inlines every
+    reference, which is why :func:`exp_gradient_weights` never runs
+    this chain whole (module docstring).  The ARITHMETIC is the
+    per-round fragment either way."""
     if n_rounds < 1:
         raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
     m = " MATERIALIZED" if materialized else ""
-    parts = [
-        f"rk AS{m} (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM {cells_src})",
-        f"rw0 AS{m} (SELECT domain, 1.0 / rk.k AS w"
-        f" FROM {cells_src} CROSS JOIN rk)",
-    ]
+    parts = _sql_init(cells_src, m)
     for i in range(1, n_rounds + 1):
-        parts.append(
-            f"rb{i} AS{m} (SELECT SUM(w.w * c.mean_loss) AS b"
-            f" FROM rw{i - 1} w JOIN {cells_src} c USING (domain))"
-        )
-        parts.append(
-            f"ru{i} AS{m} (SELECT c.domain,"
-            f" w.w * exp({eta!r} * (c.mean_loss - rb.b)) AS uw"
-            f" FROM {cells_src} c JOIN rw{i - 1} w USING (domain)"
-            f" CROSS JOIN rb{i} rb)"
-        )
-        parts.append(f"rz{i} AS{m} (SELECT SUM(uw) AS z FROM ru{i})")
-        parts.append(
-            f"rw{i} AS{m} (SELECT domain, round(uw / z, {dp}) AS w"
-            f" FROM ru{i} CROSS JOIN rz{i})"
-        )
+        parts.extend(_sql_round(cells_src, i, f"rw{i - 1}", eta, dp, m))
     return ",\n".join(parts)
 
 
@@ -101,15 +123,34 @@ def exp_gradient_weights(
     total_budget: int = 20_000,
 ):
     """Run the trajectory IN SPARK over a (domain, n_docs, mean_loss)
-    DataFrame — the same SQL fragment the oracle unrolls, so a spelling
-    drift between the engines is impossible by construction.  The cell
-    table is bounded model state (|domains| rows); the whole call is
-    driver-cheap."""
+    DataFrame — the same per-round SQL fragment the oracle unrolls
+    (:func:`_sql_round`), so a spelling drift between the engines is
+    impossible by construction.  ONE round per query, with the
+    |domains|-row weight state collected and re-materialized between
+    rounds (bounded model state — the q96 broadcast-centroid contract):
+    executing the unrolled chain as a single query hits Spark's
+    inline-at-every-reference CTE expansion, ~4^n plan subtrees
+    (117 s for 5 rounds over 20 cells, measured; ~1 s this way)."""
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
     cells.createOrReplaceTempView("reweight_cells")
-    return spark.sql(
+    w_rows = spark.sql(
         "WITH "
-        + sql_reweight_ctes(
-            "reweight_cells", n_rounds, eta, materialized=False
-        )
-        + sql_reweight_select("reweight_cells", n_rounds, total_budget)
+        + ",\n".join(_sql_init("reweight_cells", ""))
+        + "\nSELECT domain, w FROM rw0"
+    ).collect()
+    for i in range(1, n_rounds + 1):
+        spark.createDataFrame(
+            w_rows, "domain string, w double"
+        ).createOrReplaceTempView("rw_prev")
+        w_rows = spark.sql(
+            "WITH "
+            + ",\n".join(_sql_round("reweight_cells", i, "rw_prev", eta, 7, ""))
+            + f"\nSELECT domain, w FROM rw{i}"
+        ).collect()
+    spark.createDataFrame(
+        w_rows, "domain string, w double"
+    ).createOrReplaceTempView(f"rw{n_rounds}")
+    return spark.sql(
+        sql_reweight_select("reweight_cells", n_rounds, total_budget)
     )
