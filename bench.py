@@ -193,13 +193,27 @@ HEADLINE = [
     # on tiny communities shows as the measured ~2x salting tax);
     # q197 = logistic distillation (10 GD rounds over the PERSISTED
     # feature frame since r13 — a regression that re-derives regex
-    # features per round multiplies the wall by n_iter); q198 = the
-    # distilled gate deployed (same trajectory + one scoring scan).
+    # features per round multiplies the wall by n_iter).
     "q194_bpe_token_ids",
     "q195_bpe_packed_sequences",
     "q196_community_name_neardup",
     "q197_quality_filter_distillation",
-    "q198_distilled_filter_rates",
+    # round-14 additions: the mixture/diagnostic wing registered this
+    # round.  q202 = DoReMi mixture weights (the q197 gate + ONE
+    # per-domain loss aggregate + |domains|-sized weight rounds — its
+    # delta over q197 IS the mixture overhead; it REPLACES r13's
+    # q198 headline slot — q198 is the same trajectory + one scoring
+    # scan, a strict subset of q202's cost, and the 49-name line
+    # outgrew the driver's 2000-char tail at full 3dp — q198 keeps its
+    # shuffle receipt via the audit extras); q203 = per-source
+    # tokenizer fertility (two corpus passes sharing the gate
+    # definition + a doc-keyed join); q204 = per-source unigram KL
+    # (ONE corpus shuffle, then vocab-sized window + aggregate — a
+    # regression to the 4-scan self-join shape it replaced multiplies
+    # input bytes by 4).
+    "q202_doremi_mixture_weights",
+    "q203_tokenizer_fertility",
+    "q204_source_kl_divergence",
 ]
 
 #: Pinned machine-factor kernels (VERDICT r5 item 5): code-independent

@@ -152,6 +152,11 @@ QUERIES = [
     # after vocab-sized — replication grows token counts 10x but adds
     # no new (source, token) keys, the best case for the combine
     "q204_source_kl_divergence",
+    # learned-mix funnel: q201's composition with the exp-gradient
+    # budget stage — wall must track q201's (the trajectory adds
+    # |domains|-sized rounds, each ONE tiny query since the
+    # round-per-query reweight executor)
+    "q205_learned_mix_funnel",
 ]
 # q126 (heavy hitters) and q128 (incremental components) are swept by
 # their own dedicated ladders instead — HEAVY_HITTERS.json widens the

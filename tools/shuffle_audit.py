@@ -93,6 +93,7 @@ def main() -> None:
         "q199_bpe_decode_roundtrip",
         "q200_sampled_bpe_token_ids",
         "q201_curated_mix_funnel",
+        "q205_learned_mix_funnel",
     ]
     out: dict[str, dict[str, int]] = {}
     for name in bench.HEADLINE + extra:
