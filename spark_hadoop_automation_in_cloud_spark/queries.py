@@ -86,6 +86,12 @@ def register(name: str, sql: str | None, doc: str = ""):
 # tests/test_oracle_parity.py (every run) and sf0.01-green in the
 # round-10 full sweep.
 #
+# Registered AFTER this allocation: q203/q204/q205 — they ride r11's
+# never-stamped block per the standing protocol.  q202's SPARK kernel
+# changed post-allocation (exp_gradient_weights round-per-query fix;
+# oracle byte-identical) — it is already inside this window and was
+# re-verified value-hashed on a vanilla session after the change.
+#
 # The driver's CORRECTNESS run verifies a bounded window (50 entries)
 # taken in registration order, so queries() exposes the registry ROTATED
 # per the allocation above.  Local pytest parity
