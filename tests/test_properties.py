@@ -1163,3 +1163,54 @@ def test_q204_kl_cross_engine_and_nonnegative(spark, docs):
             assert r["kl_to_corpus"] >= -1e-5, r
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    losses=st.lists(
+        st.integers(0, 40).map(lambda n: n / 10.0),
+        min_size=1,
+        max_size=8,
+    ),
+    n_rounds=st.integers(1, 6),
+)
+def test_reweight_cross_engine_parity_any_cells(spark, losses, n_rounds):
+    """Spark's round-per-query reweight executor and the DuckDB unrolled
+    chain walk the SAME trajectory for ANY loss cells and round count —
+    including the degenerate ones (single domain => weight 1.0; all-equal
+    losses => uniform stays uniform; zero losses).  This is the guard for
+    the r14 kernel change: the executor no longer runs the oracle's
+    literal chain, so the per-round fragment is the only thing keeping
+    the engines in step."""
+    import duckdb
+
+    from spark_hadoop_automation_in_cloud_spark.operators.reweight import (
+        exp_gradient_weights,
+        sql_reweight_ctes,
+        sql_reweight_select,
+    )
+    from tests.oracle import compare
+
+    rows = [(f"d{i}", 10 + i, loss) for i, loss in enumerate(losses)]
+    cells = spark.createDataFrame(
+        rows, "domain string, n_docs bigint, mean_loss double"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE cells AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{d}', {n}, {l!r})" for d, n, l in rows)
+        + ") v(domain, n_docs, mean_loss)"
+    )
+    sql = (
+        "WITH "
+        + sql_reweight_ctes("cells", n_rounds=n_rounds, eta=0.5)
+        + sql_reweight_select("cells", n_rounds, total_budget=20_000)
+    )
+    got = exp_gradient_weights(
+        spark, cells, n_rounds=n_rounds, eta=0.5, total_budget=20_000
+    )
+    assert compare(got, con, sql, "prop_reweight") == []
