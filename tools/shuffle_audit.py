@@ -18,6 +18,18 @@ reused exchanges — never enter the totals).  Bytes are deterministic
 for a fixed plan + data, so one run suffices; `spark.ui.retainedStages`
 is raised so cumulative sums never lose evicted stages mid-run.
 
+CAVEAT — the `input_bytes` column is NOT parquet scan volume on this
+local-filesystem setup: Spark's stage inputBytes comes from Hadoop
+FileSystem statistics, which barely register local parquet reads (a
+plain scan of the 594 KB sf0.1 documents file reports 3,438 bytes —
+measured r14; footer/metadata only).  What the column does capture is
+CACHED-BLOCK read traffic (reading a persisted partition counts via
+the same input metric), so persist-heavy queries (q202's GD rounds over
+the persisted feature frame) report large "input" while pure-scan
+queries report near zero.  Treat it as a cache-traffic diagnostic; the
+shuffle columns are the artifact's claim, and scan volume at scale is
+covered by SHUFFLE_SLOPE.json's oracle-derived data_ratio denominators.
+
 Run: ``python tools/shuffle_audit.py`` (env ``SPARK_GRAFT_SF_DIR``).
 """
 
