@@ -43,8 +43,9 @@ the SCALING_ITER pagerank wall (4.1s base) show the r5 loop optimizations
 are real wins despite the slower clock.
 
 Round 6 makes that A/B standing: the output JSON now carries a
-``machine_factor`` block — three pinned code-independent kernels (see
-_MACHINE_KERNELS) timed after the queries.  To separate machine drift
+``machine_factor`` block — pinned code-independent kernels (see
+_MACHINE_KERNELS; three since r6, + regex_agg since r14) timed after
+the queries.  To separate machine drift
 from plan regressions across rounds, ratio the same kernel between
 BENCH_r{N}.json files; no worktree archaeology needed.
 """
@@ -219,8 +220,9 @@ HEADLINE = [
 #: Pinned machine-factor kernels (VERDICT r5 item 5): code-independent
 #: probes timed every round so cross-round ratios can separate machine
 #: drift from plan regressions without the ad-hoc worktree A/B.  The
-#: constants are FROZEN — changing them breaks round-over-round
-#: comparability, which is their entire purpose.
+#: constants are FROZEN — changing an EXISTING kernel breaks
+#: round-over-round comparability, which is their entire purpose;
+#: ADDING a kernel is fine (comparisons intersect key sets).
 #: - codegen_scan: whole-stage-codegen arithmetic over range() — pure
 #:   CPU/JIT clock, no shuffle, no Python.
 #: - shuffle_agg: range() → hash-partitioned groupBy count — exchange +
@@ -232,6 +234,22 @@ _MACHINE_KERNELS = {
     .selectExpr("sum(hash(id) % 1000) AS s"),
     "shuffle_agg": lambda spark: spark.range(60_000_000)
     .groupBy((F.col("id") % 100_000).alias("k"))
+    .count(),
+    # regex_agg (added r14, the r09 verdict's contingent 4th probe):
+    # explode(split) + rlike + regexp_replace + groupBy — the profile of
+    # the text-retrieval family (q133/q134/q141/q164), whose raw walls
+    # have repeatedly drifted 1.3-1.6x on byte-identical shuffle receipts
+    # while the three older probes stayed flat.  Comparisons against
+    # pre-r14 payloads simply lack this key (bench_compare intersects).
+    "regex_agg": lambda spark: spark.range(6_000_000)
+    .selectExpr(
+        "explode(split(concat_ws(' ', concat('tok', cast(id % 9973 as "
+        "string)), concat('w', cast(id % 997 as string)), concat('x', "
+        "cast(id % 97 as string))), ' ')) AS t"
+    )
+    .where("t rlike '^[a-z]+[0-9]+$'")
+    .selectExpr("t", "length(regexp_replace(t, '[0-9]', '')) AS l")
+    .groupBy("t")
     .count(),
 }
 

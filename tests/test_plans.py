@@ -365,7 +365,7 @@ def test_bench_line_fits_driver_tail():
     import bench
 
     worst = {n: 999.999 for n in bench.HEADLINE}
-    mf = {"codegen_scan": 99.999, "shuffle_agg": 99.999, "arrow_roundtrip": 99.999}
+    mf = {k: 99.999 for k in bench._MACHINE_KERNELS}
     line = bench.compact_line(9999.999, worst, mf, 0.1)
     assert len(line) <= bench.MAX_LINE
     payload = json.loads(line)

@@ -1,7 +1,7 @@
 """Cross-round bench comparison, normalized by the pinned machine kernels.
 
-``bench.py`` times three code-independent probes (codegen_scan,
-shuffle_agg, arrow_roundtrip) precisely so that round-over-round query
+``bench.py`` times pinned code-independent probes (codegen_scan,
+shuffle_agg, arrow_roundtrip; + regex_agg since r14) precisely so that round-over-round query
 ratios can be separated into machine drift vs plan change.  This tool
 does that arithmetic: given two bench JSONs (either raw ``bench.py``
 stdout lines or the driver's ``BENCH_r{N}.json`` wrappers, which nest
@@ -31,6 +31,18 @@ import sys
 #: than JVM join/aggregate work — normalized by arrow_roundtrip
 ARROW_BOUND = {"q31_multimodal_features"}
 
+#: text-retrieval rows normalized against the r14 regex_agg probe
+#: (explode+regex profile) when both payloads carry it — these are the
+#: rows whose raw walls drift with string-kernel clock behavior the
+#: older three probes don't capture; against pre-r14 payloads they fall
+#: back to shuffle_agg
+STRING_BOUND = {
+    "q133_bm25_retrieval",
+    "q134_hybrid_rrf_retrieval",
+    "q141_bigram_lm_quality",
+    "q164_pmi_collocations",
+}
+
 
 def load(path: str) -> dict:
     with open(path) as f:
@@ -59,7 +71,12 @@ def main() -> None:
     for name in shared:
         ra, rb = a["queries"][name], b["queries"][name]
         raw = rb / ra if ra else float("inf")
-        kernel = "arrow_roundtrip" if name in ARROW_BOUND else "shuffle_agg"
+        if name in ARROW_BOUND:
+            kernel = "arrow_roundtrip"
+        elif name in STRING_BOUND and "regex_agg" in drift:
+            kernel = "regex_agg"
+        else:
+            kernel = "shuffle_agg"
         norm = raw / drift[kernel] if drift.get(kernel) else None
         rows.append((name, ra, rb, raw, kernel, norm))
     # normalized rows sort together, worst first; rows whose kernel is
