@@ -86,7 +86,7 @@ def register(name: str, sql: str | None, doc: str = ""):
 # tests/test_oracle_parity.py (every run) and sf0.01-green in the
 # round-10 full sweep.
 #
-# Registered AFTER this allocation: q203/q204/q205 — they ride r11's
+# Registered AFTER this allocation: q203-q206 — they ride r11's
 # never-stamped block per the standing protocol.  q202's SPARK kernel
 # changed post-allocation (exp_gradient_weights round-per-query fix;
 # oracle byte-identical) — it is already inside this window and was
@@ -9567,3 +9567,97 @@ def q205_learned_mix_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_budget bigint, n_selected bigint, tokens_selected bigint, "
         "n_bins bigint",
     ).orderBy("source")
+
+
+#: q206's total token budget — sized so that at sf0.01 at least one
+#: weighted language lands above 1 epoch (the corpus holds ~60k BPE
+#: tokens) while sf0.1 sits below; the flag threshold is the public
+#: data-constrained-scaling observation that value decays sharply past
+#: ~4 repetitions
+_Q206_BUDGET = 100_000
+
+#: per-language budgets floored ONCE in Python and inlined on both
+#: engines (the q125 rule: weight-float rounding must not diverge the
+#: oracle); unweighted languages (zh) are excluded by the inner join
+_Q206_BUDGETS: dict[str, int] = {
+    lang: int(_Q206_BUDGET * w) for lang, w in _Q125_WEIGHTS.items()
+}
+
+_Q206_SQL = (
+    "WITH "
+    + _sql_encode_ctes("documents", "doc_id", "text", 4)
+    + f""",
+enc AS MATERIALIZED (
+{_SQL_ENCODE_SELECT}),
+al AS (
+  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(e.n_tokens) AS BIGINT) AS available_tokens
+  FROM enc e JOIN documents d ON d.doc_id = e.doc_id
+  GROUP BY d.lang
+)
+SELECT al.lang, al.n_docs, al.available_tokens,
+       b.token_budget,
+       round(CAST(b.token_budget AS DOUBLE) / al.available_tokens, 6)
+         AS epochs,
+       (CAST(b.token_budget AS DOUBLE) / al.available_tokens) > 4.0
+         AS repeat_heavy
+FROM al
+JOIN (VALUES {", ".join(f"('{l}', CAST({b} AS BIGINT))"
+                        for l, b in sorted(_Q206_BUDGETS.items()))})
+  b(lang, token_budget) ON b.lang = al.lang
+ORDER BY al.lang
+"""
+)
+
+
+@register(
+    "q206_mixture_epochs",
+    _Q206_SQL,
+    doc="Data-constrained mix readout — for each weighted language, how "
+    "many EPOCHS of its available corpus the mixture budget implies "
+    "(epochs = budget / available BPE tokens), with the repeat_heavy "
+    "flag at the public data-constrained-scaling threshold (~4 "
+    "repetitions is where repeated data's value decays sharply): the "
+    "number that tells a curator whether a mix is asking a domain to "
+    "repeat itself into diminishing returns, and the missing readout "
+    "between q125's budget ENFORCEMENT and q202's budget LEARNING. "
+    "Real tokenizer counts (the q194 encode path — the q195 lesson: "
+    "whitespace approximations misprice CJK-like and code-like "
+    "domains), per-language budgets floored once in Python and "
+    "inlined as literals on both engines (the q125 rule), unweighted "
+    "languages excluded by the inner join. 100 TB shape: the encode "
+    "chain's corpus passes + one |langs|-cell aggregate + a literal "
+    "join; the epoch division is one IEEE divide per language, and "
+    "the flag compares the UNROUNDED quotient identically on both "
+    "engines.",
+)
+def q206_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", parallelize=True)
+    rules = [
+        (r["lhs"], r["rhs"]) for r in bpe_merges(d, "text", n_merges=4).collect()
+    ]
+    enc = bpe_encode(d, "doc_id", "text", rules).select("doc_id", "n_tokens")
+    al = (
+        enc.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("available_tokens"),
+        )
+    )
+    b = spark.createDataFrame(
+        sorted(_Q206_BUDGETS.items()), "lang string, token_budget bigint"
+    )
+    ratio = F.col("token_budget").cast("double") / F.col("available_tokens")
+    return (
+        al.join(F.broadcast(b), "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "available_tokens",
+            "token_budget",
+            F.round(ratio, 6).alias("epochs"),
+            (ratio > 4.0).alias("repeat_heavy"),
+        )
+        .orderBy("lang")
+    )

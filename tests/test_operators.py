@@ -3638,3 +3638,48 @@ def test_q205_learned_mix_invariants(spark):
         if r["source_budget"] == 0:
             assert r["n_selected"] == 0 and r["tokens_selected"] == 0
         assert (r["n_bins"] >= 1) == (r["n_selected"] >= 1)
+
+
+def test_q206_mixture_epochs_hand_trace(spark):
+    """Single-symbol words make token counts exact without BPE math:
+    en has 90 available tokens against its 50000 budget (555.6 epochs),
+    de 10 against 20000 (2000 epochs) — both repeat_heavy; zh is present
+    but unweighted (excluded by the inner join), and absent weighted
+    languages (fr/es) produce no row."""
+    import shutil
+    import tempfile
+
+    from spark_hadoop_automation_in_cloud_spark.queries import (
+        q206_mixture_epochs,
+    )
+
+    rows = (
+        [(i, "q q q", "en", f"s{i % 3}", 5) for i in range(30)]
+        + [(100 + i, "q", "de", "s0", 1) for i in range(10)]
+        + [(200 + i, "q", "zh", "s0", 1) for i in range(5)]
+    )
+    root = tempfile.mkdtemp(prefix="q206_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{root}/documents.parquet"
+        )
+        got = {
+            r["lang"]: (
+                r["n_docs"],
+                r["available_tokens"],
+                r["token_budget"],
+                r["epochs"],
+                r["repeat_heavy"],
+            )
+            for r in q206_mixture_epochs(spark, root).collect()
+        }
+        assert got == {
+            "en": (30, 90, 50000, 555.555556, True),
+            "de": (10, 10, 20000, 2000.0, True),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

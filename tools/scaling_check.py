@@ -157,6 +157,9 @@ QUERIES = [
     # |domains|-sized rounds, each ONE tiny query since the
     # round-per-query reweight executor)
     "q205_learned_mix_funnel",
+    # mixture epochs: the q194 encode chain + one |langs|-cell
+    # aggregate + a literal join — wall must track q194/q203's
+    "q206_mixture_epochs",
 ]
 # q126 (heavy hitters) and q128 (incremental components) are swept by
 # their own dedicated ladders instead — HEAVY_HITTERS.json widens the

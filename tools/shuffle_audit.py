@@ -106,6 +106,7 @@ def main() -> None:
         "q200_sampled_bpe_token_ids",
         "q201_curated_mix_funnel",
         "q205_learned_mix_funnel",
+        "q206_mixture_epochs",
     ]
     out: dict[str, dict[str, int]] = {}
     for name in bench.HEADLINE + extra:
