@@ -85,6 +85,17 @@ def logistic_fit(
             features.unpersist()
 
 
+def _sql_double(v: float) -> str:
+    """An exact double literal: ``repr`` round-trips the shortest decimal
+    that parses back to the same IEEE double, and Spark's string→double
+    cast is correctly rounded — bit-identical to ``F.lit(v)``."""
+    import math
+
+    if not math.isfinite(v):
+        raise ValueError(f"non-finite GD weight: {v!r}")
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
 def _gd_loop(
     features: DataFrame,
     feature_cols: list[str],
@@ -93,13 +104,27 @@ def _gd_loop(
     lr: float,
     per_iter_round_dp: int,
 ) -> list[float]:
+    # Each round's sigmoid/gradient/update is built as SQL STRINGS parsed
+    # JVM-side via F.expr — the expression TREE is the same one the old
+    # Column-composition form built (same left-associated dot, same
+    # 1/(1+exp(-z)), same w − lr·g/n, exact double literals), but
+    # assembling a ~100-node tree through per-node py4j calls cost
+    # ~0.23 s/round of driver latency (measured 2026-08-17: 10 rounds
+    # 3.6 s → 1.3 s at sf0.1) — the bench-pinned footgun that
+    # per-iteration Column trees are py4j-bound, not compute-bound.
     w = [0.0] * (len(feature_cols) + 1)
-    y = F.col(label_col)
-    n = F.count(F.lit(1)).cast("double").alias("n")
     for _ in range(n_iter):
-        resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-_dot(w, feature_cols))) - y
-        aggs = [n, F.sum(resid).alias("g0")] + [
-            F.sum(resid * F.col(c)).alias(f"g{j}")
+        wl = [_sql_double(v) for v in w]
+        dot = " + ".join(
+            [wl[0]]
+            + [f"{wl[j]} * {c}" for j, c in enumerate(feature_cols, start=1)]
+        )
+        sig = f"(1.0 / (1.0 + exp(-({dot}))) - {label_col})"
+        aggs = [
+            F.expr("CAST(COUNT(1) AS DOUBLE)").alias("n"),
+            F.expr(f"SUM({sig})").alias("g0"),
+        ] + [
+            F.expr(f"SUM({sig} * {c})").alias(f"g{j}")
             for j, c in enumerate(feature_cols, start=1)
         ]
         # the update arithmetic runs IN Spark expressions (round = exact
@@ -109,9 +134,9 @@ def _gd_loop(
             features.agg(*aggs)
             .select(
                 *[
-                    F.round(
-                        F.lit(w[j]) - F.lit(lr) * F.col(f"g{j}") / F.col("n"),
-                        per_iter_round_dp,
+                    F.expr(
+                        f"round({wl[j]} - {_sql_double(lr)} * g{j} / n,"
+                        f" {per_iter_round_dp})"
                     ).alias(f"w{j}")
                     for j in range(len(w))
                 ]

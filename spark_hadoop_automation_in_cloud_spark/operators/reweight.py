@@ -33,6 +33,22 @@ exchanges.  Measured: 117 s for 5 rounds over a TWENTY-row cell table as
 one query; ~1 s executed round-per-query.  DuckDB has the same inlining
 hazard, which is why the oracle chain emits ``AS MATERIALIZED``.
 
+Why Spark's per-round execution inlines the state as LITERALS instead of
+re-materializing temp-view DataFrames (the r10 optimization): the round
+inputs are |domains| collected rows, and the original
+createDataFrame→createOrReplaceTempView→join→collect cycle cost
+~1.3 s/round of pure py4j + join planning overhead (6.4 s of q202's
+10.8 s wall at sf0.1, measured 2026-08-17 — a 20-row computation).
+Inlining the cells and the previous round's weights as literal arrays
+and folding the two SUMs as row-local ``aggregate`` over those arrays
+makes each round ONE single-row, join-free query (~0.1 s): same
+multiplies, same adds in the same left-to-right order (a single-partition
+SUM accumulates rows sequentially in input order, exactly like the fold;
+the products are >= +0.0 so the fold's 0.0 seed is an exact identity),
+same ``exp``, same 7dp snap — bit-equal by construction, pinned against
+both the old executor's trajectory and the DuckDB unrolled chain in
+tests/test_operators.py.
+
 Direction note: hard domains gain weight (excess loss > 0 ⇒ multiplier
 > 1) — DoReMi's Group-DRO direction, which spends budget where the
 cheap gate says the data is hardest; flip ``eta``'s sign for the
@@ -115,6 +131,52 @@ ORDER BY source
 """
 
 
+def _sql_str(s: str) -> str:
+    """A string literal, single quotes doubled."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _sql_double(v: float) -> str:
+    """An exact double literal: ``repr`` round-trips the shortest decimal
+    that parses back to the same IEEE double, and Spark's string→double
+    cast is correctly rounded — so the engine sees the bit-identical
+    value the driver collected."""
+    import math
+
+    if not math.isfinite(v):
+        raise ValueError(f"non-finite weight/loss in reweight state: {v!r}")
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _sql_fold_round_query(
+    cell_rows, w_map: dict[str, float], eta: float, dp: int
+) -> str:
+    """ONE weight round as a single-row, join-free query over literal
+    state — the same arithmetic as :func:`_sql_round` (same per-domain
+    products, the two SUMs accumulated in the same cells order, same
+    ``exp``, same ``round``), executed as row-local array folds so the
+    round costs one tiny job instead of a planned join tree.  Bit
+    equality with the fragment form is argued in the module docstring
+    and pinned by tests."""
+    arr = ", ".join(
+        f"named_struct('domain', {_sql_str(d)}, 'ml', {_sql_double(ml)},"
+        f" 'w', {_sql_double(w_map[d])})"
+        for d, ml in cell_rows
+    )
+    return f"""
+WITH rc AS (SELECT array({arr}) AS cw),
+rb AS (SELECT cw, aggregate(cw, CAST(0.0 AS DOUBLE),
+                            (acc, x) -> acc + x.w * x.ml) AS b FROM rc),
+ru AS (SELECT transform(cw, x -> named_struct('domain', x.domain,
+              'uw', x.w * exp({eta!r} * (x.ml - b)))) AS us FROM rb),
+rz AS (SELECT us, aggregate(us, CAST(0.0 AS DOUBLE),
+                            (acc, x) -> acc + x.uw) AS z FROM ru)
+SELECT explode(transform(us, x -> named_struct('domain', x.domain,
+               'w', round(x.uw / z, {dp})))) AS r
+FROM rz
+"""
+
+
 def exp_gradient_weights(
     spark,
     cells,
@@ -123,34 +185,50 @@ def exp_gradient_weights(
     total_budget: int = 20_000,
 ):
     """Run the trajectory IN SPARK over a (domain, n_docs, mean_loss)
-    DataFrame — the same per-round SQL fragment the oracle unrolls
-    (:func:`_sql_round`), so a spelling drift between the engines is
-    impossible by construction.  ONE round per query, with the
-    |domains|-row weight state collected and re-materialized between
-    rounds (bounded model state — the q96 broadcast-centroid contract):
-    executing the unrolled chain as a single query hits Spark's
-    inline-at-every-reference CTE expansion, ~4^n plan subtrees
-    (117 s for 5 rounds over 20 cells, measured; ~1 s this way)."""
+    DataFrame — the per-round arithmetic of :func:`_sql_round` with the
+    |domains|-row state collected once and re-inlined as LITERALS each
+    round (bounded model state — the q96 broadcast-centroid contract):
+    ONE single-row, join-free query per round (module docstring; the
+    temp-view/join form cost ~1.3 s/round of planning overhead for a
+    20-row computation, and executing the unrolled chain as a single
+    query hits Spark's inline-at-every-reference CTE expansion, ~4^n
+    plan subtrees — 117 s for 5 rounds over 20 cells, measured).  The
+    final readout executes :func:`sql_reweight_select` verbatim over the
+    literal cells + final weights, so the output spelling (the
+    ``floor(total·w)`` budget) stays the oracle's."""
     if n_rounds < 1:
         raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
-    cells.createOrReplaceTempView("reweight_cells")
-    w_rows = spark.sql(
-        "WITH "
-        + ",\n".join(_sql_init("reweight_cells", ""))
-        + "\nSELECT domain, w FROM rw0"
-    ).collect()
-    for i in range(1, n_rounds + 1):
-        spark.createDataFrame(
-            w_rows, "domain string, w double"
-        ).createOrReplaceTempView("rw_prev")
-        w_rows = spark.sql(
-            "WITH "
-            + ",\n".join(_sql_round("reweight_cells", i, "rw_prev", eta, 7, ""))
-            + f"\nSELECT domain, w FROM rw{i}"
-        ).collect()
-    spark.createDataFrame(
-        w_rows, "domain string, w double"
-    ).createOrReplaceTempView(f"rw{n_rounds}")
+    # |domains| rows of bounded model state — the one driver crossing
+    rows = cells.select("domain", "n_docs", "mean_loss").collect()
+    cell_rows = [(r["domain"], float(r["mean_loss"])) for r in rows]
+    # round 0: 1/k uniform — IEEE double division, identical in Python
+    # and the engine (_sql_init divides the same two exact values)
+    w_map = {d: 1.0 / float(len(rows)) for d, _ in cell_rows}
+    for _ in range(1, n_rounds + 1):
+        w_map = {
+            r["r"]["domain"]: float(r["r"]["w"])
+            for r in spark.sql(
+                _sql_fold_round_query(cell_rows, w_map, eta, 7)
+            ).collect()
+        }
+    cells_rel = (
+        "(SELECT col1 AS domain, col2 AS n_docs, col3 AS mean_loss FROM"
+        " (VALUES "
+        + ", ".join(
+            f"({_sql_str(r['domain'])}, CAST({int(r['n_docs'])} AS BIGINT),"
+            f" {_sql_double(float(r['mean_loss']))})"
+            for r in rows
+        )
+        + "))"
+    )
+    w_rel = (
+        "(SELECT col1 AS domain, col2 AS w FROM (VALUES "
+        + ", ".join(
+            f"({_sql_str(d)}, {_sql_double(w)})" for d, w in sorted(w_map.items())
+        )
+        + "))"
+    )
     return spark.sql(
-        sql_reweight_select("reweight_cells", n_rounds, total_budget)
+        f"WITH rw{n_rounds} AS (SELECT * FROM {w_rel} fin)\n"
+        + sql_reweight_select(cells_rel, n_rounds, total_budget)
     )
