@@ -864,6 +864,8 @@ def k_core(
     dst_col: str,
     k: int,
     max_rounds: int = 20,
+    broadcast_nodes_max: int = 1_000_000,
+    broadcast_min_edge_rows: int = 1_000_000,
 ) -> DataFrame:
     """The k-core of an undirected graph: the maximal subgraph where
     every node keeps degree ≥ k — the density filter that separates a
@@ -887,6 +889,16 @@ def k_core(
     otherwise double per round) and this call's checkpoints release on
     exit, ownership-scoped.  Output: node, core_degree (bigint — the
     node's degree WITHIN the core), empty when no k-core exists.
+
+    Join strategy is the :func:`pagerank` dispatch: the per-round
+    survivor-node set (``keep``, ≤ |V| rows — bounded by 2·|E₀|, which
+    the setup already counted) BROADCASTS into the two semi-joins when
+    the initial graph is small enough, so the checkpointed edge list is
+    filtered map-side instead of being exchanged+sorted twice per peel
+    round (a localCheckpoint'd frame has no Catalyst statistics, so
+    without the hint both semi-joins plan as sort-merge).  Results are
+    bit-identical (integer degree filter); larger graphs keep the
+    sort-merge form.
     """
     spark = edges.sparkSession
     created: set[int] = set()
@@ -904,6 +916,17 @@ def k_core(
         )
         created |= _pinned_rdd_ids(e)
         n_edges = e.count()
+        # nodes ≤ 2·|E₀| — the scalar the setup already paid for picks
+        # the join strategy ONCE (the pagerank dispatch with an
+        # edge-volume gate, see label_propagation's docstring)
+        bc = (
+            F.broadcast
+            if (
+                2 * n_edges <= broadcast_nodes_max
+                and n_edges >= broadcast_min_edge_rows
+            )
+            else (lambda df: df)
+        )
         for _ in range(max_rounds):
             if n_edges == 0:
                 break
@@ -915,8 +938,8 @@ def k_core(
             )
             keep = deg.where(F.col("d") >= k).select("node")
             nxt = (
-                e.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
-                .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+                e.join(bc(keep.select(F.col("node").alias("u"))), "u", "left_semi")
+                .join(bc(keep.select(F.col("node").alias("v"))), "v", "left_semi")
                 .select("u", "v")
                 .localCheckpoint()
             )
@@ -995,6 +1018,8 @@ def label_propagation(
     src_col: str,
     dst_col: str,
     n_rounds: int = 5,
+    broadcast_nodes_max: int = 1_000_000,
+    broadcast_min_edge_rows: int = 1_000_000,
 ) -> DataFrame:
     """Synchronous label-propagation communities (LPA, Raghavan et al.):
     every node starts as its own label, and each round adopts the most
@@ -1024,6 +1049,27 @@ def label_propagation(
     aggregate; the label frame localCheckpoints per round (lineage would
     double otherwise) with ownership-scoped release.  No driver state
     beyond the round counter; edges checkpoint ONCE.
+
+    Join strategy follows :func:`pagerank`'s dispatch with an
+    edge-volume gate: when ``|V| <= broadcast_nodes_max`` AND the
+    symmetric edge list holds at least ``broadcast_min_edge_rows`` rows,
+    the per-round label frame (and the ≤|V|-row argmax output)
+    BROADCASTS into its joins, so the checkpointed edge partitions are
+    never exchanged or sorted — each round becomes one map-side hash
+    join + one map-side-combined aggregate (LPA's labels-onto-edges
+    join is pagerank's shape, which measured 2.0–2.2× faster broadcast
+    at 1.8M/17.9M edges).  The statistics of a localCheckpoint'd frame
+    are unknown to Catalyst (``LogicalRDD`` reports the default size),
+    so without the explicit hint every round plans a sort-merge join
+    that shuffles the EDGE list.  The edge gate exists because the
+    broadcast spends ~2 fixed driver barriers (collect + ship) per
+    round, which only pays once the avoided edge exchange is large —
+    measured 2026-08-17 on the same code: the 3.6k-edge co-purchase
+    graph ran 4.4 s sort-merge vs 12.4 s broadcast, while the
+    3.6M-sym-edge contact graph ran 6.9/5.6 s sort-merge vs 5.3/4.9 s
+    broadcast.  Results are bit-identical either way (integer counts,
+    deterministic argmax); both thresholds are caller-tunable for
+    cluster deployments where the exchange-vs-barrier balance differs.
 
     Output: ``node``, ``community`` (bigint; the round-``n_rounds``
     label), ``community_size`` (bigint — members sharing the label).
@@ -1076,8 +1122,16 @@ def label_propagation(
             .localCheckpoint()
         )
         created |= _pinned_rdd_ids(lab)
+        # two scalars (counts of the checkpointed frames) pick the join
+        # strategy ONCE — the pagerank dispatch with an edge-volume gate
+        # (docstring)
+        small = (
+            lab.count() <= broadcast_nodes_max
+            and e.count() >= broadcast_min_edge_rows
+        )
+        bc = F.broadcast if small else (lambda df: df)
         for _ in range(n_rounds):
-            nb = e.join(lab.withColumnRenamed("node", "src"), "src").select(
+            nb = e.join(bc(lab.withColumnRenamed("node", "src")), "src").select(
                 F.col("dst").alias("node"), "lbl"
             )
             pick = (
@@ -1088,8 +1142,10 @@ def label_propagation(
                     F.expr("max_by(lbl, struct(c, -lbl))").alias("new_lbl")
                 )
             )
+            # pick is ≤|V| rows post-aggregate — broadcast it too, so the
+            # label update never exchanges the checkpointed label frame
             nxt = (
-                lab.join(pick, "node", "left")
+                lab.join(bc(pick), "node", "left")
                 .select(
                     "node", F.coalesce(F.col("new_lbl"), F.col("lbl")).alias("lbl")
                 )
@@ -1099,7 +1155,11 @@ def label_propagation(
             lab = nxt
         out = (
             lab.join(
-                lab.groupBy("lbl").agg(F.count(F.lit(1)).alias("community_size")),
+                bc(
+                    lab.groupBy("lbl").agg(
+                        F.count(F.lit(1)).alias("community_size")
+                    )
+                ),
                 "lbl",
             )
             .select(
@@ -1176,6 +1236,8 @@ def modularity(
     dst_col: str,
     node_col: str = "node",
     label_col: str = "community",
+    broadcast_nodes_max: int = 1_000_000,
+    broadcast_min_edge_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact Newman modularity of a community assignment, per community —
     the evaluation side of :func:`label_propagation` (did LPA actually
@@ -1192,11 +1254,22 @@ def modularity(
 
     Scale shape: one canonicalize+distinct of the edge list, one degree
     aggregate, two label equi-joins keyed on the edge endpoints (the
-    inverted-index multiplicity — never a cross product), a 1-row edge
-    count broadcast, and per-community aggregates.  Labels for nodes
+    inverted-index multiplicity — never a cross product), one collected
+    edge-count scalar (exact integer, inlined as a literal into the
+    contribution arithmetic — the identical value the previous 1-row
+    agg-frame cross join carried), and per-community aggregates.  Labels for nodes
     absent from ``labels`` would drop edges silently, so the operator
     inner-joins and the caller owns completeness (LPA labels every
     endpoint by construction).
+
+    Join strategy is the :func:`pagerank` dispatch: when the label
+    table is ``<= broadcast_nodes_max`` rows (one cheap count — labels
+    are usually LPA's already-checkpointed output) it BROADCASTS into
+    the degree join and both endpoint joins, so the canonical edge list
+    is scanned map-side instead of exchanged+sorted twice (label frames
+    from localCheckpoint have no Catalyst statistics, so the planner
+    would otherwise sort-merge every one of these).  Bit-identical
+    results (integer counts/sums); larger graphs keep sort-merge.
 
     Output: ``community``, ``n_members``, ``internal_edges``,
     ``degree_sum`` (bigints), ``contribution`` (double).  The canonical
@@ -1236,7 +1309,21 @@ def modularity(
         lab = labels.select(
             F.col(node_col).alias("node"), F.col(label_col).alias("community")
         )
-        m = e.agg(F.count(F.lit(1)).cast(dec).alias("m"))
+        # the edge count is needed by the modularity arithmetic anyway —
+        # collect it once (exact integer; inlined as a literal below, the
+        # identical value the old 1-row agg frame carried) and let it
+        # double as the dispatch scalar, so the edge-volume gate costs no
+        # extra job; the label count is one cheap job over the caller's
+        # (usually checkpointed) label frame
+        m_val = e.count()
+        bc = (
+            F.broadcast
+            if (
+                lab.count() <= broadcast_nodes_max
+                and m_val >= broadcast_min_edge_rows
+            )
+            else (lambda df: df)
+        )
         deg = (
             e.select(F.col("u").alias("node"))
             .unionAll(e.select(F.col("v").alias("node")))
@@ -1244,7 +1331,7 @@ def modularity(
             .agg(F.count(F.lit(1)).alias("d"))
         )
         dc = (
-            lab.join(deg, "node")
+            bc(lab).join(deg, "node")
             .groupBy("community")
             .agg(
                 F.count(F.lit(1)).alias("n_members"),
@@ -1252,20 +1339,20 @@ def modularity(
             )
         )
         mc = (
-            e.join(lab.select(F.col("node").alias("u"), F.col("community").alias("ca")), "u")
-            .join(lab.select(F.col("node").alias("v"), F.col("community").alias("cb")), "v")
+            e.join(bc(lab.select(F.col("node").alias("u"), F.col("community").alias("ca"))), "u")
+            .join(bc(lab.select(F.col("node").alias("v"), F.col("community").alias("cb"))), "v")
             .where(F.col("ca") == F.col("cb"))
             .groupBy(F.col("ca").alias("community"))
             .agg(F.count(F.lit(1)).cast(dec).alias("internal_edges"))
         )
+        m = F.lit(m_val).cast(dec)
         num = (
-            F.lit(4).cast(dec) * F.col("m") * F.coalesce(F.col("internal_edges"), F.lit(0).cast(dec))
+            F.lit(4).cast(dec) * m * F.coalesce(F.col("internal_edges"), F.lit(0).cast(dec))
             - F.col("degree_sum") * F.col("degree_sum")
         )
-        den = F.lit(4).cast(dec) * F.col("m") * F.col("m")
+        den = F.lit(4).cast(dec) * m * m
         out = (
             dc.join(mc, "community", "left")
-            .crossJoin(F.broadcast(m))
             .select(
                 "community",
                 F.col("n_members").cast("bigint").alias("n_members"),

@@ -3342,6 +3342,39 @@ def test_label_propagation_two_triangles_bridge(spark):
         label_propagation(strs, "u", "v")
 
 
+def test_graph_broadcast_dispatch_bit_equal(spark):
+    """The r10 join-strategy dispatch (broadcast the per-round node
+    state into the edge joins when |V| fits AND the edge list is large
+    enough to make its exchange the dominant cost) must be a pure plan
+    change: forcing the broadcast arm (broadcast_min_edge_rows=0) and
+    forcing the sort-merge arm (broadcast_nodes_max=0) must produce
+    identical rows for LPA, k-core and modularity."""
+    from spark_hadoop_automation_in_cloud_spark.operators.components import (
+        k_core,
+        label_propagation,
+        modularity,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = k4 + [(3, 10), (10, 11), (11, 12), (4, 5), (4, 6), (5, 6), (3, 4)]
+    df = spark.createDataFrame(edges, "u bigint, v bigint")
+
+    def rows(frame):
+        return sorted(tuple(r) for r in frame.collect())
+
+    lpa_b = label_propagation(df, "u", "v", n_rounds=5, broadcast_min_edge_rows=0)
+    lpa_s = label_propagation(df, "u", "v", n_rounds=5, broadcast_nodes_max=0)
+    assert rows(lpa_b) == rows(lpa_s)
+
+    assert rows(k_core(df, "u", "v", k=3, broadcast_min_edge_rows=0)) == rows(
+        k_core(df, "u", "v", k=3, broadcast_nodes_max=0)
+    )
+
+    assert rows(
+        modularity(df, lpa_b, "u", "v", broadcast_min_edge_rows=0)
+    ) == rows(modularity(df, lpa_s, "u", "v", broadcast_nodes_max=0))
+
+
 def test_exact_substring_dedup_keeper_semantics(spark):
     """A 3-gram passage shared by two docs survives in the minimum doc
     id and is removed from the other; unique text is untouched; a doc
