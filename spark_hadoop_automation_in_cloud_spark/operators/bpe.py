@@ -174,6 +174,26 @@ def _greedy_merge_loop(
     return rules
 
 
+def bpe_merges_from_freqs(
+    freqs: DataFrame,
+    n_merges: int = 4,
+    checkpoint_every: int = 16,
+) -> DataFrame:
+    """Learn merge rules from a precomputed ``(word, freq)`` table —
+    the seam that lets a caller pay the corpus-sized word-frequency
+    aggregate ONCE and reuse the (vocab-sized) table for both training
+    and the encode chain's distinct-word side (see
+    :func:`bpe_encode`'s ``vocab_words``).  The table must be built
+    under the SAME vocab gate as :func:`word_freqs` — a differently
+    gated table silently splits the vocabulary between training and
+    encode.  Same output contract as :func:`bpe_merges`."""
+    seqs = freqs.select(_spaced(F.col("word")).alias("seq"), "freq")
+    return freqs.sparkSession.createDataFrame(
+        _greedy_merge_loop(seqs, n_merges, checkpoint_every=checkpoint_every),
+        "step int, lhs string, rhs string, merged string, pair_count bigint",
+    )
+
+
 def bpe_merges(
     docs: DataFrame,
     text_col: str,
@@ -186,13 +206,7 @@ def bpe_merges(
     pair_count (bigint) — the merge table, ``n_merges`` rows (fewer iff
     the vocabulary runs out of adjacent pairs).
     """
-    seqs = word_freqs(docs, text_col).select(
-        _spaced(F.col("word")).alias("seq"), "freq"
-    )
-    return docs.sparkSession.createDataFrame(
-        _greedy_merge_loop(seqs, n_merges),
-        "step int, lhs string, rhs string, merged string, pair_count bigint",
-    )
+    return bpe_merges_from_freqs(word_freqs(docs, text_col), n_merges)
 
 
 #: the sampled-training hash salt — ONE constant shared by the Spark
@@ -216,11 +230,24 @@ def sampled_word_freqs(
         md5_prefix_int,
     )
 
-    wf = word_freqs(docs, text_col)
+    return sampled_freqs_slice(word_freqs(docs, text_col), sample_mod)
+
+
+def sampled_freqs_slice(freqs: DataFrame, sample_mod: int) -> DataFrame:
+    """The deterministic 1/``sample_mod`` hash gate applied to an
+    EXISTING ``(word, freq)`` table — the :func:`bpe_merges_from_freqs`
+    seam's sampled twin, so a caller-shared frequency table feeds
+    sampled training without a second corpus pass."""
+    if sample_mod < 1:
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+    from spark_hadoop_automation_in_cloud_spark.functions.hashing import (
+        md5_prefix_int,
+    )
+
     if sample_mod == 1:
-        return wf
+        return freqs
     gate = md5_prefix_int(F.col("word"), nhex=15, salt=SAMPLE_SALT)
-    return wf.where(gate % sample_mod == 0)
+    return freqs.where(gate % sample_mod == 0)
 
 
 def bpe_merges_sampled(
@@ -539,6 +566,7 @@ def bpe_encode(
     id_col: str,
     text_col: str,
     rules: list[tuple[str, str]],
+    vocab_words: DataFrame | None = None,
 ) -> DataFrame:
     """Encode the corpus to token-id arrays under a learned merge table
     — the production artifact of the BPE family (training emits rules,
@@ -559,16 +587,26 @@ def bpe_encode(
     and drop from the stream; documents with NO encodable word drop
     entirely (both engines agree — inner join + group by).
 
+    ``vocab_words``: an optional precomputed DISTINCT gated-word table
+    (a ``word`` column — e.g. the training word-frequency table's keys,
+    :func:`bpe_merges_from_freqs`'s seam).  Supplying it removes the
+    encode plan's second corpus pass: the default vocab side re-explodes
+    and re-gates the whole corpus just to distinct it down to the word
+    table the caller often already has.  It MUST be the distinct word
+    set of ``docs`` under the SAME vocab gate — a stale or differently
+    gated table silently drops words from the inner join below.
+
     Output: doc_id, n_tokens (bigint), token_ids (array<int>, document
     order).
     """
     ids = token_id_map(rules)
     words = gated_words(docs, id_col, text_col)
-    vocab = (
-        words.select("word")
-        .distinct()
-        .select("word", _spaced(F.col("word")).alias("seq"))
+    vocab_src = (
+        vocab_words.select("word")
+        if vocab_words is not None
+        else words.select("word").distinct()
     )
+    vocab = vocab_src.select("word", _spaced(F.col("word")).alias("seq"))
     for left, right in rules:
         vocab = vocab.select("word", _merge_fold(left, right).alias("seq"))
     if ids:

@@ -8496,12 +8496,38 @@ def q193_weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame
 
 from spark_hadoop_automation_in_cloud_spark.operators.bpe import (  # noqa: E402
     bpe_encode,
+    bpe_merges_from_freqs,
+    sampled_freqs_slice,
     sql_bpe_encode,
+    word_freqs,
 )
 from spark_hadoop_automation_in_cloud_spark.operators.packing import (  # noqa: E402
     pack_token_counts,
     sql_pack_token_counts,
 )
+
+
+def _bpe_rules_and_encode(
+    d: DataFrame, n_merges: int = 4, sample_mod: int | None = None
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """The train-then-encode prologue every BPE-consuming query shares,
+    paying the corpus word pass ONCE (r10 optimization): the gated
+    word-frequency table is localCheckpoint'd (vocab-sized — the same
+    bounded class as the graph family's returned label frames), training
+    replays the greedy rounds over it (optionally over its deterministic
+    1/``sample_mod`` hash slice, the q200 shape), and the encode chain's
+    distinct-word side reads the SAME table instead of re-exploding and
+    re-gating the corpus.  Before the seam each such query ran THREE
+    corpus word passes (training aggregate, encode vocab distinct,
+    encode probe); now it runs two — checkpoint + probe — at every
+    scale.  Returns (rules, encoded frame)."""
+    wf = word_freqs(d, "text").localCheckpoint()
+    train = wf if sample_mod is None else sampled_freqs_slice(wf, sample_mod)
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merges_from_freqs(train, n_merges).collect()
+    ]
+    return rules, bpe_encode(d, "doc_id", "text", rules, vocab_words=wf)
 
 
 @register(
@@ -8531,10 +8557,7 @@ FROM (
 )
 def q194_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", parallelize=True)
-    rules = [
-        (r["lhs"], r["rhs"]) for r in bpe_merges(d, "text", n_merges=4).collect()
-    ]
-    enc = bpe_encode(d, "doc_id", "text", rules)
+    _, enc = _bpe_rules_and_encode(d)
     return enc.select(
         "doc_id",
         "n_tokens",
@@ -8566,12 +8589,8 @@ def q194_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q195_bpe_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", parallelize=True)
-    rules = [
-        (r["lhs"], r["rhs"]) for r in bpe_merges(d, "text", n_merges=4).collect()
-    ]
-    counted = bpe_encode(d, "doc_id", "text", rules).join(
-        d.select("doc_id", "source"), "doc_id"
-    )
+    _, enc = _bpe_rules_and_encode(d)
+    counted = enc.join(d.select("doc_id", "source"), "doc_id")
     return pack_token_counts(counted, "source", "doc_id", "n_tokens", capacity=256)
 
 
@@ -8818,7 +8837,6 @@ def q198_distilled_filter_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from spark_hadoop_automation_in_cloud_spark.operators.bpe import (  # noqa: E402
-    bpe_merges_sampled,
     decode_token_ids,
     gated_words,
     sql_bpe_decode_roundtrip,
@@ -8844,10 +8862,8 @@ from spark_hadoop_automation_in_cloud_spark.operators.bpe import (  # noqa: E402
 )
 def q199_bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", parallelize=True)
-    rules = [
-        (r["lhs"], r["rhs"]) for r in bpe_merges(d, "text", n_merges=4).collect()
-    ]
-    enc = bpe_encode(d, "doc_id", "text", rules).withColumn(
+    rules, enc0 = _bpe_rules_and_encode(d)
+    enc = enc0.withColumn(
         "bad_ids", F.concat(F.col("token_ids"), F.array(F.lit(9999).cast("int")))
     )
     dec = decode_token_ids(
@@ -8910,13 +8926,7 @@ FROM (
 )
 def q200_sampled_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", parallelize=True)
-    rules = [
-        (r["lhs"], r["rhs"])
-        for r in bpe_merges_sampled(
-            d, "text", n_merges=8, sample_mod=4
-        ).collect()
-    ]
-    enc = bpe_encode(d, "doc_id", "text", rules)
+    _, enc = _bpe_rules_and_encode(d, n_merges=8, sample_mod=4)
     return enc.select(
         "doc_id",
         "n_tokens",
@@ -9024,10 +9034,8 @@ ORDER BY source
 )
 def q201_curated_mix_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", parallelize=True)
-    rules = [
-        (r["lhs"], r["rhs"]) for r in bpe_merges(d, "text", n_merges=4).collect()
-    ]
-    enc = bpe_encode(d, "doc_id", "text", rules).select("doc_id", "n_tokens")
+    _, enc0 = _bpe_rules_and_encode(d)
+    enc = enc0.select("doc_id", "n_tokens")
     feat = _quality_feature_frame(d, ["doc_id", "source"]).join(enc, "doc_id")
     feat = feat.persist()
     try:
@@ -9243,10 +9251,8 @@ ORDER BY d.source
 )
 def q203_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", parallelize=True)
-    rules = [
-        (r["lhs"], r["rhs"]) for r in bpe_merges(d, "text", n_merges=4).collect()
-    ]
-    enc = bpe_encode(d, "doc_id", "text", rules).select("doc_id", "n_tokens")
+    _, enc0 = _bpe_rules_and_encode(d)
+    enc = enc0.select("doc_id", "n_tokens")
     gw = (
         gated_words(d, "doc_id", "text")
         .groupBy("doc_id")
@@ -9476,10 +9482,8 @@ ORDER BY source
 )
 def q205_learned_mix_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", parallelize=True)
-    rules = [
-        (r["lhs"], r["rhs"]) for r in bpe_merges(d, "text", n_merges=4).collect()
-    ]
-    enc = bpe_encode(d, "doc_id", "text", rules).select("doc_id", "n_tokens")
+    _, enc0 = _bpe_rules_and_encode(d)
+    enc = enc0.select("doc_id", "n_tokens")
     feat = _quality_feature_frame(d, ["doc_id", "source"]).join(enc, "doc_id")
     feat = feat.persist()
     try:
@@ -9633,10 +9637,8 @@ ORDER BY al.lang
 )
 def q206_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", parallelize=True)
-    rules = [
-        (r["lhs"], r["rhs"]) for r in bpe_merges(d, "text", n_merges=4).collect()
-    ]
-    enc = bpe_encode(d, "doc_id", "text", rules).select("doc_id", "n_tokens")
+    _, enc0 = _bpe_rules_and_encode(d)
+    enc = enc0.select("doc_id", "n_tokens")
     al = (
         enc.join(d.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")
