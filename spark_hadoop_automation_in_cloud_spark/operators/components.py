@@ -96,6 +96,8 @@ def connected_components(
     left_col: str,
     right_col: str,
     max_rounds: int = 25,
+    broadcast_nodes_max: int = 1_000_000,
+    broadcast_min_edge_rows: int = 1_000_000,
 ) -> DataFrame:
     """Pairs (undirected edges) → (node, component_id = min node id reachable).
 
@@ -110,6 +112,17 @@ def connected_components(
     over ~2^max_rounds, so a raise means something is structurally wrong
     (e.g. an unbounded pair generator), never a case to paper over with
     wrong cluster ids.
+
+    Join strategy of the per-round edges⋈labels hop follows
+    :func:`label_propagation`'s dispatch (its docstring has the measured
+    two-way A/B): on a large edge list with a bounded node set, the
+    |V|-row label frame broadcasts so the checkpointed edges are never
+    exchanged per round (LogicalRDD frames have no Catalyst statistics,
+    so the planner would sort-merge every round).  Only the edge join is
+    dispatched: the pointer-jump self-join's two sides share one
+    subtree, which sort-merge deduplicates via ReusedExchange but a
+    broadcast build would compute twice.  Bit-identical results either
+    way (integer MIN labels — order-free).
     """
     spark = pairs.sparkSession
     created: set[int] = set()
@@ -131,12 +144,23 @@ def connected_components(
             "node", F.col("node").alias("component_id")
         ).localCheckpoint()
         created |= _pinned_rdd_ids(labels)
+        # join-strategy dispatch (docstring); the edge gate
+        # short-circuits so small graphs pay no label-count job
+        bc = (
+            F.broadcast
+            if (
+                edges.count() >= broadcast_min_edge_rows
+                and labels.count() <= broadcast_nodes_max
+            )
+            else (lambda df: df)
+        )
 
         changed = 1
         for _ in range(max_rounds):
             # candidate label per node: min over (own label, neighbors' labels)
+            lab_r = bc(labels)
             neighbor_labels = (
-                edges.join(labels, edges.b == labels.node)
+                edges.join(lab_r, edges.b == lab_r.node)
                 .select(F.col("a").alias("node"), "component_id")
             )
             propagated = (
@@ -890,14 +914,17 @@ def k_core(
     exit, ownership-scoped.  Output: node, core_degree (bigint — the
     node's degree WITHIN the core), empty when no k-core exists.
 
-    Join strategy is the :func:`pagerank` dispatch: the per-round
-    survivor-node set (``keep``, ≤ |V| rows — bounded by 2·|E₀|, which
-    the setup already counted) BROADCASTS into the two semi-joins when
-    the initial graph is small enough, so the checkpointed edge list is
-    filtered map-side instead of being exchanged+sorted twice per peel
-    round (a localCheckpoint'd frame has no Catalyst statistics, so
-    without the hint both semi-joins plan as sort-merge).  Results are
-    bit-identical (integer degree filter); larger graphs keep the
+    Join strategy is the :func:`pagerank` dispatch with the edge-volume
+    gate (see :func:`label_propagation`'s docstring for the measured
+    two-way A/B): when the edge list is large enough that its per-round
+    exchange dominates (``broadcast_min_edge_rows``) and the node set
+    fits (``broadcast_nodes_max``, one node-count job paid only past
+    the edge gate), the per-round survivor set (``keep``, ≤ |V| rows)
+    BROADCASTS into the two semi-joins, so the checkpointed edge list
+    is filtered map-side instead of being exchanged+sorted twice per
+    peel round (a localCheckpoint'd frame has no Catalyst statistics,
+    so without the hint both semi-joins plan as sort-merge).  Results
+    are bit-identical (integer degree filter); smaller graphs keep the
     sort-merge form.
     """
     spark = edges.sparkSession
@@ -916,14 +943,21 @@ def k_core(
         )
         created |= _pinned_rdd_ids(e)
         n_edges = e.count()
-        # nodes ≤ 2·|E₀| — the scalar the setup already paid for picks
-        # the join strategy ONCE (the pagerank dispatch with an
-        # edge-volume gate, see label_propagation's docstring)
+        # join-strategy dispatch (pagerank's, with the edge-volume gate —
+        # see label_propagation's docstring).  The edge gate
+        # short-circuits first, so small graphs pay nothing extra; only
+        # a large graph pays the one-time node count (dense graphs have
+        # |V| far below 2·|E|, so a 2·|E| proxy would wrongly veto the
+        # broadcast exactly where it pays most).
         bc = (
             F.broadcast
             if (
-                2 * n_edges <= broadcast_nodes_max
-                and n_edges >= broadcast_min_edge_rows
+                n_edges >= broadcast_min_edge_rows
+                and e.select(F.col("u").alias("node"))
+                .unionAll(e.select(F.col("v").alias("node")))
+                .distinct()
+                .count()
+                <= broadcast_nodes_max
             )
             else (lambda df: df)
         )
@@ -1124,10 +1158,11 @@ def label_propagation(
         created |= _pinned_rdd_ids(lab)
         # two scalars (counts of the checkpointed frames) pick the join
         # strategy ONCE — the pagerank dispatch with an edge-volume gate
-        # (docstring)
+        # (docstring); the edge gate short-circuits first so small graphs
+        # never pay the label-count job
         small = (
-            lab.count() <= broadcast_nodes_max
-            and e.count() >= broadcast_min_edge_rows
+            e.count() >= broadcast_min_edge_rows
+            and lab.count() <= broadcast_nodes_max
         )
         bc = F.broadcast if small else (lambda df: df)
         for _ in range(n_rounds):
@@ -1316,11 +1351,13 @@ def modularity(
         # extra job; the label count is one cheap job over the caller's
         # (usually checkpointed) label frame
         m_val = e.count()
+        # the edge gate short-circuits first: small graphs skip the
+        # label-count job entirely
         bc = (
             F.broadcast
             if (
-                lab.count() <= broadcast_nodes_max
-                and m_val >= broadcast_min_edge_rows
+                m_val >= broadcast_min_edge_rows
+                and lab.count() <= broadcast_nodes_max
             )
             else (lambda df: df)
         )

@@ -63,34 +63,38 @@ def register(name: str, sql: str | None, doc: str = ""):
 # 1): the tuple below is the verbatim output of
 #
 #   python tools/stamps.py --emit q166_bpe_merge_training,\
-#     q169_tokenizer_fit_by_source,q194_bpe_token_ids,\
-#     q195_bpe_packed_sequences,q197_quality_filter_distillation,\
-#     q198_distilled_filter_rates
+#     q169_tokenizer_fit_by_source,q186_kcore_members,\
+#     q188_copurchase_communities,q189_community_modularity,\
+#     q194_bpe_token_ids,q195_bpe_packed_sequences,\
+#     q196_community_name_neardup,q197_quality_filter_distillation,\
+#     q198_distilled_filter_rates,q199_bpe_decode_roundtrip,\
+#     q200_sampled_bpe_token_ids,q201_curated_mix_funnel,\
+#     q202_doremi_mixture_weights,q203_tokenizer_fertility,\
+#     q205_learned_mix_funnel,q206_mixture_epochs
 #
 # where the --emit argument is the round's CHANGED-KERNEL list — the
-# one input not derivable from artifacts.  Round 10's changed kernels:
-#   - q166/q169/q194/q195: every BPE SQL rewrite round is now a no-op
-#     when t{i} is empty (_sql_fold_round LEFT JOIN guard — the r09
-#     ADVICE pair-exhaustion fix; Spark kernels byte-unchanged but the
-#     oracles changed, so the rows re-stamp);
-#   - q197/q198: logistic_fit/logistic_train_report gained the
-#     materialize-once persist seam and q198 moved to the shared
-#     _quality_feature_frame + bounded-collect shape (same trajectory,
-#     same oracle SQL — byte-checked — re-stamped on principle).
-# The ledger remains OVERSUBSCRIBED (65 age>=2 rows after this window's
-# 40-oldest block), so the window is 6 changed + 4 never-stamped
-# (q199-q202, registered this round) + the oldest 40 (the 6 remaining
-# r05 rows, then r06 rows in registration order); the leftover r06/r07
-# rows spill and MUST lead r11 — re-run stamps.py --emit then.
+# one input not derivable from artifacts.  This is the OPTIMIZATION
+# round (see OPTIMIZATION_r10.md); its changed kernels:
+#   - q197/q198/q201/q202/q205: logistic _gd_loop now builds each
+#     round's expressions as JVM-parsed SQL strings (identical tree,
+#     py4j construction removed) and exp_gradient_weights runs each
+#     reweight round as one join-free literal-fold query (bit-equal,
+#     property-pinned vs the DuckDB chain);
+#   - q186/q188/q189/q196: LPA/k-core/modularity gained the pagerank
+#     broadcast dispatch with an edge-volume gate (plan change only;
+#     both arms bit-equal, test-pinned);
+#   - q166/q169/q194/q195/q199/q200/q201/q203/q205/q206: the BPE
+#     train-then-encode prologue shares ONE checkpointed word-frequency
+#     pass (bpe_merges_from_freqs / vocab_words seams; oracle SQL
+#     byte-unchanged — q166/q169 route through the same delegation and
+#     re-stamp on principle).
+# The ledger remains OVERSUBSCRIBED (73 age>=2 rows spill), so the
+# window is 17 changed + 1 never-stamped (q204) + the oldest 32 (the 6
+# remaining r05 rows, then r06 rows in registration order); leftover
+# r06/r07 rows MUST lead the next round — re-run stamps.py --emit then.
 # All left-out rows are sf0.001-parity-green on HEAD via
-# tests/test_oracle_parity.py (every run) and sf0.01-green in the
-# round-10 full sweep.
-#
-# Registered AFTER this allocation: q203-q206 — they ride r11's
-# never-stamped block per the standing protocol.  q202's SPARK kernel
-# changed post-allocation (exp_gradient_weights round-per-query fix;
-# oracle byte-identical) — it is already inside this window and was
-# re-verified value-hashed on a vanilla session after the change.
+# tests/test_oracle_parity.py (every run) and sf0.01-green in this
+# round's full sweep.
 #
 # The driver's CORRECTNESS run verifies a bounded window (50 entries)
 # taken in registration order, so queries() exposes the registry ROTATED
@@ -101,15 +105,23 @@ _ROTATE_FIRST: tuple[str, ...] = (
     # --- changed kernel this round
     "q166_bpe_merge_training",  # r08
     "q169_tokenizer_fit_by_source",  # r08
+    "q186_kcore_members",  # r08
+    "q188_copurchase_communities",  # r09
+    "q189_community_modularity",  # r09
     "q194_bpe_token_ids",  # r09
     "q195_bpe_packed_sequences",  # r09
+    "q196_community_name_neardup",  # r09
     "q197_quality_filter_distillation",  # r09
     "q198_distilled_filter_rates",  # r09
-    # --- never stamped (registration order)
     "q199_bpe_decode_roundtrip",
     "q200_sampled_bpe_token_ids",
     "q201_curated_mix_funnel",
     "q202_doremi_mixture_weights",
+    "q203_tokenizer_fertility",
+    "q205_learned_mix_funnel",
+    "q206_mixture_epochs",
+    # --- never stamped (registration order)
+    "q204_source_kl_divergence",
     # --- oldest stamped rows (stamp round asc, registration order)
     "q104_hll_distinct_rollup",  # r05
     "q105_countmin_persist_merge",  # r05
@@ -143,15 +155,8 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q80_next_event_features",  # r06
     "q89_session_intervals",  # r06
     "q95_containment_dups",  # r06
-    "q96_kmeans_clusters",  # r06
-    "q108_incremental_dedup",  # r06
-    "q111_streaming_incremental_dedup",  # r06
-    "q112_token_budget_selection",  # r06
-    "q113_incremental_minhash_dedup",  # r06
-    "q115_frame_sampling",  # r06
-    "q116_cluster_canonicals_by_quality",  # r06
-    "q117_upsert_replay",  # r06
 )
+
 
 
 def specs() -> list[QuerySpec]:

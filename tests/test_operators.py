@@ -3374,6 +3374,14 @@ def test_graph_broadcast_dispatch_bit_equal(spark):
         modularity(df, lpa_b, "u", "v", broadcast_min_edge_rows=0)
     ) == rows(modularity(df, lpa_s, "u", "v", broadcast_nodes_max=0))
 
+    from spark_hadoop_automation_in_cloud_spark.operators.components import (
+        connected_components,
+    )
+
+    assert rows(
+        connected_components(df, "u", "v", broadcast_min_edge_rows=0)
+    ) == rows(connected_components(df, "u", "v", broadcast_nodes_max=0))
+
 
 def test_exact_substring_dedup_keeper_semantics(spark):
     """A 3-gram passage shared by two docs survives in the minimum doc
