@@ -363,11 +363,18 @@ def pagerank(
             .localCheckpoint()
         )
         created |= _pinned_rdd_ids(nd)
-        n = nd.count()  # one scalar the driver legitimately needs
-        # one-time scalar: a graph with no dangling nodes (e.g. any symmetric
-        # graph) skips the per-round dangling-mass job entirely; adding the
-        # exact-zero dm/n term was a no-op in IEEE arithmetic anyway
-        has_dangling = bool(nd.where(F.col("deg").isNull()).head(1))
+        # BOTH one-time setup scalars (node count for the 1/n terms; the
+        # dangling flag that skips the per-round dangling-mass job on
+        # symmetric graphs — adding the exact-zero dm/n term was a no-op
+        # in IEEE arithmetic anyway) ride ONE aggregate over the
+        # checkpointed node state instead of a count job + a filter-scan
+        # job (r10: one fewer setup action per call, same values)
+        setup = nd.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.when(F.col("deg").isNull(), 1).otherwise(0)).alias("hd"),
+        ).first()
+        n = int(setup["n"])
+        has_dangling = bool(setup["hd"])
         small = n <= broadcast_nodes_max
         ranks = nd.select("node", "deg", F.lit(1.0 / n).alias("rank"))
         if small:
@@ -828,13 +835,19 @@ def personalized_pagerank(
             .localCheckpoint()
         )
         created |= _pinned_rdd_ids(state)
-        n_seeds = state.agg(F.sum("__is_seed")).first()[0]
+        # both one-time setup scalars (seed count; the dangling flag that
+        # skips the per-round dangling-mass job — the exactly-0.0
+        # dm·seed_share term is a no-op in IEEE arithmetic on symmetric
+        # graphs) ride ONE aggregate over the checkpointed state instead
+        # of an agg job + a filter-scan job (r10: one fewer setup action)
+        setup = state.agg(
+            F.sum("__is_seed").alias("ns"),
+            F.max(F.when(F.col("deg") == 0, 1).otherwise(0)).alias("hd"),
+        ).first()
+        n_seeds = setup["ns"]
         if not n_seeds:
             raise ValueError("personalized_pagerank: no seed is present in the graph")
-        # one-time scalar: no dangling nodes (any symmetric graph) ⇒ the
-        # per-round dangling-mass job is skipped and the exactly-0.0
-        # dm·seed_share term drops (a no-op in IEEE arithmetic)
-        has_dangling = bool(state.where(F.col("deg") == 0).head(1))
+        has_dangling = bool(setup["hd"])
         seed_share = F.col("__is_seed").cast("double") / float(n_seeds)
         ranks = state.select(
             "node", "__is_seed", "deg", seed_share.alias("rank")

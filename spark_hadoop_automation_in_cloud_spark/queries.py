@@ -62,15 +62,20 @@ def register(name: str, sql: str | None, doc: str = ""):
 # THE ALLOCATION IS GENERATED, NOT HAND-TRANSCRIBED (r08 verdict item
 # 1): the tuple below is the verbatim output of
 #
-#   python tools/stamps.py --emit q166_bpe_merge_training,\
-#     q169_tokenizer_fit_by_source,q186_kcore_members,\
-#     q188_copurchase_communities,q189_community_modularity,\
-#     q194_bpe_token_ids,q195_bpe_packed_sequences,\
-#     q196_community_name_neardup,q197_quality_filter_distillation,\
-#     q198_distilled_filter_rates,q199_bpe_decode_roundtrip,\
-#     q200_sampled_bpe_token_ids,q201_curated_mix_funnel,\
-#     q202_doremi_mixture_weights,q203_tokenizer_fertility,\
-#     q205_learned_mix_funnel,q206_mixture_epochs
+#   python tools/stamps.py --emit q39_neardup_clusters,\
+#     q40_corpus_curation,q69_pagerank,\
+#     q116_cluster_canonicals_by_quality,q124_leakage_safe_split,\
+#     q128_incremental_components,q132_incremental_cluster_maintenance,\
+#     q143_dedup_audit,q166_bpe_merge_training,\
+#     q169_tokenizer_fit_by_source,q185_personalized_pagerank,\
+#     q186_kcore_members,q188_copurchase_communities,\
+#     q189_community_modularity,q194_bpe_token_ids,\
+#     q195_bpe_packed_sequences,q196_community_name_neardup,\
+#     q197_quality_filter_distillation,q198_distilled_filter_rates,\
+#     q199_bpe_decode_roundtrip,q200_sampled_bpe_token_ids,\
+#     q201_curated_mix_funnel,q202_doremi_mixture_weights,\
+#     q203_tokenizer_fertility,q205_learned_mix_funnel,\
+#     q206_mixture_epochs
 #
 # where the --emit argument is the round's CHANGED-KERNEL list — the
 # one input not derivable from artifacts.  This is the OPTIMIZATION
@@ -80,16 +85,19 @@ def register(name: str, sql: str | None, doc: str = ""):
 #     py4j construction removed) and exp_gradient_weights runs each
 #     reweight round as one join-free literal-fold query (bit-equal,
 #     property-pinned vs the DuckDB chain);
-#   - q186/q188/q189/q196: LPA/k-core/modularity gained the pagerank
-#     broadcast dispatch with an edge-volume gate (plan change only;
-#     both arms bit-equal, test-pinned);
+#   - q186/q188/q189/q196 + the connected_components consumers
+#     (q39/q40/q116/q124/q128/q132/q143): the graph loops gained the
+#     pagerank broadcast dispatch with an edge-volume gate (plan change
+#     only; both arms bit-equal, test-pinned);
+#   - q69/q185: pagerank/PPR fold their two setup scalars (node/seed
+#     count + dangling flag) into ONE aggregate job (same values);
 #   - q166/q169/q194/q195/q199/q200/q201/q203/q205/q206: the BPE
 #     train-then-encode prologue shares ONE checkpointed word-frequency
 #     pass (bpe_merges_from_freqs / vocab_words seams; oracle SQL
 #     byte-unchanged — q166/q169 route through the same delegation and
 #     re-stamp on principle).
-# The ledger remains OVERSUBSCRIBED (73 age>=2 rows spill), so the
-# window is 17 changed + 1 never-stamped (q204) + the oldest 32 (the 6
+# The ledger remains OVERSUBSCRIBED (75 age>=2 rows spill), so the
+# window is 26 changed + 1 never-stamped (q204) + the oldest 23 (the 6
 # remaining r05 rows, then r06 rows in registration order); leftover
 # r06/r07 rows MUST lead the next round — re-run stamps.py --emit then.
 # All left-out rows are sf0.001-parity-green on HEAD via
@@ -103,8 +111,17 @@ def register(name: str, sql: str | None, doc: str = ""):
 # regardless of position.
 _ROTATE_FIRST: tuple[str, ...] = (
     # --- changed kernel this round
+    "q39_neardup_clusters",  # r07
+    "q40_corpus_curation",  # r06
+    "q69_pagerank",  # r09
+    "q116_cluster_canonicals_by_quality",  # r06
+    "q124_leakage_safe_split",  # r06
+    "q128_incremental_components",  # r06
+    "q132_incremental_cluster_maintenance",  # r06
+    "q143_dedup_audit",  # r07
     "q166_bpe_merge_training",  # r08
     "q169_tokenizer_fit_by_source",  # r08
+    "q185_personalized_pagerank",  # r09
     "q186_kcore_members",  # r08
     "q188_copurchase_communities",  # r09
     "q189_community_modularity",  # r09
@@ -136,7 +153,6 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q27_quality_score",  # r06
     "q34_raw_event_flatten",  # r06
     "q38_moving_average",  # r06
-    "q40_corpus_curation",  # r06
     "q43_session_windows",  # r06
     "q44_streaming_geo_rollup",  # r06
     "q45_distinct_aggregates",  # r06
@@ -147,16 +163,7 @@ _ROTATE_FIRST: tuple[str, ...] = (
     "q65_stream_stream_join",  # r06
     "q67_stream_static_join",  # r06
     "q70_resample_forward_fill",  # r06
-    "q71_map_explode",  # r06
-    "q72_conversion_funnel",  # r06
-    "q73_retention_cohorts",  # r06
-    "q74_scd2_intervals",  # r06
-    "q79_growth_accounting",  # r06
-    "q80_next_event_features",  # r06
-    "q89_session_intervals",  # r06
-    "q95_containment_dups",  # r06
 )
-
 
 
 def specs() -> list[QuerySpec]:
