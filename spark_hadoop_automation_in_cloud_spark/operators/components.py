@@ -155,6 +155,23 @@ def connected_components(
             else (lambda df: df)
         )
 
+        # Convergence probe (r11): each round takes per-node MIN over (own
+        # label, neighbor labels) and then a pointer jump to a label that
+        # is itself never larger (labels start as node ids and only ever
+        # decrease, so label(label) <= label) — the per-node label is
+        # MONOTONE NON-INCREASING round over round.  Hence "no node
+        # changed" ⇔ the EXACT label sum is unchanged (strict decrease in
+        # any node strictly decreases the sum; DECIMAL(38,0) keeps it
+        # exact for any bigint id set).  The probe is one scan-aggregate
+        # of the just-checkpointed |V|-row frame, replacing the old
+        # new⋈old join (two exchanges + sort per round) that existed only
+        # to answer this yes/no.
+        def _label_sum(frame: DataFrame):
+            return frame.agg(
+                F.sum(F.col("component_id").cast("decimal(38,0)")).alias("s")
+            ).first()["s"]
+
+        prev_sum = _label_sum(labels)
         changed = 1
         for _ in range(max_rounds):
             # candidate label per node: min over (own label, neighbors' labels)
@@ -181,13 +198,9 @@ def connected_components(
                 .localCheckpoint()
             )
             created |= _pinned_rdd_ids(new_labels)
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .where(F.col("n.component_id") != F.col("o.component_id"))
-                .limit(1)
-                .count()
-            )
+            new_sum = _label_sum(new_labels)
+            changed = 0 if new_sum == prev_sum else 1
+            prev_sum = new_sum
             labels = new_labels
             if changed == 0:
                 break
@@ -241,6 +254,7 @@ def pagerank(
     checkpoint_every: int = 2,
     broadcast_nodes_max: int = 1_000_000,
     assume_distinct_edges: bool = False,
+    small_checkpoint_every: int = 2,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list.
 
@@ -274,9 +288,22 @@ def pagerank(
       (7.4s→3.4s, 29.8s→17.0s), with per-round cost dropping ~2.5s→
       ~0.8s at 10x — the remaining 10x wall is the one-time linear setup
       (edge distinct + degree build), i.e. work proportional to data, not
-      per-round overhead.  Broadcasting re-executes the rank lineage per
-      round, so this path checkpoints EVERY round (the frames are small
-      by construction — that's what made them broadcastable).
+      per-round overhead.  On a dangling-free graph the per-round rank
+      frame is referenced exactly ONCE by the next round's plan (inside
+      the contribs broadcast), so rounds chain LAZILY and the path
+      checkpoints every ``small_checkpoint_every`` rounds (r11): K rounds
+      cost ~K/small_checkpoint_every driver actions and measurably fewer
+      scheduler jobs (53 → 48 jobs for q69's 10 rounds at 2), with
+      bit-identical output (same plan tree, materialized less often; the
+      per-round dp snap already pins summation order).  Deeper chains
+      measured WORSE (interleaved 4-trial medians on q69's graph:
+      cadence 2 = 6.25 s vs cadence 5 = 6.86 s vs every-round = 6.96 s;
+      full 10-round unroll regressed to 9.9 s — AQE re-planning grows
+      with plan depth), so 2 is the default;
+      a graph WITH dangling mass keeps the every-round checkpoint — its
+      dangling aggregate is a second reference to the rank frame, and an
+      unmaterialized chain would re-execute each round's subtree per
+      reference (2^rounds growth).
     - larger graphs — sort-merge join with ``checkpoint_every`` lineage
       cuts; 2 is the measured sweet spot (each checkpoint materializes a
       |nodes|-row frame and schedules a job — every round pays that fixed
@@ -326,9 +353,10 @@ def pagerank(
     output rounding.  The perturbation itself (<5e-10/round) sits far
     below PageRank's meaningful resolution.  ``None`` keeps raw doubles.
     """
-    if checkpoint_every < 1:
+    if checkpoint_every < 1 or small_checkpoint_every < 1:
         raise ValueError(
-            f"checkpoint_every must be >= 1, got {checkpoint_every} "
+            f"checkpoint_every must be >= 1, got {checkpoint_every}/"
+            f"{small_checkpoint_every} "
             "(pass n_iter to checkpoint only the final round)"
         )
     spark = edges.sparkSession
@@ -381,6 +409,14 @@ def pagerank(
             ranks = ranks.localCheckpoint()
             created |= _pinned_rdd_ids(ranks)
 
+        # lineage-cut cadence (docstring): broadcast path chains rounds
+        # lazily unless the dangling aggregate adds a second reference to
+        # the per-round rank frame
+        cut_every = (
+            (1 if has_dangling else small_checkpoint_every)
+            if small
+            else checkpoint_every
+        )
         for i in range(n_iter):
             r = F.broadcast(ranks) if small else ranks
             contribs = (
@@ -407,7 +443,7 @@ def pagerank(
             if per_iter_round_dp is not None:
                 new_rank = F.round(new_rank, per_iter_round_dp)
             ranks = nxt.select("node", "deg", new_rank.alias("rank"))
-            if small or (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
+            if (i + 1) % cut_every == 0 or i == n_iter - 1:
                 ranks = ranks.localCheckpoint()
                 created |= _pinned_rdd_ids(ranks)
         # materialize the returned frame into its OWN checkpoint, then release
@@ -757,6 +793,7 @@ def personalized_pagerank(
     damping: float = 0.85,
     per_iter_round_dp: int | None = 9,
     assume_distinct_edges: bool = False,
+    small_checkpoint_every: int = 2,
 ) -> DataFrame:
     """Personalized PageRank: power iteration whose teleport lands on a
     SEED SET instead of uniformly — the "related to THIS cohort /
@@ -782,8 +819,14 @@ def personalized_pagerank(
     Distributed shape: identical to :func:`pagerank`'s broadcast path —
     the |nodes|-row rank frame broadcasts into one map-side hash join
     over the checkpointed edge partitions per round, the aggregate is
-    map-side combined, the per-round rank frame localCheckpoints (and
-    this call's checkpoints release on exit, ownership-scoped).  Edges
+    map-side combined, and the rank update joins the CHECKPOINTED node
+    state (not the previous rank frame), so each round's plan references
+    the previous ranks exactly once — which lets a dangling-free graph
+    chain rounds lazily and checkpoint every ``small_checkpoint_every``
+    rounds (r11, :func:`pagerank`'s cadence rationale; a graph with
+    dangling mass keeps the every-round checkpoint because its dangling
+    aggregate is a second reference to the rank frame).  This call's
+    checkpoints release on exit, ownership-scoped.  Edges
     are distinct-ed defensively unless ``assume_distinct_edges``
     (:func:`pagerank`'s contract verbatim: a duplicated edge would
     double-count its contribution, so True is the CALLER's promise that
@@ -854,7 +897,16 @@ def personalized_pagerank(
         ).localCheckpoint()
         created |= _pinned_rdd_ids(ranks)
         d = float(damping)
-        for _ in range(n_iter):
+        if small_checkpoint_every < 1:
+            raise ValueError(
+                f"small_checkpoint_every must be >= 1, got {small_checkpoint_every}"
+            )
+        # lineage-cut cadence (docstring / pagerank's rationale): the rank
+        # update joins the checkpointed `state`, so the previous rank frame
+        # appears exactly once per round plan (inside the inflow broadcast)
+        # unless the dangling aggregate adds a second reference
+        cut_every = 1 if has_dangling else small_checkpoint_every
+        for i in range(n_iter):
             inflow = (
                 e.join(
                     F.broadcast(
@@ -868,7 +920,7 @@ def personalized_pagerank(
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum("__contrib").alias("__inflow"))
             )
-            nxt = ranks.join(F.broadcast(inflow), "node", "left")
+            nxt = state.join(F.broadcast(inflow), "node", "left")
             damped = F.coalesce(F.col("__inflow"), F.lit(0.0))
             if has_dangling:
                 dangling = ranks.where(F.col("deg") == 0).agg(
@@ -884,8 +936,10 @@ def personalized_pagerank(
             )
             if per_iter_round_dp is not None:
                 nxt = nxt.withColumn("rank", F.round("rank", per_iter_round_dp))
-            ranks = nxt.localCheckpoint()
-            created |= _pinned_rdd_ids(ranks)
+            ranks = nxt
+            if (i + 1) % cut_every == 0 or i == n_iter - 1:
+                ranks = ranks.localCheckpoint()
+                created |= _pinned_rdd_ids(ranks)
         out = ranks.select("node", (F.round("rank", 6) + F.lit(0.0)).alias("rank"))
         res = out.localCheckpoint()
         _unpersist_rdds(spark, created - _pinned_rdd_ids(res))
@@ -1067,6 +1121,7 @@ def label_propagation(
     n_rounds: int = 5,
     broadcast_nodes_max: int = 1_000_000,
     broadcast_min_edge_rows: int = 1_000_000,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Synchronous label-propagation communities (LPA, Raghavan et al.):
     every node starts as its own label, and each round adopts the most
@@ -1093,16 +1148,23 @@ def label_propagation(
     current labels (|V| rows) onto the symmetric edge list, count
     (node, label) with map-side combine, and ``max_by(label,
     struct(cnt, -label))`` collapses the argmax inside the same
-    aggregate; the label frame localCheckpoints per round (lineage would
-    double otherwise) with ownership-scoped release.  No driver state
-    beyond the round counter; edges checkpoint ONCE.
+    aggregate; the label frame localCheckpoints every
+    ``checkpoint_every`` rounds (r11: each round's plan references the
+    previous label frame exactly ONCE — the old per-round label-update
+    join is gone — so rounds chain lazily between lineage cuts; the
+    q188-graph A/B measured cadence 2 at 3.18 s vs every-round 3.61 s
+    and full-chain 3.27 s, bit-identical) with ownership-scoped
+    release.  No driver state beyond the round counter; edges
+    checkpoint ONCE.
 
     Join strategy follows :func:`pagerank`'s dispatch with an
     edge-volume gate: when ``|V| <= broadcast_nodes_max`` AND the
     symmetric edge list holds at least ``broadcast_min_edge_rows`` rows,
-    the per-round label frame (and the ≤|V|-row argmax output)
-    BROADCASTS into its joins, so the checkpointed edge partitions are
-    never exchanged or sorted — each round becomes one map-side hash
+    the per-round label frame BROADCASTS into the one edge join (since
+    r11 the argmax aggregate IS the next label frame — the old
+    label-update join was a row-wise no-op, see the loop comment — so
+    there is exactly one join per round), and the checkpointed edge
+    partitions are never exchanged or sorted — each round becomes one map-side hash
     join + one map-side-combined aggregate (LPA's labels-onto-edges
     join is pagerank's shape, which measured 2.0–2.2× faster broadcast
     at 1.8M/17.9M edges).  The statistics of a localCheckpoint'd frame
@@ -1132,6 +1194,8 @@ def label_propagation(
     """
     if n_rounds < 1:
         raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     _integral = {"tinyint", "smallint", "int", "bigint"}
     dtypes = dict(edges.dtypes)
     for c in (src_col, dst_col):
@@ -1178,29 +1242,32 @@ def label_propagation(
             and lab.count() <= broadcast_nodes_max
         )
         bc = F.broadcast if small else (lambda df: df)
-        for _ in range(n_rounds):
+        for i in range(n_rounds):
             nb = e.join(bc(lab.withColumnRenamed("node", "src")), "src").select(
                 F.col("dst").alias("node"), "lbl"
             )
-            pick = (
+            # the argmax aggregate IS the next label frame (r11): `e` is
+            # symmetric by construction (both directions of every sym
+            # pair), so every labeled node appears as a dst and `pick`
+            # covers the full node set — the old `lab LEFT JOIN pick` +
+            # coalesce(new_lbl, lbl) update (one |V|⋈|V| join per round:
+            # two exchanges + sorts on the sort-merge arm, one broadcast
+            # barrier on the broadcast arm) was provably a no-op row-wise
+            # and is removed.  The isolated-node coalesce the update
+            # encoded can never fire here: lab's nodes are e's endpoints.
+            lab = (
                 nb.groupBy("node", "lbl")
                 .agg(F.count(F.lit(1)).alias("c"))
                 .groupBy("node")
                 .agg(
-                    F.expr("max_by(lbl, struct(c, -lbl))").alias("new_lbl")
+                    F.expr("max_by(lbl, struct(c, -lbl))").alias("lbl")
                 )
             )
-            # pick is ≤|V| rows post-aggregate — broadcast it too, so the
-            # label update never exchanges the checkpointed label frame
-            nxt = (
-                lab.join(bc(pick), "node", "left")
-                .select(
-                    "node", F.coalesce(F.col("new_lbl"), F.col("lbl")).alias("lbl")
-                )
-                .localCheckpoint()
-            )
-            created |= _pinned_rdd_ids(nxt)
-            lab = nxt
+            # lineage cut (docstring cadence) — the final round always
+            # checkpoints: the community-size readout references it twice
+            if (i + 1) % checkpoint_every == 0 or i == n_rounds - 1:
+                lab = lab.localCheckpoint()
+                created |= _pinned_rdd_ids(lab)
         out = (
             lab.join(
                 bc(

@@ -96,6 +96,15 @@ def _sql_double(v: float) -> str:
     return f"CAST('{v!r}' AS DOUBLE)"
 
 
+def _bt(name: str) -> str:
+    """Backtick-quote a column name for the F.expr strings (embedded
+    backticks doubled) — preserves the accepted-name surface of the old
+    F.col()-based tree for names needing quoting (spaces, hyphens,
+    reserved words; r10 ADVICE item 3).  Quoting a plain identifier
+    parses to the identical attribute reference."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _gd_loop(
     features: DataFrame,
     feature_cols: list[str],
@@ -117,14 +126,14 @@ def _gd_loop(
         wl = [_sql_double(v) for v in w]
         dot = " + ".join(
             [wl[0]]
-            + [f"{wl[j]} * {c}" for j, c in enumerate(feature_cols, start=1)]
+            + [f"{wl[j]} * {_bt(c)}" for j, c in enumerate(feature_cols, start=1)]
         )
-        sig = f"(1.0 / (1.0 + exp(-({dot}))) - {label_col})"
+        sig = f"(1.0 / (1.0 + exp(-({dot}))) - {_bt(label_col)})"
         aggs = [
             F.expr("CAST(COUNT(1) AS DOUBLE)").alias("n"),
             F.expr(f"SUM({sig})").alias("g0"),
         ] + [
-            F.expr(f"SUM({sig} * {c})").alias(f"g{j}")
+            F.expr(f"SUM({sig} * {_bt(c)})").alias(f"g{j}")
             for j, c in enumerate(feature_cols, start=1)
         ]
         # the update arithmetic runs IN Spark expressions (round = exact

@@ -19,9 +19,10 @@ a driver-bounded trajectory.  The iteration is still genuine (the
 baseline moves with the weights, so no closed form reproduces the
 snapped trajectory), and both engines walk it on the IDENTICAL per-round
 spelling (:func:`_sql_round`): the DuckDB oracle unrolls the rounds as
-one CTE chain (:func:`sql_reweight_ctes`), Spark executes them ONE ROUND
-PER QUERY over the re-materialized |domains|-row weight state
-(:func:`exp_gradient_weights`) — the q69/q197 trajectory discipline.
+one CTE chain (:func:`sql_reweight_ctes`), Spark executes the WHOLE
+trajectory as one chained-fold query over the |domains|-row literal
+state (:func:`exp_gradient_weights`, r11; r10 ran one fold query per
+round) — the q69/q197 trajectory discipline.
 The 7dp per-round snap re-synchronizes the engines' exp/summation ulp
 wobble (~k·1e−16 per round, nine orders under the grid).
 
@@ -41,13 +42,17 @@ createDataFrame→createOrReplaceTempView→join→collect cycle cost
 10.8 s wall at sf0.1, measured 2026-08-17 — a 20-row computation).
 Inlining the cells and the previous round's weights as literal arrays
 and folding the two SUMs as row-local ``aggregate`` over those arrays
-makes each round ONE single-row, join-free query (~0.1 s): same
-multiplies, same adds in the same left-to-right order (a single-partition
-SUM accumulates rows sequentially in input order, exactly like the fold;
-the products are >= +0.0 so the fold's 0.0 seed is an exact identity),
-same ``exp``, same 7dp snap — bit-equal by construction, pinned against
-both the old executor's trajectory and the DuckDB unrolled chain in
-tests/test_operators.py.
+makes the rounds single-row, join-free array folds (~0.1 s/round in
+r10's round-per-query form; ONE query for the whole trajectory since
+r11): same multiplies, same adds in the same left-to-right order (a
+single-partition SUM accumulates rows sequentially in input order,
+exactly like the fold; the products are >= +0.0 so the fold's 0.0 seed
+is an exact identity), same ``exp``, same 7dp snap.  Equality with the
+fragment form holds UNDER THE 7dp SNAP and is pinned by the
+cross-engine property test and the q202/q205 oracle rows — the fold
+accumulates in cells order, which the old round-per-query SUM also did,
+but don't lean on strict bit-level construction at exact half
+boundaries when modifying the fold (r10 ADVICE item 4).
 
 Direction note: hard domains gain weight (excess loss > 0 ⇒ multiplier
 > 1) — DoReMi's Group-DRO direction, which spends budget where the
@@ -132,8 +137,11 @@ ORDER BY source
 
 
 def _sql_str(s: str) -> str:
-    """A string literal, single quotes doubled."""
-    return "'" + s.replace("'", "''") + "'"
+    """A string literal: backslashes doubled FIRST (Spark SQL parses
+    backslash escapes in string literals by default, so an un-doubled
+    backslash would silently mutate an inlined domain name — r10 ADVICE
+    item 1), then single quotes doubled."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def _sql_double(v: float) -> str:
@@ -148,33 +156,53 @@ def _sql_double(v: float) -> str:
     return f"CAST('{v!r}' AS DOUBLE)"
 
 
-def _sql_fold_round_query(
-    cell_rows, w_map: dict[str, float], eta: float, dp: int
+def _sql_fold_chain_query(
+    cell_rows, w0: float, eta: float, dp: int, n_rounds: int
 ) -> str:
-    """ONE weight round as a single-row, join-free query over literal
-    state — the same arithmetic as :func:`_sql_round` (same per-domain
-    products, the two SUMs accumulated in the same cells order, same
-    ``exp``, same ``round``), executed as row-local array folds so the
-    round costs one tiny job instead of a planned join tree.  Bit
-    equality with the fragment form is argued in the module docstring
-    and pinned by tests."""
+    """The WHOLE weight trajectory as one single-row, join-free query
+    over literal state — each round is the same arithmetic as
+    :func:`_sql_round` (same per-domain products, the two SUMs
+    accumulated as array folds in the same cells order, same ``exp``,
+    same per-round ``round``), chained through nested FROM subqueries so
+    every level is referenced exactly ONCE (linear plan growth — unlike
+    the CTE chain, which Spark inlines at every reference site, ~4^n).
+    r10 ran one such fold query PER round (n_rounds driver round-trips,
+    each re-inlining the collected weights as repr literals — an exact
+    IEEE round-trip); r11 carries the weight array in-plan instead, so
+    the trajectory costs ONE job.  Values are identical under the
+    per-round ``dp`` snap (same folds, same order, same exp/round —
+    equality pinned by the cross-engine property test and the q202/q205
+    oracle rows, not claimed from construction alone: the fold order
+    matches the single-partition SUM's input order, and the 7dp snap's
+    9-orders slack absorbs any half-boundary hazard)."""
     arr = ", ".join(
         f"named_struct('domain', {_sql_str(d)}, 'ml', {_sql_double(ml)},"
-        f" 'w', {_sql_double(w_map[d])})"
+        f" 'w', {_sql_double(w0)})"
         for d, ml in cell_rows
     )
-    return f"""
-WITH rc AS (SELECT array({arr}) AS cw),
-rb AS (SELECT cw, aggregate(cw, CAST(0.0 AS DOUBLE),
-                            (acc, x) -> acc + x.w * x.ml) AS b FROM rc),
-ru AS (SELECT transform(cw, x -> named_struct('domain', x.domain,
-              'uw', x.w * exp({eta!r} * (x.ml - b)))) AS us FROM rb),
-rz AS (SELECT us, aggregate(us, CAST(0.0 AS DOUBLE),
-                            (acc, x) -> acc + x.uw) AS z FROM ru)
-SELECT explode(transform(us, x -> named_struct('domain', x.domain,
-               'w', round(x.uw / z, {dp})))) AS r
-FROM rz
-"""
+    qry = f"SELECT array({arr}) AS cw"
+    for _ in range(n_rounds):
+        qry = (
+            "SELECT cw, aggregate(cw, CAST(0.0 AS DOUBLE),"
+            f" (acc, x) -> acc + x.w * x.ml) AS b FROM ({qry})"
+        )
+        qry = (
+            "SELECT transform(cw, x -> named_struct('domain', x.domain,"
+            f" 'ml', x.ml, 'uw', x.w * exp({eta!r} * (x.ml - b)))) AS us"
+            f" FROM ({qry})"
+        )
+        qry = (
+            "SELECT us, aggregate(us, CAST(0.0 AS DOUBLE),"
+            f" (acc, x) -> acc + x.uw) AS z FROM ({qry})"
+        )
+        qry = (
+            "SELECT transform(us, x -> named_struct('domain', x.domain,"
+            f" 'ml', x.ml, 'w', round(x.uw / z, {dp}))) AS cw FROM ({qry})"
+        )
+    return (
+        "SELECT explode(transform(cw, x -> named_struct('domain', x.domain,"
+        f" 'w', x.w))) AS r FROM ({qry})"
+    )
 
 
 def exp_gradient_weights(
@@ -186,31 +214,41 @@ def exp_gradient_weights(
 ):
     """Run the trajectory IN SPARK over a (domain, n_docs, mean_loss)
     DataFrame — the per-round arithmetic of :func:`_sql_round` with the
-    |domains|-row state collected once and re-inlined as LITERALS each
-    round (bounded model state — the q96 broadcast-centroid contract):
-    ONE single-row, join-free query per round (module docstring; the
-    temp-view/join form cost ~1.3 s/round of planning overhead for a
-    20-row computation, and executing the unrolled chain as a single
-    query hits Spark's inline-at-every-reference CTE expansion, ~4^n
-    plan subtrees — 117 s for 5 rounds over 20 cells, measured).  The
-    final readout executes :func:`sql_reweight_select` verbatim over the
-    literal cells + final weights, so the output spelling (the
-    ``floor(total·w)`` budget) stays the oracle's."""
+    |domains|-row state collected once and inlined as LITERALS (bounded
+    model state — the q96 broadcast-centroid contract): the WHOLE
+    trajectory is ONE single-row, join-free query of chained array folds
+    (:func:`_sql_fold_chain_query`; r10 ran one such query per round —
+    n_rounds driver round-trips — and the earlier temp-view/join form
+    cost ~1.3 s/round of planning overhead for a 20-row computation,
+    while executing the unrolled CTE chain as a single query hits
+    Spark's inline-at-every-reference CTE expansion, ~4^n plan subtrees
+    — 117 s for 5 rounds over 20 cells, measured).  The final readout
+    executes :func:`sql_reweight_select` verbatim over the literal cells
+    + final weights, so the output spelling (the ``floor(total·w)``
+    budget) stays the oracle's.  An empty cell frame returns an empty
+    result frame (the pre-r10 temp-view behavior; r10 raised
+    ZeroDivisionError — r10 ADVICE item 2)."""
     if n_rounds < 1:
         raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
     # |domains| rows of bounded model state — the one driver crossing
     rows = cells.select("domain", "n_docs", "mean_loss").collect()
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            "source string, n_docs bigint, mean_loss double, "
+            "weight double, token_budget bigint",
+        )
     cell_rows = [(r["domain"], float(r["mean_loss"])) for r in rows]
     # round 0: 1/k uniform — IEEE double division, identical in Python
     # and the engine (_sql_init divides the same two exact values)
-    w_map = {d: 1.0 / float(len(rows)) for d, _ in cell_rows}
-    for _ in range(1, n_rounds + 1):
-        w_map = {
-            r["r"]["domain"]: float(r["r"]["w"])
-            for r in spark.sql(
-                _sql_fold_round_query(cell_rows, w_map, eta, 7)
-            ).collect()
-        }
+    w_map = {
+        r["r"]["domain"]: float(r["r"]["w"])
+        for r in spark.sql(
+            _sql_fold_chain_query(
+                cell_rows, 1.0 / float(len(rows)), eta, 7, n_rounds
+            )
+        ).collect()
+    }
     cells_rel = (
         "(SELECT col1 AS domain, col2 AS n_docs, col3 AS mean_loss FROM"
         " (VALUES "

@@ -2620,9 +2620,17 @@ def q69_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the events scan + JSON parse runs once, not twice
         .localCheckpoint()
     )
+    # r11: the checkpointed distinct lands in ONE AQE-coalesced partition
+    # (18.8k rows), which serialized the self-join's 3.5M-row pair fanout
+    # + partial-distinct on a single task (measured 2.5 s of q69's 7 s).
+    # Re-spreading the small frame across the cluster's cores (one cheap
+    # 19k-row exchange, shared by both join sides via ReusedExchange)
+    # parallelizes the fanout: 2.51 s → 0.87 s.  Count is
+    # defaultParallelism — scale-adaptive, never a local constant.
+    pk = purchases.repartition(spark.sparkContext.defaultParallelism, "k")
     edges = (
-        purchases.alias("a")
-        .join(purchases.alias("b"), "k")
+        pk.alias("a")
+        .join(pk.alias("b"), "k")
         .where(F.col("a.user_id") != F.col("b.user_id"))
         .select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
         .distinct()
@@ -8011,9 +8019,14 @@ def q185_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    # r11: parallelize the single-partition pair fanout — q69's comment
+    # (the checkpointed distinct is 1 AQE-coalesced partition, which
+    # serialized the 3.5M-row fanout on one task; defaultParallelism is
+    # the scale-adaptive spread)
+    pk = purchases.repartition(spark.sparkContext.defaultParallelism, "k")
     edges = (
-        purchases.alias("a")
-        .join(purchases.alias("b"), "k")
+        pk.alias("a")
+        .join(pk.alias("b"), "k")
         .where(F.col("a.user_id") != F.col("b.user_id"))
         .select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
     )
@@ -9059,16 +9072,20 @@ def q201_curated_mix_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             dot = dot + F.lit(w[j]) * F.col(c)
         scored = feat.withColumn("score", dot)
         kept = scored.where(F.col("score") >= 0)
-        base = {
-            r["source"]: int(r["n"])
-            for r in feat.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+        # r11: base counts and keep counts ride ONE aggregate pass over the
+        # scored frame (they were two scan+collect actions; the conditional
+        # sum is exact-integer, and dropping zero-keep sources reproduces
+        # the old keeps dict, which only held sources present in `kept`)
+        bk = (
+            scored.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("score") >= 0, 1).otherwise(0)).alias("k"),
+            )
             .collect()
-        }
-        keeps = {
-            r["source"]: int(r["n"])
-            for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        )
+        base = {r["source"]: int(r["n"]) for r in bk}
+        keeps = {r["source"]: int(r["k"]) for r in bk if int(r["k"]) > 0}
         # |sources| cells of driver state; the budget derivation is exact
         # integer arithmetic spelled identically in the oracle
         total_keep = sum(keeps.values())
@@ -9089,23 +9106,34 @@ def q201_curated_mix_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             budget=F.col("source_budget"),
         ).persist()
         try:
-            sel_stats = {
-                r["source"]: (int(r["n"]), int(r["t"]))
-                for r in sel.groupBy("source")
+            # r11: the selection stats and the packing-bin counts ride ONE
+            # collect (a full-outer join of the two per-source aggregates
+            # over the persisted `sel` — they were two separate actions);
+            # values are the per-frame aggregates unchanged
+            sel_join = (
+                sel.groupBy("source")
                 .agg(
                     F.count(F.lit(1)).alias("n"),
                     F.sum("n_tokens").alias("t"),
                 )
+                .join(
+                    pack_token_counts(
+                        sel, "source", "doc_id", "n_tokens", capacity=256
+                    )
+                    .groupBy("source")
+                    .agg(F.countDistinct("bin_id").alias("b")),
+                    "source",
+                    "full",
+                )
                 .collect()
+            )
+            sel_stats = {
+                r["source"]: (int(r["n"]), int(r["t"]))
+                for r in sel_join
+                if r["n"] is not None
             }
             bins = {
-                r["source"]: int(r["b"])
-                for r in pack_token_counts(
-                    sel, "source", "doc_id", "n_tokens", capacity=256
-                )
-                .groupBy("source")
-                .agg(F.countDistinct("bin_id").alias("b"))
-                .collect()
+                r["source"]: int(r["b"]) for r in sel_join if r["b"] is not None
             }
         finally:
             sel.unpersist()
@@ -9542,23 +9570,34 @@ def q205_learned_mix_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             budget=F.col("source_budget"),
         ).persist()
         try:
-            sel_stats = {
-                r["source"]: (int(r["n"]), int(r["t"]))
-                for r in sel.groupBy("source")
+            # r11: the selection stats and the packing-bin counts ride ONE
+            # collect (a full-outer join of the two per-source aggregates
+            # over the persisted `sel` — they were two separate actions);
+            # values are the per-frame aggregates unchanged
+            sel_join = (
+                sel.groupBy("source")
                 .agg(
                     F.count(F.lit(1)).alias("n"),
                     F.sum("n_tokens").alias("t"),
                 )
+                .join(
+                    pack_token_counts(
+                        sel, "source", "doc_id", "n_tokens", capacity=256
+                    )
+                    .groupBy("source")
+                    .agg(F.countDistinct("bin_id").alias("b")),
+                    "source",
+                    "full",
+                )
                 .collect()
+            )
+            sel_stats = {
+                r["source"]: (int(r["n"]), int(r["t"]))
+                for r in sel_join
+                if r["n"] is not None
             }
             bins = {
-                r["source"]: int(r["b"])
-                for r in pack_token_counts(
-                    sel, "source", "doc_id", "n_tokens", capacity=256
-                )
-                .groupBy("source")
-                .agg(F.countDistinct("bin_id").alias("b"))
-                .collect()
+                r["source"]: int(r["b"]) for r in sel_join if r["b"] is not None
             }
         finally:
             sel.unpersist()
