@@ -215,6 +215,11 @@ HEADLINE = [
     "q202_doremi_mixture_weights",
     "q203_tokenizer_fertility",
     "q204_source_kl_divergence",
+    # q205 stays OFF the headline (re-checked r11 against the VERDICT's
+    # "add it if the line fits" — it does not: 48 names at worst-case 3dp
+    # + machine_factor is 1899 of the 1900-char bound, and the r14 note
+    # already pinned this; q205's r11 readout fusions are receipted via
+    # the shuffle audit extras + SCALING row instead).
 ]
 
 #: Pinned machine-factor kernels (VERDICT r5 item 5): code-independent
@@ -280,6 +285,41 @@ def machine_factor(spark) -> dict[str, float]:
     return out
 
 
+def probe_drift(mf: dict[str, float]) -> tuple[dict[str, float], int | None]:
+    """This run's machine-kernel times ratioed against the most recent
+    recorded round's (``BENCH_r{N}.json`` at the repo root): the
+    machine-drift factor for reading THIS run against that round without
+    external arithmetic (r10 VERDICT item 7 — 20 rows 'regressed' on a
+    1.30x-slower shuffle probe and the raw ratios were misread).
+    >1 = this machine/run is slower on that kernel.  Additions-only:
+    raw timings are untouched and absence of any prior file just omits
+    the block."""
+    import glob
+    import re
+
+    best: tuple[int, dict] | None = None
+    root = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                payload = json.load(f).get("parsed") or {}
+            prev = payload.get("machine_factor")
+        except Exception:
+            continue
+        if prev and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), prev)
+    if best is None:
+        return {}, None
+    ref_round, prev = best
+    drift = {
+        k: round(mf[k] / prev[k], 2) for k in mf if prev.get(k)
+    }
+    return drift, ref_round
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_test_session("spark-graft-bench")
@@ -340,14 +380,23 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_RUNS_PATH",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_runs.json"),
     )
+    drift, drift_ref = probe_drift(mf)
     try:
         with open(runs_path, "w") as f:
             json.dump(
-                {"runs": runs, "machine_factor": mf, "sf": sf_val}, f, indent=1
+                {
+                    "runs": runs,
+                    "machine_factor": mf,
+                    "probe_drift": drift,
+                    "probe_drift_vs_round": drift_ref,
+                    "sf": sf_val,
+                },
+                f,
+                indent=1,
             )
     except OSError:
         pass  # a read-only checkout must not kill the benchmark line
-    print(compact_line(total, timings, mf, sf_val))
+    print(compact_line(total, timings, mf, sf_val, drift, drift_ref))
     spark.stop()
 
 
@@ -356,12 +405,27 @@ MAX_LINE = 1900
 
 
 def compact_line(
-    total: float, timings: dict[str, float], mf: dict[str, float], sf
+    total: float,
+    timings: dict[str, float],
+    mf: dict[str, float],
+    sf,
+    drift: dict[str, float] | None = None,
+    drift_ref: int | None = None,
 ) -> str:
     """The single stdout line, ≤ MAX_LINE by construction: full 3dp
-    medians when they fit, 2dp fallback, then machine_factor eviction
-    (sidecar keeps it) — never a truncated/unparseable line."""
+    medians when they fit, 2dp fallback, then probe_drift then
+    machine_factor eviction (sidecar keeps them) — never a
+    truncated/unparseable line."""
+    dblock = (
+        {"probe_drift": drift, "probe_drift_vs_round": drift_ref}
+        if drift
+        else {}
+    )
     for shrink in (
+        lambda: {"queries": timings, "machine_factor": mf} | dblock,
+        # drop probe_drift BEFORE degrading precision: the pre-r11
+        # worst-case guarantee (full 3dp + machine_factor fits) holds
+        # unchanged, and the sidecar keeps the drift block regardless
         lambda: {"queries": timings, "machine_factor": mf},
         lambda: {
             "queries": {k: round(v, 2) for k, v in timings.items()},

@@ -44,6 +44,7 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_vec: bool = False,
+    min_cells_per_task: int = 32_768,
 ) -> DataFrame:
     """Assign each vector to one of ``k`` Lloyd's clusters.
 
@@ -54,6 +55,21 @@ def kmeans_assign(
     within-cluster pair scoring, q107) take them from THIS plan instead
     of re-joining the corpus on ``id_col`` — one scan, zero extra
     shuffle.
+
+    ``min_cells_per_task`` (r11) bounds per-task work from BELOW: the
+    Lloyd loop launches ``max_iter + 2`` actions over the persisted
+    corpus, and when the corpus is tiny relative to its partition count
+    every action pays the full scheduler fan-out for sub-millisecond
+    tasks (q96's 2 000 x 64-double corpus in 32 partitions = 4 000
+    cells/task; the loop was ~45% scheduler overhead — interleaved A/B
+    at sf0.1: 3.62 s at 32 partitions, 1.97 s coalesced to
+    ceil(cells/32 768) = 4).  The corpus is coalesced (narrow — cached
+    blocks are not rewritten) to at most ceil(rows·dim /
+    min_cells_per_task) partitions; the existing partition count is the
+    CAP, so any corpus with >= partitions x min_cells_per_task cells —
+    every real deployment — is untouched, and the knob only defends the
+    small-corpus/latency regime.  Row-identical either way (the argmin
+    and the quantized means are partition-order-free by construction).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -71,7 +87,7 @@ def kmeans_assign(
     # re-derives from the source — one final scan, same as before).
     from pyspark import StorageLevel
 
-    emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
+    emb = pinned = emb.persist(StorageLevel.MEMORY_AND_DISK)
     try:
 
         # k lowest-id seeds via orderBy+limit → TakeOrderedAndProject: a
@@ -83,6 +99,13 @@ def kmeans_assign(
         if not seed_rows:
             raise ValueError("kmeans_assign: empty input")
         dim = len(seed_rows[0][vec_col])
+        # per-task work floor (docstring): the count reads the cache the
+        # seed scan just materialized; the coalesce is narrow, capped at
+        # the existing partition count — real corpora are untouched
+        cur = emb.rdd.getNumPartitions()
+        tgt = min(cur, max(1, -(-(emb.count() * dim) // min_cells_per_task)))
+        if tgt < cur:
+            emb = emb.coalesce(tgt)
         centroids = {
             i: list(r[vec_col])
             for i, r in enumerate(sorted(seed_rows, key=lambda r: r[id_col]))
@@ -197,8 +220,9 @@ def kmeans_assign(
 
     finally:
         # unpersist even when a mid-loop job fails — the pin must
-        # not outlive the call (retries would stack cached copies)
-        emb.unpersist()
+        # not outlive the call (retries would stack cached copies);
+        # `pinned` is the persisted handle (emb may be its coalesce)
+        pinned.unpersist()
     cols = [id_col, "cluster_id", F.round("sq_dist", 6).alias("sq_dist")]
     if keep_vec:
         cols.append(vec_col)

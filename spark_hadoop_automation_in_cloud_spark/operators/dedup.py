@@ -1515,12 +1515,25 @@ def exact_substring_dedup(
     ONE map-side-combined aggregate on the gram hash; the repeated-flag
     equi-join reuses that key with multiplicity = the gram's own doc
     frequency (the inverted index, never a cross product).  Removal
-    positions fan out ``n``× (bounded), the keep filter is a left-anti
-    join on (doc, pos), and the document re-assembles through one
-    doc-keyed aggregate — ``array_sort(collect_list(struct))``, the q11
-    deterministic-collect idiom.  Everything is linear in corpus tokens
-    with shuffles keyed on gram hash / doc id; nothing is ever
-    corpus-global on the driver.
+    positions fan out ``n``× (bounded) and aggregate to ONE removal-set
+    row per affected doc (collect_set, doc-keyed exchange of POSITIONS
+    only); the keep filter and re-assembly then run ROW-LOCALLY on the
+    document row — ``filter(tokens, (t, i) -> NOT array_contains(rm,
+    i+1))`` + ``array_join`` (r11; the guide-§8 decide-with-small-rows
+    shape).  The previous form shuffled every corpus TOKEN three times:
+    a (doc, pos) token explode into a sort-merge anti-join against the
+    removal fan-out, then an ``array_sort(collect_list(struct))``
+    re-assembly aggregate, then the assembly join — measured (r11,
+    sf0.01 receipts / sf0.1 walls) the rewrite cuts q187's
+    shuffle-write RECORDS 2.3× (101,245 → 44,367) and bytes 1.53×
+    (1,789,548 → 1,171,218), the plan from 22 Exchanges / 4
+    SortMergeJoins to 16 / 2, and the wall 3.37 → 2.59 s, with the
+    token order preserved by ``filter``'s order stability (identical
+    output, oracle-pinned).  Per-doc filter cost is
+    O(tokens × removed-set); both are bounded by document length, never
+    by corpus size.  Everything is linear in corpus tokens with shuffles
+    keyed on gram hash / doc id; nothing is ever corpus-global on the
+    driver.
 
     Output: ``doc_id``, ``n_tokens``, ``n_kept`` (bigints), ``clean_text``
     (kept tokens joined by one space; ``''`` when everything was
@@ -1538,6 +1551,9 @@ def exact_substring_dedup(
         .where(F.col("gram_df") >= min_doc_freq)
         .select("gh", "keeper")
     )
+    # one removal-position SET per affected doc; collect_set also dedups
+    # the overlapping-gram position unions the old (doc, pos) anti-join
+    # absorbed implicitly
     removed = (
         g.join(keepers, "gh")
         .where(F.col("doc_id") != F.col("keeper"))
@@ -1547,33 +1563,27 @@ def exact_substring_dedup(
                 F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
             ).alias("pos"),
         )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("__rm"))
     )
-    tok = df.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos0", "tok")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    # merge hints on both corpus-sized joins: `removed` and `cleaned` are
-    # corpus-scale frames whose STATIC size estimates come out tiny
-    # (post-join / post-aggregate), so the planner picks broadcast — at a
-    # 100x pile-on the attempted broadcast of the text-carrying build
-    # side OOM'd the driver (observed; AQE cannot undo a statically
-    # planned BHJ).  SMJ keyed on (doc, pos) / doc is the 100 TB shape.
-    kept = tok.join(removed.hint("merge"), ["doc_id", "pos"], "left_anti")
-    cleaned = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-        ).alias("clean_text"),
+    # merge hint on the one corpus-sized join: `removed` is corpus-scale
+    # in the worst case but its STATIC size estimate comes out tiny
+    # (post-aggregate), so the planner would pick broadcast — at a 100x
+    # pile-on the attempted broadcast of such a build side OOM'd the
+    # driver (observed; AQE cannot undo a statically planned BHJ).  SMJ
+    # keyed on doc id is the 100 TB shape.
+    docs = df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    kept_arr = F.when(F.col("__rm").isNull(), F.col("__toks")).otherwise(
+        F.filter(
+            F.col("__toks"),
+            lambda t, i: ~F.array_contains(F.col("__rm"), i + F.lit(1)),
+        )
     )
-    docs = df.select(F.col(id_col).alias("doc_id"), F.size(toks).alias("n_tokens"))
-    return docs.join(cleaned.hint("merge"), "doc_id", "left").select(
+    return docs.join(removed.hint("merge"), "doc_id", "left").select(
         "doc_id",
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        F.size(kept_arr).cast("bigint").alias("n_kept"),
+        F.array_join(kept_arr, " ").alias("clean_text"),
     )
 
 

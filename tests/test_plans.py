@@ -526,13 +526,17 @@ def test_q118_span_coverage_equi_joins_only(spark, sf_dir):
 
 
 def test_q187_corpus_joins_stay_sort_merge(spark, sf_dir):
-    """q187's removal anti-join and assembly join must NEVER broadcast:
-    both build sides are corpus-scale frames whose static size estimates
-    come out tiny (post-join / post-aggregate), and the attempted
-    broadcast of the text-carrying build side OOM'd the 100x pile-on run
-    (AQE cannot undo a statically planned BHJ — the merge hints are the
-    fix this test pins).  The single remaining BHJ is the bounded
-    repeated-gram dictionary, the q109/q118 family precedent."""
+    """q187's removal-set attach join must NEVER broadcast: the build
+    side (per-doc removal-position sets) is corpus-scale in the worst
+    case but its static size estimate comes out tiny (post-aggregate),
+    and the attempted broadcast of such a build side OOM'd the 100x
+    pile-on run (AQE cannot undo a statically planned BHJ — the merge
+    hint is the fix this test pins).  Since the r11 rewrite the keep
+    filter + re-assembly run ROW-LOCALLY (filter/array_join over the
+    token array), so the plan carries exactly ONE corpus-doc-keyed
+    sort-merge join and no token-grain anti-join or collect_list
+    re-assembly; the single remaining BHJ is the bounded repeated-gram
+    dictionary, the q109/q118 family precedent."""
     from spark_hadoop_automation_in_cloud_spark.queries import (
         q187_exact_substring_dedup,
     )
@@ -543,8 +547,11 @@ def test_q187_corpus_joins_stay_sort_merge(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert plan.count("SortMergeJoin") >= 2, plan[:2000]
+    assert plan.count("SortMergeJoin") >= 1, plan[:2000]
     assert plan.count("BroadcastHashJoin") <= 1, plan[:2000]
+    # the r10 token-grain shapes must not creep back
+    assert "collect_list" not in plan, plan[:2000]
+    assert "LeftAnti" not in plan, plan[:2000]
 
 
 def _executed_plan_descriptions(spark, fn) -> str:
