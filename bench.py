@@ -293,7 +293,11 @@ def probe_drift(mf: dict[str, float]) -> tuple[dict[str, float], int | None]:
     1.30x-slower shuffle probe and the raw ratios were misread).
     >1 = this machine/run is slower on that kernel.  Additions-only:
     raw timings are untouched and absence of any prior file just omits
-    the block."""
+    the block.  The STDOUT line carries it under abbreviated keys
+    (``cs/sa/ra/ar`` = codegen_scan/shuffle_agg/regex_agg/
+    arrow_roundtrip, ``vs_r`` = the reference round) because the full
+    names pushed a realistic 48-query 3dp line 6 chars past the
+    1900-char driver tail; the sidecar keeps full names."""
     import glob
     import re
 
@@ -416,8 +420,17 @@ def compact_line(
     medians when they fit, 2dp fallback, then probe_drift then
     machine_factor eviction (sidecar keeps them) — never a
     truncated/unparseable line."""
+    short = {
+        "codegen_scan": "cs",
+        "shuffle_agg": "sa",
+        "regex_agg": "ra",
+        "arrow_roundtrip": "ar",
+    }
     dblock = (
-        {"probe_drift": drift, "probe_drift_vs_round": drift_ref}
+        {
+            "probe_drift": {short.get(k, k): v for k, v in drift.items()}
+            | {"vs_r": drift_ref}
+        }
         if drift
         else {}
     )

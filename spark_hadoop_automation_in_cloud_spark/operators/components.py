@@ -255,6 +255,7 @@ def pagerank(
     broadcast_nodes_max: int = 1_000_000,
     assume_distinct_edges: bool = False,
     small_checkpoint_every: int = 2,
+    chain_max_edge_rows: int = 4_000_000,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list.
 
@@ -288,18 +289,24 @@ def pagerank(
       (7.4s→3.4s, 29.8s→17.0s), with per-round cost dropping ~2.5s→
       ~0.8s at 10x — the remaining 10x wall is the one-time linear setup
       (edge distinct + degree build), i.e. work proportional to data, not
-      per-round overhead.  On a dangling-free graph the per-round rank
-      frame is referenced exactly ONCE by the next round's plan (inside
-      the contribs broadcast), so rounds chain LAZILY and the path
-      checkpoints every ``small_checkpoint_every`` rounds (r11): K rounds
-      cost ~K/small_checkpoint_every driver actions and measurably fewer
+      per-round overhead.  On a dangling-free graph whose edge list is
+      small enough (``chain_max_edge_rows``, read for free from the setup
+      aggregate's degree sum), the per-round rank frame is referenced
+      exactly ONCE by the next round's plan (inside the contribs
+      broadcast), so rounds chain LAZILY and the path checkpoints every
+      ``small_checkpoint_every`` rounds (r11): K rounds cost
+      ~K/small_checkpoint_every driver actions and measurably fewer
       scheduler jobs (53 → 48 jobs for q69's 10 rounds at 2), with
       bit-identical output (same plan tree, materialized less often; the
-      per-round dp snap already pins summation order).  Deeper chains
-      measured WORSE (interleaved 4-trial medians on q69's graph:
-      cadence 2 = 6.25 s vs cadence 5 = 6.86 s vs every-round = 6.96 s;
-      full 10-round unroll regressed to 9.9 s — AQE re-planning grows
-      with plan depth), so 2 is the default;
+      per-round dp snap already pins summation order).  The chain gate
+      exists because the win is a LATENCY effect: on the 1.8M-edge q69
+      graph cadence 2 measured 6.25 s vs 6.96 s every-round (4-trial
+      interleaved medians; cadence 5 = 6.86 s and a full 10-round unroll
+      regressed to 9.9 s — AQE re-planning grows with plan depth), but
+      on its 17.9M-edge 10x replication chaining REGRESSED 7.4/10.0 s →
+      9.8/12/31 s (erratic — the two e-joins per action compete for
+      execution memory within one job), so large edge lists keep the
+      every-round cut;
       a graph WITH dangling mass keeps the every-round checkpoint — its
       dangling aggregate is a second reference to the rank frame, and an
       unmaterialized chain would re-execute each round's subtree per
@@ -400,9 +407,12 @@ def pagerank(
         setup = nd.agg(
             F.count(F.lit(1)).alias("n"),
             F.max(F.when(F.col("deg").isNull(), 1).otherwise(0)).alias("hd"),
+            # total out-degree == |E| — free here, feeds the chain gate
+            F.coalesce(F.sum("deg"), F.lit(0)).alias("te"),
         ).first()
         n = int(setup["n"])
         has_dangling = bool(setup["hd"])
+        total_edges = int(setup["te"])
         small = n <= broadcast_nodes_max
         ranks = nd.select("node", "deg", F.lit(1.0 / n).alias("rank"))
         if small:
@@ -410,10 +420,15 @@ def pagerank(
             created |= _pinned_rdd_ids(ranks)
 
         # lineage-cut cadence (docstring): broadcast path chains rounds
-        # lazily unless the dangling aggregate adds a second reference to
-        # the per-round rank frame
+        # lazily iff the dangling aggregate adds no second reference to
+        # the per-round rank frame AND the edge list is small enough that
+        # per-round latency (not compute) is the wall
         cut_every = (
-            (1 if has_dangling else small_checkpoint_every)
+            (
+                small_checkpoint_every
+                if not has_dangling and total_edges <= chain_max_edge_rows
+                else 1
+            )
             if small
             else checkpoint_every
         )
@@ -794,6 +809,7 @@ def personalized_pagerank(
     per_iter_round_dp: int | None = 9,
     assume_distinct_edges: bool = False,
     small_checkpoint_every: int = 2,
+    chain_max_edge_rows: int = 4_000_000,
 ) -> DataFrame:
     """Personalized PageRank: power iteration whose teleport lands on a
     SEED SET instead of uniformly — the "related to THIS cohort /
@@ -822,10 +838,12 @@ def personalized_pagerank(
     map-side combined, and the rank update joins the CHECKPOINTED node
     state (not the previous rank frame), so each round's plan references
     the previous ranks exactly once — which lets a dangling-free graph
-    chain rounds lazily and checkpoint every ``small_checkpoint_every``
-    rounds (r11, :func:`pagerank`'s cadence rationale; a graph with
+    with a small-enough edge list (``chain_max_edge_rows``) chain rounds
+    lazily and checkpoint every ``small_checkpoint_every`` rounds (r11,
+    :func:`pagerank`'s cadence rationale and chain gate; a graph with
     dangling mass keeps the every-round checkpoint because its dangling
-    aggregate is a second reference to the rank frame).  This call's
+    aggregate is a second reference to the rank frame, and a large edge
+    list keeps it because chaining measured erratic there).  This call's
     checkpoints release on exit, ownership-scoped.  Edges
     are distinct-ed defensively unless ``assume_distinct_edges``
     (:func:`pagerank`'s contract verbatim: a duplicated edge would
@@ -886,8 +904,11 @@ def personalized_pagerank(
         setup = state.agg(
             F.sum("__is_seed").alias("ns"),
             F.max(F.when(F.col("deg") == 0, 1).otherwise(0)).alias("hd"),
+            # total out-degree == |E| — free here, feeds the chain gate
+            F.coalesce(F.sum("deg"), F.lit(0)).alias("te"),
         ).first()
         n_seeds = setup["ns"]
+        total_edges = int(setup["te"])
         if not n_seeds:
             raise ValueError("personalized_pagerank: no seed is present in the graph")
         has_dangling = bool(setup["hd"])
@@ -901,11 +922,16 @@ def personalized_pagerank(
             raise ValueError(
                 f"small_checkpoint_every must be >= 1, got {small_checkpoint_every}"
             )
-        # lineage-cut cadence (docstring / pagerank's rationale): the rank
-        # update joins the checkpointed `state`, so the previous rank frame
-        # appears exactly once per round plan (inside the inflow broadcast)
-        # unless the dangling aggregate adds a second reference
-        cut_every = 1 if has_dangling else small_checkpoint_every
+        # lineage-cut cadence (docstring / pagerank's rationale + chain
+        # gate): the rank update joins the checkpointed `state`, so the
+        # previous rank frame appears exactly once per round plan (inside
+        # the inflow broadcast) unless the dangling aggregate adds a
+        # second reference; large edge lists keep every-round cuts
+        cut_every = (
+            small_checkpoint_every
+            if not has_dangling and total_edges <= chain_max_edge_rows
+            else 1
+        )
         for i in range(n_iter):
             inflow = (
                 e.join(
@@ -1122,6 +1148,7 @@ def label_propagation(
     broadcast_nodes_max: int = 1_000_000,
     broadcast_min_edge_rows: int = 1_000_000,
     checkpoint_every: int = 2,
+    chain_max_edge_rows: int = 4_000_000,
 ) -> DataFrame:
     """Synchronous label-propagation communities (LPA, Raghavan et al.):
     every node starts as its own label, and each round adopts the most
@@ -1149,13 +1176,17 @@ def label_propagation(
     (node, label) with map-side combine, and ``max_by(label,
     struct(cnt, -label))`` collapses the argmax inside the same
     aggregate; the label frame localCheckpoints every
-    ``checkpoint_every`` rounds (r11: each round's plan references the
+    ``checkpoint_every`` rounds when the edge list is at most
+    ``chain_max_edge_rows`` (r11: each round's plan references the
     previous label frame exactly ONCE — the old per-round label-update
     join is gone — so rounds chain lazily between lineage cuts; the
     q188-graph A/B measured cadence 2 at 3.18 s vs every-round 3.61 s
-    and full-chain 3.27 s, bit-identical) with ownership-scoped
-    release.  No driver state beyond the round counter; edges
-    checkpoint ONCE.
+    and full-chain 3.27 s, bit-identical, and the 100x disjoint-copy
+    graph (714k sym edges) still favored cadence 2, 32.4 vs 34.5 s —
+    but pagerank's chain measured ERRATIC on a 17.9M-edge graph, so
+    large edge lists keep the every-round cut, pagerank's chain-gate
+    rationale) with ownership-scoped release.  No driver state beyond
+    the round counter; edges checkpoint ONCE.
 
     Join strategy follows :func:`pagerank`'s dispatch with an
     edge-volume gate: when ``|V| <= broadcast_nodes_max`` AND the
@@ -1236,12 +1267,15 @@ def label_propagation(
         # two scalars (counts of the checkpointed frames) pick the join
         # strategy ONCE — the pagerank dispatch with an edge-volume gate
         # (docstring); the edge gate short-circuits first so small graphs
-        # never pay the label-count job
+        # never pay the label-count job.  The edge count doubles as the
+        # chain gate (docstring cadence).
+        n_edges = e.count()
         small = (
-            e.count() >= broadcast_min_edge_rows
+            n_edges >= broadcast_min_edge_rows
             and lab.count() <= broadcast_nodes_max
         )
         bc = F.broadcast if small else (lambda df: df)
+        cut_every = checkpoint_every if n_edges <= chain_max_edge_rows else 1
         for i in range(n_rounds):
             nb = e.join(bc(lab.withColumnRenamed("node", "src")), "src").select(
                 F.col("dst").alias("node"), "lbl"
@@ -1265,7 +1299,7 @@ def label_propagation(
             )
             # lineage cut (docstring cadence) — the final round always
             # checkpoints: the community-size readout references it twice
-            if (i + 1) % checkpoint_every == 0 or i == n_rounds - 1:
+            if (i + 1) % cut_every == 0 or i == n_rounds - 1:
                 lab = lab.localCheckpoint()
                 created |= _pinned_rdd_ids(lab)
         out = (

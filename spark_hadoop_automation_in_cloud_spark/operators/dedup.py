@@ -1551,20 +1551,18 @@ def exact_substring_dedup(
         .where(F.col("gram_df") >= min_doc_freq)
         .select("gh", "keeper")
     )
-    # one removal-position SET per affected doc; collect_set also dedups
-    # the overlapping-gram position unions the old (doc, pos) anti-join
-    # absorbed implicitly
+    # one removal START-position list per affected doc: gram occurrences
+    # are unique per (doc, pos) so a plain collect_list carries no dups,
+    # the n× covered-position fan-out never exists as ROWS (it expands
+    # row-locally below), and the aggregate pays list-append instead of
+    # set-insert — at the 100× pile-on (every gram flagged) this is the
+    # difference between shipping 25M start ints and exploding+deduping
+    # 75M covered ints through the exchange
     removed = (
         g.join(keepers, "gh")
         .where(F.col("doc_id") != F.col("keeper"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
-            ).alias("pos"),
-        )
         .groupBy("doc_id")
-        .agg(F.collect_set("pos").alias("__rm"))
+        .agg(F.collect_list("pos").alias("__rm"))
     )
     # merge hint on the one corpus-sized join: `removed` is corpus-scale
     # in the worst case but its STATIC size estimate comes out tiny
@@ -1573,11 +1571,21 @@ def exact_substring_dedup(
     # driver (observed; AQE cannot undo a statically planned BHJ).  SMJ
     # keyed on doc id is the 100 TB shape.
     docs = df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
-    kept_arr = F.when(F.col("__rm").isNull(), F.col("__toks")).otherwise(
-        F.filter(
-            F.col("__toks"),
-            lambda t, i: ~F.array_contains(F.col("__rm"), i + F.lit(1)),
+    # kept positions via array_except (hash-set build over the expanded
+    # removal positions — O(tokens + removed·n) per doc, order-preserving
+    # on the ascending position sequence; array_except dedups its second
+    # argument internally, so overlapping grams need no distinct).  A
+    # filter + array_contains form measured O(tokens × removed) and a
+    # (doc, covered-pos) explode→collect_set form paid the 75M-element
+    # set aggregate — both lost the 100× rung; this shape keeps it.
+    covered = F.flatten(
+        F.transform(
+            F.col("__rm"), lambda p: F.sequence(p, p + F.lit(n - 1))
         )
+    )
+    kept_pos = F.array_except(F.sequence(F.lit(1), F.size("__toks")), covered)
+    kept_arr = F.when(F.col("__rm").isNull(), F.col("__toks")).otherwise(
+        F.transform(kept_pos, lambda p: F.element_at(F.col("__toks"), p))
     )
     return docs.join(removed.hint("merge"), "doc_id", "left").select(
         "doc_id",

@@ -54,55 +54,56 @@ def register(name: str, sql: str | None, doc: str = ""):
 # WINDOW NOTE FIRST — read this before touching _ROTATE_FIRST.
 #
 # ROUND NUMBERING: the driver's counter restarted after r05 (see
-# memory/driver-round-numbering).  CORRECTNESS_r09 landed 2026-08-16,
-# 50/50 tri-green, exactly on the previous allocation (7 changed +
-# q190-q198 + the oldest 34 r05 rows).  This file now allocates the
-# NEXT verification, CORRECTNESS_r10.
+# memory/driver-round-numbering).  CORRECTNESS_r10 landed 2026-08-18,
+# 50/50 tri-green, exactly on the previous allocation (26 changed +
+# q204 + the oldest 23).  This file now allocates the NEXT
+# verification, CORRECTNESS_r11.
 #
 # THE ALLOCATION IS GENERATED, NOT HAND-TRANSCRIBED (r08 verdict item
 # 1): the tuple below is the verbatim output of
 #
 #   python tools/stamps.py --emit q39_neardup_clusters,\
-#     q40_corpus_curation,q69_pagerank,\
-#     q116_cluster_canonicals_by_quality,q124_leakage_safe_split,\
-#     q128_incremental_components,q132_incremental_cluster_maintenance,\
-#     q143_dedup_audit,q166_bpe_merge_training,\
-#     q169_tokenizer_fit_by_source,q185_personalized_pagerank,\
-#     q186_kcore_members,q188_copurchase_communities,\
-#     q189_community_modularity,q194_bpe_token_ids,\
-#     q195_bpe_packed_sequences,q196_community_name_neardup,\
-#     q197_quality_filter_distillation,q198_distilled_filter_rates,\
-#     q199_bpe_decode_roundtrip,q200_sampled_bpe_token_ids,\
-#     q201_curated_mix_funnel,q202_doremi_mixture_weights,\
-#     q203_tokenizer_fertility,q205_learned_mix_funnel,\
-#     q206_mixture_epochs
+#     q40_corpus_curation,q69_pagerank,q96_kmeans_clusters,\
+#     q107_semantic_cluster_dedup,q116_cluster_canonicals_by_quality,\
+#     q124_leakage_safe_split,q128_incremental_components,\
+#     q132_incremental_cluster_maintenance,q143_dedup_audit,\
+#     q185_personalized_pagerank,q187_exact_substring_dedup,\
+#     q188_copurchase_communities,q189_community_modularity,\
+#     q196_community_name_neardup,q197_quality_filter_distillation,\
+#     q198_distilled_filter_rates,q201_curated_mix_funnel,\
+#     q202_doremi_mixture_weights,q205_learned_mix_funnel
 #
 # where the --emit argument is the round's CHANGED-KERNEL list — the
-# one input not derivable from artifacts.  This is the OPTIMIZATION
-# round (see OPTIMIZATION_r10.md); its changed kernels:
-#   - q197/q198/q201/q202/q205: logistic _gd_loop now builds each
-#     round's expressions as JVM-parsed SQL strings (identical tree,
-#     py4j construction removed) and exp_gradient_weights runs each
-#     reweight round as one join-free literal-fold query (bit-equal,
-#     property-pinned vs the DuckDB chain);
-#   - q186/q188/q189/q196 + the connected_components consumers
-#     (q39/q40/q116/q124/q128/q132/q143): the graph loops gained the
-#     pagerank broadcast dispatch with an edge-volume gate (plan change
-#     only; both arms bit-equal, test-pinned);
-#   - q69/q185: pagerank/PPR fold their two setup scalars (node/seed
-#     count + dangling flag) into ONE aggregate job (same values);
-#   - q166/q169/q194/q195/q199/q200/q201/q203/q205/q206: the BPE
-#     train-then-encode prologue shares ONE checkpointed word-frequency
-#     pass (bpe_merges_from_freqs / vocab_words seams; oracle SQL
-#     byte-unchanged — q166/q169 route through the same delegation and
-#     re-stamp on principle).
-# The ledger remains OVERSUBSCRIBED (75 age>=2 rows spill), so the
-# window is 26 changed + 1 never-stamped (q204) + the oldest 23 (the 6
-# remaining r05 rows, then r06 rows in registration order); leftover
-# r06/r07 rows MUST lead the next round — re-run stamps.py --emit then.
-# All left-out rows are sf0.001-parity-green on HEAD via
-# tests/test_oracle_parity.py (every run) and sf0.01-green in this
-# round's full sweep.
+# one input not derivable from artifacts.  This is OPTIMIZATION round
+# 2 of 2 (see OPTIMIZATION_r11.md); its changed kernels:
+#   - q69/q185: the co-purchase prologue re-spreads the 1-partition
+#     checkpointed distinct before the pair fanout (2.51 s -> 0.87 s),
+#     and pagerank/PPR chain rounds lazily between lineage cuts
+#     (small_checkpoint_every=2 on dangling-free broadcast paths;
+#     bit-equal, 51->46 / 53->48 scheduler jobs);
+#   - q188/q189/q196: LPA's per-round label-update join (a row-wise
+#     no-op on the internally symmetric edge list) is removed and
+#     rounds chain at cadence 2 (bit-equal, trajectory-test-pinned);
+#   - q39/q40/q116/q124/q128/q132/q143: connected_components' per-round
+#     changed-labels join became an exact monotone label-sum probe
+#     (same convergence decisions by monotonicity);
+#   - q96/q107: kmeans_assign floors per-task work (corpus coalesced to
+#     ceil(cells/min_cells_per_task), capped at the existing partition
+#     count — 3.48 -> 2.14 / 4.39 -> 2.91 s, row-identical);
+#   - q187: exact_substring_dedup applies removals ROW-LOCALLY after a
+#     per-doc removal-set aggregate (token-grain anti-join +
+#     collect_list re-assembly gone; shuffle records 2.3x down);
+#   - q197/q198/q201/q202/q205: exp_gradient_weights runs the WHOLE
+#     reweight trajectory as one chained-fold query (was one query per
+#     round; property-pinned vs the DuckDB chain), _gd_loop
+#     backtick-quotes interpolated names (plain identifiers parse
+#     identically), and q201/q205 fuse their readout collects.
+# The ledger remains OVERSUBSCRIBED (83 age>=2 rows spill), so the
+# window is 20 changed + the oldest 30 (r06 rows in registration
+# order); leftover r06/r07 rows MUST lead the next round — re-run
+# stamps.py --emit then.  All left-out rows are sf0.001-parity-green on
+# HEAD via tests/test_oracle_parity.py (every run) and sf0.01-green in
+# this round's full sweep.
 #
 # The driver's CORRECTNESS run verifies a bounded window (50 entries)
 # taken in registration order, so queries() exposes the registry ROTATED
@@ -111,58 +112,57 @@ def register(name: str, sql: str | None, doc: str = ""):
 # regardless of position.
 _ROTATE_FIRST: tuple[str, ...] = (
     # --- changed kernel this round
-    "q39_neardup_clusters",  # r07
-    "q40_corpus_curation",  # r06
-    "q69_pagerank",  # r09
-    "q116_cluster_canonicals_by_quality",  # r06
-    "q124_leakage_safe_split",  # r06
-    "q128_incremental_components",  # r06
-    "q132_incremental_cluster_maintenance",  # r06
-    "q143_dedup_audit",  # r07
-    "q166_bpe_merge_training",  # r08
-    "q169_tokenizer_fit_by_source",  # r08
-    "q185_personalized_pagerank",  # r09
-    "q186_kcore_members",  # r08
-    "q188_copurchase_communities",  # r09
-    "q189_community_modularity",  # r09
-    "q194_bpe_token_ids",  # r09
-    "q195_bpe_packed_sequences",  # r09
-    "q196_community_name_neardup",  # r09
-    "q197_quality_filter_distillation",  # r09
-    "q198_distilled_filter_rates",  # r09
-    "q199_bpe_decode_roundtrip",
-    "q200_sampled_bpe_token_ids",
-    "q201_curated_mix_funnel",
-    "q202_doremi_mixture_weights",
-    "q203_tokenizer_fertility",
-    "q205_learned_mix_funnel",
-    "q206_mixture_epochs",
-    # --- never stamped (registration order)
-    "q204_source_kl_divergence",
+    "q39_neardup_clusters",  # r10
+    "q40_corpus_curation",  # r10
+    "q69_pagerank",  # r10
+    "q96_kmeans_clusters",  # r06
+    "q107_semantic_cluster_dedup",  # r09
+    "q116_cluster_canonicals_by_quality",  # r10
+    "q124_leakage_safe_split",  # r10
+    "q128_incremental_components",  # r10
+    "q132_incremental_cluster_maintenance",  # r10
+    "q143_dedup_audit",  # r10
+    "q185_personalized_pagerank",  # r10
+    "q187_exact_substring_dedup",  # r08
+    "q188_copurchase_communities",  # r10
+    "q189_community_modularity",  # r10
+    "q196_community_name_neardup",  # r10
+    "q197_quality_filter_distillation",  # r10
+    "q198_distilled_filter_rates",  # r10
+    "q201_curated_mix_funnel",  # r10
+    "q202_doremi_mixture_weights",  # r10
+    "q205_learned_mix_funnel",  # r10
     # --- oldest stamped rows (stamp round asc, registration order)
-    "q104_hll_distinct_rollup",  # r05
-    "q105_countmin_persist_merge",  # r05
-    "q106_bloom_pruned_revenue",  # r05
-    "q109_repeated_ngram_flags",  # r05
-    "q110_training_shards",  # r05
-    "q114_hard_negatives",  # r05
-    "q14_local_time",  # r06
-    "q20_exact_dedup",  # r06
-    "q30_ann_ivf_topk",  # r06
-    "q26_language_id",  # r06
-    "q27_quality_score",  # r06
-    "q34_raw_event_flatten",  # r06
-    "q38_moving_average",  # r06
-    "q43_session_windows",  # r06
-    "q44_streaming_geo_rollup",  # r06
-    "q45_distinct_aggregates",  # r06
-    "q50_fuzzy_name_pairs",  # r06
-    "q51_data_quality_profile",  # r06
-    "q53_time_range_average",  # r06
-    "q57_streaming_dedup",  # r06
-    "q65_stream_stream_join",  # r06
-    "q67_stream_static_join",  # r06
-    "q70_resample_forward_fill",  # r06
+    "q71_map_explode",  # r06
+    "q72_conversion_funnel",  # r06
+    "q73_retention_cohorts",  # r06
+    "q74_scd2_intervals",  # r06
+    "q79_growth_accounting",  # r06
+    "q80_next_event_features",  # r06
+    "q89_session_intervals",  # r06
+    "q95_containment_dups",  # r06
+    "q108_incremental_dedup",  # r06
+    "q111_streaming_incremental_dedup",  # r06
+    "q112_token_budget_selection",  # r06
+    "q113_incremental_minhash_dedup",  # r06
+    "q115_frame_sampling",  # r06
+    "q117_upsert_replay",  # r06
+    "q118_repeated_span_coverage",  # r06
+    "q119_ann_ivf_persisted",  # r06
+    "q120_quality_threshold_for_budget",  # r06
+    "q121_event_mix_drift",  # r06
+    "q122_projected_rerank_topk",  # r06
+    "q123_stratified_sample",  # r06
+    "q125_mixture_budget_selection",  # r06
+    "q126_heavy_hitter_parts",  # r06
+    "q127_curation_funnel",  # r06
+    "q129_weighted_sample",  # r06
+    "q130_per_source_quality_cut",  # r06
+    "q131_source_overlap_matrix",  # r06
+    "q12_active_user_segments",  # r07
+    "q13_order_priority_sets",  # r07
+    "q15_top_parts_global",  # r07
+    "q18_zone_activity",  # r07
 )
 
 
@@ -2625,9 +2625,18 @@ def q69_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # + partial-distinct on a single task (measured 2.5 s of q69's 7 s).
     # Re-spreading the small frame across the cluster's cores (one cheap
     # 19k-row exchange, shared by both join sides via ReusedExchange)
-    # parallelizes the fanout: 2.51 s → 0.87 s.  Count is
-    # defaultParallelism — scale-adaptive, never a local constant.
-    pk = purchases.repartition(spark.sparkContext.defaultParallelism, "k")
+    # parallelizes the fanout: 2.51 s → 0.87 s.  GATED on the pathology
+    # (fewer partitions than cores): a corpus-scale purchases table
+    # already carries ≥cores partitions and must not pay a redundant
+    # exchange — the join then plans its own k-exchange exactly as
+    # before.  Both the spread count and the gate read the cluster
+    # (defaultParallelism), never a local constant.
+    par = spark.sparkContext.defaultParallelism
+    pk = (
+        purchases.repartition(par, "k")
+        if purchases.rdd.getNumPartitions() < par
+        else purchases
+    )
     edges = (
         pk.alias("a")
         .join(pk.alias("b"), "k")
@@ -8021,9 +8030,14 @@ def q185_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r11: parallelize the single-partition pair fanout — q69's comment
     # (the checkpointed distinct is 1 AQE-coalesced partition, which
-    # serialized the 3.5M-row fanout on one task; defaultParallelism is
-    # the scale-adaptive spread)
-    pk = purchases.repartition(spark.sparkContext.defaultParallelism, "k")
+    # serialized the 3.5M-row fanout on one task; the respread is gated
+    # on partitions < cores so a corpus-scale table never pays it)
+    par = spark.sparkContext.defaultParallelism
+    pk = (
+        purchases.repartition(par, "k")
+        if purchases.rdd.getNumPartitions() < par
+        else purchases
+    )
     edges = (
         pk.alias("a")
         .join(pk.alias("b"), "k")

@@ -549,9 +549,12 @@ def test_q187_corpus_joins_stay_sort_merge(spark, sf_dir):
     )
     assert plan.count("SortMergeJoin") >= 1, plan[:2000]
     assert plan.count("BroadcastHashJoin") <= 1, plan[:2000]
-    # the r10 token-grain shapes must not creep back
-    assert "collect_list" not in plan, plan[:2000]
+    # the r10 token-grain shapes must not creep back: no (doc, pos)
+    # anti-join, and no token re-assembly aggregate (the only
+    # collect_list is the bounded per-doc removal-START list — start
+    # positions are unique per doc, so no sort/struct re-assembly)
     assert "LeftAnti" not in plan, plan[:2000]
+    assert "array_sort(collect_list" not in plan, plan[:2000]
 
 
 def _executed_plan_descriptions(spark, fn) -> str:

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from spark_hadoop_automation_in_cloud_spark.io import read_table
 from spark_hadoop_automation_in_cloud_spark.operators.clustering import kmeans_assign
 from spark_hadoop_automation_in_cloud_spark.operators.components import (
+    _persistent_rdd_ids,
     _pinned_rdd_ids,
     _unpersist_rdds,
     pagerank,
@@ -72,11 +73,22 @@ def timed(df_fn, n: int = 3) -> float:
     storage pressure the 64g note blames (r11 review finding)."""
 
     def run() -> float:
+        # snapshot BEFORE the call: the returned plan may reach the
+        # HARNESS'S OWN input checkpoints (r11: kmeans' returned frame
+        # coalesces directly over the checkpointed input, so the pinned
+        # walk now sees the input's blocks — blanket-releasing them broke
+        # the next run with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).  Release
+        # only what THIS run pinned (the operators' own ownership rule):
+        # the operator's result checkpoint is created during df_fn(), so
+        # it is not in `pre` and still gets released.
+        from pyspark.sql import SparkSession
+
+        pre = _persistent_rdd_ids(SparkSession.getActiveSession())
         t0 = time.perf_counter()
         df = df_fn()
         df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
-        _unpersist_rdds(df.sparkSession, _pinned_rdd_ids(df))
+        _unpersist_rdds(df.sparkSession, _pinned_rdd_ids(df) - pre)
         return dt
 
     run()  # warm
